@@ -1,0 +1,156 @@
+"""Scans / sources / sinks — SURVEY.md §2.1 (q01–q06).
+
+Reference behavior re-expressed Spark-first:
+- q01: the reference's table scan is a Postgres read (mercadolibre_pipeline_dag.py:75);
+  ours is a vectorized Parquet scan with pushdown/pruning.
+- q02: requests.get + json.loads (reference :20-33) becomes a schema'd
+  ``from_json`` over a JSON payload column.
+- q03: the serial per-category HTTP fan-out loop (reference :44-45) becomes a
+  parallel union-all of filtered scans — at 100 TB each branch is a
+  partition-pruned scan, and ``unionByName`` keeps it a metadata-only plan node.
+- q04: ``to_sql(if_exists="replace")`` (reference :65) becomes an idempotent
+  ``mode("overwrite")`` Parquet write (verified by re-read).
+- q05: the JDBC boundary (reference :63-75) — no database in the test env, so
+  the checked query is a partitioned-Parquet round-trip; the actual JDBC
+  wrappers live in io.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..io import sink_overwrite, table
+from ..registry import query
+from ..schemas import EVENT_PROPS
+
+
+def _tmpdir(name: str) -> str:
+    base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, name)
+
+
+@query(
+    "q01_scan_parquet",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def q01_scan_parquet(spark, sf_dir) -> DataFrame:
+    return table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@query(
+    "q02_source_json",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def q02_source_json(spark, sf_dir) -> DataFrame:
+    """Schema'd JSON parsing of the events.props payload column."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.from_json("props", EVENT_PROPS).getField("k").alias("k")
+    )
+
+
+_FANOUT_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE"]
+
+
+@query(
+    "q03_source_fanout_union",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE')
+    """,
+)
+def q03_source_fanout_union(spark, sf_dir) -> DataFrame:
+    """Parameterized fan-out + union-all. Each branch is an independent
+    filtered scan (partition-prunable at scale); the union is lazy plan
+    composition, not materialization."""
+    branches = [
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == seg)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        for seg in _FANOUT_SEGMENTS
+    ]
+    return reduce(DataFrame.unionByName, branches)
+
+
+@query(
+    "q04_sink_overwrite",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q04_sink_overwrite(spark, sf_dir) -> DataFrame:
+    """Idempotent full-replace sink, verified by re-read: write the filtered
+    orders to Parquet with mode("overwrite") twice (rerun-safety, the
+    reference's contract), then scan the result back."""
+    out = _tmpdir("q04_sink")
+    df = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    sink_overwrite(df, out)
+    sink_overwrite(df, out)  # idempotent rerun
+    return spark.read.parquet(out)
+
+
+@query(
+    "q05_sink_jdbc",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+)
+def q05_sink_jdbc(spark, sf_dir) -> DataFrame:
+    """JDBC boundary stand-in (no DB in env): a *partitioned* Parquet
+    round-trip — write customer partitioned by mktsegment (the layout a
+    100 TB table would use for partition pruning) and read it back.
+    Real JDBC read/write wrappers: io.read_jdbc / io.write_jdbc."""
+    out = _tmpdir("q05_roundtrip")
+    df = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    sink_overwrite(df, out, partition_by=["c_mktsegment"])
+    back = spark.read.parquet(out)
+    return back.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+@query(
+    "q06_sink_report",
+    oracle="""
+    SELECT '<tr><td>' || c_name || '</td><td>' || c_mktsegment || '</td><td>'
+           || CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) || '</td></tr>' AS row_html
+    FROM (
+        SELECT c_name, c_mktsegment, c_acctbal,
+               row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn <= 10
+    """,
+)
+def q06_sink_report(spark, sf_dir) -> DataFrame:
+    """Row-wise formatted report rows (the reference renders query rows into
+    an HTML <tr> table via Jinja, mercadolibre_pipeline_dag.py:96-127).
+    The row HTML is built *inside* Spark (concat, JVM-side); only the
+    top-10 result would ever be collected for delivery — see
+    pipeline.render_report for the full-document assembly."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    top = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    # decimal-cast → string gives identical 2-dp rendering on both engines
+    bal = F.col("c_acctbal").cast("decimal(18,2)").cast("string")
+    return top.select(
+        F.concat(
+            F.lit("<tr><td>"), F.col("c_name"),
+            F.lit("</td><td>"), F.col("c_mktsegment"),
+            F.lit("</td><td>"), bal, F.lit("</td></tr>"),
+        ).alias("row_html")
+    )

@@ -1,0 +1,120 @@
+"""The reference's flagship ETL pipeline, Spark-first.
+
+The reference (mercadolibre_pipeline_dag.py) runs five Airflow tasks:
+extract → load → query → short-circuit gate → render+email. Here the
+whole thing is ONE lazy Catalyst plan with a single ``isEmpty()`` action
+as the gate (q52) and a sink write — no per-task materialization, no XCom
+handoffs (SURVEY.md §3).
+
+Pipeline shape (exercises q01, q07, q08, q42, q44, q04, q52, q06):
+
+    scan lineitem (parquet, pruned to 4 cols)
+      → filter l_extendedprice * l_quantity >= T        (flagship predicate, ref :75)
+      → project + date_format(l_shipdate, 'dd-MM-yyyy') (ref TO_CHAR, :75)
+      → non-empty gate                                   (ref ShortCircuitOperator, :131-138)
+      → overwrite-mode parquet sink                      (ref to_sql replace, :65)
+      → (optional) HTML report of top rows               (ref Jinja render, :96-127)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .io import sink_overwrite, table
+from .registry import query
+
+FLAGSHIP_THRESHOLD = 4_000_000.0
+
+_REPORT_HEADER = (
+    "<html><body><h3>High volume sales</h3><table>"
+    "<tr><th>order</th><th>line</th><th>revenue</th><th>ship date</th></tr>"
+)
+_REPORT_FOOTER = "</table></body></html>"
+
+
+def flagship(spark: SparkSession, sf_dir: str, threshold: float = FLAGSHIP_THRESHOLD) -> DataFrame:
+    """The flagship query: scan → theta filter → project + date format."""
+    li = table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * F.col("l_quantity")
+    return (
+        li.filter(revenue >= threshold)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            revenue.alias("revenue"),
+            F.date_format("l_shipdate", "dd-MM-yyyy").alias("ship_str"),
+        )
+    )
+
+
+def render_report(df: DataFrame, max_rows: int = 50) -> str | None:
+    """Assemble the HTML report document from a *small* result (q06).
+
+    Row HTML is built JVM-side (concat/codegen); only the bounded top rows
+    cross to the driver — the 100 TB-safe version of the reference's
+    row-wise Jinja loop."""
+    rows = (
+        df.orderBy(F.desc("revenue"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(max_rows)
+        .select(
+            F.concat(
+                F.lit("<tr><td>"), F.col("l_orderkey").cast("string"),
+                F.lit("</td><td>"), F.col("l_linenumber").cast("string"),
+                F.lit("</td><td>"), F.col("revenue").cast("decimal(18,2)").cast("string"),
+                F.lit("</td><td>"), F.col("ship_str"), F.lit("</td></tr>"),
+            ).alias("row_html")
+        )
+        .collect()
+    )
+    if not rows:
+        return None
+    return _REPORT_HEADER + "".join(r.row_html for r in rows) + _REPORT_FOOTER
+
+
+def run_gated_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    threshold: float = FLAGSHIP_THRESHOLD,
+) -> dict:
+    """End-to-end run with the short-circuit gate (q52).
+
+    The reference returns None from the query task on an empty result and a
+    ShortCircuitOperator skips everything downstream (reference :84-87,
+    :131-138, README.md:44-49). Spark-first: one ``isEmpty()`` action
+    gates the sink + report; nothing downstream runs on an empty result.
+    """
+    df = flagship(spark, sf_dir, threshold)
+    if df.isEmpty():
+        return {"gate_open": False, "rows_written": 0, "report": None}
+    sink_overwrite(df, out_path)
+    report = render_report(df)
+    rows = spark.read.parquet(out_path).count()
+    return {"gate_open": True, "rows_written": rows, "report": report}
+
+
+@query("q52_shortcircuit_gate")  # no-oracle: control flow (SURVEY §2.9)
+def q52_shortcircuit_gate(spark, sf_dir) -> DataFrame:
+    """Predicate-polarity test of the gate, mirroring the reference author's
+    manual test (flip the predicate so the result is empty and observe the
+    skip, README.md:57-61): run the gated pipeline once with an
+    impossibly-high threshold (gate must close) and once with the real one
+    (gate must open), and return both outcomes."""
+    base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
+    os.makedirs(base, exist_ok=True)
+    closed = run_gated_pipeline(
+        spark, sf_dir, os.path.join(base, "q52_closed"), threshold=1e18
+    )
+    opened = run_gated_pipeline(
+        spark, sf_dir, os.path.join(base, "q52_open"), threshold=FLAGSHIP_THRESHOLD
+    )
+    return spark.createDataFrame(
+        [
+            ("high_threshold", closed["gate_open"], closed["rows_written"]),
+            ("low_threshold", opened["gate_open"], opened["rows_written"]),
+        ],
+        "polarity string, gate_open boolean, rows_written long",
+    )

@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+One place to encode the execution posture we want everywhere:
+
+- AQE on (runtime re-plan at shuffle boundaries: partition coalescing,
+  skew-join splitting, broadcast demotion) — the 100 TB knob that costs
+  nothing locally.
+- Shuffle partitions sized to the local core count; on a real cluster this
+  is overridden (AQE coalescing makes the initial number less critical).
+- Arrow enabled so any Pandas-UDF path is vectorized batch transfer.
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (naive/UTC timestamps in the fixture parquet).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "eclypsium-etl-spark"
+
+
+def cpu_count() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 8)
+    except ValueError:
+        return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session with the engine's standard config."""
+    cores = cpu_count()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # fixture events.parquet stores TIMESTAMP(NANOS); Spark has no ns
+        # timestamp — read as long and convert (io.table truncates to µs,
+        # matching DuckDB's ns→µs truncation)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

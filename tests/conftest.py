@@ -1,0 +1,44 @@
+"""Shared fixtures: one SparkSession per test run, DuckDB oracle per sf."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from eclypsium_etl_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CHECK = "/root/testdata/sf0.01"
+
+FIXTURE_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="eclypsium-etl-spark-tests", shuffle_partitions=8)
+    yield spark
+
+
+def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Replicates the driver's oracle setup: each fixture table registered
+    as a DuckDB view over the same parquet files Spark reads."""
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="session")
+def duck_smoke():
+    return make_duck(SF_SMOKE)
+
+
+@pytest.fixture(scope="session")
+def duck_check():
+    return make_duck(SF_CHECK)

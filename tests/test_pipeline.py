@@ -1,0 +1,56 @@
+"""Flagship pipeline: smoke, gate polarity (reference README.md:57-61
+style), report rendering, and plan-shape assertions (pushdown/pruning)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import __spark_entry__ as entrymod
+from eclypsium_etl_spark.pipeline import flagship, render_report, run_gated_pipeline
+
+from .conftest import SF_SMOKE
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert df.columns == ["l_orderkey", "l_linenumber", "revenue", "ship_str"]
+    assert len(rows) > 0
+    assert all(r.revenue >= 4_000_000 for r in rows)
+
+
+def test_gate_polarity(spark):
+    with tempfile.TemporaryDirectory() as d:
+        closed = run_gated_pipeline(spark, SF_SMOKE, f"{d}/out", threshold=1e18)
+        assert closed == {"gate_open": False, "rows_written": 0, "report": None}
+        opened = run_gated_pipeline(spark, SF_SMOKE, f"{d}/out2")
+        assert opened["gate_open"] and opened["rows_written"] > 0
+        assert opened["report"].startswith("<html>") and "<tr><td>" in opened["report"]
+
+
+def test_report_bounded(spark):
+    report = render_report(flagship(spark, SF_SMOKE), max_rows=5)
+    assert report.count("<tr><td>") == 5
+
+
+def test_projection_prunes_scan(spark):
+    """Column pruning must reach the parquet scan: the flagship reads 4 of
+    11 lineitem columns."""
+    plan = flagship(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_shipdate" in read_schema
+    assert "l_discount" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_sargable_filter_pushed_down(spark):
+    """A plain (sargable) predicate must reach PushedFilters."""
+    from eclypsium_etl_spark.io import table
+    from pyspark.sql import functions as F
+
+    df = table(spark, SF_SMOKE, "lineitem").filter(
+        F.col("l_quantity") > 45
+    ).select("l_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity" in plan
