@@ -1,1 +1,203 @@
-"""Placeholder — filled in by build phases (SURVEY.md §7)."""
+"""Aggregations — SURVEY.md §2.4 (q20–q28).
+
+The reference's only aggregates are degenerate (len() and an empty-check,
+mercadolibre_pipeline_dag.py:49,84). Here: the full hash-aggregation
+surface. Catalyst plans every groupBy as partial (map-side) → final
+HashAggregate automatically — the shape that scales: the shuffle carries
+pre-combined partials, not raw rows. Sums of doubles go through the
+decimal trick (functions.dsum) so results are order-independent —
+correctness at any partition count, not just oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import davg, davg_sql, dsum, dsum_sql
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "q20_agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_price,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           {davg_sql('l_extendedprice')} AS avg_price
+    FROM lineitem
+    """,
+)
+def q20_agg_global(spark, sf_dir) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_extendedprice").alias("avg_price"),
+    )
+
+
+@query(
+    "q21_agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q21_agg_groupby(spark, sf_dir) -> DataFrame:
+    """TPC-H Q1 shape: the canonical two-phase hash aggregate."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "sum_disc_price"
+        ),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "q22_agg_distinct",
+    oracle="""
+    SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS n_segments,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q22_agg_distinct(spark, sf_dir) -> DataFrame:
+    """DISTINCT aggregation — Catalyst expands count-distinct into a
+    two-level aggregate (distinct keys first, then count)."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@query("q23_agg_approx_distinct")  # no-oracle: approximate by design
+def q23_agg_approx_distinct(spark, sf_dir) -> DataFrame:
+    """HyperLogLog++ count-distinct — the 100 TB substitute for exact
+    count-distinct (no shuffle of distinct keys, fixed-size sketch).
+    Bounds vs the exact count are asserted in tests (rsd 5%)."""
+    e = table(spark, sf_dir, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+        F.approx_count_distinct("event_id", rsd=0.05).alias("approx_events"),
+    )
+
+
+@query(
+    "q24_agg_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {dsum_sql('o_totalprice')} AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q24_agg_rollup(spark, sf_dir) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+@query(
+    "q25_agg_cube",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+           {davg_sql('c_acctbal')} AS avg_bal
+    FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+    """,
+)
+def q25_agg_cube(spark, sf_dir) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.cube("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("n"), davg("c_acctbal").alias("avg_bal")
+    )
+
+
+@query(
+    "q26_agg_groupingsets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {dsum_sql('o_totalprice')} AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q26_agg_groupingsets(spark, sf_dir) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               {dsum_sql("o_totalprice")} AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q27_agg_having",
+    oracle=f"""
+    SELECT c_nationkey, COUNT(*) AS n, {dsum_sql('c_acctbal')} AS bal
+    FROM customer GROUP BY c_nationkey
+    HAVING COUNT(*) > 50 AND {dsum_sql('c_acctbal')} > 0
+    """,
+)
+def q27_agg_having(spark, sf_dir) -> DataFrame:
+    """Post-aggregation filter (HAVING) — just a filter above the aggregate
+    in the logical plan; Catalyst can still prune/push the rest."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"), dsum("c_acctbal").alias("bal"))
+        .filter((F.col("n") > 50) & (F.col("bal") > 0))
+    )
+
+
+@query(
+    "q28_agg_collect",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM (SELECT * FROM orders WHERE o_totalprice > 450000)
+    GROUP BY o_custkey
+    """,
+)
+def q28_agg_collect(spark, sf_dir) -> DataFrame:
+    """collect_list / collect_set — the reference's row-accumulation into a
+    JSON array (reference :76-87) as a distributed aggregate. sort_array +
+    join to a string for deterministic cross-engine comparison."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450_000)
+    # sort numerically BEFORE casting to string — string sort would put
+    # "10" before "9" while the oracle's ORDER BY o_orderkey is numeric
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("order_keys"),
+        F.size(F.collect_set("o_orderstatus")).cast("long").alias("n_statuses"),
+    )

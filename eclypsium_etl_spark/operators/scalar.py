@@ -1,1 +1,286 @@
-"""Placeholder — filled in by build phases (SURVEY.md §7)."""
+"""Scalar functions — SURVEY.md §2.8 (q42–q51).
+
+String/date/math/array/map/JSON expression surface. Everything here is a
+built-in ``pyspark.sql.functions`` expression — JVM-side, inside
+WholeStageCodegen, never a Python UDF. Cross-engine gotchas each query
+encodes (SURVEY §5.2.3):
+
+- Spark date_format patterns are case-sensitive Java letters; the DuckDB
+  twin is strftime with C codes (q42).
+- Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday (q43).
+- Spark cast(double→int) truncates; DuckDB CAST rounds — use explicit
+  floor (q51).
+- Round modes differ (HALF_UP vs half-even) but can never disagree on
+  doubles at scale ≥ 1 (exact ties aren't binary-representable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..io import table
+from ..registry import query
+from ..schemas import EVENT_PROPS
+
+
+@query(
+    "q42_date_format",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%d-%m-%Y') AS ship_str
+    FROM lineitem
+    """,
+)
+def q42_date_format(spark, sf_dir) -> DataFrame:
+    """Date → string (the reference's TO_CHAR(created_date,'dd-mm-yyyy'),
+    mercadolibre_pipeline_dag.py:75)."""
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", "dd-MM-yyyy").alias("ship_str"),
+    )
+
+
+@query(
+    "q43_date_parts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_to_2002,
+           o_orderdate + INTERVAL 90 DAY AS due_date
+    FROM orders
+    """,
+)
+def q43_date_parts(spark, sf_dir) -> DataFrame:
+    """Date extraction / truncation / arithmetic. DuckDB dayofweek is
+    0=Sunday vs Spark 1=Sunday — the oracle shifts by one."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+    )
+
+
+@query(
+    "q44_math_expr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 + l_tax) AS gross,
+           round(l_extendedprice * (1 - l_discount), 6) AS net_rounded,
+           abs(l_quantity - 25) AS qty_dev,
+           sqrt(l_quantity) AS qty_sqrt,
+           round(ln(l_extendedprice), 6) AS log_price
+    FROM lineitem
+    """,
+)
+def q44_math_expr(spark, sf_dir) -> DataFrame:
+    """Arithmetic expressions (the reference's price*sold_quantity, :75,
+    widened). Products/abs/sqrt are IEEE-exact cross-engine; ln() can
+    differ by 1 ulp → rounded to 6 dp on both sides."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 + F.col("l_tax"))).alias("gross"),
+        # round scale 6 > the value's intrinsic 4 decimals (2dp price × 2dp
+        # discount): exact ties are impossible, so HALF_UP (Spark) and
+        # half-even (DuckDB) agree. round(x, 2) here WOULD mismatch.
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+            "net_rounded"
+        ),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("log_price"),
+    )
+
+
+@query(
+    "q45_string_fns",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substring(p_name, 1, 5) AS name_head,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+           (p_name LIKE '%widget%') AS is_widget,
+           CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words
+    FROM part
+    """,
+)
+def q45_string_fns(spark, sf_dir) -> DataFrame:
+    """String functions (the reference's URL building / interpolation,
+    :30, :111-121, generalized)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.col("p_name").like("%widget%").alias("is_widget"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+    )
+
+
+@query(
+    "q46_json_get",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS absent
+    FROM events
+    """,
+)
+def q46_json_get(spark, sf_dir) -> DataFrame:
+    """JSON field extraction from a stringified-JSON column (the
+    reference's dict_response["results"] / entry["id"], :23, :33)."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", EVENT_PROPS).getField("k").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("absent"),
+    )
+
+
+@query(
+    "q47_json_serialize",
+    oracle="""
+    SELECT event_id,
+           '{"event_id":' || event_id || ',"event_type":"' || event_type
+           || '","user_id":' || user_id || '}' AS payload
+    FROM events
+    """,
+)
+def q47_json_serialize(spark, sf_dir) -> DataFrame:
+    """Row → JSON serialization (the reference's json.dumps({"data": ...}),
+    :87). Oracle builds the identical compact rendering by concatenation —
+    engine-native JSON printers differ in whitespace, the values don't."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type", "user_id")).alias("payload"),
+    )
+
+
+@query(
+    "q48_array_fns",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS head_val,
+           round(list_sum(list_transform(embedding[1:8],
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sumsq_8,
+           CAST(list_contains(list_transform(embedding, x -> x > 0.5), true) AS BOOLEAN) AS any_big
+    FROM embeddings
+    """,
+)
+def q48_array_fns(spark, sf_dir) -> DataFrame:
+    """Array functions over the embedding column: size, element_at, slice,
+    transform, aggregate (left fold accumulating in double), exists."""
+    em = table(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        F.slice("embedding", 1, 8), lambda x: x.cast("double") * x.cast("double")
+    )
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("head_val"),
+        F.round(
+            F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v), 6
+        ).alias("sumsq_8"),
+        F.exists("embedding", lambda x: x > F.lit(0.5)).alias("any_big"),
+    )
+
+
+@query(
+    "q49_map_fns",
+    oracle="""
+    SELECT event_id,
+           event_type AS type_val,
+           CAST(2 AS INTEGER) AS n_keys,
+           CAST(user_id AS VARCHAR) AS uid_val
+    FROM events
+    """,
+)
+def q49_map_fns(spark, sf_dir) -> DataFrame:
+    """Map functions: build a map from columns, read it back via
+    element_at/map_keys. The oracle states the expected *values* directly
+    (map construction + extraction is the identity on them) — engine map
+    types don't hash-compare across engines, scalars do."""
+    e = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "uid").alias("uid_val"),
+    )
+
+
+@query(
+    "q50_case_when",
+    oracle="""
+    SELECT event_id, value,
+           CASE WHEN value > 100 THEN 'high'
+                WHEN value > 10  THEN 'mid'
+                ELSE 'low' END AS bucket,
+           CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS purchase_value
+    FROM events
+    """,
+)
+def q50_case_when(spark, sf_dir) -> DataFrame:
+    """Conditional expressions (the reference's if/else branching,
+    :84-87, :135-138, as data — not control flow)."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "value",
+        F.when(F.col("value") > 100, "high")
+        .when(F.col("value") > 10, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(F.lit(0.0))
+        .alias("purchase_value"),
+    )
+
+
+@query(
+    "q51_cast_coalesce",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(value) AS BIGINT) AS value_floor,
+           CAST(event_id AS VARCHAR) AS id_str,
+           COALESCE(NULLIF(event_type, 'error'), 'n/a') AS type_or_na,
+           (NULLIF(event_type, 'error') IS NULL) AS was_error
+    FROM events
+    """,
+)
+def q51_cast_coalesce(spark, sf_dir) -> DataFrame:
+    """Casting & null handling. Explicit floor before the int cast: Spark
+    cast(double→int) truncates while DuckDB rounds — never rely on the
+    implicit behavior."""
+    e = table(spark, sf_dir, "events")
+    nullified = F.nullif(F.col("event_type"), F.lit("error"))
+    return e.select(
+        "event_id",
+        F.floor("value").cast("long").alias("value_floor"),
+        F.col("event_id").cast("string").alias("id_str"),
+        F.coalesce(nullified, F.lit("n/a")).alias("type_or_na"),
+        nullified.isNull().alias("was_error"),
+    )

@@ -1,1 +1,102 @@
-"""Placeholder — filled in by build phases (SURVEY.md §7)."""
+"""UDF / UDAF / UDTF surface — SURVEY.md §2.11 (q59–q61).
+
+The reference's entire compute surface is arbitrary Python (Airflow
+PythonOperator tasks, mercadolibre_pipeline_dag.py:151-169). Spark-first
+discipline inverts that: built-ins for everything expressible, and when
+Python is genuinely needed it runs vectorized over Arrow batches
+(pandas_udf / applyInPandas), never row-at-a-time in the hot path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..io import table
+from ..registry import query
+
+
+def discounted_price_udf():
+    """Vectorized scalar UDF: whole Arrow batches in, numpy math, batch out.
+    (Expressible as a built-in — kept as the canonical pandas_udf example;
+    the parity oracle proves it computes exactly what the SQL does.)
+    Built lazily: pandas_udf resolves its return type against the active
+    session, so it can't be a module-level decorator."""
+
+    @F.pandas_udf("double")
+    def _discounted_price(extended: pd.Series, discount: pd.Series) -> pd.Series:
+        return extended * (1.0 - discount)
+
+    return _discounted_price
+
+
+@query(
+    "q59_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price
+    FROM lineitem
+    """,
+)
+def q59_udf_scalar(spark, sf_dir) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        discounted_price_udf()("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+def _flag_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped custom aggregation (UDAF via applyInPandas). Sums are done
+    in integer ten-thousandths (exact, order-independent) to match the
+    engine-side decimal(.,4) discipline bit-for-bit."""
+    cents = (pdf["l_extendedprice"] * 10_000).round().astype("int64")
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "n_items": [len(pdf)],
+            "sum_price": [cents.sum() / 10_000.0],
+            "max_price": [pdf["l_extendedprice"].max()],
+        }
+    )
+
+
+@query(
+    "q60_udaf_grouped",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q60_udaf_grouped(spark, sf_dir) -> DataFrame:
+    """applyInPandas: full shuffle on the group key, then one pandas frame
+    per group. Right tool for algorithms SQL can't express (here it
+    recomputes a SQL-expressible aggregate so the oracle can check the
+    plumbing exactly)."""
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return li.groupBy("l_returnflag").applyInPandas(
+        _flag_stats,
+        schema="l_returnflag string, n_items long, sum_price double, max_price double",
+    )
+
+
+@query(
+    "q61_udtf",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, tok[i] AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         UNNEST(generate_series(1, least(5, len(tok)))) AS u(i)
+    """,
+)
+def q61_udtf(spark, sf_dir) -> DataFrame:
+    """Table function (1 row → N rows): posexplode of the first 5 tokens —
+    the reference's category→products fan-out (:27-33, :44-45) as a lateral
+    expansion. posexplode is the built-in UDTF; a user-defined Python UDTF
+    would plug into the same lateral-join plan shape (Spark ≥3.5)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.slice(F.split("text", " "), 1, 5)).alias("pos", "token")
+    )

@@ -1,1 +1,182 @@
-"""Placeholder — filled in by build phases (SURVEY.md §7)."""
+"""Window functions — SURVEY.md §2.5 (q29–q34).
+
+No OVER clause anywhere in the reference; required by the north-star.
+Determinism discipline (SURVEY §5.2.1): every ORDER BY inside a window
+carries a unique tiebreaker so rank/ntile/lag results are identical across
+engines. Running sums use the decimal trick *inside the frame* — DuckDB
+evaluates moving windows with segment trees (different summation order),
+so float sums would drift; decimal sums cannot.
+
+Scale: a window = one shuffle on partitionBy + a per-partition sort. The
+partition key must be high-cardinality (per-customer, per-user — never a
+global window) or one executor gets the whole table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "q29_win_rownumber",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def q29_win_rownumber(spark, sf_dir) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).cast("long").alias("rn")
+    )
+
+
+@query(
+    "q30_win_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           rank()       OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS rnk,
+           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS drnk
+    FROM orders
+    """,
+)
+def q30_win_rank(spark, sf_dir) -> DataFrame:
+    """rank/dense_rank over a *tied* ordering (orderstatus has 3 values) —
+    tie semantics themselves are what's exercised; the output is
+    deterministic because ranks are equal for equal keys."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@query(
+    "q31_win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           lag(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+           CAST(COALESCE(date_diff('second',
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts),
+               -1) AS BIGINT) AS gap_sec
+    FROM events
+    """,
+)
+def q31_win_lag_lead(spark, sf_dir) -> DataFrame:
+    """lag/lead for session-gap detection — the building block for
+    sessionization (q55's batch oracle uses exactly this)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        prev.alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        F.coalesce(
+            F.col("ts").cast("long") - prev.cast("long"), F.lit(-1)
+        ).alias("gap_sec"),
+    )
+
+
+@query(
+    "q32_win_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def q32_win_running(spark, sf_dir) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@query(
+    "q33_win_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_7d
+    FROM events
+    """,
+)
+def q33_win_range_frame(spark, sf_dir) -> DataFrame:
+    """RANGE frame: 7-day trailing sum per user. Spark's rangeBetween needs
+    a numeric ordering column → epoch seconds (floor), and the oracle uses
+    the identical integer-second boundary so frames agree exactly."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(28,4)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d"),
+    )
+
+
+@query(
+    "q34_win_ntile_pct",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           ntile(4)       OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cum_dist
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q34_win_ntile_pct(spark, sf_dir) -> DataFrame:
+    """Distribution functions over a total order (c_custkey tiebreak makes
+    ntile assignment deterministic). Note: a global (unpartitioned) window
+    is a single-reducer sort — fine for a 15k-row dimension, a deliberate
+    anti-pattern for fact tables (use q37's per-group top-k instead)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
