@@ -1,1 +1,257 @@
-"""Placeholder — filled in by build phases (SURVEY.md §7)."""
+"""Structured Streaming operators — SURVEY.md §2.10 (q53–q58).
+
+The reference's only streaming analog is its daily cron rerun
+(mercadolibre_pipeline_dag.py:147). Here: the real streaming surface over
+the `events` fixture, replayed as a file stream with
+``trigger(availableNow=True)`` so a finite parquet drives a streaming
+query to completion synchronously (SURVEY §5.2.5).
+
+Operator split:
+- q53–q55 run the *same* window operators (window / session_window) in
+  batch mode — identical Catalyst expressions either way, and batch mode
+  gives them full DuckDB oracles.
+- q56–q58 execute genuine streaming plans (watermark, stateful dedup,
+  foreachBatch sink) and still carry oracles because availableNow replay
+  of a finite source converges to the batch result.
+
+Production posture (100 TB/day): kafka source instead of files, RocksDB
+state store (``spark.sql.streaming.stateStore.providerClass``) so state
+spills off-heap, watermark bounds state size, and shuffle partitions
+sized to the key cardinality. The fixture tests exercise the same plan
+shapes; only the source/sink bindings change.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..functions import dsum, dsum_sql
+from ..io import table
+from ..registry import query
+
+# Parquet-level schema for streaming reads: events.ts is TIMESTAMP(NANOS),
+# which Spark reads as long under nanosAsLong — readStream needs the
+# physical schema, conversion to µs timestamps happens right after.
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """The file-stream source wants a *directory*; stage one containing a
+    symlink to the fixture parquet (read-only testdata stays untouched)."""
+    staged = os.path.join(
+        tempfile.gettempdir(), "eclypsium_stream_src", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(staged, exist_ok=True)
+    link = os.path.join(staged, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return staged
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream (file-replay source)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_EVENTS_RAW).parquet(_events_stream_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(
+    writer_builder, name: str | None = None
+) -> tuple[str, str]:
+    """Start a stream with availableNow, block until it drains, return
+    (query_name, checkpoint_dir)."""
+    qname = name or f"s_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="eclypsium_ckpt_")
+    q = writer_builder(qname, ckpt).start()
+    q.awaitTermination()
+    return qname, ckpt
+
+
+@query(
+    "q53_stream_tumbling",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type,
+           COUNT(*) AS n, {dsum_sql('value')} AS val
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q53_stream_tumbling(spark, sf_dir) -> DataFrame:
+    """Tumbling event-time window. ``F.window`` is the same expression in
+    batch and streaming; epoch-aligned 5-minute buckets match DuckDB's
+    time_bucket exactly."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("val"))
+        .select(F.col("window.start").alias("w_start"), "event_type", "n", "val")
+    )
+
+
+@query(
+    "q54_stream_sliding",
+    oracle=f"""
+    WITH b AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS b0, value FROM events),
+    expanded AS (
+        SELECT b0 AS w_start, value FROM b
+        UNION ALL
+        SELECT b0 - INTERVAL 5 MINUTE AS w_start, value FROM b
+    )
+    SELECT w_start, COUNT(*) AS n, {dsum_sql('value')} AS val
+    FROM expanded GROUP BY w_start
+    """,
+)
+def q54_stream_sliding(spark, sf_dir) -> DataFrame:
+    """Sliding window (10 min length, 5 min slide): every event lands in
+    exactly two windows; the oracle materializes both bucket assignments."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("val"))
+        .select(F.col("window.start").alias("w_start"), "n", "val")
+    )
+
+
+@query(
+    "q55_stream_session",
+    oracle=f"""
+    WITH gapped AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM gapped
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n, {dsum_sql('value')} AS val
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q55_stream_session(spark, sf_dir) -> DataFrame:
+    """Gap-based session window (30 min). Boundary semantics verified
+    empirically (tests/test_streaming.py): an event exactly gap after the
+    last MERGES into the session, so the oracle's new-session flag is
+    strict ``>`` (SURVEY §5.2 hard part #2). The batch oracle is the
+    classic lag→flag→running-sum islands algorithm."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"), dsum("value").alias("val"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n",
+            "val",
+        )
+    )
+
+
+@query(
+    "q56_stream_watermark",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q56_stream_watermark(spark, sf_dir) -> DataFrame:
+    """Watermarked windowed aggregation, executed as a REAL streaming query
+    (availableNow file replay → memory sink, complete mode). The watermark
+    bounds state at scale; on a finite in-order replay nothing is late, so
+    the converged state equals the batch oracle. Watermark finalization
+    semantics (append emits each window exactly once, only after the
+    watermark passes; late-drop is best-effort) are exercised in
+    tests/test_streaming.py with a two-batch replay."""
+    agg = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("w_start"), "event_type", "n")
+    )
+    qname, _ = run_available_now(
+        lambda name, ckpt: agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    return spark.table(qname)
+
+
+@query(
+    "q57_stream_dedup_state",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def q57_stream_dedup_state(spark, sf_dir) -> DataFrame:
+    """Stateful streaming dedup: the stream is deliberately doubled (union
+    of two replays of the same source) and dropDuplicatesWithinWatermark
+    must emit each event_id exactly once. State is evicted once the
+    watermark passes — the property that makes dedup feasible on an
+    unbounded 100 TB stream."""
+    doubled = stream_events(spark, sf_dir).unionByName(stream_events(spark, sf_dir))
+    deduped = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    qname, _ = run_available_now(
+        lambda name, ckpt: deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    return spark.table(qname).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@query(
+    "q58_stream_foreachbatch",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    WHERE value >= 100
+    """,
+)
+def q58_stream_foreachbatch(spark, sf_dir) -> DataFrame:
+    """Micro-batch sink with the reference's empty-batch short-circuit
+    (q52's streaming twin): foreachBatch writes each non-empty batch to
+    parquet and skips empty ones — exactly-once via checkpoint + idempotent
+    per-batch paths."""
+    out = os.path.join(tempfile.mkdtemp(prefix="eclypsium_fb_"), "out")
+    filtered = stream_events(spark, sf_dir).filter(F.col("value") >= 100).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # the q52 gate, per micro-batch
+            return
+        batch_df.write.mode("append").parquet(out)
+
+    run_available_now(
+        lambda name, ckpt: filtered.writeStream.foreachBatch(sink_batch)
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    return spark.read.parquet(out)

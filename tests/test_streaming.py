@@ -1,0 +1,80 @@
+"""Streaming-specific behavior the batch oracles can't see: late-data
+dropping past the watermark (two-micro-batch file replay) and session
+boundary semantics."""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _t(s: str) -> datetime:
+    return datetime.fromisoformat(f"2024-01-01 {s}")
+
+
+def test_watermark_finalizes_windows(spark, tmp_path):
+    """Append mode + watermark: exactly the windows whose end ≤ the final
+    watermark are emitted, each exactly once; open windows never leak.
+
+    (Observed on Spark 4.1: a row older than the current watermark is NOT
+    necessarily dropped — numRowsDroppedByWatermark stayed 0 and the late
+    window was aggregated then finalized. Late-drop is best-effort per the
+    Spark docs; the hard guarantee is finalization, which is what this
+    asserts.)"""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, value double"
+
+    def write_file(rows, name):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"_stage_{name}"))
+        part = next(
+            p for p in (tmp_path / f"_stage_{name}").iterdir() if p.name.endswith(".parquet")
+        )
+        os.rename(part, src / f"{name}.parquet")
+
+    write_file([(1, _t("12:00:00"), 1.0), (2, _t("12:30:00"), 2.0)], "b1")
+    time.sleep(1.1)  # distinct mtimes → file source preserves batch order
+    write_file([(3, _t("11:00:00"), 3.0), (4, _t("12:40:00"), 4.0)], "b2")
+
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .count()
+        .select(F.col("window.start").alias("w_start"), "count")
+    )
+    qname = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(qname).collect()
+    starts = [r.w_start for r in rows]
+    # final watermark = 12:40 - 10 min = 12:30 → finalized windows are
+    # [11:00,11:05) and [12:00,12:05); [12:30,·) and [12:40,·) stay open
+    assert sorted(starts) == [_t("11:00:00"), _t("12:00:00")]
+    assert len(starts) == len(set(starts)), "append must emit each window once"
+
+
+def test_session_window_merges_at_exact_gap(spark):
+    """Empirical boundary check backing the q55 oracle: an event exactly
+    gap after the previous one MERGES into the same session (so the
+    oracle's new-session condition is strict >)."""
+    df = spark.createDataFrame(
+        [(1, _t("10:00:00")), (1, _t("10:30:00"))],
+        "user_id long, ts timestamp",
+    )
+    out = df.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().collect()
+    assert len(out) == 1 and out[0]["count"] == 2
