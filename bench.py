@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Each query is executed to a noop sink (full compute, no driver-side
+row materialization) after a session warm-up, so times measure the
+engine, not Py4J transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative spread: scan+filter, snowflake join, Q1 aggregate, window,
+# top-k, event-time window, exact/near dedup, MinHash LSH, kNN, all-pairs
+# similarity, TF-IDF, streaming dedup (real stream), quality scoring.
+HEADLINE = [
+    "q08_filter_arith",
+    "q16_join_multiway",
+    "q21_agg_groupby",
+    "q29_win_rownumber",
+    "q37_topk_per_group",
+    "q53_stream_tumbling",
+    "q62_dedup_exact",
+    "q63_dedup_near",
+    "q64_sim_knn",
+    "q65_sim_pairs",
+    "q67_text_tfidf",
+    "q71_dedup_minhash_lsh",
+    "q74_text_quality",
+    "q77_multimodal_decode",
+]
+
+
+def main() -> None:
+    from eclypsium_etl_spark.registry import load_all
+    from eclypsium_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="eclypsium-etl-spark-bench")
+    queries, _ = load_all()
+
+    # warm up the JVM + parquet footers once, outside the timed region
+    queries["q08_filter_arith"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,8 +55,9 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def dot_sql(a: str, b: str) -> str:
-    """DuckDB twin of :func:`dot` (list_zip → struct fields list_1/list_2)."""
+    """DuckDB twin of :func:`dot` (list_zip yields unnamed structs —
+    fields must be addressed by numeric index)."""
     return (
         f"list_sum(list_transform(list_zip({a}, {b}), "
-        f"s -> CAST(s.list_1 AS DOUBLE) * CAST(s.list_2 AS DOUBLE)))"
+        f"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
     )

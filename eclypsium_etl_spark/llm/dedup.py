@@ -1,1 +1,347 @@
-"""Placeholder — filled in by build phases (SURVEY.md §7)."""
+"""Deduplication operators — SURVEY.md §2.12 (q62, q63) plus the
+training-data-pipeline extensions (q70 SimHash, q71 MinHash+LSH, q78
+embedding near-dup).
+
+Portability principle: every hash used for *checked* queries is md5 over
+strings — available and bit-identical in both Spark and DuckDB — so even
+the LSH pipelines have exact oracles. (xxhash64/murmur are faster but
+engine-specific; swapping them in changes no plan shape.)
+
+Scale posture per operator:
+- exact (q62): one hash-aggregate shuffle on the content key. At 100 TB,
+  dedup on md5(text) instead of raw text so shuffle rows stay small.
+- shingle-Jaccard (q63): candidate generation by shingle self-join; the
+  blow-up control at scale is MinHash banding (q71) — candidates meet only
+  when a band collides, turning O(n²) into near-linear for sparse overlap.
+- SimHash (q70): per-row signature, NO shuffle at all — near-dup buckets
+  come from signature equality / small Hamming distance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import dot, dot_sql
+from ..io import table
+from ..registry import query
+
+_JACCARD_TAU = 0.4
+_EMB_TAU = 0.30
+
+# ---------------------------------------------------------------- shingles
+
+_SHINGLES_EXPR = (
+    "transform(sequence(1, size(split(text, ' ')) - 2),"
+    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+)
+
+# DuckDB twin: distinct 3-word shingles per doc
+_SH_CTE = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+    FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+)
+"""
+
+_JACCARD_TAIL = f"""
+inter AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+SELECT i.da AS doc_a, i.db AS doc_b,
+       round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) AS jaccard
+FROM inter i
+JOIN sz x ON x.doc_id = i.da
+JOIN sz y ON y.doc_id = i.db
+WHERE round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) >= {_JACCARD_TAU}
+"""
+
+
+def shingles(spark, sf_dir) -> DataFrame:
+    """Distinct 3-word shingles per document (set semantics).
+
+    Materialized once (localCheckpoint): every consumer — both sides of
+    the intersection self-join, the size aggregate, the MinHash signature —
+    would otherwise re-run the explode+distinct shuffle. One compute, N
+    reads is the right trade at any scale (on a cluster this would be a
+    persisted/bucketed intermediate table)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("s"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, tau: float = _JACCARD_TAU, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard over shingle sets. Without `candidates`, considers all
+    pairs sharing ≥1 shingle (q63's exact path); with a candidate pair set
+    (from LSH banding), intersections are computed ONLY for those pairs —
+    the shape that keeps verification linear in the candidate count."""
+    a = sh.alias("a")
+    b = sh.alias("b")
+    if candidates is not None:
+        inter = (
+            candidates.join(a, F.col("a.doc_id") == F.col("doc_a"))
+            .join(
+                b,
+                (F.col("b.doc_id") == F.col("doc_b")) & (F.col("a.s") == F.col("b.s")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .count()
+            .withColumnRenamed("count", "c")
+        )
+    else:
+        inter = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .count()
+            .withColumnRenamed("count", "c")
+        )
+    sizes = sh.groupBy("doc_id").count().withColumnRenamed("count", "n")
+    jac = F.round(
+        F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")), 6
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+@query(
+    "q62_dedup_exact",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM (
+        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q62_dedup_exact(spark, sf_dir) -> DataFrame:
+    """Exact dedup on content, keeping the lowest doc_id per text —
+    deterministic, unlike dropDuplicates' arbitrary-survivor choice (which
+    would still pass row-count checks but not value-hash ones). One
+    shuffle on the content key."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+@query(
+    "q63_dedup_near",
+    oracle=f"WITH {_SH_CTE}, {_JACCARD_TAIL}",
+)
+def q63_dedup_near(spark, sf_dir) -> DataFrame:
+    """Near-duplicate pairs by exact shingle-set Jaccard ≥ τ: shingle →
+    explode → self-join on shingle → intersection counts → |A∩B|/|A∪B|.
+    Deterministic and fully oracled. Scale control: q71's MinHash banding
+    generates candidates without the full shingle self-join."""
+    return jaccard_pairs(shingles(spark, sf_dir))
+
+
+def _simhash_bits_spark() -> str:
+    hexhigh = "'8','9','a','b','c','d','e','f'"
+    terms = [
+        f"(CASE WHEN size(filter(hs, h -> substring(h, {i}, 1) IN ({hexhigh}))) * 2"
+        f" > size(hs) THEN {1 << (i - 1)} ELSE 0 END)"
+        for i in range(1, 17)
+    ]
+    return " + ".join(terms)
+
+
+def _simhash_bits_duck() -> str:
+    hexhigh = "'8','9','a','b','c','d','e','f'"
+    terms = [
+        f"(CASE WHEN len(list_filter(hs, h -> substring(h, {i}, 1) IN ({hexhigh}))) * 2"
+        f" > len(hs) THEN {1 << (i - 1)} ELSE 0 END)"
+        for i in range(1, 17)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "q70_dedup_simhash",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+        FROM documents
+    )
+    SELECT doc_id, CAST({_simhash_bits_duck()} AS BIGINT) AS simhash
+    FROM hashed
+    """,
+)
+def q70_dedup_simhash(spark, sf_dir) -> DataFrame:
+    """16-bit SimHash: per-token md5, majority vote per bit position (hex
+    digit ≥ 8 ⇒ bit 1). Entirely per-row expressions — ZERO shuffle, which
+    is the point of SimHash at 100 TB: signatures come out of the scan
+    stage; near-dup grouping is then a cheap groupBy on the signature."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("transform(split(text, ' '), t -> md5(t))").alias("hs"),
+    ).select(
+        "doc_id", F.expr(_simhash_bits_spark()).cast("long").alias("simhash")
+    )
+
+
+_SIG_COLS_SPARK = ", ".join(
+    f"min(md5(concat('{j}|', s))) AS h{j}" for j in range(1, 9)
+)
+_SIG_COLS_DUCK = ", ".join(f"min(md5('{j}|' || s)) AS h{j}" for j in range(1, 9))
+
+
+@query(
+    "q71_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SH_CTE},
+    sig AS (SELECT doc_id, {_SIG_COLS_DUCK} FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 1 AS band, md5(h1 || h2) AS key FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h3 || h4) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(h5 || h6) FROM sig
+        UNION ALL SELECT doc_id, 4, md5(h7 || h8) FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                                  AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    SELECT c0.doc_a, c0.doc_b,
+           round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) AS jaccard
+    FROM cand c0
+    JOIN inter i ON i.da = c0.doc_a AND i.db = c0.doc_b
+    JOIN sz x ON x.doc_id = c0.doc_a
+    JOIN sz y ON y.doc_id = c0.doc_b
+    WHERE round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) >= {_JACCARD_TAU}
+    """,
+)
+def q71_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
+    """MinHash + LSH banding, fully deterministic (md5-based hash family →
+    exact oracle parity): 8 min-hashes per doc, 4 bands × 2 rows; docs are
+    candidates iff a band collides; candidates are verified with exact
+    Jaccard. This is the near-dup shape that survives 100 TB: signatures
+    are a groupBy over shingles (linear), the band self-join only meets
+    actual collisions — never all pairs. (Banding trades recall: with
+    b=4, r=2, P[candidate] = 1-(1-j²)⁴.)"""
+    sh = shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}")
+            for j in range(1, 9)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(F.concat(F.col(f"h{2*b-1}"), F.col(f"h{2*b}"))).alias("key"),
+                    )
+                    for b in range(1, 5)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact-Jaccard verification restricted to the banded candidates
+    return jaccard_pairs(sh, candidates=cand)
+
+
+@query(
+    "q78_dedup_embedding",
+    oracle=f"""
+    WITH de AS (
+        SELECT d.doc_id, d.lang, e.embedding
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round({dot_sql('a.embedding', 'b.embedding')}, 6) AS sim,
+           a.lang AS lang_a, b.lang AS lang_b
+    FROM de a JOIN de b ON a.doc_id < b.doc_id
+    WHERE round({dot_sql('a.embedding', 'b.embedding')}, 6) >= {_EMB_TAU}
+    """,
+)
+def q78_dedup_embedding(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-dup on documents: join docs to their vectors,
+    emit pairs above the cosine threshold with language metadata — the
+    semantic-dedup step of a training-data pipeline (exact kernel here;
+    LSH pruning via similarity.lsh_pairs at corpus scale)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    de = d.join(e, d.doc_id == e.vec_id).select("doc_id", "lang", "embedding")
+    a = de.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = de.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    sim = F.round(dot(F.col("emb_a"), F.col("emb_b")), 6)
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", sim.alias("sim"), "lang_a", "lang_b")
+        .filter(F.col("sim") >= _EMB_TAU)
+    )
+
+
+def minhash_lsh_ml_pairs(spark, sf_dir, tau: float = 0.4, seed: int = 42) -> DataFrame:
+    """pyspark.ml MinHashLSH variant of q71 for raw throughput (JVM hash
+    family, no md5 strings). No cross-engine oracle by design; recall vs
+    the exact q63 kernel is asserted in tests."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    sh = shingles(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_list("s").alias("sh_list")
+    )
+    cv = CountVectorizer(inputCol="sh_list", outputCol="features", binary=True)
+    model = cv.fit(sh)
+    feats = model.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=seed)
+    lsh_model = lsh.fit(feats)
+    pairs = lsh_model.approxSimilarityJoin(feats, feats, 1.0 - tau, distCol="jdist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (1.0 - F.col("jdist")).alias("jaccard"),
+        )
+    )

@@ -1,1 +1,243 @@
-"""Placeholder — filled in by build phases (SURVEY.md §7)."""
+"""Similarity search over embeddings — SURVEY.md §2.12 (q64, q65, q72).
+
+The `embeddings` fixture is unit-normalized (FIXTURES.md), so cosine
+similarity ≡ dot product. The dot kernel (functions.dot) is a built-in
+left fold accumulating in double — JVM-side, codegen'd, and bit-identical
+to DuckDB's list_sum fold, which is what makes exact oracle parity on
+float scores possible.
+
+Scale ladder (the 100 TB story):
+1. q64 brute-force top-k: broadcast the (small) query set against the
+   full corpus — one pass, no shuffle of the corpus, per-partition heaps
+   via the row_number window. Right answer for ≤ a few thousand queries.
+2. q72 IVF-style pruning: assign every vector to its nearest centroid
+   (broadcastable centroid set), then search only the query's cell —
+   cuts candidates by the cell count at a small recall cost.
+3. For corpus×corpus all-pairs (q65) the exact kernel is O(n²); the LSH
+   variant (bucketed random projection, pyspark.ml) bounds candidates —
+   provided as `lsh_pairs` with a fixed seed (recall-checked in tests,
+   not oracle-hashed: hash functions differ across engines by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import dot, dot_sql
+from ..io import table
+from ..registry import query
+
+_N_QUERIES = 10   # q64: vectors with vec_id < 10 are the query set
+_TOP_K = 5
+_PAIR_TAU = 0.30  # q65 threshold (fixture sims top out ≈ 0.40)
+_N_CENTROIDS = 8  # q72: vectors with vec_id < 8 act as centroids
+
+
+@query(
+    "q64_sim_knn",
+    oracle=f"""
+    SELECT query_id, neighbor_id, sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({dot_sql('q.embedding', 'c.embedding')}, 6) AS sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {dot_sql('q.embedding', 'c.embedding')} DESC, c.vec_id
+               ) AS rn
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ) WHERE rn <= {_TOP_K}
+    """,
+)
+def q64_sim_knn(spark, sf_dir) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors, fold the dot
+    product JVM-side, rank per query with a deterministic tiebreak."""
+    em = table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = em.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    sim = dot(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+@query(
+    "q65_sim_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({dot_sql('a.embedding', 'b.embedding')}, 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({dot_sql('a.embedding', 'b.embedding')}, 6) >= {_PAIR_TAU}
+    """,
+)
+def q65_sim_pairs(spark, sf_dir) -> DataFrame:
+    """All-pairs above a similarity threshold (threshold, not rank, so
+    float ties can't flip membership — SURVEY §5.2.2).
+
+    Two-phase exact kernel, the shape that survives scale:
+    1. CANDIDATES by blocked matrix multiply: the corpus matrix is
+       broadcast (small side; at 100 TB both sides are blocked), each
+       partition GEMMs its chunk against it in numpy — ~50 ns/pair instead
+       of an interpreted per-pair array fold — and keeps pairs above
+       τ − ε (ε ≫ GEMM-vs-fold float divergence, so no candidate is lost).
+    2. VERIFY survivors with the expression-level left-fold dot — the tiny
+       candidate set recomputed bit-identically to the DuckDB oracle.
+
+    `lsh_pairs` below replaces phase 1 with bucketed random projection
+    when even one full GEMM pass is too much."""
+    import numpy as np
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf = em.toPandas()  # corpus matrix (small side): 2k × 64 at sf0.1
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    guard = _PAIR_TAU - 1e-6
+
+    def gemm_candidates(batches):
+        import pandas as pd
+
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for chunk in batches:
+            a = np.stack(chunk["embedding"].to_numpy()).astype(np.float64)
+            sims = a @ all_mat.T
+            ii, jj = np.nonzero(sims >= guard)
+            keep = chunk["vec_id"].to_numpy()[ii] < all_ids[jj]
+            yield pd.DataFrame(
+                {
+                    "vec_a": chunk["vec_id"].to_numpy()[ii][keep],
+                    "vec_b": all_ids[jj][keep],
+                }
+            )
+
+    cand = em.mapInPandas(gemm_candidates, schema="vec_a long, vec_b long")
+    a = em.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = em.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    sim = F.round(dot(F.col("emb_a"), F.col("emb_b")), 6)
+    return (
+        cand.join(F.broadcast(a), "vec_a")
+        .join(F.broadcast(b), "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= _PAIR_TAU)
+    )
+
+
+@query(
+    "q72_sim_ivf",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+        WHERE vec_id < {_N_CENTROIDS}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cent_id FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {dot_sql('e.embedding', 'c.cent_emb')} DESC, c.cent_id
+                   ) AS rn
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, cent_id
+        FROM assigned WHERE vec_id >= 100 AND vec_id < 105
+    )
+    SELECT query_id, neighbor_id, sim FROM (
+        SELECT q.query_id, a.vec_id AS neighbor_id,
+               round({dot_sql('q.q_emb', 'a.embedding')}, 6) AS sim,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {dot_sql('q.q_emb', 'a.embedding')} DESC, a.vec_id
+               ) AS rn
+        FROM queries q JOIN assigned a
+          ON a.cent_id = q.cent_id AND a.vec_id <> q.query_id
+    ) WHERE rn <= 3
+    """,
+)
+def q72_sim_ivf(spark, sf_dir) -> DataFrame:
+    """IVF-style approximate nearest neighbor: partition the corpus into
+    Voronoi cells of a small centroid set (here: the first 8 vectors, a
+    deterministic stand-in for trained k-means centroids), then search only
+    the query's cell. The cell assignment is a broadcast join — the corpus
+    never shuffles; at 100 TB the assigned table would be written
+    partitioned by cent_id so a query touches one partition."""
+    em = table(spark, sf_dir, "embeddings")
+    cents = em.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_sim"), F.asc("cent_id")
+    )
+    assigned = (
+        em.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            dot(F.col("embedding"), F.col("cent_emb")).alias("cent_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    queries = assigned.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cent_id").alias("q_cent"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("neighbor_id"))
+    return (
+        assigned.join(
+            F.broadcast(queries),
+            (F.col("cent_id") == F.col("q_cent"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+def lsh_pairs(spark, sf_dir, threshold: float = 0.7, seed: int = 42) -> DataFrame:
+    """Scale path for q65: BucketedRandomProjectionLSH over the embedding
+    column — candidates meet only within hash buckets, bounding the O(n²)
+    blow-up. Euclidean distance on unit vectors maps to cosine via
+    d² = 2 - 2·cos. Fixed seed for reproducibility; recall vs the exact
+    kernel is asserted in tests (no cross-engine oracle: hash families are
+    engine-specific by design)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    em = table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector("embedding").alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=1.0,
+        numHashTables=4, seed=seed,
+    )
+    model = lsh.fit(em)
+    max_dist = (2.0 - 2.0 * threshold) ** 0.5
+    pairs = model.approxSimilarityJoin(em, em, max_dist, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            (1.0 - F.col("dist") * F.col("dist") / 2.0).alias("cos_sim"),
+        )
+    )

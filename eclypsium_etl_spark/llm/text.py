@@ -1,1 +1,238 @@
-"""Placeholder — filled in by build phases (SURVEY.md §7)."""
+"""Text-analysis operators — SURVEY.md §2.12 (q66–q68) plus the
+training-data-pipeline extensions (q73 language-ID, q74 quality scoring,
+q75 token counting, q76 fingerprinting).
+
+All pure expression pipelines: tokenization is split/explode (one shuffle
+for corpus-level stats, none for per-doc scores), scoring is arithmetic
+over counts. Per-doc operators (q73–q76) are scan-stage map work — at
+100 TB they run inside the Parquet scan projection with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import davg, davg_sql
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "q66_text_tokenize",
+    oracle="""
+    SELECT t AS token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+    GROUP BY t
+    """,
+)
+def q66_text_tokenize(spark, sf_dir) -> DataFrame:
+    """Tokenization + corpus token stats (word-count shape: explode →
+    two-phase hash aggregate)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+@query(
+    "q67_text_tfidf",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token,
+           round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    """,
+)
+def q67_text_tfidf(spark, sf_dir) -> DataFrame:
+    """TF-IDF: term frequency ⋈ document frequency ⋈ corpus size, smoothed
+    idf = ln((N+1)/(df+1)). df is a *small* table (vocabulary-sized) —
+    broadcast it; the corpus-size scalar rides along as a broadcast too.
+    MLlib HashingTF/IDF is the fixed-width variant at vocabulary scale."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # driver-side scalar → constant-folded into the plan
+    tfidf = F.round(
+        F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+    )
+    return tf.join(F.broadcast(df), "token").select(
+        "doc_id", "token", tfidf.alias("tfidf")
+    )
+
+
+@query(
+    "q68_text_lang_stats",
+    oracle=f"""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           {davg_sql('n_chars')} AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q68_text_lang_stats(spark, sf_dir) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        davg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# Fixed marker tokens per language (mined once from the fixture's vocabulary
+# distribution; constants by design — language ID must not depend on the
+# data it classifies).
+_MARKERS = {
+    "de": ("customer", "merge"),
+    "en": ("order", "table"),
+    "es": ("slow", "agg"),
+    "fr": ("scan", "batch"),
+    "zh": ("join", "small"),
+}
+
+
+def _marker_count(col_expr: str, words: tuple[str, ...], duck: bool) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    fn = "len(list_filter" if duck else "size(filter"
+    return f"{fn}({col_expr}, t -> t IN ({inlist})))"
+
+
+def _pred_case(scores: dict[str, str]) -> str:
+    """Alphabetical-priority argmax as a CASE chain — identical text works
+    in both engines, so tie-breaking is identical by construction."""
+    langs = sorted(scores)
+    clauses = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"{scores[lang]} >= {scores[other]}" for other in langs[i + 1:]
+        )
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+
+
+@query(
+    "q73_text_langid",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents)
+    SELECT doc_id, lang,
+           {_pred_case({l: _marker_count('tk', w, duck=True) for l, w in _MARKERS.items()})} AS pred_lang,
+           (lang = {_pred_case({l: _marker_count('tk', w, duck=True) for l, w in _MARKERS.items()})}) AS correct
+    FROM toks
+    """,
+)
+def q73_text_langid(spark, sf_dir) -> DataFrame:
+    """N-gram-heuristic language ID: score each language by its marker-token
+    hits, predict the argmax (alphabetical tie-break). Pure per-row
+    expressions — scan-stage work, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    scores = {
+        lang: _marker_count("split(text, ' ')", words, duck=False)
+        for lang, words in _MARKERS.items()
+    }
+    pred = _pred_case(scores)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.expr(pred).alias("pred_lang"),
+        (F.col("lang") == F.expr(pred)).alias("correct"),
+    )
+
+
+_STOPWORDS = ("a", "the", "data", "value")
+
+
+@query(
+    "q74_text_quality",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('a', 'the', 'data', 'value'))) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           round(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stop_ratio,
+           round(0.4 * least(1.0, n_tok / 50.0)
+               + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tok)
+               + 0.3 * least(1.0, n_chars / 300.0), 6) AS quality
+    FROM m
+    """,
+)
+def q74_text_quality(spark, sf_dir) -> DataFrame:
+    """Heuristic quality score: length saturation + stopword-ratio penalty
+    + char-length saturation, the standard cheap pre-filter in a training
+    data pipeline. All divisions act on identical integer operands, so the
+    doubles match the oracle bit-for-bit."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))")
+    stop_ratio = n_stop.cast("double") / n_tok
+    quality = F.round(
+        0.4 * F.least(F.lit(1.0), n_tok / 50.0)
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.3 * F.least(F.lit(1.0), F.col("n_chars") / 300.0),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tok"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+@query(
+    "q75_text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+    FROM documents
+    """,
+)
+def q75_text_token_count(spark, sf_dir) -> DataFrame:
+    """Token counting three ways: whitespace split, regex word extraction
+    (the BPE-ish pre-tokenizer pattern), and the chars/4 BPE estimate used
+    for quick corpus sizing."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").alias("n_re"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_bpe_est"),
+    )
+
+
+@query(
+    "q76_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_min(list_transform(
+               generate_series(1, greatest(1, length(text) - 15), 8),
+               i -> md5(substring(text, i, 16)))) AS fingerprint
+    FROM documents
+    """,
+)
+def q76_text_fingerprint(spark, sf_dir) -> DataFrame:
+    """Winnowing-style document fingerprint: md5 over a rolling window of
+    16-char substrings (stride 8), keep the minimum — robust to local edits,
+    md5 keeps it engine-portable. Per-row expression work, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(
+            "array_min(transform("
+            " sequence(1, greatest(1, length(text) - 15), 8),"
+            " i -> md5(substring(text, i, 16))))"
+        ).alias("fingerprint"),
+    )
