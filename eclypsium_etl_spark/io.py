@@ -77,6 +77,32 @@ def sink_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = No
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame, name: str, bucket_col: str, num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed table sink: co-locates rows by hash(bucket_col) at WRITE
+    time so later joins/aggregations on that key skip the shuffle entirely
+    — the biggest single lever for repeated 100 TB fact⋈fact joins.
+    Registers `name` in the session catalog (parquet data source table).
+
+    Self-cleaning: the in-memory catalog forgets tables across sessions but
+    their warehouse directories persist — drop both before writing or
+    saveAsTable fails with LOCATION_ALREADY_EXISTS."""
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        num_buckets, bucket_col
+    )
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(name)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

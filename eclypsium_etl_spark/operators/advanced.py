@@ -1,0 +1,239 @@
+"""Advanced relational operators beyond the SURVEY §2 inventory: pivot,
+exact percentiles, subqueries (scalar + correlated, decorrelated by
+Catalyst), CTEs, a salting recipe for skewed joins, and dynamic partition
+pruning over a partitioned layout (q79–q86).
+
+These round out "a user of the reference could run every query they run
+today" with the shapes any real warehouse workload adds on day two.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import dsum, dsum_sql
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "q79_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS f_total,
+           {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS o_total,
+           {dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS p_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q79_pivot(spark, sf_dir) -> DataFrame:
+    """Pivot (explicit value list — never let Spark scan for distinct pivot
+    values on a 100 TB table) ≡ filtered aggregates in the oracle."""
+    o = table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice"))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F").alias("f_total"),
+        F.col("O").alias("o_total"),
+        F.col("P").alias("p_total"),
+    )
+
+
+@query(
+    "q80_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q80_percentiles(spark, sf_dir) -> DataFrame:
+    """Exact percentiles (linear interpolation — same definition as
+    DuckDB's quantile_cont). Exact percentile sorts per group; the 100 TB
+    variant is percentile_approx (t-digest sketch, no sort, mergeable),
+    exercised in tests against these exact values."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+    )
+
+
+@query(
+    "q81_subquery",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey
+             AND o.o_totalprice > 300000) AS n_big_orders
+    FROM customer c
+    WHERE c_acctbal > (SELECT MAX(s_acctbal) FROM supplier)
+    """,
+)
+def q81_subquery(spark, sf_dir) -> DataFrame:
+    """Scalar + correlated subqueries via spark.sql. Catalyst decorrelates
+    the correlated COUNT into a left-outer aggregate join and folds the
+    uncorrelated scalar into a literal after one tiny subquery job — no
+    per-row execution anywhere (the plan is asserted in tests)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal,
+               (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey
+                 AND o.o_totalprice > 300000) AS n_big_orders
+        FROM customer c
+        WHERE c_acctbal > (SELECT MAX(s_acctbal) FROM supplier)
+        """
+    )
+
+
+@query(
+    "q82_cte",
+    oracle=f"""
+    WITH big_orders AS (
+        SELECT o_custkey, COUNT(*) AS n, {dsum_sql('o_totalprice')} AS total
+        FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, n, total,
+               row_number() OVER (ORDER BY total DESC, o_custkey) AS rn
+        FROM big_orders
+    )
+    SELECT o_custkey, n, total FROM ranked WHERE rn <= 50
+    """,
+)
+def q82_cte(spark, sf_dir) -> DataFrame:
+    """Chained CTEs (WITH): inlined by Catalyst into one plan — a CTE is
+    never a materialization barrier in Spark (unlike some warehouses)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        WITH big_orders AS (
+            SELECT o_custkey, COUNT(*) AS n, {dsum_sql('o_totalprice')} AS total
+            FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, n, total,
+                   CAST(row_number() OVER (ORDER BY total DESC, o_custkey) AS BIGINT) AS rn
+            FROM big_orders
+        )
+        SELECT o_custkey, n, total FROM ranked WHERE rn <= 50
+        """
+    )
+
+
+@query(
+    "q83_exists_in",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    """,
+)
+def q83_exists_in(spark, sf_dir) -> DataFrame:
+    """IN / NOT EXISTS predicate subqueries — Catalyst rewrites them to
+    left-semi and left-anti joins (RewritePredicateSubquery); same physical
+    shape as q14/q15, reached from SQL instead of the DataFrame API."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        """
+    )
+
+
+_SALTS = 8
+
+
+@query(
+    "q84_skew_salted_join",
+    oracle=f"""
+    WITH user_totals AS (
+        SELECT user_id, {dsum_sql('value')} AS user_total FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.value, u.user_total
+    FROM events e JOIN user_totals u ON u.user_id = e.user_id
+    """,
+)
+def q84_skew_salted_join(spark, sf_dir) -> DataFrame:
+    """Manual salting recipe for a skewed join (the hand-rolled version of
+    what AQE skew-join does at runtime): the fact side derives a
+    deterministic salt from a row attribute, the dimension side explodes
+    ×{_SALTS}, and the join key becomes (user_id, salt) — a hot user's rows
+    now spread over {_SALTS} reducers. Semantics must be IDENTICAL to the
+    unsalted join, which is exactly what the oracle checks."""
+    e = table(spark, sf_dir, "events")
+    user_totals = e.groupBy("user_id").agg(dsum("value").alias("user_total"))
+    salted_dim = user_totals.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1)))
+    )
+    salted_fact = e.withColumn("salt", (F.col("event_id") % _SALTS).cast("int"))
+    return salted_fact.join(salted_dim, ["user_id", "salt"]).select(
+        "event_id", "user_id", "value", "user_total"
+    )
+
+
+@query(
+    "q85_window_dedup",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q85_window_dedup(spark, sf_dir) -> DataFrame:
+    """Keep-first-per-key dedup via window (the deterministic form of
+    dropDuplicates(["user_id","event_type"]) — same single shuffle, but the
+    survivor is defined, not partition-order luck)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+
+
+@query(
+    "q86_partition_pruning",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderstatus IN ('F', 'P')
+    """,
+)
+def q86_partition_pruning(spark, sf_dir) -> DataFrame:
+    """Partitioned layout + pruning: write orders partitioned by
+    o_orderstatus (the layout a 100 TB fact table would use), then join it
+    to a filtered status dimension. The partition filter reaches the scan
+    as directory pruning — only 2 of 3 partitions are read (dynamic
+    partition pruning inserts the runtime filter; plan asserted in tests)."""
+    base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
+    os.makedirs(base, exist_ok=True)
+    out = os.path.join(base, f"orders_partitioned_{os.path.basename(sf_dir)}")
+    src = table(spark, sf_dir, "orders")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame([("F",), ("P",)], "status string")
+    return fact.join(
+        F.broadcast(dim), fact.o_orderstatus == dim.status
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")

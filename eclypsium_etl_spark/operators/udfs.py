@@ -100,3 +100,36 @@ def q61_udtf(spark, sf_dir) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.slice(F.split("text", " "), 1, 5)).alias("pos", "token")
     )
+
+
+@query(
+    "q88_python_udtf",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, tok[i] AS token,
+           CAST(length(tok[i]) AS INTEGER) AS tok_len
+    FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         UNNEST(generate_series(1, least(3, len(tok)))) AS u(i)
+    """,
+)
+def q88_python_udtf(spark, sf_dir) -> DataFrame:
+    """User-defined table function (Python UDTF, Spark ≥3.5): arbitrary
+    1-row → N-rows Python expansion, consumed via SQL LATERAL join — the
+    generative fan-out case posexplode can't express (here it also derives
+    a computed column per emitted row). Row-at-a-time Python: keep off the
+    hot path; this exists to exercise the extension point."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, tok_len int")
+    class HeadTokens:
+        def eval(self, text: str):
+            for pos, tok in enumerate(text.split(" ")[:3]):
+                yield pos, tok, len(tok)
+
+    spark.udtf.register("head_tokens", HeadTokens)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.tok_len
+        FROM documents d, LATERAL head_tokens(d.text) t
+        """
+    )

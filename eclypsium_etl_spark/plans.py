@@ -1,0 +1,62 @@
+"""Plan inspection utilities.
+
+"The plan you'd want, not the first one that passed": these helpers make
+physical-plan properties (pushdown, pruning, broadcast, codegen, shuffle
+count) assertable in tests and inspectable in notebooks. All read-only
+views over queryExecution — no plan mutation.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """Executed (post-AQE-planning) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def explain_formatted(df: DataFrame) -> str:
+    """The full `explain("formatted")` text, captured as a string."""
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns actually read from the scan (column pruning evidence)."""
+    plan = physical_plan(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols += [f.split(":")[0].strip() for f in m.group(1).split(",") if f.strip()]
+    return sorted(set(cols))
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """The PushedFilters section of the scan (predicate pushdown evidence)."""
+    plan = physical_plan(df)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    return m.group(1) if m else ""
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan — the metric that
+    matters most at 100 TB. (AQE may coalesce partitions inside a shuffle
+    but never removes the exchange itself.)"""
+    return physical_plan(df).count("Exchange hashpartitioning") + physical_plan(
+        df
+    ).count("Exchange rangepartitioning")
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df)
+
+
+def has_whole_stage_codegen(df: DataFrame) -> bool:
+    """Compact plan strings mark codegen stages with `*(n)` prefixes
+    (the formatted mode spells out WholeStageCodegen)."""
+    plan = physical_plan(df)
+    return "WholeStageCodegen" in plan or re.search(r"\*\(\d+\)", plan) is not None

@@ -37,8 +37,10 @@ _MODULES = [
     "eclypsium_etl_spark.operators.setops",
     "eclypsium_etl_spark.operators.scalar",
     "eclypsium_etl_spark.operators.udfs",
+    "eclypsium_etl_spark.operators.advanced",
     "eclypsium_etl_spark.pipeline",
     "eclypsium_etl_spark.streaming.queries",
+    "eclypsium_etl_spark.streaming.advanced_queries",
     "eclypsium_etl_spark.llm.dedup",
     "eclypsium_etl_spark.llm.similarity",
     "eclypsium_etl_spark.llm.text",

@@ -15,6 +15,7 @@ One place to encode the execution posture we want everywhere:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -53,6 +54,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
+        # static conf: catalog tables (e.g. bucketed sinks) land in /tmp,
+        # never in the repo working directory
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "eclypsium_warehouse"),
+        )
         .config("spark.sql.shuffle.spill.compress", "true")
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,67 @@
+"""Custom stateful streaming operator via applyInPandasWithState —
+SURVEY.md §2.10's "custom stateful" extension point.
+
+Operator implemented here: running per-user spend tracker with alerting —
+keeps cumulative value per user across micro-batches and emits a row per
+batch per user with the updated total and whether a threshold was crossed
+in this batch. This is the operator shape Spark's built-ins can't express
+(cross-batch custom state + custom emission), and the canonical use of
+the GroupState API.
+
+Scale notes: state lives in the state store (RocksDB provider in
+production: spark.sql.streaming.stateStore.providerClass), partitioned by
+the grouping key; a watermark-based timeout (GroupStateTimeout) must bound
+state for unbounded key domains — here keys are users, finite, so
+NoTimeout is acceptable for the fixture but the timeout wiring is shown.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, batch_total double, running_total double, crossed boolean"
+STATE_SCHEMA = "total double"
+
+_THRESHOLD = 1_000.0
+
+
+def _track_spend(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    # exact cents-style accumulation (matches the engine's decimal discipline)
+    batch_cents = 0
+    for pdf in pdfs:
+        batch_cents += int((pdf["value"] * 10_000).round().astype("int64").sum())
+    prev_cents = int(state.get[0] * 10_000) if state.exists else 0
+    new_cents = prev_cents + batch_cents
+    state.update((new_cents / 10_000.0,))
+    crossed = prev_cents < _THRESHOLD * 10_000 <= new_cents
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "batch_total": [batch_cents / 10_000.0],
+            "running_total": [new_cents / 10_000.0],
+            "crossed": [crossed],
+        }
+    )
+
+
+def running_spend(stream: DataFrame) -> DataFrame:
+    """Attach the stateful spend tracker to an events stream (expects
+    columns user_id, value)."""
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _track_spend,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,85 @@
+"""Physical-plan shape assertions: the 100 TB properties — pushdown,
+pruning, broadcast, partial aggregation, codegen, shuffle budget, DPP —
+checked on the actual executed plans, not assumed."""
+
+from __future__ import annotations
+
+import pytest
+
+from eclypsium_etl_spark import plans, registry
+
+from .conftest import SF_CHECK
+
+QUERIES, _ = registry.load_all()
+
+
+def test_q07_column_pruning(spark):
+    cols = plans.read_schema_columns(QUERIES["q07_project"](spark, SF_CHECK))
+    assert cols == ["l_extendedprice", "l_linenumber", "l_orderkey", "l_shipdate"]
+
+
+def test_q12_broadcast_pinned(spark):
+    df = QUERIES["q12_join_broadcast"](spark, SF_CHECK)
+    assert plans.has_broadcast_join(df)
+    # fact side must not shuffle before the join: only the aggregate shuffles
+    assert plans.shuffle_count(df) <= 1
+
+
+def test_q16_snowflake_shuffle_budget(spark):
+    """Dimensions broadcast → only orders⋈lineitem + the aggregate shuffle."""
+    df = QUERIES["q16_join_multiway"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plans.shuffle_count(df) <= 3
+
+
+def test_q21_partial_aggregation(spark):
+    """Two-phase hash aggregate: map-side partial before the shuffle."""
+    plan = plans.physical_plan(QUERIES["q21_agg_groupby"](spark, SF_CHECK))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_q36_take_ordered_not_global_sort(spark):
+    plan = plans.physical_plan(QUERIES["q36_limit"](spark, SF_CHECK))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q37_single_shuffle_topk(spark):
+    df = QUERIES["q37_topk_per_group"](spark, SF_CHECK)
+    assert plans.shuffle_count(df) == 1
+
+
+def test_q81_subqueries_decorrelated(spark):
+    """The correlated COUNT must become a join, not a per-row subquery."""
+    plan = plans.physical_plan(QUERIES["q81_subquery"](spark, SF_CHECK))
+    assert "Join" in plan
+
+
+def test_q86_dynamic_partition_pruning(spark):
+    plan = plans.explain_formatted(QUERIES["q86_partition_pruning"](spark, SF_CHECK))
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters" in plan
+
+
+def test_flagship_codegen(spark):
+    from eclypsium_etl_spark.pipeline import flagship
+
+    assert plans.has_whole_stage_codegen(flagship(spark, SF_CHECK))
+
+
+def test_approx_percentile_close_to_exact(spark):
+    """The sketch the 100 TB path would use stays within 1% of exact."""
+    from pyspark.sql import functions as F
+
+    from eclypsium_etl_spark.io import table
+
+    o = table(spark, SF_CHECK, "orders")
+    exact = QUERIES["q80_percentiles"](spark, SF_CHECK).collect()
+    approx = {
+        r.o_orderstatus: r.ap50
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.percentile_approx("o_totalprice", 0.5, 10000).alias("ap50"))
+        .collect()
+    }
+    for r in exact:
+        assert abs(approx[r.o_orderstatus] - r.p50) / r.p50 < 0.01

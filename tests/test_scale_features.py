@@ -1,0 +1,85 @@
+"""Scale features with no oracle surface: bucketed co-located joins (no
+shuffle) and multi-batch stateful accumulation."""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from eclypsium_etl_spark import plans
+from eclypsium_etl_spark.io import table, write_bucketed
+
+from .conftest import SF_SMOKE
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must join with ZERO exchanges —
+    the co-location contract that saves the dominant shuffle at 100 TB."""
+    orders = table(spark, SF_SMOKE, "orders")
+    customer = table(spark, SF_SMOKE, "customer")
+    write_bucketed(orders, "orders_b", "o_custkey", 8, sort_col="o_custkey")
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"), "customer_b",
+        "o_custkey", 8, sort_col="o_custkey",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        joined = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+        assert plans.shuffle_count(joined) == 0, plans.physical_plan(joined)
+        # and it still computes the right thing
+        expected = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_stateful_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    batch 2's running_total must include batch 1's spend."""
+    from eclypsium_etl_spark.streaming.stateful import running_spend
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "user_id long, value double, ts timestamp"
+
+    def write_file(rows, name):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"_s{name}"))
+        part = next(
+            p for p in (tmp_path / f"_s{name}").iterdir() if p.name.endswith(".parquet")
+        )
+        os.rename(part, src / f"{name}.parquet")
+
+    t0 = datetime.fromisoformat("2024-01-01 10:00:00")
+    write_file([(7, 600.0, t0), (7, 300.0, t0)], "b1")
+    time.sleep(1.1)
+    write_file([(7, 200.0, t0)], "b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    qname = f"spend_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_spend(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        spark.table(qname).collect(), key=lambda r: r.running_total
+    )
+    assert [r.batch_total for r in rows] == [900.0, 200.0]
+    assert [r.running_total for r in rows] == [900.0, 1100.0]
+    assert [r.crossed for r in rows] == [False, True]  # crossed in batch 2
