@@ -69,8 +69,13 @@ def shingles(spark, sf_dir) -> DataFrame:
     reads is the right trade at any scale (on a cluster this would be a
     persisted/bucketed intermediate table)."""
     d = table(spark, sf_dir, "documents")
+    # fixture parquet is a single row group → the scan is one task; spread
+    # rows BEFORE the (expensive) explode so shingling runs parallel. No
+    # explicit partition count: AQE coalesces to match the actual data
+    # size, so this scales from sf0.001 to a cluster without retuning.
     return (
-        d.select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("s"))
+        d.repartition("doc_id")
+        .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("s"))
         .distinct()
         .localCheckpoint()
     )

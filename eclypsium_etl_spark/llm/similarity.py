@@ -117,7 +117,12 @@ def q65_sim_pairs(spark, sf_dir) -> DataFrame:
                 }
             )
 
-    cand = em.mapInPandas(gemm_candidates, schema="vec_a long, vec_b long")
+    # single-row-group input → spread rows so cores GEMM chunks in
+    # parallel (AQE picks the count; explicit numbers over-partition small
+    # inputs and the python-worker spin-up dominates)
+    cand = em.repartition("vec_id").mapInPandas(
+        gemm_candidates, schema="vec_a long, vec_b long"
+    )
     a = em.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = em.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     sim = F.round(dot(F.col("emb_a"), F.col("emb_b")), 6)

@@ -44,6 +44,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE sizes post-shuffle partitions by BYTES; self-joins/explodes on
+        # small-but-compute-heavy data would coalesce to one core at the
+        # 64MB default. Size to the deployment: a few MB for local bench
+        # data, 64-128MB on a real cluster (env-overridable).
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "2MB"),
+        )
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256KB")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
