@@ -63,22 +63,32 @@ WHERE round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) >= {_JACCARD_TAU}
 def shingles(spark, sf_dir) -> DataFrame:
     """Distinct 3-word shingles per document (set semantics).
 
-    Materialized once (localCheckpoint): every consumer — both sides of
+    Materialized once to a temp parquet: every consumer — both sides of
     the intersection self-join, the size aggregate, the MinHash signature —
-    would otherwise re-run the explode+distinct shuffle. One compute, N
-    reads is the right trade at any scale (on a cluster this would be a
-    persisted/bucketed intermediate table)."""
+    would otherwise re-run the explode+distinct shuffle. Disk
+    materialization (not cache/localCheckpoint) on purpose: cached blocks
+    accumulate across invocations and thrash the session's memory, while a
+    re-scanned parquet intermediate is cheap, shared, and rerun-safe —
+    exactly the persisted intermediate table a cluster pipeline would use."""
+    import os
+    import tempfile
+
     d = table(spark, sf_dir, "documents")
-    # fixture parquet is a single row group → the scan is one task; spread
-    # rows BEFORE the (expensive) explode so shingling runs parallel. No
-    # explicit partition count: AQE coalesces to match the actual data
-    # size, so this scales from sf0.001 to a cluster without retuning.
-    return (
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "eclypsium_etl_spark",
+        f"shingles_{os.path.basename(sf_dir)}",
+    )
+    # repartition before the (expensive) explode: the single-row-group
+    # fixture scan is one task; no explicit count — AQE sizes it.
+    (
         d.repartition("doc_id")
         .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("s"))
         .distinct()
-        .localCheckpoint()
+        .write.mode("overwrite")
+        .parquet(out)
     )
+    return spark.read.parquet(out)
 
 
 def jaccard_pairs(
@@ -91,20 +101,31 @@ def jaccard_pairs(
     a = sh.alias("a")
     b = sh.alias("b")
     if candidates is not None:
+        # candidate set is tiny → broadcast it (and its shingle expansion)
+        # so the big shingle table is only ever the probe side of a
+        # broadcast hash join — zero shuffles of shingles for verification
+        cand_a = (
+            F.broadcast(candidates)
+            .join(a, F.col("a.doc_id") == F.col("doc_a"))
+            .select("doc_a", "doc_b", F.col("a.s").alias("s_a"))
+        )
         inter = (
-            candidates.join(a, F.col("a.doc_id") == F.col("doc_a"))
+            F.broadcast(cand_a)
             .join(
                 b,
-                (F.col("b.doc_id") == F.col("doc_b")) & (F.col("a.s") == F.col("b.s")),
+                (F.col("b.doc_id") == F.col("doc_b")) & (F.col("s_a") == F.col("b.s")),
             )
             .groupBy("doc_a", "doc_b")
             .count()
             .withColumnRenamed("count", "c")
         )
     else:
+        # broadcast one side: the distinct shingle table is dimension-sized
+        # (tens of MB at sf0.1), so the pair explosion runs map-side with no
+        # shuffle of the probe side; only the pair-count aggregate shuffles
         inter = (
             a.join(
-                b,
+                F.broadcast(b),
                 (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

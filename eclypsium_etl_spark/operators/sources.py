@@ -123,6 +123,41 @@ def q05_sink_jdbc(spark, sf_dir) -> DataFrame:
 
 
 @query(
+    "q93_source_csv",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def q93_source_csv(spark, sf_dir) -> DataFrame:
+    """CSV source/sink round-trip with an explicit schema (inferSchema is
+    banned in production paths — one full extra pass over the data and
+    type drift across files)."""
+    from ..schemas import NATION
+
+    out = _tmpdir(f"q93_csv_{os.path.basename(sf_dir)}")
+    n = table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(NATION).option("header", True).csv(out)
+
+
+@query(
+    "q94_source_orc",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+    """,
+)
+def q94_source_orc(spark, sf_dir) -> DataFrame:
+    """ORC source/sink round-trip — second columnar format, same pushdown
+    and pruning machinery as Parquet."""
+    out = _tmpdir(f"q94_orc_{os.path.basename(sf_dir)}")
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    p.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@query(
     "q06_sink_report",
     oracle="""
     SELECT '<tr><td>' || c_name || '</td><td>' || c_mktsegment || '</td><td>'

@@ -1,0 +1,195 @@
+"""Time-series and statistical operators (q89–q92) — gap-fill/resample,
+explicit-formula statistical aggregates, deterministic mode, and the
+cogrouped-pandas join surface.
+
+Gap-fill is the canonical "Spark has no built-in, compose it" operator:
+generate the dense time axis per key (sequence + explode — no driver
+loop), left-join the sparse facts, forward-fill with last(ignorenulls).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import dsum, dsum_sql
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "q89_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1
+        FROM events WHERE user_id < 20 GROUP BY user_id
+    ),
+    axis AS (
+        SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n,
+               {dsum_sql('value')} AS val
+        FROM events WHERE user_id < 20 GROUP BY 1, 2
+    )
+    SELECT a.user_id, a.day,
+           COALESCE(d.n, 0) AS n,
+           COALESCE(d.val, 0.0) AS val,
+           last_value(d.val IGNORE NULLS) OVER (
+               PARTITION BY a.user_id ORDER BY a.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_ffill
+    FROM axis a LEFT JOIN daily d ON d.user_id = a.user_id AND d.day = a.day
+    """,
+)
+def q89_gapfill(spark, sf_dir) -> DataFrame:
+    """Resample events to a dense per-user daily grid: zero-fill counts,
+    forward-fill values across gap days. The dense axis is generated
+    distributed (sequence+explode per key) — never a driver-side date loop."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    daily = (
+        e.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("val"))
+    )
+    axis = (
+        e.groupBy("user_id")
+        .agg(
+            F.date_trunc("day", F.min("ts")).alias("d0"),
+            F.date_trunc("day", F.max("ts")).alias("d1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = axis.join(daily, ["user_id", "day"], "left")
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("val", F.lit(0.0)).alias("val"),
+        F.last("val", ignorenulls=True).over(w).alias("val_ffill"),
+    )
+
+
+@query(
+    "q90_stats_agg",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               {dsum_sql('l_quantity')} AS sx,
+               {dsum_sql('l_quantity * l_quantity')} AS sxx,
+               {dsum_sql('l_extendedprice')} AS sy,
+               {dsum_sql('l_quantity * l_extendedprice')} AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((sxx - sx * sx / n) / (n - 1), 4) AS var_qty,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+           round((sxy - sx * sy / n) / (n - 1), 4) AS covar_qty_price
+    FROM s
+    """,
+)
+def q90_stats_agg(spark, sf_dir) -> DataFrame:
+    """Variance / stddev / covariance via explicit moment sums with the
+    decimal discipline — order-independent and therefore deterministic at
+    any parallelism, unlike the built-in one-pass implementations whose
+    float accumulation is partition-order-dependent. (Built-ins
+    var_samp/stddev/covar_samp produce the same values within float noise;
+    these formulas are the hash-stable form.)"""
+    li = table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum("l_quantity").alias("sx"),
+        dsum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        dsum("l_extendedprice").alias("sy"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(var, 4).alias("var_qty"),
+        F.round(F.sqrt(var), 6).alias("stddev_qty"),
+        F.round(cov, 4).alias("covar_qty_price"),
+    )
+
+
+@query(
+    "q91_mode",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment AS mode_segment FROM (
+        SELECT c_nationkey, c_mktsegment,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY COUNT(*) DESC, c_mktsegment) AS rn
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ) WHERE rn = 1
+    """,
+)
+def q91_mode(spark, sf_dir) -> DataFrame:
+    """Deterministic mode per group: count sub-groups, rank by (count desc,
+    value asc). The built-in mode() breaks ties arbitrarily — never use it
+    where results must be reproducible."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("cnt"), F.asc("c_mktsegment"))
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", F.col("c_mktsegment").alias("mode_segment"))
+    )
+
+
+@query(
+    "q92_cogroup",
+    oracle=f"""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           COALESCE({dsum_sql('o.o_totalprice')}, 0.0) AS total_spend,
+           MAX(c.c_acctbal) AS acctbal
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey < 500
+    GROUP BY c.c_custkey
+    """,
+)
+def q92_cogroup(spark, sf_dir) -> DataFrame:
+    """Cogrouped pandas (FlatMapCoGroupsInPandas): both sides shuffle on
+    the key, each key's two pandas frames meet in one Python call — the
+    escape hatch for per-key logic joins can't express (here it recomputes
+    a joinable aggregate so the oracle can check the plumbing exactly)."""
+
+    def merge(c_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        if c_pdf.empty:
+            return pd.DataFrame(
+                columns=["c_custkey", "n_orders", "total_spend", "acctbal"]
+            )
+        cents = (o_pdf["o_totalprice"] * 10_000).round().astype("int64").sum()
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(c_pdf["c_custkey"].iloc[0])],
+                "n_orders": [len(o_pdf)],
+                "total_spend": [cents / 10_000.0],
+                "acctbal": [float(c_pdf["c_acctbal"].max())],
+            }
+        )
+
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            merge,
+            schema="c_custkey long, n_orders long, total_spend double, acctbal double",
+        )
+    )
