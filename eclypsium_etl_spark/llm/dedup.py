@@ -160,14 +160,11 @@ def q62_dedup_exact(spark, sf_dir) -> DataFrame:
     deterministic, unlike dropDuplicates' arbitrary-survivor choice (which
     would still pass row-count checks but not value-hash ones). One
     shuffle on the content key."""
-    from pyspark.sql import Window
+    from .. import ops
 
     d = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("text").orderBy("doc_id")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text", "lang", "source", "n_chars")
+    return ops.dedup_keep_first(d, ["text"], [F.asc("doc_id")]).select(
+        "doc_id", "text", "lang", "source", "n_chars"
     )
 
 

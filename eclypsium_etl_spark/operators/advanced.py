@@ -178,15 +178,13 @@ def q84_skew_salted_join(spark, sf_dir) -> DataFrame:
     ×{_SALTS}, and the join key becomes (user_id, salt) — a hot user's rows
     now spread over {_SALTS} reducers. Semantics must be IDENTICAL to the
     unsalted join, which is exactly what the oracle checks."""
+    from .. import ops
+
     e = table(spark, sf_dir, "events")
     user_totals = e.groupBy("user_id").agg(dsum("value").alias("user_total"))
-    salted_dim = user_totals.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1)))
-    )
-    salted_fact = e.withColumn("salt", (F.col("event_id") % _SALTS).cast("int"))
-    return salted_fact.join(salted_dim, ["user_id", "salt"]).select(
-        "event_id", "user_id", "value", "user_total"
-    )
+    return ops.salted_join(
+        e, user_totals, "user_id", salt_from="event_id", n_salts=_SALTS
+    ).select("event_id", "user_id", "value", "user_total")
 
 
 @query(

@@ -217,25 +217,13 @@ def q18_join_asof(spark, sf_dir) -> DataFrame:
     (event_type desc) so a same-instant purchase is visible to the click,
     matching the oracle's ``p.ts <= e.ts``.
     """
-    e = table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
-    )
-    tagged = e.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "event_type",
-        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_type").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        tagged.withColumn("last_purchase_ts", F.last("p_ts", ignorenulls=True).over(w))
-        .filter(F.col("event_type") == "click")
-        .select("event_id", "ts", "last_purchase_ts")
+    from .. import ops
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    return ops.asof_join(clicks, purchases, "user_id", value_cols=[]).select(
+        "event_id", "ts", F.col("ts_asof").alias("last_purchase_ts")
     )
 
 

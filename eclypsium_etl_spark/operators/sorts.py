@@ -68,10 +68,9 @@ def q37_topk_per_group(spark, sf_dir) -> DataFrame:
     """Top-k per group via row_number window + filter. At 100 TB this beats
     any global-sort formulation: shuffle once on the group key, rank within
     partitions (AQE keeps partitions balanced), emit k rows per group."""
+    from .. import ops
+
     c = table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return (
-        c.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("c_nationkey", "c_custkey", "c_acctbal")
-    )
+    return ops.topk_per_group(
+        c, ["c_nationkey"], [F.desc("c_acctbal"), F.asc("c_custkey")], 3
+    ).select("c_nationkey", "c_custkey", "c_acctbal")

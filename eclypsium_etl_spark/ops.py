@@ -1,0 +1,165 @@
+"""Reusable composite operators — the engine's public API.
+
+Each function is a generic ``DataFrame -> DataFrame`` composition of stock
+Spark operators (SURVEY.md §4.3: no custom Catalyst rules needed — the
+custom work is algorithmic patterns packaged as functions). The checked
+queries in operators/ and llm/ are thin instantiations of these against
+the fixture tables; users point them at their own tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts on the same key (backward as-of).
+
+    Implementation is union-tag + running ``last(ignorenulls)`` — ONE
+    shuffle on the key and no join at all, which is why it scales where a
+    per-row subquery or range join cannot (SURVEY §2.3 q18). A right row
+    at exactly left_ts is visible (<=), encoded by sorting right rows
+    first among ts ties.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    lhs = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rhs = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in value_cols],
+    )
+    tagged = lhs.unionByName(rhs, allowMissingColumns=True)
+    # right (side=0) sorts before left (side=1) at equal ts → <= semantics
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.select(
+        "*",
+        *[
+            F.last(
+                F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True
+            ).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+        F.last(
+            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+        ).over(w).alias(f"{right_ts}{suffix}"),
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side", "__ts", *value_cols)
+
+
+def topk_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column], k: int
+) -> DataFrame:
+    """Deterministic top-k per group (pass total-order order_cols!) — one
+    shuffle, per-group heaps; never a global sort (SURVEY §2.6 q37)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_from: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-proof equi join: fact rows get a deterministic salt derived
+    from `salt_from`, the dim side explodes ×n_salts, and the join runs on
+    (key, salt) so one hot key spreads over n_salts reducers. Results are
+    identical to the unsalted join (q84's oracle proves it)."""
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.hash(F.col(salt_from)), F.lit(n_salts)).cast("int")
+    )
+    return salted_fact.join(salted_dim, [key, "__salt"]).drop("__salt")
+
+
+def gap_fill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    step: str = "INTERVAL 1 DAY",
+    agg_cols: dict[str, Column] | None = None,
+    ffill_cols: list[str] | None = None,
+) -> DataFrame:
+    """Resample to a dense per-key time grid (distributed axis generation
+    via sequence+explode), zero-filling aggregates and forward-filling the
+    named columns (SURVEY-adjacent q89)."""
+    bucket = F.date_trunc("day", F.col(ts_col))
+    aggs = agg_cols or {"n": F.count("*")}
+    sparse = df.groupBy(F.col(key), bucket.alias("__day")).agg(
+        *[c.alias(name) for name, c in aggs.items()]
+    )
+    axis = (
+        df.groupBy(key)
+        .agg(
+            F.date_trunc("day", F.min(ts_col)).alias("__d0"),
+            F.date_trunc("day", F.max(ts_col)).alias("__d1"),
+        )
+        .select(
+            key,
+            F.explode(F.sequence("__d0", "__d1", F.expr(step))).alias("__day"),
+        )
+    )
+    out = axis.join(sparse, [key, "__day"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in ffill_cols or []:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.withColumnRenamed("__day", "day")
+
+
+def sessionize(
+    df: DataFrame, key: str, ts_col: str, gap: str = "INTERVAL 30 MINUTES",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign a per-key session id to every row (batch sessionization via
+    the lag→flag→running-sum islands algorithm). Boundary matches Spark's
+    session_window: a row exactly `gap` after the previous one merges
+    (strict > opens a session)."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    new_s = F.when(
+        prev.isNull() | (F.col(ts_col) > prev + F.expr(gap)), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_id", F.sum(new_s).over(wsum))
+
+
+def dedup_keep_first(
+    df: DataFrame, key_cols: list[str], order_cols: list[Column]
+) -> DataFrame:
+    """Deterministic dedup: keep the first row per key under an explicit
+    total order — what dropDuplicates should be when reruns must agree
+    (q62/q85)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -96,6 +96,58 @@ def run_gated_pipeline(
     return {"gate_open": True, "rows_written": rows, "report": report}
 
 
+def extract_products(
+    spark: SparkSession, categories_path: str, searches_path: str,
+    load_ts: str = "2026-01-01 00:00:00",
+) -> DataFrame:
+    """The reference's EP1 extraction (mercadolibre_pipeline_dag.py:18-59)
+    re-expressed as a parallel source read: the categories payload is a
+    JSON array of {id} objects (:23), each search payload an object whose
+    "results" key holds product objects (:33). The reference loops
+    categories serially over HTTP and appends rows (:44-45); here all
+    payload files are one schema'd read, results are exploded, and the
+    7-column products frame (:50-59) comes out as a single lazy plan —
+    semi-joined to categories so only requested categories survive.
+
+    created_date is a parameter, not datetime.now() (:57) — checked runs
+    must be deterministic (SURVEY §5.2.1)."""
+    from pyspark.sql import types as T
+
+    cat_schema = T.StructType([T.StructField("id", T.StringType())])
+    product = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("site_id", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("sold_quantity", T.LongType()),
+            T.StructField("thumbnail", T.StringType()),
+        ]
+    )
+    search_schema = T.StructType(
+        [
+            T.StructField("category_id", T.StringType()),
+            T.StructField("results", T.ArrayType(product)),
+        ]
+    )
+    from .io import read_json
+
+    categories = read_json(spark, categories_path, cat_schema)
+    searches = read_json(spark, searches_path, search_schema)
+    exploded = searches.join(
+        categories, searches.category_id == categories.id, "left_semi"
+    ).select(F.explode("results").alias("p"))
+    return exploded.select(
+        F.col("p.id").alias("id"),
+        F.col("p.site_id").alias("site_id"),
+        F.col("p.title").alias("title"),
+        F.col("p.price").alias("price"),
+        F.col("p.sold_quantity").alias("sold_quantity"),
+        F.col("p.thumbnail").alias("thumbnail"),
+        F.lit(load_ts).cast("timestamp").alias("created_date"),
+    )
+
+
 @query("q52_shortcircuit_gate")  # no-oracle: control flow (SURVEY §2.9)
 def q52_shortcircuit_gate(spark, sf_dir) -> DataFrame:
     """Predicate-polarity test of the gate, mirroring the reference author's

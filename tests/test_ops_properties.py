@@ -1,0 +1,111 @@
+"""Property-style checks of the reusable operators (ops.py) against
+brute-force references on randomized data (fixed seeds, multiple draws) —
+the algorithmic operators whose correctness doesn't reduce to one fixture.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from eclypsium_etl_spark import ops
+
+T0 = datetime(2024, 1, 1)
+
+
+def _random_events(seed: int, n: int, n_keys: int):
+    rng = random.Random(seed)
+    return [
+        (
+            i,
+            rng.randrange(n_keys),
+            T0 + timedelta(minutes=rng.randrange(5000)),
+            round(rng.uniform(0, 100), 2),
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_asof_join_matches_bruteforce(spark, seed):
+    rows = _random_events(seed, 200, 5)
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, k, ts, _ in rows[:100]], "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(k, ts, v) for _, k, ts, v in rows[100:]],
+        "k long, ts timestamp, v double",
+    )
+    got = {
+        r.id: (r.v_asof, r.ts_asof)
+        for r in ops.asof_join(left, right, "k", value_cols=["v"]).collect()
+    }
+    rvals = [(k, ts, v) for _, k, ts, v in rows[100:]]
+    for i, k, ts in [(i, k, ts) for i, k, ts, _ in rows[:100]]:
+        cands = [(rts, v) for rk, rts, v in rvals if rk == k and rts <= ts]
+        expect = max(cands) if cands else None
+        if expect is None:
+            assert got[i] == (None, None), f"row {i}"
+        else:
+            assert got[i] == (expect[1], expect[0]), f"row {i}"
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_sessionize_matches_session_window(spark, seed):
+    """Row-level session ids must induce exactly the sessions that Spark's
+    session_window aggregation produces (same count of sessions per key,
+    same per-session row counts)."""
+    rows = [
+        (i, k, ts) for i, (k, ts) in enumerate(
+            (r[1], r[2]) for r in _random_events(seed, 300, 4)
+        )
+    ]
+    df = spark.createDataFrame(rows, "id long, k long, ts timestamp")
+    mine = (
+        ops.sessionize(df, "k", "ts", gap="INTERVAL 30 MINUTES", tiebreak="id")
+        .groupBy("k", "session_id")
+        .count()
+    )
+    native = df.groupBy(F.session_window("ts", "30 minutes"), "k").count()
+    mine_sizes = sorted((r.k, r["count"]) for r in mine.collect())
+    native_sizes = sorted((r.k, r["count"]) for r in native.collect())
+    assert mine_sizes == native_sizes
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_salted_join_equals_plain_join(spark, seed):
+    rows = _random_events(seed, 400, 3)  # 3 keys → heavy skew by design
+    fact = spark.createDataFrame(
+        [(i, k, v) for i, k, ts, v in rows], "id long, k long, v double"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"dim_{k}") for k in range(3)], "k long, label string"
+    )
+    plain = sorted(
+        (r.id, r.label) for r in fact.join(dim, "k").select("id", "label").collect()
+    )
+    salted = sorted(
+        (r.id, r.label)
+        for r in ops.salted_join(fact, dim, "k", salt_from="id")
+        .select("id", "label")
+        .collect()
+    )
+    assert salted == plain
+
+
+def test_topk_and_dedup_consistency(spark):
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i % 7)) for i in range(100)], "id long, g long, v double"
+    )
+    top2 = ops.topk_per_group(df, ["g"], [F.desc("v"), F.asc("id")], 2)
+    assert top2.groupBy("g").count().filter("count > 2").count() == 0
+    first = ops.dedup_keep_first(df, ["g"], [F.asc("v"), F.asc("id")])
+    assert first.count() == 4
+    expected = {
+        g: min(range(100), key=lambda i: (i % 7, i) if i % 4 == g else (99, 99))
+        for g in range(4)
+    }
+    assert {r.id for r in first.collect()} == set(expected.values())

@@ -33,6 +33,42 @@ def test_report_bounded(spark):
     assert report.count("<tr><td>") == 5
 
 
+def test_extract_products_mirrors_reference(spark, tmp_path):
+    """EP1 mirror: categories JSON + per-category search payloads →
+    7-column products frame, only requested categories, constant load ts."""
+    import json
+
+    from eclypsium_etl_spark.pipeline import extract_products
+
+    (tmp_path / "cats.json").write_text(
+        "\n".join(json.dumps({"id": c}) for c in ["MLA1", "MLA2"])
+    )
+    def prod(i, cat):
+        return {
+            "id": f"{cat}-{i}", "site_id": "MLA", "title": f"item {i}",
+            "price": 100.5 + i, "sold_quantity": i * 10,
+            "thumbnail": f"http://img/{i}",
+        }
+    searches = [
+        {"category_id": "MLA1", "results": [prod(1, "MLA1"), prod(2, "MLA1")]},
+        {"category_id": "MLA2", "results": [prod(3, "MLA2")]},
+        {"category_id": "MLA9", "results": [prod(4, "MLA9")]},  # not requested
+    ]
+    (tmp_path / "searches.json").write_text(
+        "\n".join(json.dumps(s) for s in searches)
+    )
+    df = extract_products(
+        spark, str(tmp_path / "cats.json"), str(tmp_path / "searches.json")
+    )
+    rows = df.collect()
+    assert df.columns == [
+        "id", "site_id", "title", "price", "sold_quantity", "thumbnail",
+        "created_date",
+    ]
+    assert sorted(r.id for r in rows) == ["MLA1-1", "MLA1-2", "MLA2-3"]
+    assert len({r.created_date for r in rows}) == 1
+
+
 def test_projection_prunes_scan(spark):
     """Column pruning must reach the parquet scan: the flagship reads 4 of
     11 lineitem columns."""
