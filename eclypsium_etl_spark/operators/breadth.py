@@ -1,0 +1,208 @@
+"""Breadth operators (q95–q101): null-preserving lateral expansion,
+unpivot, array set algebra, string-distance functions, bitwise ops,
+deterministic argmax, and a stream-stream interval join — the remaining
+shapes a warehouse user reaches for that earlier groups didn't cover.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import dsum_sql
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "q95_explode_outer",
+    oracle="""
+    SELECT e.event_id, CAST(NULL AS INTEGER) AS pos, CAST(NULL AS VARCHAR) AS tag
+    FROM events e WHERE e.event_type = 'error'
+    UNION ALL
+    SELECT e.event_id, CAST(i - 1 AS INTEGER) AS pos, parts[i] AS tag
+    FROM (SELECT event_id, string_split(event_type, 'c') AS parts
+          FROM events WHERE event_type <> 'error') e,
+         UNNEST(generate_series(1, len(parts))) AS u(i)
+    """,
+)
+def q95_explode_outer(spark, sf_dir) -> DataFrame:
+    """posexplode_outer: lateral expansion that KEEPS rows whose array is
+    empty/null (here: 'error' rows mapped to an empty array) — the
+    null-preserving variant plain explode silently drops."""
+    e = table(spark, sf_dir, "events")
+    arr = F.when(
+        F.col("event_type") != "error", F.split("event_type", "c")
+    ).otherwise(F.lit(None).cast("array<string>"))
+    return e.select(
+        "event_id", F.posexplode_outer(arr).alias("pos", "tag")
+    )
+
+
+@query(
+    "q96_unpivot",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+    FROM customer
+    """,
+)
+def q96_unpivot(spark, sf_dir) -> DataFrame:
+    """Unpivot / melt (wide → long) via the unpivot API — the inverse of
+    q79's pivot; at scale this is a metadata-only projection explosion,
+    no shuffle."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return c.unpivot(
+        "c_custkey", ["acctbal", "nationkey"], "metric", "value"
+    )
+
+
+@query(
+    "q97_array_setops",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(string_split(text, ' ')) AS toks,
+               ['the', 'a', 'data', 'value', 'row'] AS stop
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_intersect(toks, stop)) AS INTEGER) AS n_common,
+           CAST(len(list_distinct(list_concat(toks, stop))) AS INTEGER) AS n_union,
+           CAST(len(list_filter(toks, t -> NOT list_contains(stop, t))) AS INTEGER) AS n_only
+    FROM t
+    """,
+)
+def q97_array_setops(spark, sf_dir) -> DataFrame:
+    """Array set algebra (union/intersect/except) — set ops as row-local
+    expressions, the zero-shuffle cousin of q38–q41."""
+    d = table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "data", "value", "row"]])
+    toks = F.array_distinct(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.size(F.array_intersect(toks, stop)).alias("n_common"),
+        F.size(F.array_union(toks, stop)).alias("n_union"),
+        F.size(F.array_except(toks, stop)).alias("n_only"),
+    )
+
+
+@query(
+    "q98_string_distance",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, 'cold widget') AS INTEGER) AS lev,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CAST(instr(p_name, 'widget') AS INTEGER) AS widget_at
+    FROM part
+    """,
+)
+def q98_string_distance(spark, sf_dir) -> DataFrame:
+    """Edit distance + regex replace + substring search — the string ops a
+    fuzzy-matching/cleaning pipeline needs. (Spark regexp_replace is
+    global by default; DuckDB needs the 'g' flag — encoded in the oracle.)"""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", F.lit("cold widget")).alias("lev"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.instr(F.col("p_name"), "widget").alias("widget_at"),
+    )
+
+
+@query(
+    "q99_bitwise",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id & 255 AS BIGINT) AS low_byte,
+           CAST(xor(event_id, user_id) AS BIGINT) AS xored,
+           CAST(event_id << 2 AS BIGINT) AS shifted,
+           CAST(bit_count(event_id) AS INTEGER) AS popcount
+    FROM events
+    """,
+)
+def q99_bitwise(spark, sf_dir) -> DataFrame:
+    """Bitwise expression surface (masks, xor, shifts, popcount) — the
+    primitives signature/bucketing schemes build on."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("xored"),
+        F.shiftleft("event_id", 2).alias("shifted"),
+        F.bit_count("event_id").alias("popcount"),
+    )
+
+
+@query(
+    "q100_argmax",
+    oracle="""
+    SELECT c_nationkey,
+           arg_max(c_name, c_acctbal * 100000 + c_custkey) AS richest,
+           arg_min(c_name, c_acctbal * 100000 + c_custkey) AS poorest
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q100_argmax(spark, sf_dir) -> DataFrame:
+    """max_by/min_by (argmax aggregation). The ordering key folds the
+    unique custkey in so ties can't make the winner engine-dependent —
+    argmax on a non-unique key is nondeterministic by contract."""
+    c = table(spark, sf_dir, "customer")
+    rank_key = F.col("c_acctbal") * 100000 + F.col("c_custkey")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", rank_key).alias("richest"),
+        F.min_by("c_name", rank_key).alias("poorest"),
+    )
+
+
+@query(
+    "q101_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS eid_a, b.event_id AS eid_b, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q101_stream_stream_join(spark, sf_dir) -> DataFrame:
+    """Stream-stream interval join (view → purchase within 30 min, per
+    user): both sides watermarked, join condition bounds the time range so
+    Spark can evict join state — THE requirement for unbounded
+    stream-stream joins. availableNow replay of the finite fixture
+    converges to the batch range join the oracle states."""
+    from .queries_stream_helpers import run_stream_to_memory
+
+    from ..streaming.queries import stream_events
+
+    a = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("eid_a"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "1 hour")
+    )
+    b = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("eid_b"),
+            F.col("user_id").alias("user_id_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "1 hour")
+    )
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("user_id_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("eid_a", "eid_b", "user_id")
+    return run_stream_to_memory(spark, joined)
