@@ -120,12 +120,12 @@ def jaccard_pairs(
             .withColumnRenamed("count", "c")
         )
     else:
-        # broadcast one side: the distinct shingle table is dimension-sized
-        # (tens of MB at sf0.1), so the pair explosion runs map-side with no
-        # shuffle of the probe side; only the pair-count aggregate shuffles
+        # no join hint: measured broadcast vs shuffle for the all-pairs
+        # branch — the broadcast build cost cancels its shuffle savings at
+        # this shape, and AQE picks correctly per actual size
         inter = (
             a.join(
-                F.broadcast(b),
+                b,
                 (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

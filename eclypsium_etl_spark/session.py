@@ -34,8 +34,14 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state_store: bool = False,
 ) -> SparkSession:
-    """Build (or fetch) the session with the engine's standard config."""
+    """Build (or fetch) the session with the engine's standard config.
+
+    rocksdb_state_store: production posture for large streaming state —
+    state spills to local RocksDB instead of the JVM heap (bounded memory,
+    faster snapshots). Off by default locally; the fixture streams' state
+    is tiny."""
     cores = cpu_count()
     builder = (
         SparkSession.builder.appName(app_name)
@@ -71,6 +77,11 @@ def get_spark(
         )
         .config("spark.sql.shuffle.spill.compress", "true")
     )
+    if rocksdb_state_store:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
