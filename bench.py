@@ -35,6 +35,15 @@ HEADLINE = [
     "q71_dedup_minhash_lsh",
     "q74_text_quality",
     "q77_multimodal_decode",
+    "q79_pivot",
+    "q84_skew_salted_join",
+    "q86_partition_pruning",
+    "q89_gapfill",
+    "q90_stats_agg",
+    "q92_cogroup",
+    "q100_argmax",
+    "q101_stream_stream_join",
+    "q103_kmeans_assign",
 ]
 
 
