@@ -8,7 +8,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions import dsum_sql
 from ..io import table
 from ..registry import query
 

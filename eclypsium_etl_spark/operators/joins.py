@@ -18,7 +18,7 @@ Scale notes baked into each query:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..functions import dsum, dsum_sql
 from ..io import table

@@ -10,7 +10,7 @@ key, heap per group, nothing global.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..io import table
 from ..registry import query

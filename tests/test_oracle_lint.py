@@ -1,0 +1,27 @@
+"""Static lint of every oracle: DuckDB must be able to PLAN it against the
+registered views (catches SQL syntax/binder errors in seconds, without
+touching Spark), and oracles must reference only the pre-registered view
+names — never file paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from eclypsium_etl_spark import registry
+
+from .conftest import SF_CHECK, make_duck
+
+_, ORACLE = registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return make_duck(SF_CHECK)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_plans_cleanly(name, duck):
+    sql = ORACLE[name]
+    assert "read_parquet" not in sql, "oracles must use the registered views"
+    assert "/root/" not in sql, "oracles must not hardcode paths"
+    duck.execute(f"EXPLAIN {sql}")  # binder+planner; raises on any error
