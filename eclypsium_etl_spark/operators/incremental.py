@@ -1,0 +1,130 @@
+"""Incremental ETL patterns (q104–q106).
+
+The reference's idempotency story is "replace the whole table every run"
+(mercadolibre_pipeline_dag.py:65, README.md:37) — fine at 50 rows, not at
+100 TB. These are the incremental equivalents: key-based merge/upsert
+(MERGE INTO without Delta: anti-join + union), partial→final
+re-aggregation (mergeable aggregates so you never rescan history), and
+change detection between snapshots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import dsum, dsum_sql
+from ..io import table
+from ..registry import query
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE/upsert emulation on plain Parquet tables: updated keys replace
+    base rows (anti-join removes the old versions), new keys append. With
+    Delta/Iceberg on the classpath this is MERGE INTO; the plan shape —
+    one join on the key — is the same."""
+    return updates.unionByName(base.join(updates, key, "left_anti"))
+
+
+@query(
+    "q104_merge_upsert",
+    oracle=f"""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    merged AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM updates
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 4) AS o_totalprice
+    FROM merged
+    """,
+)
+def q104_merge_upsert(spark, sf_dir) -> DataFrame:
+    """Upsert a simulated change batch (10% of orders repriced) into the
+    snapshot: changed keys take the new row, everything else survives —
+    the incremental replacement for full-table overwrite."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    merged = merge_upsert(o, updates, "o_orderkey")
+    return merged.withColumn("o_totalprice", F.round("o_totalprice", 4))
+
+
+@query(
+    "q105_snapshot_diff",
+    oracle="""
+    WITH snap2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS st
+        FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'deleted'
+                WHEN a.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS change
+    FROM (SELECT o_orderkey, o_orderstatus AS st FROM orders) a
+    FULL OUTER JOIN snap2 b ON a.o_orderkey = b.o_orderkey
+    WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL OR a.st <> b.st
+    """,
+)
+def q105_snapshot_diff(spark, sf_dir) -> DataFrame:
+    """Change-data capture between two snapshots via full outer join:
+    classify every key as inserted / deleted / updated (unchanged rows
+    drop out). The CDC primitive when the source can't emit a changelog."""
+    a = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderstatus").alias("st")
+    )
+    b = a.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "st", F.when(F.col("o_orderkey") % 7 == 0, "X").otherwise(F.col("st"))
+    )
+    aj = a.alias("a")
+    bj = b.alias("b")
+    joined = aj.join(bj, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("b.o_orderkey").isNull(), "deleted")
+        .when(F.col("a.o_orderkey").isNull(), "inserted")
+        .otherwise("updated")
+    )
+    return joined.filter(
+        F.col("b.o_orderkey").isNull()
+        | F.col("a.o_orderkey").isNull()
+        | (F.col("a.st") != F.col("b.st"))
+    ).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        change.alias("change"),
+    )
+
+
+@query(
+    "q106_partial_reagg",
+    oracle=f"""
+    SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n,
+           {dsum_sql('o_totalprice')} AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q106_partial_reagg(spark, sf_dir) -> DataFrame:
+    """Partial→final re-aggregation: daily partials (what an incremental
+    job would persist each day) merge into monthly finals by summing sums
+    and counts — never rescanning raw history. Works because count/sum
+    (and our decimal sums) are MERGEABLE; avg is derived at the end, never
+    stored. The checked claim: re-aggregated partials ≡ direct aggregation."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("total")
+    )
+    return (
+        daily.groupBy(F.date_trunc("month", "day").alias("month"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum(F.col("total").cast("decimal(28,4)")).cast("double").alias("total"),
+        )
+    )
