@@ -41,6 +41,7 @@ _MODULES = [
     "eclypsium_etl_spark.operators.timeseries",
     "eclypsium_etl_spark.operators.breadth",
     "eclypsium_etl_spark.operators.incremental",
+    "eclypsium_etl_spark.operators.expressions",
     "eclypsium_etl_spark.pipeline",
     "eclypsium_etl_spark.streaming.queries",
     "eclypsium_etl_spark.streaming.advanced_queries",
