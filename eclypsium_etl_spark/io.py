@@ -103,8 +103,7 @@ def write_bucketed(
     writer.saveAsTable(name)
 
 
-def read_jdbc(
-    spark: SparkSession,
+def jdbc_options(
     url: str,
     dbtable: str,
     *,
@@ -112,33 +111,90 @@ def read_jdbc(
     lower_bound: int | None = None,
     upper_bound: int | None = None,
     num_partitions: int | None = None,
+    fetch_size: int | None = None,
     properties: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Build the JDBC option map (pure, unit-testable without a DB).
+
+    Parallel reads require all three partition bounds; passing a partition
+    column without bounds is a config error Spark would only surface at
+    load() time against a live DB, so it's validated here."""
+    opts: dict[str, str] = {"url": url, "dbtable": dbtable}
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions or 8),
+        )
+    if fetch_size is not None:
+        opts["fetchsize"] = str(fetch_size)
+    opts.update(properties or {})
+    return opts
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    dbtable: str,
+    **kwargs,
 ) -> DataFrame:
     """JDBC source (q05; reference reads Postgres via SQLAlchemy,
     mercadolibre_pipeline_dag.py:71-75). Parallel reads require the
     partition bounds — a single-connection JDBC read is a driver bottleneck
-    at any real scale, so callers must think about them."""
-    reader = (
-        spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
-    )
-    if partition_column is not None:
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-            .option("numPartitions", str(num_partitions or 8))
-        )
-    for k, v in (properties or {}).items():
+    at any real scale, so callers must think about them. Predicates on the
+    partition column are pushed into each partition's generated WHERE
+    clause by the JDBC source."""
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_options(url, dbtable, **kwargs).items():
         reader = reader.option(k, v)
     return reader.load()
 
 
 def write_jdbc(
     df: DataFrame, url: str, dbtable: str, mode: str = "overwrite",
+    batch_size: int | None = None,
     properties: dict[str, str] | None = None,
 ) -> None:
-    """JDBC sink (q05 write side, reference :65)."""
-    writer = df.write.format("jdbc").option("url", url).option("dbtable", dbtable).mode(mode)
-    for k, v in (properties or {}).items():
+    """JDBC sink (q05 write side, reference's to_sql replace, :65).
+    ``mode="overwrite"`` is the full-replace contract; batch_size maps to
+    the JDBC batchsize option (rows per INSERT round-trip per task)."""
+    props = dict(properties or {})
+    if batch_size is not None:
+        props["batchsize"] = str(batch_size)
+    writer = df.write.format("jdbc").mode(mode)
+    for k, v in jdbc_options(url, dbtable, properties=props).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def fetch_to_landing(urls: dict[str, str], dest_dir: str) -> dict[str, str]:
+    """HTTP landing-zone extraction (reference's EP1 REST fan-out,
+    mercadolibre_pipeline_dag.py:18-45): fetch each named URL and stage the
+    raw payload as a file in ``dest_dir``, returning name → staged path.
+    The staged directory then feeds ``pipeline.extract_products`` as an
+    ordinary schema'd JSON read.
+
+    Driver-side on purpose: the fetch list is small (one URL per category,
+    reference :44); the heavy lifting — parse/explode/join — happens in the
+    distributed read that follows. For large URL fans, distribute with a
+    mapInPandas over a URL DataFrame instead."""
+    import os
+    import urllib.request
+
+    os.makedirs(dest_dir, exist_ok=True)
+    staged: dict[str, str] = {}
+    for name, url in urls.items():
+        path = os.path.join(dest_dir, f"{name}.json")
+        with urllib.request.urlopen(url) as resp:  # noqa: S310 (caller-controlled)
+            payload = resp.read()
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        os.replace(tmp, path)  # atomic: readers never see partial payloads
+        staged[name] = path
+    return staged

@@ -28,11 +28,20 @@ from ..registry import query
 _JACCARD_TAU = 0.4
 _EMB_TAU = 0.30
 
+# temp-parquet shingle outputs already written by this process (memo for
+# shingles() — safe because the fixture inputs are immutable per run)
+_SHINGLES_BUILT: set[str] = set()
+
 # ---------------------------------------------------------------- shingles
 
+# Short-doc guard: Spark's sequence(1, n) with n <= 0 generates a
+# DESCENDING array ([1, 0]) and slice(arr, 0, 3) then throws, while the
+# oracle's generate_series(1, n <= 0) is empty — so docs with < 3 tokens
+# take an explicit empty-array branch on the Spark side too.
 _SHINGLES_EXPR = (
-    "transform(sequence(1, size(split(text, ' ')) - 2),"
-    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    "CASE WHEN size(split(text, ' ')) < 3 THEN cast(array() AS array<string>)"
+    " ELSE transform(sequence(1, size(split(text, ' ')) - 2),"
+    " i -> concat_ws(' ', slice(split(text, ' '), i, 3))) END"
 )
 
 # DuckDB twin: distinct 3-word shingles per doc
@@ -79,6 +88,11 @@ def shingles(spark, sf_dir) -> DataFrame:
         "eclypsium_etl_spark",
         f"shingles_{os.path.basename(sf_dir)}",
     )
+    # memoized per process+sf_dir: q63 and q71 both consume this; without
+    # the memo each registry invocation re-ran the explode+distinct shuffle
+    # and parquet rewrite (the dominant per-query harness cost for both)
+    if out in _SHINGLES_BUILT:
+        return spark.read.parquet(out)
     # repartition before the (expensive) explode: the single-row-group
     # fixture scan is one task; no explicit count — AQE sizes it.
     (
@@ -88,6 +102,7 @@ def shingles(spark, sf_dir) -> DataFrame:
         .write.mode("overwrite")
         .parquet(out)
     )
+    _SHINGLES_BUILT.add(out)
     return spark.read.parquet(out)
 
 

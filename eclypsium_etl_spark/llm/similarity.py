@@ -30,6 +30,7 @@ from ..registry import query
 _N_QUERIES = 10   # q64: vectors with vec_id < 10 are the query set
 _TOP_K = 5
 _PAIR_TAU = 0.30  # q65 threshold (fixture sims top out ≈ 0.40)
+_GRID_B = 4       # q65 block-grid side; at scale: ceil(corpus_bytes / block_budget)
 _N_CENTROIDS = 8  # q72: vectors with vec_id < 8 act as centroids
 
 
@@ -81,54 +82,75 @@ def q65_sim_pairs(spark, sf_dir) -> DataFrame:
     float ties can't flip membership — SURVEY §5.2.2).
 
     Two-phase exact kernel, the shape that survives scale:
-    1. CANDIDATES by blocked matrix multiply: the corpus matrix is
-       broadcast (small side; at 100 TB both sides are blocked), each
-       partition GEMMs its chunk against it in numpy — ~50 ns/pair instead
-       of an interpreted per-pair array fold — and keeps pairs above
-       τ − ε (ε ≫ GEMM-vs-fold float divergence, so no candidate is lost).
+    1. CANDIDATES by block-grid matrix multiply: the corpus is split into
+       _GRID_B row blocks (vec_id mod B); each unordered block pair
+       {ra, cb} (ra ≤ cb) is one grid cell, both blocks meet executor-side
+       in a cogroup and GEMM in numpy — ~50 ns/pair instead of an
+       interpreted per-pair fold — keeping pairs above τ − ε (ε ≫
+       GEMM-vs-fold float divergence, so no candidate is lost). NOTHING
+       crosses the driver: replication factor is (B+1)/2 per side and B is
+       sized so two blocks fit executor memory (at 100 TB: thousands of
+       blocks, cells scheduled as ordinary shuffle tasks).
     2. VERIFY survivors with the expression-level left-fold dot — the tiny
-       candidate set recomputed bit-identically to the DuckDB oracle.
+       candidate set recomputed bit-identically to the DuckDB oracle. No
+       broadcast hint on the verify joins: AQE broadcasts the corpus side
+       at fixture scale and falls back to shuffle joins when it's big.
 
     `lsh_pairs` below replaces phase 1 with bucketed random projection
     when even one full GEMM pass is too much."""
     import numpy as np
+    import pandas as pd
 
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf = em.toPandas()  # corpus matrix (small side): 2k × 64 at sf0.1
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    B = _GRID_B
     guard = _PAIR_TAU - 1e-6
 
-    def gemm_candidates(batches):
-        import pandas as pd
+    blocked = em.withColumn("p", F.pmod("vec_id", F.lit(B)))
+    # block p is the LEFT operand of cells (p, cb) for cb ≥ p …
+    lefts = blocked.withColumn(
+        "cell", F.explode(F.expr(f"transform(sequence(p, {B - 1}), cb -> p * {B} + cb)"))
+    ).select("cell", "vec_id", "embedding")
+    # … and the RIGHT operand of cells (ra, p) for ra ≤ p
+    rights = blocked.withColumn(
+        "cell", F.explode(F.expr(f"transform(sequence(0, p), ra -> ra * {B} + p)"))
+    ).select("cell", "vec_id", "embedding")
 
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for chunk in batches:
-            a = np.stack(chunk["embedding"].to_numpy()).astype(np.float64)
-            sims = a @ all_mat.T
-            ii, jj = np.nonzero(sims >= guard)
-            keep = chunk["vec_id"].to_numpy()[ii] < all_ids[jj]
-            yield pd.DataFrame(
-                {
-                    "vec_a": chunk["vec_id"].to_numpy()[ii][keep],
-                    "vec_b": all_ids[jj][keep],
-                }
-            )
+    def gemm_cell(key: tuple, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
+        )
+        if a_pdf.empty or b_pdf.empty:
+            return empty
+        ids_a = a_pdf["vec_id"].to_numpy()
+        ids_b = b_pdf["vec_id"].to_numpy()
+        ma = np.stack(a_pdf["embedding"].to_numpy()).astype(np.float64)
+        mb = np.stack(b_pdf["embedding"].to_numpy()).astype(np.float64)
+        sims = ma @ mb.T
+        ii, jj = np.nonzero(sims >= guard)
+        ia, ib = ids_a[ii], ids_b[jj]
+        cell = int(key[0])
+        if cell // B == cell % B:
+            # diagonal cell: both operands are the same block, every pair
+            # appears twice — `<` both dedups and orders
+            keep = ia < ib
+            ia, ib = ia[keep], ib[keep]
+        else:
+            # off-diagonal: each cross-block pair appears exactly once,
+            # in arbitrary id order — normalize (smaller id first)
+            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"vec_a": ia, "vec_b": ib})
 
-    # single-row-group input → spread rows so cores GEMM chunks in
-    # parallel (AQE picks the count; explicit numbers over-partition small
-    # inputs and the python-worker spin-up dominates)
-    cand = em.repartition("vec_id").mapInPandas(
-        gemm_candidates, schema="vec_a long, vec_b long"
+    cand = (
+        lefts.groupBy("cell")
+        .cogroup(rights.groupBy("cell"))
+        .applyInPandas(gemm_cell, schema="vec_a long, vec_b long")
     )
     a = em.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = em.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     sim = F.round(dot(F.col("emb_a"), F.col("emb_b")), 6)
     return (
-        cand.join(F.broadcast(a), "vec_a")
-        .join(F.broadcast(b), "vec_b")
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") >= _PAIR_TAU)
     )

@@ -16,7 +16,7 @@ from ..registry import query
     "q95_explode_outer",
     oracle="""
     SELECT e.event_id, CAST(NULL AS INTEGER) AS pos, CAST(NULL AS VARCHAR) AS tag
-    FROM events e WHERE e.event_type = 'error'
+    FROM events e WHERE e.event_type = 'error' OR e.event_type IS NULL
     UNION ALL
     SELECT e.event_id, CAST(i - 1 AS INTEGER) AS pos, parts[i] AS tag
     FROM (SELECT event_id, string_split(event_type, 'c') AS parts

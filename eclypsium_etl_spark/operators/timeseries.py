@@ -164,30 +164,68 @@ def q91_mode(spark, sf_dir) -> DataFrame:
 )
 def q92_cogroup(spark, sf_dir) -> DataFrame:
     """Cogrouped pandas (FlatMapCoGroupsInPandas): both sides shuffle on
-    the key, each key's two pandas frames meet in one Python call — the
+    the key, the key's two pandas frames meet in one Python call — the
     escape hatch for per-key logic joins can't express (here it recomputes
-    a joinable aggregate so the oracle can check the plumbing exactly)."""
+    a joinable aggregate so the oracle can check the plumbing exactly).
+
+    Batching posture: the cogroup key is a SHARD (custkey mod 32), not the
+    customer — one Arrow batch then carries ~n/32 customers and the
+    per-customer logic runs vectorized (pandas groupby) inside the worker.
+    Cogrouping on the raw customer key costs one Python round-trip per
+    customer (500 keys → 500 single-row calls, ~3s where DuckDB takes
+    0.02s); at 100 TB the shard count is sized so each batch fits worker
+    memory, exactly like any applyInPandas partition budget."""
+
+    _N_SHARDS = 32
 
     def merge(c_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
         if c_pdf.empty:
             return pd.DataFrame(
-                columns=["c_custkey", "n_orders", "total_spend", "acctbal"]
+                {
+                    "c_custkey": pd.Series(dtype="int64"),
+                    "n_orders": pd.Series(dtype="int64"),
+                    "total_spend": pd.Series(dtype="float64"),
+                    "acctbal": pd.Series(dtype="float64"),
+                }
             )
-        cents = (o_pdf["o_totalprice"] * 10_000).round().astype("int64").sum()
-        return pd.DataFrame(
-            {
-                "c_custkey": [int(c_pdf["c_custkey"].iloc[0])],
-                "n_orders": [len(o_pdf)],
-                "total_spend": [cents / 10_000.0],
-                "acctbal": [float(c_pdf["c_acctbal"].max())],
-            }
+        # exact cents accumulation (decimal discipline, vectorized)
+        if o_pdf.empty:
+            per_cust = pd.DataFrame(
+                {"n_orders": pd.Series(dtype="int64"),
+                 "cents": pd.Series(dtype="int64")}
+            )
+        else:
+            per_cust = (
+                o_pdf.assign(
+                    cents=(o_pdf["o_totalprice"] * 10_000).round().astype("int64")
+                )
+                .groupby("o_custkey")
+                .agg(n_orders=("o_orderkey", "size"), cents=("cents", "sum"))
+            )
+        out = (
+            c_pdf.groupby("c_custkey")
+            .agg(acctbal=("c_acctbal", "max"))
+            .join(per_cust, how="left")
         )
+        out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+        out["total_spend"] = (out["cents"].fillna(0) / 10_000.0).astype("float64")
+        return out.reset_index()[
+            ["c_custkey", "n_orders", "total_spend", "acctbal"]
+        ]
 
-    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
-    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .withColumn("shard", F.pmod("c_custkey", F.lit(_N_SHARDS)))
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 500)
+        .withColumn("shard", F.pmod("o_custkey", F.lit(_N_SHARDS)))
+    )
     return (
-        c.groupBy("c_custkey")
-        .cogroup(o.groupBy("o_custkey"))
+        c.groupBy("shard")
+        .cogroup(o.groupBy("shard"))
         .applyInPandas(
             merge,
             schema="c_custkey long, n_orders long, total_spend double, acctbal double",

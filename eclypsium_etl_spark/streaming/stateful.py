@@ -37,7 +37,9 @@ def _track_spend(
     batch_cents = 0
     for pdf in pdfs:
         batch_cents += int((pdf["value"] * 10_000).round().astype("int64").sum())
-    prev_cents = int(state.get[0] * 10_000) if state.exists else 0
+    # round, don't truncate: the stored double doesn't round-trip *10_000
+    # exactly (0.0003*10_000 = 2.9999999999999996), truncation would drift
+    prev_cents = round(state.get[0] * 10_000) if state.exists else 0
     new_cents = prev_cents + batch_cents
     state.update((new_cents / 10_000.0,))
     crossed = prev_cents < _THRESHOLD * 10_000 <= new_cents

@@ -38,6 +38,21 @@ def test_brp_lsh_pairs_runs_and_is_subset_sane(spark):
         assert (r.vec_a, r.vec_b) in exact, f"false positive pair {r}"
 
 
+def test_shingles_short_docs_yield_empty(spark):
+    """Docs with ≤2 whitespace tokens must produce an EMPTY shingle array,
+    not a descending sequence(1, n≤0) that makes slice() throw (ADVICE r1)."""
+    from pyspark.sql import functions as F
+
+    from eclypsium_etl_spark.llm.dedup import _SHINGLES_EXPR
+
+    df = spark.createDataFrame(
+        [("one",), ("two words",), ("three word doc",), ("now four word doc",)],
+        "text string",
+    )
+    sizes = [r.n for r in df.select(F.size(F.expr(_SHINGLES_EXPR)).alias("n")).collect()]
+    assert sizes == [0, 0, 1, 2]
+
+
 def test_real_decode_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")

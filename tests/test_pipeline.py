@@ -69,6 +69,71 @@ def test_extract_products_mirrors_reference(spark, tmp_path):
     assert len({r.created_date for r in rows}) == 1
 
 
+def test_jdbc_options_parallel_read():
+    """The JDBC option map (pure — no DB needed): partition bounds expand
+    to the four-option parallel-read contract, extras pass through."""
+    import pytest
+
+    from eclypsium_etl_spark.io import jdbc_options
+
+    opts = jdbc_options(
+        "jdbc:postgresql://db:5432/shop", "products",
+        partition_column="id", lower_bound=0, upper_bound=100_000,
+        num_partitions=16, fetch_size=5_000,
+        properties={"user": "etl", "driver": "org.postgresql.Driver"},
+    )
+    assert opts == {
+        "url": "jdbc:postgresql://db:5432/shop",
+        "dbtable": "products",
+        "partitionColumn": "id",
+        "lowerBound": "0",
+        "upperBound": "100000",
+        "numPartitions": "16",
+        "fetchsize": "5000",
+        "user": "etl",
+        "driver": "org.postgresql.Driver",
+    }
+    # single-connection read: no partition options emitted
+    assert "partitionColumn" not in jdbc_options("jdbc:h2:mem:x", "t")
+    # partition column without bounds is a config error, caught eagerly
+    with pytest.raises(ValueError):
+        jdbc_options("jdbc:h2:mem:x", "t", partition_column="id")
+
+
+def test_fetch_to_landing_feeds_extract(spark, tmp_path):
+    """The EP1 fetch story end-to-end: fetch_to_landing stages payloads
+    from (file://) URLs, extract_products reads the staged files."""
+    import json
+
+    from eclypsium_etl_spark.io import fetch_to_landing
+    from eclypsium_etl_spark.pipeline import extract_products
+
+    src = tmp_path / "remote"
+    src.mkdir()
+    (src / "cats").write_text(json.dumps({"id": "MLA1"}))
+    (src / "search").write_text(
+        json.dumps(
+            {
+                "category_id": "MLA1",
+                "results": [
+                    {
+                        "id": "MLA1-9", "site_id": "MLA", "title": "x",
+                        "price": 9.5, "sold_quantity": 3, "thumbnail": "t",
+                    }
+                ],
+            }
+        )
+    )
+    staged = fetch_to_landing(
+        {"categories": f"file://{src}/cats", "searches": f"file://{src}/search"},
+        str(tmp_path / "landing"),
+    )
+    assert set(staged) == {"categories", "searches"}
+    df = extract_products(spark, staged["categories"], staged["searches"])
+    rows = df.collect()
+    assert [r.id for r in rows] == ["MLA1-9"]
+
+
 def test_projection_prunes_scan(spark):
     """Column pruning must reach the parquet scan: the flagship reads 4 of
     11 lineitem columns."""

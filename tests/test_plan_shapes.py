@@ -61,6 +61,19 @@ def test_q86_dynamic_partition_pruning(spark):
     assert "dynamicpruning" in plan.lower() or "PartitionFilters" in plan
 
 
+def test_q65_candidates_stay_distributed(spark):
+    """The GEMM candidate stage must never materialize the corpus on the
+    driver (VERDICT r1 #4): no toPandas in the implementation, and the
+    physical plan shows the executor-side cogroup GEMM."""
+    import inspect
+
+    from eclypsium_etl_spark.llm import similarity
+
+    assert "toPandas" not in inspect.getsource(similarity.q65_sim_pairs)
+    plan = plans.physical_plan(QUERIES["q65_sim_pairs"](spark, SF_CHECK))
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
 def test_flagship_codegen(spark):
     from eclypsium_etl_spark.pipeline import flagship
 

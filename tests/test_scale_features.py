@@ -83,3 +83,46 @@ def test_stateful_accumulates_across_batches(spark, tmp_path):
     assert [r.batch_total for r in rows] == [900.0, 200.0]
     assert [r.running_total for r in rows] == [900.0, 1100.0]
     assert [r.crossed for r in rows] == [False, True]  # crossed in batch 2
+
+
+def test_stateful_cents_roundtrip_exact(spark, tmp_path):
+    """Cents recovery must ROUND, not truncate: totals like 0.0003 don't
+    round-trip exactly through the stored double (*10_000 gives
+    2.9999999999999996 — truncation would drift a cent per batch)."""
+    from eclypsium_etl_spark.streaming.stateful import running_spend
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "user_id long, value double, ts timestamp"
+
+    def write_file(rows, name):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"_s{name}"))
+        part = next(
+            p for p in (tmp_path / f"_s{name}").iterdir() if p.name.endswith(".parquet")
+        )
+        os.rename(part, src / f"{name}.parquet")
+
+    t0 = datetime.fromisoformat("2024-01-01 10:00:00")
+    write_file([(3, 0.0003, t0)], "b1")
+    time.sleep(1.1)
+    write_file([(3, 0.0001, t0)], "b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    qname = f"spend_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_spend(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals = sorted(r.running_total for r in spark.table(qname).collect())
+    assert totals == [0.0003, 0.0004]  # truncation would give [0.0003, 0.0003]
