@@ -32,9 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2, cheapest-first
-    (measured at sf0.01) so a time-budgeted harness walk covers the most
-    queries before any cutoff."""
+    """One entry per implemented operator from SURVEY.md §2, ordered so a
+    time-budgeted harness walk is most useful: round-1-unverified queries
+    first, cheapest-first (measured at sf0.01) within each tier."""
     return registry.ordered_queries()
 
 

@@ -27,7 +27,8 @@ BENCH_N = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
 
 # Representative spread: scan+filter, snowflake join, Q1 aggregate, window,
 # top-k, event-time window, exact/near dedup, MinHash LSH, kNN, all-pairs
-# similarity, TF-IDF, streaming dedup (real stream), quality scoring.
+# similarity, IVF ANN, embedding near-dup, TF-IDF, streaming join (real
+# stream), quality scoring.
 HEADLINE = [
     "q08_filter_arith",
     "q16_join_multiway",
@@ -41,8 +42,10 @@ HEADLINE = [
     "q65_sim_pairs",
     "q67_text_tfidf",
     "q71_dedup_minhash_lsh",
+    "q72_sim_ivf",
     "q74_text_quality",
     "q77_multimodal_decode",
+    "q78_dedup_embedding",
     "q79_pivot",
     "q84_skew_salted_join",
     "q86_partition_pruning",

@@ -339,11 +339,27 @@ def q71_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
 def q78_dedup_embedding(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-dup on documents: join docs to their vectors,
     emit pairs above the cosine threshold with language metadata — the
-    semantic-dedup step of a training-data pipeline (exact kernel here;
-    LSH pruning via similarity.lsh_pairs at corpus scale)."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    de = d.join(e, d.doc_id == e.vec_id).select("doc_id", "lang", "embedding")
+    semantic-dedup step of a training-data pipeline.
+
+    Same two-phase shape as q65: block-grid cogroup GEMM candidates
+    (similarity.grid_gemm_candidates — executor-side, no O(n²) theta
+    join), then exact-fold verify + metadata join restricted to the
+    candidate set. LSH pruning (similarity.lsh_pairs) replaces phase 1
+    when even one full GEMM pass over the corpus is too much."""
+    from .similarity import grid_gemm_candidates
+
+    def de_frame():
+        # fresh scans per consumer: the candidate cogroup and both verify
+        # sides reuse this shape, and shared lineage would trip Spark's
+        # ambiguous-self-join analysis
+        d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+        e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        return d.join(e, d.doc_id == e.vec_id).select("doc_id", "lang", "embedding")
+
+    cand = grid_gemm_candidates(
+        de_frame().select(F.col("doc_id").alias("vec_id"), "embedding"), _EMB_TAU
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    de = de_frame()
     a = de.select(
         F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
         F.col("embedding").alias("emb_a"),
@@ -354,7 +370,8 @@ def q78_dedup_embedding(spark, sf_dir) -> DataFrame:
     )
     sim = F.round(dot(F.col("emb_a"), F.col("emb_b")), 6)
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .select("doc_a", "doc_b", sim.alias("sim"), "lang_a", "lang_b")
         .filter(F.col("sim") >= _EMB_TAU)
     )

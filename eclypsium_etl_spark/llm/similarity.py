@@ -68,6 +68,78 @@ def q64_sim_knn(spark, sf_dir) -> DataFrame:
     )
 
 
+def grid_gemm_candidates(em: DataFrame, tau: float, n_blocks: int | None = None) -> DataFrame:
+    """Executor-side block-grid GEMM candidate generator for all-pairs
+    similarity (the shared kernel of q65 and q78).
+
+    Splits the corpus into ``n_blocks`` row blocks (vec_id mod B); each
+    unordered block pair {ra, cb} (ra ≤ cb) forms one grid cell, both
+    blocks meet executor-side in a cogroup, and numpy GEMMs them. Nothing
+    crosses the driver; replication factor is (B+1)/2 per side, and B is
+    sized so two blocks fit executor memory. Candidates are kept above
+    τ − ε (ε ≫ GEMM-vs-fold float divergence) so the exact verify pass
+    can't lose a true pair."""
+    import numpy as np
+    import pandas as pd
+
+    B = n_blocks or _GRID_B
+    guard = tau - 1e-6
+
+    # ONE explode emits every (cell, side) assignment — block p is the
+    # LEFT operand (side 0) of cells (p, cb) for cb ≥ p and the RIGHT
+    # operand (side 1) of cells (ra, p) for ra ≤ p — so the grid needs a
+    # single shuffle of one frame (no cogroup self-join, which Spark's
+    # ambiguous-self-join analysis rejects for join-derived inputs).
+    assigned = (
+        em.withColumn("p", F.pmod("vec_id", F.lit(B)))
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                F.expr(
+                    f"concat("
+                    f" transform(sequence(p, {B - 1}),"
+                    f"   cb -> struct(p * {B} + cb AS cell, 0 AS side)),"
+                    f" transform(sequence(0, p),"
+                    f"   ra -> struct(ra * {B} + p AS cell, 1 AS side)))"
+                )
+            ).alias("a"),
+        )
+        .select(F.col("a.cell").alias("cell"), F.col("a.side").alias("side"),
+                "vec_id", "embedding")
+    )
+
+    def gemm_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
+            )
+        ids_a = left["vec_id"].to_numpy()
+        ids_b = right["vec_id"].to_numpy()
+        ma = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        mb = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        sims = ma @ mb.T
+        ii, jj = np.nonzero(sims >= guard)
+        ia, ib = ids_a[ii], ids_b[jj]
+        cell = int(key[0])
+        if cell // B == cell % B:
+            # diagonal cell: both operands are the same block, every pair
+            # appears twice — `<` both dedups and orders
+            keep = ia < ib
+            ia, ib = ia[keep], ib[keep]
+        else:
+            # off-diagonal: each cross-block pair appears exactly once,
+            # in arbitrary id order — normalize (smaller id first)
+            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"vec_a": ia, "vec_b": ib})
+
+    return assigned.groupBy("cell").applyInPandas(
+        gemm_cell, schema="vec_a long, vec_b long"
+    )
+
+
 @query(
     "q65_sim_pairs",
     oracle=f"""
@@ -98,53 +170,8 @@ def q65_sim_pairs(spark, sf_dir) -> DataFrame:
 
     `lsh_pairs` below replaces phase 1 with bucketed random projection
     when even one full GEMM pass is too much."""
-    import numpy as np
-    import pandas as pd
-
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    B = _GRID_B
-    guard = _PAIR_TAU - 1e-6
-
-    blocked = em.withColumn("p", F.pmod("vec_id", F.lit(B)))
-    # block p is the LEFT operand of cells (p, cb) for cb ≥ p …
-    lefts = blocked.withColumn(
-        "cell", F.explode(F.expr(f"transform(sequence(p, {B - 1}), cb -> p * {B} + cb)"))
-    ).select("cell", "vec_id", "embedding")
-    # … and the RIGHT operand of cells (ra, p) for ra ≤ p
-    rights = blocked.withColumn(
-        "cell", F.explode(F.expr(f"transform(sequence(0, p), ra -> ra * {B} + p)"))
-    ).select("cell", "vec_id", "embedding")
-
-    def gemm_cell(key: tuple, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
-        )
-        if a_pdf.empty or b_pdf.empty:
-            return empty
-        ids_a = a_pdf["vec_id"].to_numpy()
-        ids_b = b_pdf["vec_id"].to_numpy()
-        ma = np.stack(a_pdf["embedding"].to_numpy()).astype(np.float64)
-        mb = np.stack(b_pdf["embedding"].to_numpy()).astype(np.float64)
-        sims = ma @ mb.T
-        ii, jj = np.nonzero(sims >= guard)
-        ia, ib = ids_a[ii], ids_b[jj]
-        cell = int(key[0])
-        if cell // B == cell % B:
-            # diagonal cell: both operands are the same block, every pair
-            # appears twice — `<` both dedups and orders
-            keep = ia < ib
-            ia, ib = ia[keep], ib[keep]
-        else:
-            # off-diagonal: each cross-block pair appears exactly once,
-            # in arbitrary id order — normalize (smaller id first)
-            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
-        return pd.DataFrame({"vec_a": ia, "vec_b": ib})
-
-    cand = (
-        lefts.groupBy("cell")
-        .cogroup(rights.groupBy("cell"))
-        .applyInPandas(gemm_cell, schema="vec_a long, vec_b long")
-    )
+    cand = grid_gemm_candidates(em, _PAIR_TAU)
     a = em.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = em.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     sim = F.round(dot(F.col("emb_a"), F.col("emb_b")), 6)

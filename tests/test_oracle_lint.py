@@ -25,3 +25,13 @@ def test_oracle_plans_cleanly(name, duck):
     assert "read_parquet" not in sql, "oracles must use the registered views"
     assert "/root/" not in sql, "oracles must not hardcode paths"
     duck.execute(f"EXPLAIN {sql}")  # binder+planner; raises on any error
+
+
+def test_ordered_queries_is_a_permutation():
+    """The harness-facing ordering must expose exactly the registry — a
+    query added without an order entry still appears (appended), and a
+    stale order entry must not shadow or drop anything."""
+    q, _ = registry.load_all()
+    ordered = registry.ordered_queries()
+    assert list(sorted(ordered)) == list(sorted(q))
+    assert len(registry._CHEAP_FIRST) == len(set(registry._CHEAP_FIRST))

@@ -70,8 +70,9 @@ def test_q65_candidates_stay_distributed(spark):
     from eclypsium_etl_spark.llm import similarity
 
     assert "toPandas" not in inspect.getsource(similarity.q65_sim_pairs)
+    assert "toPandas" not in inspect.getsource(similarity.grid_gemm_candidates)
     plan = plans.physical_plan(QUERIES["q65_sim_pairs"](spark, SF_CHECK))
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_flagship_codegen(spark):
