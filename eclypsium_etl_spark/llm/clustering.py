@@ -95,6 +95,98 @@ def q102_dedup_hash(spark, sf_dir) -> DataFrame:
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Undirected connected components by min-label propagation: each
+    vertex starts labeled with itself; every iteration each vertex takes
+    the min of its own and its neighbors' labels; converged when no label
+    changes. Iterations needed = graph diameter ≤ max_iter for near-dup
+    graphs (components are small cliques-ish by construction).
+
+    Per iteration: one shuffle join (edges ⋈ labels) + one aggregate —
+    the same fixpoint shape as kmeans() above. At 100 TB you'd switch to
+    the large-star/small-star contraction (O(log n) rounds on high-
+    diameter graphs) but the per-round dataflow is identical.
+
+    pairs: (doc_a, doc_b) with doc_a < doc_b. Returns (doc_id, group_id)
+    for every vertex that appears in at least one pair."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "doc_id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("group_id"))
+
+
+@query(
+    "q111_dedup_groups",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM documents a JOIN documents b
+          ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach (doc_id, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    )
+    SELECT doc_id, MIN(label) AS group_id,
+           (doc_id = MIN(label)) AS is_canonical
+    FROM reach GROUP BY doc_id
+    """,
+)
+def q111_dedup_groups(spark, sf_dir) -> DataFrame:
+    """Dedup-group formation: the step after candidate pairs that every
+    training-data pipeline actually needs — near-dup PAIRS become GROUPS
+    (connected components) and each group elects one canonical keeper
+    (min doc_id), everything else is droppable. Pairs here are q19's
+    shared-40-char-prefix self-join (deterministic, cheap); the same
+    grouping runs unchanged on q63/q71/q78 pair sets. The DuckDB oracle
+    states the transitive closure as a recursive CTE — the Spark fixpoint
+    must converge to exactly that."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    key = F.substring("text", 1, 40)
+    a = d.select(F.col("doc_id").alias("doc_a"), key.alias("k_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), key.alias("k_b"))
+    pairs = a.join(
+        b, (F.col("k_a") == F.col("k_b")) & (F.col("doc_a") < F.col("doc_b"))
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    return comp.select(
+        "doc_id",
+        "group_id",
+        (F.col("doc_id") == F.col("group_id")).alias("is_canonical"),
+    )
+
+
 @query(
     "q103_kmeans_assign",
     oracle=f"""

@@ -79,6 +79,7 @@ def run_gated_pipeline(
     sf_dir: str,
     out_path: str,
     threshold: float = FLAGSHIP_THRESHOLD,
+    delivery: "ReportDelivery | None" = None,
 ) -> dict:
     """End-to-end run with the short-circuit gate (q52).
 
@@ -89,11 +90,46 @@ def run_gated_pipeline(
     """
     df = flagship(spark, sf_dir, threshold)
     if df.isEmpty():
-        return {"gate_open": False, "rows_written": 0, "report": None}
+        return {"gate_open": False, "rows_written": 0, "report": None,
+                "receipt": None}
     sink_overwrite(df, out_path)
     report = render_report(df)
     rows = spark.read.parquet(out_path).count()
-    return {"gate_open": True, "rows_written": rows, "report": report}
+    receipt = None
+    if delivery is not None and report is not None:
+        receipt = delivery.send("High volume sales", report)
+    return {"gate_open": True, "rows_written": rows, "report": report,
+            "receipt": receipt}
+
+
+class ReportDelivery:
+    """Delivery boundary for the rendered report (the reference emails the
+    HTML via an Airflow EmailOperator over SendGrid,
+    mercadolibre_pipeline_dag.py:171-177, sendgrid_email_operator.py:7-21).
+
+    The engine's scope ends at a rendered document + a delivery interface;
+    transports (SMTP, SendGrid, webhook) plug in behind ``send``. The
+    default implementation stages the document to a file — the landing-zone
+    symmetric of io.fetch_to_landing, and what a scheduler's delivery task
+    would pick up."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def send(self, subject: str, html: str) -> str:
+        """Deliver one report; returns a delivery receipt (here: the staged
+        path). Transport subclasses override this."""
+        import os
+        import re
+
+        os.makedirs(self.out_dir, exist_ok=True)
+        slug = re.sub(r"[^A-Za-z0-9]+", "_", subject).strip("_").lower()
+        path = os.path.join(self.out_dir, f"{slug}.html")
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(html)
+        os.replace(tmp, path)
+        return path
 
 
 def extract_products(

@@ -100,7 +100,8 @@ _CHEAP_FIRST = [
     "q60_udaf_grouped", "q103_kmeans_assign", "q89_gapfill", "q90_stats_agg", "q65_sim_pairs",
     "q58_stream_foreachbatch", "q81_subquery", "q67_text_tfidf", "q106_partial_reagg", "q72_sim_ivf",
     "q92_cogroup", "q57_stream_dedup_state", "q56_stream_watermark", "q63_dedup_near", "q87_stream_stateful",
-    "q71_dedup_minhash_lsh", "q59_udf_scalar", "q86_partition_pruning", "q78_dedup_embedding", "q101_stream_stream_join",
+    "q71_dedup_minhash_lsh", "q59_udf_scalar", "q86_partition_pruning", "q78_dedup_embedding", "q111_dedup_groups",
+    "q101_stream_stream_join",
     # --- tier 2: round-1-verified (50) ---
     "q36_limit", "q38_union_all", "q47_json_serialize", "q37_topk_per_group", "q27_agg_having",
     "q41_except", "q43_date_parts", "q34_win_ntile_pct", "q35_orderby", "q25_agg_cube",

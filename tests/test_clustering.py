@@ -1,13 +1,28 @@
-"""Iterative k-means: convergence behavior on the fixture embeddings."""
+"""Iterative algorithms: k-means convergence and connected-components
+label propagation."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from eclypsium_etl_spark.io import table
-from eclypsium_etl_spark.llm.clustering import kmeans
+from eclypsium_etl_spark.llm.clustering import connected_components, kmeans
 
 from .conftest import SF_SMOKE
+
+
+def test_connected_components_multihop(spark):
+    """Label must propagate across a 4-hop chain (needs >1 iteration) and
+    stay put in a separate component."""
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5 (given as adjacent pairs) + island {10, 11}
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.group_id for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
 
 def test_kmeans_iterations_improve_objective(spark):

@@ -22,10 +22,30 @@ def test_entry_smoke(spark):
 def test_gate_polarity(spark):
     with tempfile.TemporaryDirectory() as d:
         closed = run_gated_pipeline(spark, SF_SMOKE, f"{d}/out", threshold=1e18)
-        assert closed == {"gate_open": False, "rows_written": 0, "report": None}
+        assert closed == {
+            "gate_open": False, "rows_written": 0, "report": None, "receipt": None,
+        }
         opened = run_gated_pipeline(spark, SF_SMOKE, f"{d}/out2")
         assert opened["gate_open"] and opened["rows_written"] > 0
         assert opened["report"].startswith("<html>") and "<tr><td>" in opened["report"]
+
+
+def test_report_delivery_boundary(spark):
+    """The delivery interface (reference's EmailOperator boundary): an open
+    gate hands the rendered HTML to delivery.send and surfaces the receipt;
+    a closed gate never delivers."""
+    from eclypsium_etl_spark.pipeline import ReportDelivery
+
+    with tempfile.TemporaryDirectory() as d:
+        delivery = ReportDelivery(f"{d}/outbox")
+        out = run_gated_pipeline(spark, SF_SMOKE, f"{d}/sink", delivery=delivery)
+        assert out["receipt"] is not None and out["receipt"].endswith(".html")
+        with open(out["receipt"], encoding="utf-8") as fh:
+            assert fh.read() == out["report"]
+        closed = run_gated_pipeline(
+            spark, SF_SMOKE, f"{d}/sink2", threshold=1e18, delivery=delivery
+        )
+        assert closed["receipt"] is None
 
 
 def test_report_bounded(spark):
