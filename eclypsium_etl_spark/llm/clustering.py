@@ -107,8 +107,20 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     the large-star/small-star contraction (O(log n) rounds on high-
     diameter graphs) but the per-round dataflow is identical.
 
+    Each iteration's labels are materialized to a disk intermediate
+    (lineage truncation — the engine's standard fixpoint discipline, see
+    llm/dedup.py shingles()): without it, iteration k's lazy plan
+    recomputes iterations 1..k-1 and the loop goes exponential on
+    higher-diameter graphs.
+
     pairs: (doc_a, doc_b) with doc_a < doc_b. Returns (doc_id, group_id)
     for every vertex that appears in at least one pair."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = pairs.sparkSession
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -118,7 +130,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         edges.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("label", F.col("doc_id"))
     )
-    for _ in range(max_iter):
+    scratch = os.path.join(
+        tempfile.gettempdir(), "eclypsium_etl_spark", f"cc_{uuid.uuid4().hex[:12]}"
+    )
+    prev_step = None
+    for it in range(max_iter):
         prop = edges.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
         ).select(F.col("dst").alias("doc_id"), "label")
@@ -127,6 +143,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
         )
+        step = os.path.join(scratch, f"it{it}")
+        new_labels.write.mode("overwrite").parquet(step)
+        new_labels = spark.read.parquet(step)
         changed = (
             new_labels.withColumnRenamed("label", "new_label")
             .join(labels, "doc_id")
@@ -134,8 +153,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             .count()
         )
         labels = new_labels
+        if prev_step:  # superseded iteration — reclaim now
+            shutil.rmtree(prev_step, ignore_errors=True)
+        prev_step = step
         if changed == 0:
             break
+    # the final step's parquet stays on disk for the session (same
+    # contract as shingles()); the caller gets a lazy distributed scan of
+    # it, never a driver-side materialization
     return labels.select("doc_id", F.col("label").alias("group_id"))
 
 

@@ -104,6 +104,78 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+_FRAME_CHARS = 16  # fake frame size (chars); a real codec uses frame count
+_FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def fake_frame_sample(asset: bytes) -> list[dict]:
+    """Deterministic stand-in for video frame sampling: treat the payload
+    as fixed-size frames, keep every _FRAME_STRIDE-th, emit one signature
+    row per sampled frame. A real implementation decodes with ffmpeg and
+    hashes/embeds the pixel buffer; the row shape is identical."""
+    import hashlib
+    import math
+
+    s = asset.decode("utf-8")
+    n_frames = math.ceil(len(s) / _FRAME_CHARS)
+    out = []
+    for i in range(0, n_frames, _FRAME_STRIDE):
+        frame = s[i * _FRAME_CHARS:(i + 1) * _FRAME_CHARS]
+        out.append(
+            {
+                "frame_idx": i,
+                "frame_sig": hashlib.md5(frame.encode("utf-8")).hexdigest(),
+                "frame_len": len(frame),
+            }
+        )
+    return out
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker with a flatMap shape: each input row (doc_id,
+    asset) yields 0..n sampled-frame rows — the same Arrow plumbing a real
+    frame sampler uses (batch in, variable-length typed batch out)."""
+    for pdf in batches:
+        rows = {"doc_id": [], "frame_idx": [], "frame_sig": [], "frame_len": []}
+        for doc_id, asset in zip(pdf["doc_id"], pdf["asset"]):
+            for f in fake_frame_sample(asset):
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(f["frame_idx"])
+                rows["frame_sig"].append(f["frame_sig"])
+                rows["frame_len"].append(f["frame_len"])
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "q112_multimodal_framesample",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, text,
+               CAST(ceil(length(text) / {_FRAME_CHARS}.0) AS INTEGER) AS nf
+        FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           md5(substring(text, CAST(i * {_FRAME_CHARS} + 1 AS INTEGER), {_FRAME_CHARS})) AS frame_sig,
+           CAST(length(substring(text, CAST(i * {_FRAME_CHARS} + 1 AS INTEGER), {_FRAME_CHARS})) AS BIGINT) AS frame_len
+    FROM f, UNNEST(generate_series(0, nf - 1)) AS u(i)
+    WHERE i % {_FRAME_STRIDE} = 0
+    """,
+)
+def q112_multimodal_framesample(spark, sf_dir) -> DataFrame:
+    """Frame-sampling plumbing (the video half of the multimodal story):
+    binary payloads in, a variable number of typed frame rows out, via the
+    same Arrow-batched mapInPandas path as q77 — the oracle recomputes the
+    deterministic fake's framing/stride arithmetic in SQL. NEVER carries
+    the blob past this operator: downstream joins see only (doc_id,
+    frame_idx, signature)."""
+    d = table(spark, sf_dir, "documents")
+    assets = d.select("doc_id", F.encode("text", "utf-8").alias("asset"))
+    return assets.mapInPandas(
+        _frame_sample_batches,
+        schema="doc_id long, frame_idx long, frame_sig string, frame_len long",
+    )
+
+
 @query(
     "q77_multimodal_decode",
     oracle="""

@@ -163,3 +163,29 @@ def dedup_keep_first(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def similarity_candidates(
+    em: DataFrame, tau: float, n_blocks: int | None = None
+) -> DataFrame:
+    """All-pairs cosine candidates above τ via the executor-side block-grid
+    GEMM (q65/q78 kernel): expects (vec_id, embedding) with unit-norm
+    embeddings; returns (vec_a, vec_b) with vec_a < vec_b, guaranteed to
+    contain every true pair (ε-guard). Verify survivors with an exact
+    expression-level dot before trusting scores."""
+    from .llm.similarity import grid_gemm_candidates
+
+    return grid_gemm_candidates(em, tau, n_blocks)
+
+
+def dedup_groups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Near-dup pairs (doc_a, doc_b) → dedup groups: connected components
+    by min-label propagation, each group's min doc_id elected canonical
+    keeper (q111). Feed it any pair source — exact-Jaccard (q63), MinHash
+    banding (q71), or embedding candidates (similarity_candidates)."""
+    from .llm.clustering import connected_components
+
+    comp = connected_components(pairs, max_iter)
+    return comp.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("group_id")
+    )

@@ -94,7 +94,7 @@ _CHEAP_FIRST = [
     "q107_null_safe_eq", "q102_dedup_hash", "q49_map_fns", "q62_dedup_exact", "q95_explode_outer",
     "q108_conditional_agg", "q68_text_lang_stats", "q48_array_fns", "q85_window_dedup", "q73_text_langid",
     "q104_merge_upsert", "q100_argmax", "q83_exists_in", "q79_pivot", "q91_mode",
-    "q77_multimodal_decode", "q80_percentiles", "q82_cte", "q54_stream_sliding", "q69_multimodal_cols",
+    "q77_multimodal_decode", "q112_multimodal_framesample", "q80_percentiles", "q82_cte", "q54_stream_sliding", "q69_multimodal_cols",
     "q53_stream_tumbling", "q110_greatest_least", "q88_python_udtf", "q51_cast_coalesce", "q105_snapshot_diff",
     "q66_text_tokenize", "q70_dedup_simhash", "q64_sim_knn", "q55_stream_session", "q84_skew_salted_join",
     "q60_udaf_grouped", "q103_kmeans_assign", "q89_gapfill", "q90_stats_agg", "q65_sim_pairs",

@@ -109,3 +109,66 @@ def test_topk_and_dedup_consistency(spark):
         for g in range(4)
     }
     assert {r.id for r in first.collect()} == set(expected.values())
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_dedup_groups_matches_union_find(spark, seed):
+    """Connected components via label propagation must equal a brute-force
+    union-find on random sparse pair sets."""
+    rng = random.Random(seed)
+    n = 60
+    pairs = sorted(
+        {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(40)
+        }
+    )
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = {v for p in pairs for v in p}
+    expected = {v: find(v) for v in members}
+
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.doc_id: r.group_id for r in ops.dedup_groups(df).collect()}
+    assert got == expected
+    canon = {
+        r.doc_id for r in ops.dedup_groups(df).filter("is_canonical").collect()
+    }
+    assert canon == set(expected.values())
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_similarity_candidates_complete(spark, seed):
+    """The block-grid GEMM candidate set must contain EVERY true pair at
+    or above τ (ε-guard completeness) on random unit vectors."""
+    rng = random.Random(seed)
+    dim, n, tau = 8, 80, 0.5
+
+    def unit():
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        s = sum(x * x for x in v) ** 0.5
+        return [x / s for x in v]
+
+    vecs = [(i, unit()) for i in range(n)]
+    truth = {
+        (i, j)
+        for i, (_, a) in enumerate(vecs)
+        for j, (_, b) in enumerate(vecs)
+        if i < j and sum(x * y for x, y in zip(a, b)) >= tau
+    }
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cand = {
+        (r.vec_a, r.vec_b)
+        for r in ops.similarity_candidates(df, tau).collect()
+    }
+    assert truth <= cand  # complete; near-threshold extras are allowed

@@ -78,3 +78,29 @@ def test_session_window_merges_at_exact_gap(spark):
     )
     out = df.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().collect()
     assert len(out) == 1 and out[0]["count"] == 2
+
+
+def test_kafka_stream_options():
+    """Kafka option map (pure — no Kafka needed): topic list joins, the
+    backpressure knob emits only when set, empty inputs are config errors."""
+    import pytest
+
+    from eclypsium_etl_spark.streaming.queries import kafka_stream_options
+
+    opts = kafka_stream_options(
+        "k1:9092,k2:9092", ["events", "clicks"],
+        starting_offsets="latest", max_offsets_per_trigger=100_000,
+        fail_on_data_loss=False,
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "k1:9092,k2:9092",
+        "subscribe": "events,clicks",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "100000",
+    }
+    assert "maxOffsetsPerTrigger" not in kafka_stream_options("k:9092", "t")
+    with pytest.raises(ValueError):
+        kafka_stream_options("", "t")
+    with pytest.raises(ValueError):
+        kafka_stream_options("k:9092", [])
