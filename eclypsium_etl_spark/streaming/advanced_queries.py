@@ -1,5 +1,6 @@
-"""Checked queries for the custom stateful operator and related streaming
-extensions (q87)."""
+"""Checked queries for the custom stateful operators and related
+streaming extensions (q87 applyInPandasWithState, q113
+transformWithStateInPandas)."""
 
 from __future__ import annotations
 
@@ -38,3 +39,94 @@ def q87_stream_stateful(spark, sf_dir) -> DataFrame:
         .trigger(availableNow=True)
     )
     return spark.table(qname)
+
+
+# DuckDB twin for q113 (used when the query is registered, and by the
+# gated test as its expected-result source)
+_ORACLE_Q113 = """
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS running_total
+FROM events GROUP BY user_id
+"""
+
+
+def transform_state_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its control-plane
+    messages; this container ships pyspark without it (and installs are
+    not possible here), so the q113 surface is registered only where the
+    dependency exists."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def q113_stream_transform_state(spark, sf_dir) -> DataFrame:
+    """The Spark 4 arbitrary-state API (transformWithStateInPandas /
+    StatefulProcessor): the q87 spend tracker rebuilt on typed value state
+    that stores integer CENTS natively — no float round-trip at all, the
+    state-schema-first posture the older GroupState API can't express.
+    Requires the RocksDB state store provider (set per-session below),
+    which is the 100 TB posture anyway: state off-heap, bounded memory,
+    incremental snapshots. Single-batch availableNow replay converges to
+    the per-user batch aggregate stated by _ORACLE_Q113.
+
+    Registered as a checked query only when transform_state_available()
+    (protobuf present): the pyspark in this test image lacks protobuf, so
+    here the shape is covered by tests/test_streaming.py's gated test and
+    q87 carries the stateful-operator correctness evidence."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SpendProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._cents = handle.getValueState("cents", "total long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch = 0
+            for pdf in rows:
+                batch += int((pdf["value"] * 10_000).round().astype("int64").sum())
+            prev = self._cents.get()
+            total = (prev[0] if prev else 0) + batch
+            self._cents.update((total,))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "running_total": [total / 10_000.0]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = (
+        stream_events(spark, sf_dir)
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SpendProcessor(),
+            outputStructType="user_id long, running_total double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    qname, _ = run_available_now(
+        lambda name, ckpt: out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    return spark.table(qname)
+
+
+if transform_state_available():  # pragma: no cover — env-dependent
+    query("q113_stream_transform_state", oracle=_ORACLE_Q113)(
+        q113_stream_transform_state
+    )

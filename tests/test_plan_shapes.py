@@ -75,6 +75,16 @@ def test_q65_candidates_stay_distributed(spark):
     assert "FlatMapGroupsInPandas" in plan
 
 
+def test_q78_no_quadratic_join(spark):
+    """Embedding near-dup must go through the block-grid kernel: no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan, and
+    the GEMM cogroup stage present."""
+    plan = plans.physical_plan(QUERIES["q78_dedup_embedding"](spark, SF_CHECK))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_flagship_codegen(spark):
     from eclypsium_etl_spark.pipeline import flagship
 

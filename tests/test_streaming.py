@@ -104,3 +104,24 @@ def test_kafka_stream_options():
         kafka_stream_options("", "t")
     with pytest.raises(ValueError):
         kafka_stream_options("k:9092", [])
+
+
+def test_transform_with_state_gated(spark):
+    """q113 (Spark 4 StatefulProcessor): runs end-to-end where protobuf
+    exists; in this image the dependency is absent, so assert the gate
+    itself and the registration behavior instead of silently passing."""
+    import pytest
+
+    from eclypsium_etl_spark import registry
+    from eclypsium_etl_spark.streaming.advanced_queries import (
+        q113_stream_transform_state,
+        transform_state_available,
+    )
+
+    queries, oracles = registry.load_all()
+    if not transform_state_available():
+        assert "q113_stream_transform_state" not in queries
+        pytest.skip("protobuf absent: transformWithStateInPandas unavailable")
+    assert "q113_stream_transform_state" in oracles
+    rows = q113_stream_transform_state(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
