@@ -91,19 +91,49 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "n": BENCH_N,
-                "spread": spread,
-                "sf": sf,
-            }
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "n": BENCH_N,
+        "spread": spread,
+        "sf": sf,
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB"):
+        out["duckdb"] = _duckdb_times()
+    print(json.dumps(out))
+
+
+def _duckdb_times() -> dict[str, float]:
+    """Optional apples-to-apples reference: run each headline query's
+    DuckDB oracle on the same parquet (median of BENCH_N); enabled with
+    SPARK_GRAFT_BENCH_DUCKDB=1. Queries without oracles are omitted."""
+    import duckdb
+
+    from eclypsium_etl_spark.registry import load_all
+
+    _, oracles = load_all()
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
-    )
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        ts = []
+        for _ in range(BENCH_N):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            ts.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(ts), 3)
+    return times
 
 
 if __name__ == "__main__":

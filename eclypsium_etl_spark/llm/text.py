@@ -236,3 +236,37 @@ def q76_text_fingerprint(spark, sf_dir) -> DataFrame:
             " i -> md5(substring(text, i, 16))))"
         ).alias("fingerprint"),
     )
+
+
+@query(
+    "q114_stratified_sample",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang, source, n_chars,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|mix1'), 1, 8)) AS BIGINT) % 100 AS bucket,
+               CASE WHEN lang = 'en' THEN 50 ELSE 10 END AS rate
+        FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars FROM h WHERE bucket < rate
+    """,
+)
+def q114_stratified_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic stratified sampling for data mixing: per-stratum
+    rates (here 50% en / 10% other) applied via a salted content hash —
+    NOT rand(). Hash-bucket sampling is the reproducible form a training
+    pipeline needs: rerun-stable, cluster-size-independent, joinable
+    (the same doc always lands in or out), and rate changes are monotone
+    (raising 10→20 only ADDS docs — incremental mixes stay supersets).
+    Per-row expression work, zero shuffles; md5 keeps it engine-portable."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix1"))), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    rate = F.when(F.col("lang") == "en", 50).otherwise(10)
+    return (
+        d.withColumn("bucket", bucket)
+        .withColumn("rate", rate)
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
