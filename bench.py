@@ -130,7 +130,10 @@ def _duckdb_times() -> dict[str, float]:
         ts = []
         for _ in range(BENCH_N):
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
+            # aggregate-consume, not fetchall(): the Spark side is timed to
+            # a noop sink, so the reference must also skip per-row Python
+            # materialization or large-output queries bias the comparison
+            con.execute(f"SELECT count(*) FROM ({sql}) __t").fetchone()
             ts.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(ts), 3)
     return times

@@ -172,7 +172,9 @@ def write_jdbc(
     writer.save()
 
 
-def fetch_to_landing(urls: dict[str, str], dest_dir: str) -> dict[str, str]:
+def fetch_to_landing(
+    urls: dict[str, str], dest_dir: str, timeout: float = 30.0
+) -> dict[str, str]:
     """HTTP landing-zone extraction (reference's EP1 REST fan-out,
     mercadolibre_pipeline_dag.py:18-45): fetch each named URL and stage the
     raw payload as a file in ``dest_dir``, returning name → staged path.
@@ -190,7 +192,9 @@ def fetch_to_landing(urls: dict[str, str], dest_dir: str) -> dict[str, str]:
     staged: dict[str, str] = {}
     for name, url in urls.items():
         path = os.path.join(dest_dir, f"{name}.json")
-        with urllib.request.urlopen(url) as resp:  # noqa: S310 (caller-controlled)
+        # explicit timeout: the default (None) blocks the driver forever on
+        # a server that accepts the connection but never responds
+        with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310
             payload = resp.read()
         tmp = path + ".tmp"
         with open(tmp, "wb") as fh:

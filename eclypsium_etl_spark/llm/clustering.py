@@ -95,12 +95,14 @@ def q102_dedup_hash(spark, sf_dir) -> DataFrame:
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Undirected connected components by min-label propagation: each
     vertex starts labeled with itself; every iteration each vertex takes
     the min of its own and its neighbors' labels; converged when no label
-    changes. Iterations needed = graph diameter ≤ max_iter for near-dup
-    graphs (components are small cliques-ish by construction).
+    changes (one extra confirming pass beyond the diameter). Raises rather
+    than silently returning split components when max_iter is exhausted —
+    near-dup components are small and cliques-ish, so hitting the default
+    bound usually means the input isn't that shape.
 
     Per iteration: one shuffle join (edges ⋈ labels) + one aggregate —
     the same fixpoint shape as kmeans() above. At 100 TB you'd switch to
@@ -115,6 +117,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
 
     pairs: (doc_a, doc_b) with doc_a < doc_b. Returns (doc_id, group_id)
     for every vertex that appears in at least one pair."""
+    import atexit
     import os
     import shutil
     import tempfile
@@ -158,9 +161,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         prev_step = step
         if changed == 0:
             break
-    # the final step's parquet stays on disk for the session (same
+    else:
+        # exhausting max_iter without convergence would silently return a
+        # SPLIT component (multiple canonicals per true group) — refuse
+        shutil.rmtree(scratch, ignore_errors=True)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"(graph diameter exceeds max_iter); raise max_iter or switch to "
+            f"the large-star/small-star contraction for high-diameter graphs"
+        )
+    # the final step's parquet stays on disk until process exit (same
     # contract as shingles()); the caller gets a lazy distributed scan of
     # it, never a driver-side materialization
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     return labels.select("doc_id", F.col("label").alias("group_id"))
 
 

@@ -83,10 +83,12 @@ def shingles(spark, sf_dir) -> DataFrame:
     import tempfile
 
     d = table(spark, sf_dir, "documents")
+    # path slug from the FULL sf_dir: two data dirs sharing a basename
+    # must not alias (the memo would silently serve the first one's data)
     out = os.path.join(
         tempfile.gettempdir(),
         "eclypsium_etl_spark",
-        f"shingles_{os.path.basename(sf_dir)}",
+        f"shingles_{sf_dir.strip('/').replace('/', '_')}",
     )
     # memoized per process+sf_dir: q63 and q71 both consume this; without
     # the memo each registry invocation re-ran the explode+distinct shuffle

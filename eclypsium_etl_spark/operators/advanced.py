@@ -234,7 +234,10 @@ def q86_partition_pruning(spark, sf_dir) -> DataFrame:
     operator under test is the pruned read."""
     base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
     os.makedirs(base, exist_ok=True)
-    out = os.path.join(base, f"orders_partitioned_{os.path.basename(sf_dir)}")
+    # full-path slug: same-basename data dirs must not alias under the memo
+    out = os.path.join(
+        base, f"orders_partitioned_{sf_dir.strip('/').replace('/', '_')}"
+    )
     if out not in _PARTITIONED_BUILT:
         src = table(spark, sf_dir, "orders")
         src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)

@@ -178,7 +178,7 @@ def similarity_candidates(
     return grid_gemm_candidates(em, tau, n_blocks)
 
 
-def dedup_groups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+def dedup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Near-dup pairs (doc_a, doc_b) → dedup groups: connected components
     by min-label propagation, each group's min doc_id elected canonical
     keeper (q111). Feed it any pair source — exact-Jaccard (q63), MinHash

@@ -101,29 +101,38 @@ def q113_stream_transform_state(spark, sf_dir) -> DataFrame:
         def close(self) -> None:
             pass
 
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        provider_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    out = (
-        stream_events(spark, sf_dir)
-        .select("user_id", "value")
-        .groupBy("user_id")
-        .transformWithStateInPandas(
-            SpendProcessor(),
-            outputStructType="user_id long, running_total double",
-            outputMode="Update",
-            timeMode="None",
+    try:
+        out = (
+            stream_events(spark, sf_dir)
+            .select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                SpendProcessor(),
+                outputStructType="user_id long, running_total double",
+                outputMode="Update",
+                timeMode="None",
+            )
         )
-    )
-    qname, _ = run_available_now(
-        lambda name, ckpt: out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-    )
-    return spark.table(qname)
+        qname, _ = run_available_now(
+            lambda name, ckpt: out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+        return spark.table(qname)
+    finally:
+        # restore: later streams must not silently inherit RocksDB
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
 
 
 if transform_state_available():  # pragma: no cover — env-dependent

@@ -139,7 +139,9 @@ def run_available_now(
     stream's lifetime and restore it after; on a real cluster
     SPARK_GRAFT_STREAM_PARTITIONS is sized to key cardinality × state
     volume, independent of the batch shuffle width."""
-    spark = SparkSession.getActiveSession()
+    # getActiveSession is thread-local (None on worker threads) — fall
+    # back to the instantiated session so harnesses may call from executors
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     qname = name or f"s_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="eclypsium_ckpt_")
     stream_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")

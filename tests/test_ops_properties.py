@@ -139,11 +139,12 @@ def test_dedup_groups_matches_union_find(spark, seed):
     expected = {v: find(v) for v in members}
 
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
-    got = {r.doc_id: r.group_id for r in ops.dedup_groups(df).collect()}
+    # random graphs can be path-heavy (diameter ~ n); near-dup graphs are
+    # cliques-ish, so give the fixpoint headroom rather than raising
+    grouped = ops.dedup_groups(df, max_iter=64)
+    got = {r.doc_id: r.group_id for r in grouped.collect()}
     assert got == expected
-    canon = {
-        r.doc_id for r in ops.dedup_groups(df).filter("is_canonical").collect()
-    }
+    canon = {r.doc_id for r in grouped.filter("is_canonical").collect()}
     assert canon == set(expected.values())
 
 

@@ -35,3 +35,10 @@ def test_ordered_queries_is_a_permutation():
     ordered = registry.ordered_queries()
     assert list(sorted(ordered)) == list(sorted(q))
     assert len(registry._CHEAP_FIRST) == len(set(registry._CHEAP_FIRST))
+    # a typo'd/stale order entry would be silently skipped and the query
+    # appended last, breaking the baked-in constraints (e.g. q63 before
+    # q71) with everything green — so every entry must resolve
+    stale = set(registry._CHEAP_FIRST) - set(q)
+    assert not stale, f"stale _CHEAP_FIRST entries: {stale}"
+    order = list(ordered)
+    assert order.index("q63_dedup_near") < order.index("q71_dedup_minhash_lsh")
