@@ -402,3 +402,74 @@ def minhash_lsh_ml_pairs(spark, sf_dir, tau: float = 0.4, seed: int = 42) -> Dat
             (1.0 - F.col("jdist")).alias("jaccard"),
         )
     )
+
+
+_DECON_EVAL_MAX = 20   # doc_id < 20 stands in for the held-out eval set
+_DECON_TAU = 0.2       # contaminated when >= 20% of a doc's shingles hit
+
+
+@query(
+    "q115_decontaminate",
+    oracle=f"""
+    WITH {_SH_CTE},
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < {_DECON_EVAL_MAX}),
+    tot AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM sh
+        WHERE doc_id >= {_DECON_EVAL_MAX} GROUP BY doc_id
+    ),
+    ov AS (
+        SELECT sh.doc_id, COUNT(*) AS n_overlap
+        FROM sh JOIN ev USING (s)
+        WHERE sh.doc_id >= {_DECON_EVAL_MAX} GROUP BY sh.doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(o.n_overlap, 0) AS n_overlap,
+           round(COALESCE(o.n_overlap, 0) / CAST(t.n_shingles AS DOUBLE), 6)
+               AS overlap_ratio,
+           (COALESCE(o.n_overlap, 0) / CAST(t.n_shingles AS DOUBLE)
+               >= {_DECON_TAU}) AS contaminated
+    FROM tot t LEFT JOIN ov o ON o.doc_id = t.doc_id
+    """,
+)
+def q115_decontaminate(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose 3-gram
+    shingles overlap a held-out evaluation set (here: doc_id < 20 stands
+    in for the benchmark) above a threshold — the step that keeps eval
+    data out of training corpora. Every corpus doc is emitted with its
+    overlap ratio so the threshold stays a downstream policy choice.
+
+    Scale shape: the eval shingle set is tiny and BROADCASTS (the corpus
+    shingles are only ever the probe side of a broadcast semi join, never
+    shuffled for the overlap test); the single shuffle is the per-doc
+    count aggregate. Reuses the memoized shingle intermediate shared with
+    q63/q71."""
+    sh = shingles(spark, sf_dir)
+    ev = (
+        sh.filter(F.col("doc_id") < _DECON_EVAL_MAX).select("s").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= _DECON_EVAL_MAX)
+    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    overlaps = (
+        corpus.join(F.broadcast(ev), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    ratio = F.round(
+        F.coalesce(F.col("n_overlap"), F.lit(0))
+        / F.col("n_shingles").cast("double"),
+        6,
+    )
+    return (
+        totals.join(overlaps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            ratio.alias("overlap_ratio"),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                / F.col("n_shingles").cast("double")
+                >= _DECON_TAU
+            ).alias("contaminated"),
+        )
+    )

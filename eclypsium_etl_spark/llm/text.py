@@ -270,3 +270,66 @@ def q114_stratified_sample(spark, sf_dir) -> DataFrame:
         .filter(F.col("bucket") < F.col("rate"))
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@query(
+    "q116_curation_pipeline",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, text, lang, n_chars,
+               len(string_split(text, ' ')) AS n_tok,
+               round(0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
+                   + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                         t -> t IN ('a', 'the', 'data', 'value'))) AS DOUBLE)
+                         / len(string_split(text, ' ')))
+                   + 0.3 * least(1.0, n_chars / 300.0), 6) AS quality
+        FROM documents
+    ),
+    good AS (SELECT * FROM q WHERE quality >= 0.5),
+    canon AS (
+        SELECT doc_id, lang, n_chars, quality FROM (
+            SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM good
+        ) WHERE rn = 1
+    )
+    SELECT doc_id, lang, n_chars, quality FROM canon
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|mix1'), 1, 8))
+               AS BIGINT) % 100
+          < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+    """,
+)
+def q116_curation_pipeline(spark, sf_dir) -> DataFrame:
+    """The curation steps COMPOSED as one lazy plan — quality gate →
+    canonical exact-dedup → deterministic stratified sample — the way a
+    real corpus build chains them (each stage is its own checked operator:
+    q74, q62, q114). One plan means Catalyst pushes the quality projection
+    into the scan, the dedup shuffle is the only exchange, and the hash
+    sample is a zero-shuffle filter on top — no intermediate
+    materialization between stages."""
+    from .. import ops
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))")
+    quality = F.round(
+        0.4 * F.least(F.lit(1.0), n_tok / 50.0)
+        + 0.3 * (1.0 - n_stop.cast("double") / n_tok)
+        + 0.3 * F.least(F.lit(1.0), F.col("n_chars") / 300.0),
+        6,
+    )
+    good = d.withColumn("quality", quality).filter(F.col("quality") >= 0.5)
+    canon = ops.dedup_keep_first(good, ["text"], [F.asc("doc_id")])
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix1"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 50).otherwise(10)
+    return canon.filter(bucket < rate).select("doc_id", "lang", "n_chars", "quality")

@@ -92,7 +92,7 @@ _CHEAP_FIRST = [
     # r1-unverified plus round-2 additions q111/q112/q114) ---
     "q96_unpivot", "q61_udtf", "q109_pad_trim", "q99_bitwise", "q98_string_distance",
     "q75_text_token_count", "q76_text_fingerprint", "q97_array_setops", "q74_text_quality", "q50_case_when",
-    "q107_null_safe_eq", "q114_stratified_sample", "q102_dedup_hash", "q49_map_fns", "q62_dedup_exact", "q95_explode_outer",
+    "q107_null_safe_eq", "q114_stratified_sample", "q116_curation_pipeline", "q102_dedup_hash", "q49_map_fns", "q62_dedup_exact", "q95_explode_outer",
     "q108_conditional_agg", "q68_text_lang_stats", "q48_array_fns", "q85_window_dedup", "q73_text_langid",
     "q104_merge_upsert", "q100_argmax", "q83_exists_in", "q79_pivot", "q91_mode",
     "q77_multimodal_decode", "q112_multimodal_framesample", "q80_percentiles", "q82_cte", "q54_stream_sliding", "q69_multimodal_cols",
@@ -100,7 +100,8 @@ _CHEAP_FIRST = [
     "q66_text_tokenize", "q70_dedup_simhash", "q64_sim_knn", "q55_stream_session", "q84_skew_salted_join",
     "q60_udaf_grouped", "q103_kmeans_assign", "q89_gapfill", "q90_stats_agg", "q65_sim_pairs",
     "q58_stream_foreachbatch", "q81_subquery", "q67_text_tfidf", "q106_partial_reagg", "q72_sim_ivf",
-    "q92_cogroup", "q57_stream_dedup_state", "q56_stream_watermark", "q63_dedup_near", "q87_stream_stateful",
+    "q92_cogroup", "q57_stream_dedup_state", "q56_stream_watermark", "q63_dedup_near", "q115_decontaminate",
+    "q87_stream_stateful",
     "q71_dedup_minhash_lsh", "q59_udf_scalar", "q86_partition_pruning", "q78_dedup_embedding", "q111_dedup_groups",
     "q101_stream_stream_join",
     # --- tier 2: round-1-verified (50) ---
