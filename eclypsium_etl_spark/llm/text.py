@@ -10,7 +10,7 @@ over counts. Per-doc operators (q73–q76) are scan-stage map work — at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import davg, davg_sql
 from ..io import table
@@ -333,3 +333,54 @@ def q116_curation_pipeline(spark, sf_dir) -> DataFrame:
     )
     rate = F.when(F.col("lang") == "en", 50).otherwise(10)
     return canon.filter(bucket < rate).select("doc_id", "lang", "n_chars", "quality")
+
+
+_PACK_CAPACITY = 2048  # tokens per training sequence/bin
+
+
+@query(
+    "q117_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tok,
+               SUM(n_tok) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tok AS tok_start
+        FROM t
+    )
+    SELECT doc_id, lang, n_tok,
+           CAST(floor(tok_start / {_PACK_CAPACITY}) AS BIGINT) AS bin_id,
+           CAST(tok_start % {_PACK_CAPACITY} AS BIGINT) AS bin_offset
+    FROM c
+    """,
+)
+def q117_sequence_pack(spark, sf_dir) -> DataFrame:
+    """Sequence packing for training shards: lay documents head-to-tail in
+    doc_id order and assign each to the fixed-capacity bin where its first
+    token lands (contiguous streaming packing — deterministic, exactly
+    what a tokenizer-side packer does; docs straddling a boundary spill
+    into the next bin at materialization time).
+
+    Scale note: the running token total is a single global-order window —
+    at 100 TB, compute per-partition totals first, prefix-sum the partial
+    totals on the driver (one tiny row per partition), and add the
+    partition base offset map-side (the classic two-phase scan/prefix-sum)
+    instead of a one-partition window. The fixture-scale window states the
+    semantics the two-phase version must match."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    t = d.select("doc_id", "lang", n_tok.alias("n_tok"))
+    c = t.withColumn("tok_start", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor(F.col("tok_start") / _PACK_CAPACITY).cast("long").alias("bin_id"),
+        (F.col("tok_start") % _PACK_CAPACITY).alias("bin_offset"),
+    )

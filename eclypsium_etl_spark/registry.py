@@ -92,7 +92,7 @@ _CHEAP_FIRST = [
     # r1-unverified plus round-2 additions q111/q112/q114) ---
     "q96_unpivot", "q61_udtf", "q109_pad_trim", "q99_bitwise", "q98_string_distance",
     "q75_text_token_count", "q76_text_fingerprint", "q97_array_setops", "q74_text_quality", "q50_case_when",
-    "q107_null_safe_eq", "q114_stratified_sample", "q116_curation_pipeline", "q102_dedup_hash", "q49_map_fns", "q62_dedup_exact", "q95_explode_outer",
+    "q107_null_safe_eq", "q114_stratified_sample", "q116_curation_pipeline", "q117_sequence_pack", "q102_dedup_hash", "q49_map_fns", "q62_dedup_exact", "q95_explode_outer",
     "q108_conditional_agg", "q68_text_lang_stats", "q48_array_fns", "q85_window_dedup", "q73_text_langid",
     "q104_merge_upsert", "q100_argmax", "q83_exists_in", "q79_pivot", "q91_mode",
     "q77_multimodal_decode", "q112_multimodal_framesample", "q80_percentiles", "q82_cte", "q54_stream_sliding", "q69_multimodal_cols",
