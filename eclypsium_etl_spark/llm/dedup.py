@@ -412,6 +412,9 @@ _DECON_TAU = 0.2       # contaminated when >= 20% of a doc's shingles hit
     "q115_decontaminate",
     oracle=f"""
     WITH {_SH_CTE},
+    corpus AS (
+        SELECT doc_id FROM documents WHERE doc_id >= {_DECON_EVAL_MAX}
+    ),
     ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < {_DECON_EVAL_MAX}),
     tot AS (
         SELECT doc_id, COUNT(*) AS n_shingles FROM sh
@@ -422,21 +425,29 @@ _DECON_TAU = 0.2       # contaminated when >= 20% of a doc's shingles hit
         FROM sh JOIN ev USING (s)
         WHERE sh.doc_id >= {_DECON_EVAL_MAX} GROUP BY sh.doc_id
     )
-    SELECT t.doc_id, t.n_shingles,
+    SELECT c.doc_id,
+           COALESCE(t.n_shingles, 0) AS n_shingles,
            COALESCE(o.n_overlap, 0) AS n_overlap,
-           round(COALESCE(o.n_overlap, 0) / CAST(t.n_shingles AS DOUBLE), 6)
+           round(COALESCE(o.n_overlap, 0)
+               / CAST(greatest(COALESCE(t.n_shingles, 0), 1) AS DOUBLE), 6)
                AS overlap_ratio,
-           (COALESCE(o.n_overlap, 0) / CAST(t.n_shingles AS DOUBLE)
+           (round(COALESCE(o.n_overlap, 0)
+               / CAST(greatest(COALESCE(t.n_shingles, 0), 1) AS DOUBLE), 6)
                >= {_DECON_TAU}) AS contaminated
-    FROM tot t LEFT JOIN ov o ON o.doc_id = t.doc_id
+    FROM corpus c
+    LEFT JOIN tot t ON t.doc_id = c.doc_id
+    LEFT JOIN ov o ON o.doc_id = c.doc_id
     """,
 )
 def q115_decontaminate(spark, sf_dir) -> DataFrame:
     """Benchmark decontamination: flag corpus documents whose 3-gram
     shingles overlap a held-out evaluation set (here: doc_id < 20 stands
     in for the benchmark) above a threshold — the step that keeps eval
-    data out of training corpora. Every corpus doc is emitted with its
-    overlap ratio so the threshold stays a downstream policy choice.
+    data out of training corpora. EVERY corpus doc is emitted — including
+    <3-token docs that produce no shingles (n_shingles=0, ratio 0.0) —
+    with its overlap ratio so the threshold stays a downstream policy
+    choice; the flag thresholds the same ROUNDED ratio the row carries,
+    so recomputing the policy from the emitted column always agrees.
 
     Scale shape: the eval shingle set is tiny and BROADCASTS (the corpus
     shingles are only ever the probe side of a broadcast semi join, never
@@ -447,29 +458,32 @@ def q115_decontaminate(spark, sf_dir) -> DataFrame:
     ev = (
         sh.filter(F.col("doc_id") < _DECON_EVAL_MAX).select("s").distinct()
     )
-    corpus = sh.filter(F.col("doc_id") >= _DECON_EVAL_MAX)
-    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    corpus_sh = sh.filter(F.col("doc_id") >= _DECON_EVAL_MAX)
+    corpus = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= _DECON_EVAL_MAX)
+        .select("doc_id")
+    )
+    totals = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     overlaps = (
-        corpus.join(F.broadcast(ev), "s", "left_semi")
+        corpus_sh.join(F.broadcast(ev), "s", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
     )
+    # greatest(n,1): shingle-less short docs get ratio 0.0, not NULL/NaN
     ratio = F.round(
         F.coalesce(F.col("n_overlap"), F.lit(0))
-        / F.col("n_shingles").cast("double"),
+        / F.greatest(F.coalesce(F.col("n_shingles"), F.lit(0)), F.lit(1)).cast("double"),
         6,
     )
     return (
-        totals.join(overlaps, "doc_id", "left")
+        corpus.join(totals, "doc_id", "left")
+        .join(overlaps, "doc_id", "left")
         .select(
             "doc_id",
-            "n_shingles",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
             F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
             ratio.alias("overlap_ratio"),
-            (
-                F.coalesce(F.col("n_overlap"), F.lit(0))
-                / F.col("n_shingles").cast("double")
-                >= _DECON_TAU
-            ).alias("contaminated"),
+            (ratio >= _DECON_TAU).alias("contaminated"),
         )
     )

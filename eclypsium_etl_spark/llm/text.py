@@ -146,22 +146,76 @@ def q73_text_langid(spark, sf_dir) -> DataFrame:
 
 _STOPWORDS = ("a", "the", "data", "value")
 
+# ---- shared stage expressions (q74 quality, q114 mixing) — ONE definition
+# each in Spark and SQL so composed pipelines (q116) can't drift from the
+# standalone operators they chain.
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+# DuckDB twins (expression fragments over a `documents`-shaped relation)
+_N_STOP_SQL = (
+    f"len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_LIST})))"
+)
+_QUALITY_SQL = f"""round(0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
+    + 0.3 * (1.0 - CAST({_N_STOP_SQL} AS DOUBLE) / len(string_split(text, ' ')))
+    + 0.3 * least(1.0, n_chars / 300.0), 6)"""
+_MIX_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|mix1'), 1, 8))"
+    " AS BIGINT) % 100"
+)
+_MIX_RATE_SQL = "CASE WHEN lang = 'en' THEN 50 ELSE 10 END"
+
+
+def n_tok_col():
+    return F.size(F.split("text", " "))
+
+
+def n_stop_col():
+    return F.expr(f"size(filter(split(text, ' '), t -> t IN ({_STOP_LIST})))")
+
+
+def quality_col():
+    """The q74 quality score as a reusable Column (expects text, n_chars)."""
+    n_tok = n_tok_col()
+    return F.round(
+        0.4 * F.least(F.lit(1.0), n_tok / 50.0)
+        + 0.3 * (1.0 - n_stop_col().cast("double") / n_tok)
+        + 0.3 * F.least(F.lit(1.0), F.col("n_chars") / 300.0),
+        6,
+    )
+
+
+def mix_bucket_col():
+    """q114's salted hash bucket (expects doc_id)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix1"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+
+
+def mix_rate_col():
+    """q114's per-stratum sampling rate (expects lang)."""
+    return F.when(F.col("lang") == "en", 50).otherwise(10)
+
 
 @query(
     "q74_text_quality",
     oracle=f"""
     WITH m AS (
-        SELECT doc_id, n_chars,
+        SELECT doc_id, n_chars, text,
                len(string_split(text, ' ')) AS n_tok,
-               len(list_filter(string_split(text, ' '),
-                   t -> t IN ('a', 'the', 'data', 'value'))) AS n_stop
+               {_N_STOP_SQL} AS n_stop
         FROM documents
     )
     SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
            round(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stop_ratio,
-           round(0.4 * least(1.0, n_tok / 50.0)
-               + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tok)
-               + 0.3 * least(1.0, n_chars / 300.0), 6) AS quality
+           {_QUALITY_SQL} AS quality
     FROM m
     """,
 )
@@ -171,22 +225,12 @@ def q74_text_quality(spark, sf_dir) -> DataFrame:
     data pipeline. All divisions act on identical integer operands, so the
     doubles match the oracle bit-for-bit."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tok = F.size(toks)
-    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
-    n_stop = F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))")
-    stop_ratio = n_stop.cast("double") / n_tok
-    quality = F.round(
-        0.4 * F.least(F.lit(1.0), n_tok / 50.0)
-        + 0.3 * (1.0 - stop_ratio)
-        + 0.3 * F.least(F.lit(1.0), F.col("n_chars") / 300.0),
-        6,
-    )
+    stop_ratio = n_stop_col().cast("double") / n_tok_col()
     return d.select(
         "doc_id",
-        n_tok.cast("long").alias("n_tok"),
+        n_tok_col().cast("long").alias("n_tok"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
-        quality.alias("quality"),
+        quality_col().alias("quality"),
     )
 
 
@@ -240,11 +284,11 @@ def q76_text_fingerprint(spark, sf_dir) -> DataFrame:
 
 @query(
     "q114_stratified_sample",
-    oracle="""
+    oracle=f"""
     WITH h AS (
         SELECT doc_id, lang, source, n_chars,
-               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|mix1'), 1, 8)) AS BIGINT) % 100 AS bucket,
-               CASE WHEN lang = 'en' THEN 50 ELSE 10 END AS rate
+               {_MIX_BUCKET_SQL} AS bucket,
+               {_MIX_RATE_SQL} AS rate
         FROM documents
     )
     SELECT doc_id, lang, source, n_chars FROM h WHERE bucket < rate
@@ -259,14 +303,9 @@ def q114_stratified_sample(spark, sf_dir) -> DataFrame:
     (raising 10→20 only ADDS docs — incremental mixes stay supersets).
     Per-row expression work, zero shuffles; md5 keeps it engine-portable."""
     d = table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix1"))), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
-    rate = F.when(F.col("lang") == "en", 50).otherwise(10)
     return (
-        d.withColumn("bucket", bucket)
-        .withColumn("rate", rate)
+        d.withColumn("bucket", mix_bucket_col())
+        .withColumn("rate", mix_rate_col())
         .filter(F.col("bucket") < F.col("rate"))
         .select("doc_id", "lang", "source", "n_chars")
     )
@@ -274,15 +313,10 @@ def q114_stratified_sample(spark, sf_dir) -> DataFrame:
 
 @query(
     "q116_curation_pipeline",
-    oracle="""
+    oracle=f"""
     WITH q AS (
         SELECT doc_id, text, lang, n_chars,
-               len(string_split(text, ' ')) AS n_tok,
-               round(0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
-                   + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
-                         t -> t IN ('a', 'the', 'data', 'value'))) AS DOUBLE)
-                         / len(string_split(text, ' ')))
-                   + 0.3 * least(1.0, n_chars / 300.0), 6) AS quality
+               {_QUALITY_SQL} AS quality
         FROM documents
     ),
     good AS (SELECT * FROM q WHERE quality >= 0.5),
@@ -293,46 +327,27 @@ def q114_stratified_sample(spark, sf_dir) -> DataFrame:
         ) WHERE rn = 1
     )
     SELECT doc_id, lang, n_chars, quality FROM canon
-    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|mix1'), 1, 8))
-               AS BIGINT) % 100
-          < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+    WHERE {_MIX_BUCKET_SQL} < {_MIX_RATE_SQL}
     """,
 )
 def q116_curation_pipeline(spark, sf_dir) -> DataFrame:
     """The curation steps COMPOSED as one lazy plan — quality gate →
     canonical exact-dedup → deterministic stratified sample — the way a
-    real corpus build chains them (each stage is its own checked operator:
-    q74, q62, q114). One plan means Catalyst pushes the quality projection
-    into the scan, the dedup shuffle is the only exchange, and the hash
-    sample is a zero-shuffle filter on top — no intermediate
-    materialization between stages."""
+    real corpus build chains them. Every stage reuses the SAME expression
+    definition as its standalone operator (quality_col/q74,
+    ops.dedup_keep_first/q62, mix_bucket_col+mix_rate_col/q114) in both
+    engines, so the composition cannot drift from the pieces. One plan
+    means Catalyst pushes the quality projection into the scan, the dedup
+    shuffle is the only exchange, and the hash sample is a zero-shuffle
+    filter on top — no intermediate materialization between stages."""
     from .. import ops
 
     d = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tok = F.size(toks)
-    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
-    n_stop = F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))")
-    quality = F.round(
-        0.4 * F.least(F.lit(1.0), n_tok / 50.0)
-        + 0.3 * (1.0 - n_stop.cast("double") / n_tok)
-        + 0.3 * F.least(F.lit(1.0), F.col("n_chars") / 300.0),
-        6,
-    )
-    good = d.withColumn("quality", quality).filter(F.col("quality") >= 0.5)
+    good = d.withColumn("quality", quality_col()).filter(F.col("quality") >= 0.5)
     canon = ops.dedup_keep_first(good, ["text"], [F.asc("doc_id")])
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix1"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
+    return canon.filter(mix_bucket_col() < mix_rate_col()).select(
+        "doc_id", "lang", "n_chars", "quality"
     )
-    rate = F.when(F.col("lang") == "en", 50).otherwise(10)
-    return canon.filter(bucket < rate).select("doc_id", "lang", "n_chars", "quality")
 
 
 _PACK_CAPACITY = 2048  # tokens per training sequence/bin

@@ -88,8 +88,9 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # before q71 (q63 materializes the shared shingle intermediate that q71
 # reuses — llm/dedup.py shingles()).
 _CHEAP_FIRST = [
-    # --- tier 1: no driver correctness entry in round 1 (63: the 60
-    # r1-unverified plus round-2 additions q111/q112/q114) ---
+    # --- tier 1: no driver correctness entry in round 1 — the 60
+    # r1-unverified plus every round-2 addition (the permutation lint in
+    # tests/test_oracle_lint.py keeps this list honest) ---
     "q96_unpivot", "q61_udtf", "q109_pad_trim", "q99_bitwise", "q98_string_distance",
     "q75_text_token_count", "q76_text_fingerprint", "q97_array_setops", "q74_text_quality", "q50_case_when",
     "q107_null_safe_eq", "q114_stratified_sample", "q116_curation_pipeline", "q117_sequence_pack", "q102_dedup_hash", "q49_map_fns", "q62_dedup_exact", "q95_explode_outer",
