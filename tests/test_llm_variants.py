@@ -56,3 +56,33 @@ def test_shingles_short_docs_yield_empty(spark):
 def test_real_decode_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
+
+
+def test_decontaminate_emits_shingleless_docs(spark, tmp_path):
+    """q115 contract: corpus docs too short to produce any shingle still
+    appear in the output (n_shingles=0, ratio 0.0, not contaminated) —
+    the fixture has no such docs, so build a corpus that does."""
+    from eclypsium_etl_spark.registry import load_all
+
+    rows = [
+        # eval set (doc_id < 20)
+        (1, "alpha beta gamma delta", "en", "w", 22),
+        # corpus: one full overlap, one partial, one SHORT (no shingles)
+        (20, "alpha beta gamma delta", "en", "w", 22),
+        (21, "alpha beta gamma unrelated tail words", "en", "w", 37),
+        (22, "tiny doc", "en", "w", 8),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    q, _ = load_all()
+    out = {
+        r.doc_id: r
+        for r in q["q115_decontaminate"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {20, 21, 22}
+    assert out[22].n_shingles == 0 and out[22].n_overlap == 0
+    assert out[22].overlap_ratio == 0.0 and out[22].contaminated is False
+    assert out[20].contaminated is True  # verbatim eval copy
+    assert out[21].n_overlap > 0  # shares the eval prefix shingles
