@@ -85,6 +85,17 @@ def test_q78_no_quadratic_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q114_sample_zero_shuffle(spark):
+    """Hash-bucket sampling is a pure filter — no exchange anywhere."""
+    assert plans.shuffle_count(QUERIES["q114_stratified_sample"](spark, SF_CHECK)) == 0
+
+
+def test_q116_curation_single_exchange(spark):
+    """The composed pipeline's docstring claim: the dedup shuffle is the
+    ONLY exchange — quality gate and hash sample add none."""
+    assert plans.shuffle_count(QUERIES["q116_curation_pipeline"](spark, SF_CHECK)) == 1
+
+
 def test_flagship_codegen(spark):
     from eclypsium_etl_spark.pipeline import flagship
 
