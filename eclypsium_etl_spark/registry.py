@@ -101,7 +101,7 @@ _CHEAP_FIRST = [
     "q66_text_tokenize", "q70_dedup_simhash", "q64_sim_knn", "q55_stream_session", "q84_skew_salted_join",
     "q60_udaf_grouped", "q103_kmeans_assign", "q89_gapfill", "q90_stats_agg", "q65_sim_pairs",
     "q58_stream_foreachbatch", "q81_subquery", "q67_text_tfidf", "q106_partial_reagg", "q72_sim_ivf",
-    "q92_cogroup", "q57_stream_dedup_state", "q56_stream_watermark", "q63_dedup_near", "q115_decontaminate",
+    "q92_cogroup", "q57_stream_dedup_state", "q118_stream_static_join", "q56_stream_watermark", "q63_dedup_near", "q115_decontaminate",
     "q87_stream_stateful",
     "q71_dedup_minhash_lsh", "q59_udf_scalar", "q86_partition_pruning", "q78_dedup_embedding", "q111_dedup_groups",
     "q101_stream_stream_join",

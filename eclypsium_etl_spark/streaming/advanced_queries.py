@@ -139,3 +139,39 @@ if transform_state_available():  # pragma: no cover — env-dependent
     query("q113_stream_transform_state", oracle=_ORACLE_Q113)(
         q113_stream_transform_state
     )
+
+
+@query(
+    "q118_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.value,
+           c.c_name AS user_name, c.c_mktsegment AS segment
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def q118_stream_static_join(spark, sf_dir) -> DataFrame:
+    """Stream-static join: every micro-batch enriches the event stream
+    with a STATIC dimension (no watermark needed — only the stream side
+    is unbounded, the dimension re-scans per batch and may be broadcast).
+    This is the canonical streaming enrichment shape; availableNow replay
+    of the finite source converges to the plain batch join the oracle
+    states. At 100 TB/day the dimension is a slowly-changing table the
+    batch planner broadcasts; for mutable dims you graduate to a
+    stream-stream join with watermarks (q101)."""
+    from pyspark.sql import functions as F
+
+    from ..io import table
+    from ..operators.queries_stream_helpers import run_stream_to_memory
+
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = (
+        stream_events(spark, sf_dir)
+        .select("event_id", "user_id", "value")
+        .join(F.broadcast(dim), "user_id")
+        .select("event_id", "user_id", "value", "user_name", "segment")
+    )
+    return run_stream_to_memory(spark, enriched)
