@@ -46,6 +46,12 @@ def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<float> columns, accumulated in double with a
     left fold — DuckDB's list_sum folds the same way, so results match
     bit-for-bit on identical inputs (float×float widened to double is exact).
+
+    PRECONDITION: equal-length, non-NULL-element arrays. On a length
+    mismatch the engines DIVERGE silently (Spark's zip_with pads with NULL
+    and the fold NULL-poisons to NULL; DuckDB sums the common prefix) —
+    validate corpus dimensions upstream (e.g. assert one distinct
+    size(embedding)) before trusting cross-engine scores.
     """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

@@ -93,8 +93,10 @@ def write_bucketed(
 
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    warehouse = warehouse.removeprefix("file://").removeprefix("file:")
+    # the catalog lowercases table names — clean the dir it actually uses
+    shutil.rmtree(f"{warehouse}/{name.lower()}", ignore_errors=True)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         num_buckets, bucket_col
     )

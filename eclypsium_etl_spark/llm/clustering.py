@@ -66,14 +66,20 @@ def recompute_centroids(assigned: DataFrame) -> DataFrame:
 
 def kmeans(spark, sf_dir, k: int = _K, iterations: int = 3) -> DataFrame:
     """Lloyd iterations with deterministic init (first k vectors). Returns
-    the final assignment."""
+    the final assignment. A centroid that attracts zero members in some
+    iteration keeps its previous position instead of silently vanishing
+    (recompute_centroids only emits cent_ids with members) — callers
+    asking for k clusters get k; production inits (k-means||) make empty
+    cells rare, but the guard keeps the contract."""
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids = em.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
     assigned = assign_to_centroids(em, centroids)
     for _ in range(iterations - 1):
-        centroids = recompute_centroids(assigned)
+        recomputed = recompute_centroids(assigned)
+        emptied = centroids.join(recomputed, "cent_id", "left_anti")
+        centroids = recomputed.unionByName(emptied)
         assigned = assign_to_centroids(em, centroids)
     return assigned
 

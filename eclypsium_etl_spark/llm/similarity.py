@@ -223,25 +223,15 @@ def q72_sim_ivf(spark, sf_dir) -> DataFrame:
     the query's cell. The cell assignment is a broadcast join — the corpus
     never shuffles; at 100 TB the assigned table would be written
     partitioned by cent_id so a query touches one partition."""
+    from .clustering import assign_to_centroids
+
     em = table(spark, sf_dir, "embeddings")
     cents = em.filter(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_sim"), F.asc("cent_id")
-    )
-    assigned = (
-        em.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "embedding",
-            "cent_id",
-            dot(F.col("embedding"), F.col("cent_emb")).alias("cent_sim"),
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
-    )
+    # the cell assignment IS one k-means assignment step — same kernel,
+    # same deterministic tiebreak, one definition (clustering.py)
+    assigned = assign_to_centroids(em, cents)
     queries = assigned.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
     ).select(

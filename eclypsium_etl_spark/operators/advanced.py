@@ -203,16 +203,14 @@ def q84_skew_salted_join(spark, sf_dir) -> DataFrame:
 def q85_window_dedup(spark, sf_dir) -> DataFrame:
     """Keep-first-per-key dedup via window (the deterministic form of
     dropDuplicates(["user_id","event_type"]) — same single shuffle, but the
-    survivor is defined, not partition-order luck)."""
-    from pyspark.sql import Window
+    survivor is defined, not partition-order luck). Thin instantiation of
+    ops.dedup_keep_first, the same kernel q62 uses."""
+    from .. import ops
 
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "ts", "event_type")
-    )
+    return ops.dedup_keep_first(
+        e, ["user_id", "event_type"], [F.asc("ts"), F.asc("event_id")]
+    ).select("event_id", "user_id", "ts", "event_type")
 
 
 @query(

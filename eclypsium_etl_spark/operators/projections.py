@@ -12,9 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..io import table
+from ..pipeline import FLAGSHIP_THRESHOLD  # single source: q08 IS the flagship predicate
 from ..registry import query
-
-FLAGSHIP_THRESHOLD = 4_000_000.0
 
 
 @query(

@@ -159,19 +159,29 @@ def q46_json_get(spark, sf_dir) -> DataFrame:
     "q47_json_serialize",
     oracle="""
     SELECT event_id,
-           '{"event_id":' || event_id || ',"event_type":"' || event_type
-           || '","user_id":' || user_id || '}' AS payload
+           '{"event_id":' || event_id || ',"event_type":"'
+           || COALESCE(event_type, '') || '","user_id":' || user_id
+           || '}' AS payload
     FROM events
     """,
 )
 def q47_json_serialize(spark, sf_dir) -> DataFrame:
     """Row → JSON serialization (the reference's json.dumps({"data": ...}),
     :87). Oracle builds the identical compact rendering by concatenation —
-    engine-native JSON printers differ in whitespace, the values don't."""
+    engine-native JSON printers differ in whitespace, the values don't.
+    event_type is nullable: to_json DROPS null fields while string concat
+    NULL-poisons the payload, so both sides coalesce to '' and stay
+    aligned whatever the data does."""
     e = table(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        F.to_json(F.struct("event_id", "event_type", "user_id")).alias("payload"),
+        F.to_json(
+            F.struct(
+                "event_id",
+                F.coalesce("event_type", F.lit("")).alias("event_type"),
+                "user_id",
+            )
+        ).alias("payload"),
     )
 
 

@@ -30,9 +30,17 @@ def asof_join(
     at exactly left_ts is visible (<=), encoded by sorting right rows
     first among ts ties.
     """
-    value_cols = value_cols or [
-        c for c in right.columns if c not in (key, right_ts)
-    ]
+    if value_cols is None:  # explicit [] means "timestamps only", not "all"
+        value_cols = [c for c in right.columns if c not in (key, right_ts)]
+    # a right value column sharing a left column's name would be MERGED by
+    # the union and then dropped with the staging columns — the caller's
+    # own data silently destroyed; refuse instead
+    collisions = set(value_cols) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"asof_join: right value columns collide with left columns "
+            f"{sorted(collisions)}; rename them or pass value_cols explicitly"
+        )
     lhs = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     rhs = right.select(
         F.col(key),
@@ -123,6 +131,11 @@ def gap_fill(
         )
     )
     out = axis.join(sparse, [key, "__day"], "left")
+    # the left join leaves gap days NULL — deliver the documented zero-fill
+    # (ffill columns are exempt: NULL is what last(ignorenulls) fills over)
+    for name in aggs:
+        if name not in (ffill_cols or []):
+            out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
     w = (
         Window.partitionBy(key)
         .orderBy("__day")

@@ -44,11 +44,20 @@ def pushed_filters(df: DataFrame) -> str:
 
 def shuffle_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan — the metric that
-    matters most at 100 TB. (AQE may coalesce partitions inside a shuffle
-    but never removes the exchange itself.)"""
-    return physical_plan(df).count("Exchange hashpartitioning") + physical_plan(
-        df
-    ).count("Exchange rangepartitioning")
+    matters most at 100 TB. Counts EVERY shuffle flavor (hash, range,
+    single-partition, round-robin) and excludes BroadcastExchange, which
+    is a replication, not a shuffle. (AQE may coalesce partitions inside
+    a shuffle but never removes the exchange itself.)"""
+    plan = physical_plan(df)
+    return sum(
+        plan.count(f"Exchange {kind}")
+        for kind in (
+            "hashpartitioning",
+            "rangepartitioning",
+            "SinglePartition",
+            "RoundRobinPartitioning",
+        )
+    )
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

@@ -203,7 +203,7 @@ def q54_stream_sliding(spark, sf_dir) -> DataFrame:
     "q55_stream_session",
     oracle=f"""
     WITH gapped AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
@@ -212,7 +212,7 @@ def q54_stream_sliding(spark, sf_dir) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, ts, value,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM gapped
     )
