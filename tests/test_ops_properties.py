@@ -173,3 +173,26 @@ def test_similarity_candidates_complete(spark, seed):
         for r in ops.similarity_candidates(df, tau).collect()
     }
     assert truth <= cand  # complete; near-threshold extras are allowed
+
+
+def test_gap_fill_zero_fills_and_ffills(spark):
+    """gap_fill contract: gap days get ZERO aggregates (not NULL) and
+    forward-filled value columns."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9), 10.0),
+        (1, datetime(2024, 1, 3, 9), 30.0),  # Jan 2 is a gap day
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = ops.gap_fill(
+        df, "k", "ts",
+        agg_cols={"n": F.count("*"), "v_sum": F.sum("v")},
+        ffill_cols=["v_sum"],
+    )
+    got = {r.day.day: (r.n, r.v_sum) for r in out.collect()}
+    assert got[1] == (1, 10.0)
+    assert got[2] == (0, 10.0)   # zero-filled count, forward-filled sum
+    assert got[3] == (1, 30.0)
