@@ -80,17 +80,28 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
 
 # The driver's correctness harness walks queries() in dict order under a
-# time budget. Two-tier order: queries with NO CORRECTNESS_r01 entry first
-# (they must get driver evidence this round), then the round-1-verified
-# ones; within each tier, ascending measured execute+collect cost at
-# sf0.01 (scripts/profile_queries.py, 2026-08-13) so a budget cutoff
-# truncates the fewest entries. Constraint baked into the order: q63
-# before q71 (q63 materializes the shared shingle intermediate that q71
-# reuses — llm/dedup.py shingles()).
+# time budget. Three-tier order for round 3:
+#   tier 1 — the 17 queries with NO driver CORRECTNESS entry in r1 or r2
+#     (VERDICT.md r2 "Next round" #1): they MUST land green rows this
+#     round, so they come first, roughly cheapest-first (pre-warmed memos
+#     in __spark_entry__.entry() make the shingle/layout family scan-only);
+#   tier 2 — q23 (upgraded to a bounds-checking oracle) and q52
+#     (rows-only re-presentation) per VERDICT #2, and q113 (newly
+#     registered via its stateful fallback, VERDICT #5);
+#   tier 3 — everything already driver-green in r1/r2, ascending measured
+#     cost at sf0.01 so a budget cutoff truncates the fewest entries.
+# Constraint baked into the order: q63 before q71/q115 (q63 materializes
+# the shared shingle intermediate they reuse — llm/dedup.py shingles()).
 _CHEAP_FIRST = [
-    # --- tier 1: no driver correctness entry in round 1 — the 60
-    # r1-unverified plus every round-2 addition (the permutation lint in
-    # tests/test_oracle_lint.py keeps this list honest) ---
+    # --- tier 1: never driver-checked (17) ---
+    "q59_udf_scalar", "q81_subquery", "q106_partial_reagg", "q86_partition_pruning",
+    "q67_text_tfidf", "q72_sim_ivf", "q92_cogroup", "q78_dedup_embedding",
+    "q63_dedup_near", "q115_decontaminate", "q71_dedup_minhash_lsh", "q111_dedup_groups",
+    "q118_stream_static_join", "q56_stream_watermark", "q57_stream_dedup_state",
+    "q87_stream_stateful", "q101_stream_stream_join",
+    # --- tier 2: re-presented rows-only ids + the new q113 registration ---
+    "q23_agg_approx_distinct", "q52_shortcircuit_gate", "q113_stream_transform_state",
+    # --- tier 3: driver-green in r1/r2 (98), cheapest-first ---
     "q96_unpivot", "q61_udtf", "q109_pad_trim", "q99_bitwise", "q98_string_distance",
     "q75_text_token_count", "q76_text_fingerprint", "q97_array_setops", "q74_text_quality", "q50_case_when",
     "q107_null_safe_eq", "q114_stratified_sample", "q116_curation_pipeline", "q117_sequence_pack", "q102_dedup_hash", "q49_map_fns", "q62_dedup_exact", "q95_explode_outer",
@@ -100,20 +111,15 @@ _CHEAP_FIRST = [
     "q53_stream_tumbling", "q110_greatest_least", "q88_python_udtf", "q51_cast_coalesce", "q105_snapshot_diff",
     "q66_text_tokenize", "q70_dedup_simhash", "q64_sim_knn", "q55_stream_session", "q84_skew_salted_join",
     "q60_udaf_grouped", "q103_kmeans_assign", "q89_gapfill", "q90_stats_agg", "q65_sim_pairs",
-    "q58_stream_foreachbatch", "q81_subquery", "q67_text_tfidf", "q106_partial_reagg", "q72_sim_ivf",
-    "q92_cogroup", "q57_stream_dedup_state", "q118_stream_static_join", "q56_stream_watermark", "q63_dedup_near", "q115_decontaminate",
-    "q87_stream_stateful",
-    "q71_dedup_minhash_lsh", "q59_udf_scalar", "q86_partition_pruning", "q78_dedup_embedding", "q111_dedup_groups",
-    "q101_stream_stream_join",
-    # --- tier 2: round-1-verified (50) ---
+    "q58_stream_foreachbatch",
     "q36_limit", "q38_union_all", "q47_json_serialize", "q37_topk_per_group", "q27_agg_having",
     "q41_except", "q43_date_parts", "q34_win_ntile_pct", "q35_orderby", "q25_agg_cube",
     "q30_win_rank", "q39_union_distinct", "q19_join_selfdedup", "q26_agg_groupingsets", "q10_constant_col",
-    "q33_win_range_frame", "q23_agg_approx_distinct", "q40_intersect", "q24_agg_rollup", "q29_win_rownumber",
+    "q33_win_range_frame", "q40_intersect", "q24_agg_rollup", "q29_win_rownumber",
     "q46_json_get", "q22_agg_distinct", "q31_win_lag_lead", "q20_agg_global", "q42_date_format",
     "q28_agg_collect", "q14_join_semi", "q32_win_running", "q08_filter_arith", "q15_join_anti",
     "q93_source_csv", "q44_math_expr", "q09_filter_compound", "q21_agg_groupby", "q18_join_asof",
-    "q17_join_theta_range", "q52_shortcircuit_gate", "q11_join_inner_hash", "q94_source_orc", "q06_sink_report",
+    "q17_join_theta_range", "q11_join_inner_hash", "q94_source_orc", "q06_sink_report",
     "q05_sink_jdbc", "q13_join_left_outer", "q45_string_fns", "q12_join_broadcast", "q07_project",
     "q16_join_multiway", "q04_sink_overwrite", "q02_source_json", "q03_source_fanout_union", "q01_scan_parquet",
 ]
