@@ -27,8 +27,10 @@ BENCH_N = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
 
 # Representative spread: scan+filter, snowflake join, Q1 aggregate, window,
 # top-k, event-time window, exact/near dedup, MinHash LSH, kNN, all-pairs
-# similarity, IVF ANN, embedding near-dup, TF-IDF, streaming join (real
-# stream), quality scoring.
+# similarity, IVF ANN, embedding near-dup, TF-IDF, decontamination, dedup
+# groups, the full streaming family (watermark, stateful dedup, stateful
+# spend, stream-static enrichment, stream-stream join), pandas UDF,
+# partial re-aggregation, subqueries, quality scoring.
 HEADLINE = [
     "q08_filter_arith",
     "q16_join_multiway",
@@ -36,6 +38,9 @@ HEADLINE = [
     "q29_win_rownumber",
     "q37_topk_per_group",
     "q53_stream_tumbling",
+    "q56_stream_watermark",
+    "q57_stream_dedup_state",
+    "q59_udf_scalar",
     "q62_dedup_exact",
     "q63_dedup_near",
     "q64_sim_knn",
@@ -47,14 +52,20 @@ HEADLINE = [
     "q77_multimodal_decode",
     "q78_dedup_embedding",
     "q79_pivot",
+    "q81_subquery",
     "q84_skew_salted_join",
     "q86_partition_pruning",
+    "q87_stream_stateful",
     "q89_gapfill",
     "q90_stats_agg",
     "q92_cogroup",
     "q100_argmax",
     "q101_stream_stream_join",
     "q103_kmeans_assign",
+    "q106_partial_reagg",
+    "q111_dedup_groups",
+    "q115_decontaminate",
+    "q118_stream_static_join",
 ]
 
 

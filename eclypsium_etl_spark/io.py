@@ -49,6 +49,54 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
 
+def source_stamp(path: str) -> str:
+    """Freshness stamp for a memoized derivation of ``path``: mtime+size of
+    the source file, embedded in the memo's directory name so a regenerated
+    fixture can never be served a stale intermediate (the cross-process
+    memo below outlives the process that built it)."""
+    import os
+
+    st = os.stat(path)
+    return f"{int(st.st_mtime)}_{st.st_size}"
+
+
+def materialize_once(spark: SparkSession, out: str, write_fn) -> DataFrame:
+    """Write-once shared parquet intermediate (the memo discipline behind
+    llm/dedup.shingles() and the q86 partitioned layout).
+
+    Cross-process safe: a COMPLETE output is detected via the _SUCCESS
+    marker (written last by the commit protocol), and builds go to a
+    per-process unique temp path that is atomically renamed into place —
+    so a second process can never delete or overwrite files a first
+    process's lazy DataFrame is still reading (the old mode("overwrite")
+    memo could). Losing the rename race just means another process
+    finished first; our build is discarded and theirs is read.
+
+    ``write_fn(path)`` must write the parquet dataset at ``path``."""
+    import os
+    import shutil
+    import uuid
+
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return spark.read.parquet(out)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tmp = f"{out}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    write_fn(tmp)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if os.path.exists(done):
+            # raced: another process completed `out` first — use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # `out` exists but incomplete (a crashed writer left no
+            # _SUCCESS): replace it with our complete build
+            shutil.rmtree(out, ignore_errors=True)
+            os.rename(tmp, out)
+    return spark.read.parquet(out)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql queries."""
     for name, df in tables(spark, sf_dir).items():
@@ -175,7 +223,10 @@ def write_jdbc(
 
 
 def fetch_to_landing(
-    urls: dict[str, str], dest_dir: str, timeout: float = 30.0
+    urls: dict[str, str],
+    dest_dir: str,
+    timeout: float = 30.0,
+    allowed_schemes: tuple[str, ...] = ("http", "https"),
 ) -> dict[str, str]:
     """HTTP landing-zone extraction (reference's EP1 REST fan-out,
     mercadolibre_pipeline_dag.py:18-45): fetch each named URL and stage the
@@ -186,13 +237,26 @@ def fetch_to_landing(
     Driver-side on purpose: the fetch list is small (one URL per category,
     reference :44); the heavy lifting — parse/explode/join — happens in the
     distributed read that follows. For large URL fans, distribute with a
-    mapInPandas over a URL DataFrame instead."""
+    mapInPandas over a URL DataFrame instead.
+
+    Input validation: names become filenames, so anything that could
+    escape dest_dir (separators, traversal, empties) is rejected; URL
+    schemes are restricted to http(s) by default — urlopen would otherwise
+    happily fetch file:// or ftp:// targets. Hermetic tests that stage
+    local fixtures opt in explicitly with allowed_schemes=("file",)."""
     import os
+    import re
+    import urllib.parse
     import urllib.request
 
     os.makedirs(dest_dir, exist_ok=True)
     staged: dict[str, str] = {}
     for name, url in urls.items():
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name) or name.startswith("."):
+            raise ValueError(f"unsafe landing name: {name!r}")
+        scheme = urllib.parse.urlparse(url).scheme.lower()
+        if scheme not in allowed_schemes:
+            raise ValueError(f"unsupported URL scheme {scheme!r} for {name}")
         path = os.path.join(dest_dir, f"{name}.json")
         # explicit timeout: the default (None) blocks the driver forever on
         # a server that accepts the connection but never responds

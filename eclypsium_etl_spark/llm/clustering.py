@@ -143,39 +143,54 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         tempfile.gettempdir(), "eclypsium_etl_spark", f"cc_{uuid.uuid4().hex[:12]}"
     )
     prev_step = None
-    for it in range(max_iter):
-        prop = edges.join(
-            labels.withColumnRenamed("doc_id", "src"), "src"
-        ).select(F.col("dst").alias("doc_id"), "label")
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-        )
-        step = os.path.join(scratch, f"it{it}")
-        new_labels.write.mode("overwrite").parquet(step)
-        new_labels = spark.read.parquet(step)
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "doc_id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if prev_step:  # superseded iteration — reclaim now
-            shutil.rmtree(prev_step, ignore_errors=True)
-        prev_step = step
-        if changed == 0:
-            break
-    else:
-        # exhausting max_iter without convergence would silently return a
-        # SPLIT component (multiple canonicals per true group) — refuse
+    try:
+        for it in range(max_iter):
+            prop = edges.join(
+                labels.withColumnRenamed("doc_id", "src"), "src"
+            ).select(F.col("dst").alias("doc_id"), "label")
+            new_labels = (
+                labels.unionByName(prop)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
+            )
+            step = os.path.join(scratch, f"it{it}")
+            new_labels.write.mode("overwrite").parquet(step)
+            new_labels = spark.read.parquet(step)
+            # convergence check every OTHER iteration (plus the last):
+            # the check is a driver-side action (join + count job), so
+            # halving its frequency halves the fixpoint's action count at
+            # the price of at most one redundant propagation round —
+            # convergence is stable (a no-change round implies all later
+            # rounds change nothing), so a delayed check can't miss it
+            check = (it % 2 == 1) or (it == max_iter - 1)
+            changed = -1
+            if check:
+                changed = (
+                    new_labels.withColumnRenamed("label", "new_label")
+                    .join(labels, "doc_id")
+                    .filter(F.col("new_label") != F.col("label"))
+                    .count()
+                )
+            labels = new_labels
+            if prev_step:  # superseded iteration — reclaim now
+                shutil.rmtree(prev_step, ignore_errors=True)
+            prev_step = step
+            if changed == 0:
+                break
+        else:
+            # exhausting max_iter without convergence would silently return
+            # a SPLIT component (multiple canonicals per true group) — refuse
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"iterations (graph diameter exceeds max_iter); raise "
+                f"max_iter or switch to the large-star/small-star "
+                f"contraction for high-diameter graphs"
+            )
+    except BaseException:
+        # any failure inside the loop (write error, cancelled stage,
+        # non-convergence) must not leak the cc_* scratch directories
         shutil.rmtree(scratch, ignore_errors=True)
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} iterations "
-            f"(graph diameter exceeds max_iter); raise max_iter or switch to "
-            f"the large-star/small-star contraction for high-diameter graphs"
-        )
+        raise
     # the final step's parquet stays on disk until process exit (same
     # contract as shingles()); the caller gets a lazy distributed scan of
     # it, never a driver-side materialization

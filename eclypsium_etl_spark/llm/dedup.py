@@ -28,10 +28,6 @@ from ..registry import query
 _JACCARD_TAU = 0.4
 _EMB_TAU = 0.30
 
-# temp-parquet shingle outputs already written by this process (memo for
-# shingles() — safe because the fixture inputs are immutable per run)
-_SHINGLES_BUILT: set[str] = set()
-
 # ---------------------------------------------------------------- shingles
 
 # Short-doc guard: Spark's sequence(1, n) with n <= 0 generates a
@@ -53,10 +49,27 @@ sh AS (
 )
 """
 
+# Candidate-generation document-frequency cap (SURVEY §4.3.3's blow-up
+# control for the exact path): a shingle shared by f documents contributes
+# f² rows to the candidate self-join, so "stop shingles" above the cap are
+# excluded from candidate GENERATION (verification still scores the full
+# shingle sets, so emitted jaccard values are exact). The recall trade —
+# a pair is missed only if EVERY shared shingle is hot — is part of the
+# operator contract and mirrored exactly in the oracle.
+_MAX_SHINGLE_DF = 64
+
 _JACCARD_TAIL = f"""
+dfc AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {_MAX_SHINGLE_DF}),
+rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc USING (s)),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+),
 inter AS (
-    SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    SELECT c0.doc_a AS da, c0.doc_b AS db, COUNT(*) AS c
+    FROM cand c0
+    JOIN sh a ON a.doc_id = c0.doc_a
+    JOIN sh b ON b.doc_id = c0.doc_b AND b.s = a.s
     GROUP BY 1, 2
 ),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
@@ -82,39 +95,50 @@ def shingles(spark, sf_dir) -> DataFrame:
     import os
     import tempfile
 
+    from ..io import materialize_once, source_stamp
+
     d = table(spark, sf_dir, "documents")
-    # path slug from the FULL sf_dir: two data dirs sharing a basename
-    # must not alias (the memo would silently serve the first one's data)
+    # path slug from the FULL sf_dir (two data dirs sharing a basename must
+    # not alias) + the source's mtime/size stamp (a regenerated fixture
+    # must not be served the previous fixture's shingles)
     out = os.path.join(
         tempfile.gettempdir(),
         "eclypsium_etl_spark",
-        f"shingles_{sf_dir.strip('/').replace('/', '_')}",
+        f"shingles_{sf_dir.strip('/').replace('/', '_')}"
+        f"_{source_stamp(f'{sf_dir}/documents.parquet')}",
     )
-    # memoized per process+sf_dir: q63 and q71 both consume this; without
-    # the memo each registry invocation re-ran the explode+distinct shuffle
-    # and parquet rewrite (the dominant per-query harness cost for both)
-    if out in _SHINGLES_BUILT:
-        return spark.read.parquet(out)
+
+    # memoized per sf_dir (cross-process write-once, io.materialize_once):
+    # q63/q71/q115 all consume this; without the memo each registry
+    # invocation re-ran the explode+distinct shuffle and parquet rewrite
+    # (the dominant per-query harness cost for all three).
     # repartition before the (expensive) explode: the single-row-group
     # fixture scan is one task; no explicit count — AQE sizes it.
-    (
-        d.repartition("doc_id")
-        .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("s"))
-        .distinct()
-        .write.mode("overwrite")
-        .parquet(out)
-    )
-    _SHINGLES_BUILT.add(out)
-    return spark.read.parquet(out)
+    def write(path: str) -> None:
+        (
+            d.repartition("doc_id")
+            .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("s"))
+            .distinct()
+            .write.parquet(path)
+        )
+
+    return materialize_once(spark, out, write)
 
 
 def jaccard_pairs(
-    sh: DataFrame, tau: float = _JACCARD_TAU, candidates: DataFrame | None = None
+    sh: DataFrame,
+    tau: float = _JACCARD_TAU,
+    candidates: DataFrame | None = None,
+    max_df: int | None = _MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Exact Jaccard over shingle sets. Without `candidates`, considers all
-    pairs sharing ≥1 shingle (q63's exact path); with a candidate pair set
-    (from LSH banding), intersections are computed ONLY for those pairs —
-    the shape that keeps verification linear in the candidate count."""
+    """Exact Jaccard over shingle sets. Without `candidates`, considers
+    pairs sharing ≥1 shingle of document frequency ≤ max_df (q63's exact
+    path — the df cap is the blow-up control that stops a stop-shingle
+    shared by f docs from contributing f² self-join rows; max_df=None
+    disables it); with a candidate pair set (from LSH banding),
+    intersections are computed ONLY for those pairs — the shape that keeps
+    verification linear in the candidate count. Either way, emitted
+    jaccard values are exact over the FULL shingle sets."""
     a = sh.alias("a")
     b = sh.alias("b")
     if candidates is not None:
@@ -136,10 +160,49 @@ def jaccard_pairs(
             .count()
             .withColumnRenamed("count", "c")
         )
+    elif max_df is not None:
+        # blow-up-controlled exact path: candidates meet only on shingles
+        # below the df cap (the hot stop-list is cap-bounded-small by
+        # construction → broadcast anti-join keeps the big shingle table
+        # shuffle-free for the filter), then the exact intersection is
+        # recounted over ALL shingles for just the candidate pairs. These
+        # re-joins key on doc ids — ordinary shuffle joins with no
+        # candidates-fit-in-memory assumption, unlike the LSH branch.
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("s")
+        )
+        rare = sh.join(F.broadcast(hot), "s", "left_anti")
+        ra = rare.alias("ra")
+        rb = rare.alias("rb")
+        cand = (
+            ra.join(
+                rb,
+                (F.col("ra.s") == F.col("rb.s"))
+                & (F.col("ra.doc_id") < F.col("rb.doc_id")),
+            )
+            .select(
+                F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        inter = (
+            cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+            .select("doc_a", "doc_b", F.col("a.s").alias("s_a"))
+            .join(
+                b,
+                (F.col("b.doc_id") == F.col("doc_b")) & (F.col("s_a") == F.col("b.s")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .count()
+            .withColumnRenamed("count", "c")
+        )
     else:
-        # no join hint: measured broadcast vs shuffle for the all-pairs
-        # branch — the broadcast build cost cancels its shuffle savings at
-        # this shape, and AQE picks correctly per actual size
+        # uncapped all-pairs (opt-in): no join hint — measured broadcast vs
+        # shuffle for this branch, the broadcast build cost cancels its
+        # shuffle savings at this shape, and AQE picks correctly per size
         inter = (
             a.join(
                 b,
@@ -191,9 +254,16 @@ def q62_dedup_exact(spark, sf_dir) -> DataFrame:
 )
 def q63_dedup_near(spark, sf_dir) -> DataFrame:
     """Near-duplicate pairs by exact shingle-set Jaccard ≥ τ: shingle →
-    explode → self-join on shingle → intersection counts → |A∩B|/|A∪B|.
-    Deterministic and fully oracled. Scale control: q71's MinHash banding
-    generates candidates without the full shingle self-join."""
+    explode → df-capped self-join on shingle → exact intersection recount
+    for candidates → |A∩B|/|A∪B|. Deterministic and fully oracled.
+
+    Blow-up control (SURVEY §4.3.3): candidate generation skips shingles
+    with document frequency > _MAX_SHINGLE_DF, so hot stop-shingles can't
+    contribute quadratic join rows; emitted jaccard values stay exact over
+    the full shingle sets (the cap only affects which pairs are
+    considered, and only pairs whose EVERY shared shingle is hot are
+    missed). q71's MinHash banding is the probabilistic alternative that
+    also prunes by signature agreement."""
     return jaccard_pairs(shingles(spark, sf_dir))
 
 
@@ -247,6 +317,66 @@ _SIG_COLS_SPARK = ", ".join(
 )
 _SIG_COLS_DUCK = ", ".join(f"min(md5('{j}|' || s)) AS h{j}" for j in range(1, 9))
 
+# Band-bucket size cap: an LSH bucket of B docs yields B(B-1)/2 candidate
+# pairs, so one pathological bucket (e.g. a boilerplate shingle set shared
+# by a million docs) would reintroduce the quadratic join the banding
+# exists to avoid. Buckets above the cap are EXCLUDED from candidate
+# generation — the standard production degrade (members of a mega-bucket
+# are near-identical boilerplate; handle them by exact-hash dedup, q62/
+# q102, not pairwise scoring). Mirrored exactly in the oracle.
+_MAX_BAND_BUCKET = 100
+
+
+def minhash_band_candidates(
+    sh: DataFrame, max_bucket: int | None = _MAX_BAND_BUCKET
+) -> DataFrame:
+    """MinHash signatures (8 md5 min-hashes) → 4 bands × 2 rows → candidate
+    pairs that collide in ≥1 band, skipping buckets larger than
+    `max_bucket`. Takes any (doc_id, s) shingle frame, so skew tests can
+    feed pathological corpora directly."""
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}")
+            for j in range(1, 9)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(F.concat(F.col(f"h{2*b-1}"), F.col(f"h{2*b}"))).alias("key"),
+                    )
+                    for b in range(1, 5)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        # oversized buckets are few by construction (≤ 4n/max_bucket) →
+        # broadcast anti-join keeps the band table shuffle-free here
+        big = (
+            bands.groupBy("band", "key")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band", "key")
+        )
+        bands = bands.join(F.broadcast(big), ["band", "key"], "left_anti")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
 
 @query(
     "q71_dedup_minhash_lsh",
@@ -259,10 +389,20 @@ _SIG_COLS_DUCK = ", ".join(f"min(md5('{j}|' || s)) AS h{j}" for j in range(1, 9)
         UNION ALL SELECT doc_id, 3, md5(h5 || h6) FROM sig
         UNION ALL SELECT doc_id, 4, md5(h7 || h8) FROM sig
     ),
+    big AS (
+        SELECT band, key FROM bands
+        GROUP BY band, key HAVING COUNT(*) > {_MAX_BAND_BUCKET}
+    ),
+    safe AS (
+        SELECT b.* FROM bands b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM big g WHERE g.band = b.band AND g.key = b.key
+        )
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-                                  AND a.doc_id < b.doc_id
+        FROM safe a JOIN safe b ON a.band = b.band AND a.key = b.key
+                                AND a.doc_id < b.doc_id
     ),
     inter AS (
         SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
@@ -285,43 +425,14 @@ def q71_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     candidates iff a band collides; candidates are verified with exact
     Jaccard. This is the near-dup shape that survives 100 TB: signatures
     are a groupBy over shingles (linear), the band self-join only meets
-    actual collisions — never all pairs. (Banding trades recall: with
-    b=4, r=2, P[candidate] = 1-(1-j²)⁴.)"""
+    actual collisions — never all pairs — and band buckets above
+    _MAX_BAND_BUCKET are excluded so one boilerplate mega-bucket can't
+    reintroduce the quadratic join (skew degrade asserted in
+    tests/test_scale_features.py). (Banding trades recall: with b=4, r=2,
+    P[candidate] = 1-(1-j²)⁴.)"""
     sh = shingles(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}")
-            for j in range(1, 9)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(F.concat(F.col(f"h{2*b-1}"), F.col(f"h{2*b}"))).alias("key"),
-                    )
-                    for b in range(1, 5)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
     # exact-Jaccard verification restricted to the banded candidates
-    return jaccard_pairs(sh, candidates=cand)
+    return jaccard_pairs(sh, candidates=minhash_band_candidates(sh))
 
 
 @query(

@@ -50,19 +50,26 @@ def q66_text_tokenize(spark, sf_dir) -> DataFrame:
 )
 def q67_text_tfidf(spark, sf_dir) -> DataFrame:
     """TF-IDF: term frequency ⋈ document frequency ⋈ corpus size, smoothed
-    idf = ln((N+1)/(df+1)). df is a *small* table (vocabulary-sized) —
-    broadcast it; the corpus-size scalar rides along as a broadcast too.
+    idf = ln((N+1)/(df+1)). The corpus size rides along as a cross-joined
+    1-row aggregate — the whole query stays one lazy plan (no driver-side
+    count action per invocation), and Catalyst broadcasts the single-row
+    side automatically. The tf⋈df join carries NO broadcast hint: df is
+    vocabulary-sized, which fits a broadcast at fixture scale but outgrows
+    the limit at web scale — AQE picks broadcast vs shuffle from the
+    actual runtime size (same reasoning as q65's verify join).
     MLlib HashingTF/IDF is the fixed-width variant at vocabulary scale."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # driver-side scalar → constant-folded into the plan
+    n = d.agg(F.count("*").alias("n_docs"))
     tfidf = F.round(
-        F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
     )
-    return tf.join(F.broadcast(df), "token").select(
-        "doc_id", "token", tfidf.alias("tfidf")
+    return (
+        tf.join(df, "token")
+        .crossJoin(n)
+        .select("doc_id", "token", tfidf.alias("tfidf"))
     )
 
 

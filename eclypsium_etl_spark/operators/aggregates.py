@@ -92,15 +92,43 @@ def q22_agg_distinct(spark, sf_dir) -> DataFrame:
     )
 
 
-@query("q23_agg_approx_distinct")  # no-oracle: approximate by design
+@query(
+    "q23_agg_approx_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT event_id) AS n_events,
+           TRUE AS users_within_5pct,
+           TRUE AS events_within_5pct
+    FROM events
+    """,
+)
 def q23_agg_approx_distinct(spark, sf_dir) -> DataFrame:
     """HyperLogLog++ count-distinct — the 100 TB substitute for exact
     count-distinct (no shuffle of distinct keys, fixed-size sketch).
-    Bounds vs the exact count are asserted in tests (rsd 5%)."""
+
+    Bounds-checking oracle: sketch values differ across engines by design,
+    so the emitted columns are the EXACT counts plus booleans asserting the
+    HLL estimate landed within 5% of them — the oracle states the exact
+    counts and TRUE. A drifting sketch flips a boolean and fails the value
+    hash, so the approximate operator gets a full differential check
+    instead of a rows-only row. (The exact countDistinct alongside the
+    sketch is the in-query verification, affordable at check scale; at
+    100 TB you'd ship only the sketch.)"""
     e = table(spark, sf_dir, "events")
-    return e.agg(
+    agg = e.agg(
         F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
         F.approx_count_distinct("event_id", rsd=0.05).alias("approx_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_id").alias("n_events"),
+    )
+    within = lambda a, n: (  # noqa: E731
+        F.abs(F.col(a).cast("double") - F.col(n)) / F.col(n) <= 0.05
+    )
+    return agg.select(
+        "n_users",
+        "n_events",
+        within("approx_users", "n_users").alias("users_within_5pct"),
+        within("approx_events", "n_events").alias("events_within_5pct"),
     )
 
 

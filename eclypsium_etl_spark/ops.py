@@ -132,10 +132,23 @@ def gap_fill(
     )
     out = axis.join(sparse, [key, "__day"], "left")
     # the left join leaves gap days NULL — deliver the documented zero-fill
-    # (ffill columns are exempt: NULL is what last(ignorenulls) fills over)
+    # (ffill columns are exempt: NULL is what last(ignorenulls) fills over).
+    # Zero-fill applies only to NUMERIC aggregates — coalescing a string/
+    # struct aggregate with 0 is an analysis error — and the fill literal
+    # is cast to the column's own type so decimals/floats keep their type.
+    # Caveat (documented contract): a numeric aggregate that is genuinely
+    # NULL on a PRESENT day (e.g. sum over all-NULL values) is also
+    # zero-filled; callers needing to distinguish should ffill or post-join.
+    from pyspark.sql import types as T
+
+    out_types = {f.name: f.dataType for f in out.schema.fields}
     for name in aggs:
-        if name not in (ffill_cols or []):
-            out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
+        if name not in (ffill_cols or []) and isinstance(
+            out_types[name], T.NumericType
+        ):
+            out = out.withColumn(
+                name, F.coalesce(F.col(name), F.lit(0).cast(out_types[name]))
+            )
     w = (
         Window.partitionBy(key)
         .orderBy("__day")

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -122,6 +123,10 @@ def stream_kafka(
     ).select("key", "v.*", "timestamp")
 
 
+# serializes the session-global shuffle-partitions override below
+_SHUFFLE_OVERRIDE_LOCK = threading.Lock()
+
+
 def run_available_now(
     writer_builder, name: str | None = None
 ) -> tuple[str, str]:
@@ -138,20 +143,29 @@ def run_available_now(
     from a fresh checkpoint, so we temporarily lower the conf for the
     stream's lifetime and restore it after; on a real cluster
     SPARK_GRAFT_STREAM_PARTITIONS is sized to key cardinality × state
-    volume, independent of the batch shuffle width."""
+    volume, independent of the batch shuffle width.
+
+    The conf override is session-GLOBAL while the stream drains, so a
+    process-wide lock serializes overlapping calls — two concurrent
+    streams would otherwise race the save/restore and one could run (or
+    permanently leave the session) at the wrong width. Concurrent BATCH
+    queries on the same session during a drain still see the lowered
+    value; callers running mixed workloads should use a separate session
+    (the harness here is single-threaded per session)."""
     # getActiveSession is thread-local (None on worker threads) — fall
     # back to the instantiated session so harnesses may call from executors
     spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     qname = name or f"s_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="eclypsium_ckpt_")
     stream_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
-    try:
-        q = writer_builder(qname, ckpt).start()
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    with _SHUFFLE_OVERRIDE_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+        try:
+            q = writer_builder(qname, ckpt).start()
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return qname, ckpt
 
 

@@ -147,11 +147,29 @@ def test_fetch_to_landing_feeds_extract(spark, tmp_path):
     staged = fetch_to_landing(
         {"categories": f"file://{src}/cats", "searches": f"file://{src}/search"},
         str(tmp_path / "landing"),
+        allowed_schemes=("file",),  # hermetic: no HTTP server in tests
     )
     assert set(staged) == {"categories", "searches"}
     df = extract_products(spark, staged["categories"], staged["searches"])
     rows = df.collect()
     assert [r.id for r in rows] == ["MLA1-9"]
+
+
+def test_fetch_to_landing_rejects_unsafe_inputs(tmp_path):
+    """Names become filenames and URLs are fetched driver-side, so both are
+    validated (ADVICE r2): traversal-shaped names must not escape dest_dir
+    and non-http(s) schemes are refused by default."""
+    import pytest
+
+    from eclypsium_etl_spark.io import fetch_to_landing
+
+    dest = str(tmp_path / "landing")
+    for bad_name in ("../x", "a/b", "", ".hidden"):
+        with pytest.raises(ValueError, match="unsafe landing name"):
+            fetch_to_landing({bad_name: "https://example.com/x"}, dest)
+    for bad_url in ("file:///etc/passwd", "ftp://h/x", "gopher://h/x"):
+        with pytest.raises(ValueError, match="unsupported URL scheme"):
+            fetch_to_landing({"ok": bad_url}, dest)
 
 
 def test_projection_prunes_scan(spark):

@@ -118,3 +118,20 @@ def test_approx_percentile_close_to_exact(spark):
     }
     for r in exact:
         assert abs(approx[r.o_orderstatus] - r.p50) / r.p50 < 0.01
+
+
+def test_q63_df_cap_guard_in_lineage(spark):
+    """The stop-shingle guard must actually be in q63's executed plan: a
+    broadcast LEFT ANTI join (hot-shingle exclusion) feeding the candidate
+    self-join — the blow-up control SURVEY §4.3.3 promises."""
+    plan = plans.physical_plan(QUERIES["q63_dedup_near"](spark, SF_CHECK))
+    assert "LeftAnti" in plan, plan
+    # and the anti-join side is broadcast, not shuffled
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q71_bucket_cap_guard_in_lineage(spark):
+    """q71's band join must carry the bucket-size exclusion (LEFT ANTI
+    against oversized buckets) in its lineage."""
+    plan = plans.physical_plan(QUERIES["q71_dedup_minhash_lsh"](spark, SF_CHECK))
+    assert "LeftAnti" in plan, plan

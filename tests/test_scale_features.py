@@ -126,3 +126,53 @@ def test_stateful_cents_roundtrip_exact(spark, tmp_path):
     q.awaitTermination()
     totals = sorted(r.running_total for r in spark.table(qname).collect())
     assert totals == [0.0003, 0.0004]  # truncation would give [0.0003, 0.0003]
+
+
+def test_lsh_band_join_survives_mega_bucket(spark):
+    """Skew degrade for q71's band join (VERDICT r2 #7): a corpus where
+    every doc carries the SAME shingle set collapses into one LSH bucket
+    per band — without the bucket cap that's N(N-1)/2 candidate pairs from
+    a single key. The cap must exclude the mega-bucket (0 candidates from
+    it) while a duplicate group below the cap still surfaces intact."""
+    from eclypsium_etl_spark.llm.dedup import (
+        _MAX_BAND_BUCKET,
+        minhash_band_candidates,
+    )
+
+    n_big = _MAX_BAND_BUCKET * 5  # one signature shared by 500 docs
+    rows = [(i, "boiler plate shingle") for i in range(n_big)]
+    rows += [(10_000 + i, "small group shingle") for i in range(5)]
+    sh = spark.createDataFrame(rows, "doc_id long, s string")
+    cand = minhash_band_candidates(sh).collect()
+    # only the small group's C(5,2) = 10 pairs; the mega-bucket yields none
+    assert len(cand) == 10
+    assert all(c.doc_a >= 10_000 and c.doc_b >= 10_000 for c in cand)
+    # uncapped control on a small slice proves the cap is what prunes
+    uncapped = minhash_band_candidates(sh, max_bucket=None)
+    assert uncapped.count() == n_big * (n_big - 1) // 2 + 10
+
+
+def test_exact_jaccard_df_cap_bounds_candidates(spark):
+    """q63's blow-up control (VERDICT r2 #3): a stop-shingle present in
+    every doc must not make the candidate self-join quadratic. Pairs
+    sharing only the hot shingle never become candidates; a pair sharing a
+    rare shingle is still found, and its jaccard is exact over the FULL
+    shingle set (hot shingle included in the intersection)."""
+    from eclypsium_etl_spark.llm.dedup import jaccard_pairs
+
+    n = 400  # hot-shingle document frequency, far above the cap of 64
+    rows = [(i, "the quick brown") for i in range(n)]
+    rows += [(i, f"unique filler {i}") for i in range(n)]
+    rows += [
+        (9001, "the quick brown"), (9001, "shared rare shingle"),
+        (9002, "the quick brown"), (9002, "shared rare shingle"),
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, s string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(sh, tau=0.0).collect()
+    }
+    # sole candidate pair: the one sharing a rare shingle — every other
+    # pair overlaps only via the hot shingle and is pruned pre-join
+    assert set(got) == {(9001, 9002)}
+    # exact jaccard over full sets: {hot, rare} ∩ {hot, rare} = 2/2
+    assert got[(9001, 9002)] == 1.0
