@@ -198,6 +198,121 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("group_id"))
 
 
+def connected_components_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components by alternating large-star/small-star edge
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the high-diameter upgrade q111's min-label propagation
+    names: label propagation needs diameter-many rounds (a path graph of
+    length d takes d iterations), star contraction converges in O(log n)
+    rounds regardless of diameter.
+
+    Per round, each step is one groupBy (per-node min neighbor) + one
+    join (re-emit edges against the min) — the same shuffle budget as a
+    label-prop round, but the graph's edges contract toward component
+    roots instead of labels diffusing one hop per round:
+    - large-star: every neighbor LARGER than u re-attaches to u's
+      minimum (min of u and its neighborhood);
+    - small-star: every neighbor ≤ u (plus u) attaches to u's smallest
+      neighbor.
+    Both preserve connectivity; alternating them converges to stars —
+    every node pointing directly at its component's minimum id.
+
+    Same fixpoint discipline as connected_components: per-iteration disk
+    materialization (lineage truncation), scratch reclaimed on every
+    exit path, refusal rather than a silently split result when max_iter
+    is exhausted. Returns (doc_id, group_id) for every vertex in a pair;
+    exact equivalence with the label-prop kernel (and thus q111's
+    recursive-CTE oracle) is asserted in tests."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = pairs.sparkSession
+    edges = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .distinct()
+    )
+    scratch = os.path.join(
+        tempfile.gettempdir(), "eclypsium_etl_spark", f"ccs_{uuid.uuid4().hex[:12]}"
+    )
+    # every vertex that appears in a pair — the output domain (roots stay
+    # in the edge set as targets only, so they're re-added at the end)
+    vertices = (
+        edges.select(F.col("u").alias("doc_id"))
+        .unionByName(edges.select(F.col("v").alias("doc_id")))
+        .distinct()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        joined = o.join(m, "u")
+        re_nbrs = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        re_self = joined.select("u", F.col("m").alias("v"))
+        return (
+            re_nbrs.unionByName(re_self)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev_step = None
+    try:
+        for it in range(max_iter):
+            new_edges = small_star(large_star(edges))
+            step = os.path.join(scratch, f"it{it}")
+            new_edges.write.mode("overwrite").parquet(step)
+            new_edges = spark.read.parquet(step)
+            # converged when the edge SET is stable (both are distinct)
+            same = (
+                new_edges.count() == edges.count()
+                and new_edges.exceptAll(edges).isEmpty()
+            )
+            edges = new_edges
+            if prev_step:
+                shutil.rmtree(prev_step, ignore_errors=True)
+            prev_step = step
+            if same:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components_star did not converge in {max_iter} "
+                f"iterations — unexpected for O(log n) contraction; check the "
+                f"input for self-loops or raise max_iter"
+            )
+    except BaseException:
+        shutil.rmtree(scratch, ignore_errors=True)
+        raise
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    # converged stars point child -> root (child > root); roots map to
+    # themselves via the left join's coalesce
+    child_root = edges.select(
+        F.greatest("u", "v").alias("doc_id"), F.least("u", "v").alias("group_id")
+    ).distinct()
+    return vertices.join(child_root, "doc_id", "left").select(
+        "doc_id", F.coalesce("group_id", F.col("doc_id")).alias("group_id")
+    )
+
+
 @query(
     "q111_dedup_groups",
     oracle="""

@@ -161,13 +161,18 @@ def jaccard_pairs(
             .withColumnRenamed("count", "c")
         )
     elif max_df is not None:
-        # blow-up-controlled exact path: candidates meet only on shingles
+        # blow-up-controlled exact path. Candidates meet only on shingles
         # below the df cap (the hot stop-list is cap-bounded-small by
         # construction → broadcast anti-join keeps the big shingle table
-        # shuffle-free for the filter), then the exact intersection is
-        # recounted over ALL shingles for just the candidate pairs. These
-        # re-joins key on doc ids — ordinary shuffle joins with no
-        # candidates-fit-in-memory assumption, unlike the LSH branch.
+        # shuffle-free for the filter), and the SAME self-join that finds
+        # them already yields their rare-shingle intersection counts —
+        # one shuffle, identical shape to the uncapped path. The full
+        # intersection is then completed by adding the HOT-shingle overlap
+        # per candidate: each doc's hot-shingle set is a tiny array (≤ a
+        # stop-list's worth), joined in by doc id and intersected JVM-side
+        # (array_intersect) — no second pair-level shuffle, no exploded
+        # pair × shingles intermediate, and emitted jaccard stays exact
+        # over the FULL sets: c = |shared rare| + |shared hot|.
         hot = (
             sh.groupBy("s")
             .agg(F.count("*").alias("df"))
@@ -177,27 +182,53 @@ def jaccard_pairs(
         rare = sh.join(F.broadcast(hot), "s", "left_anti")
         ra = rare.alias("ra")
         rb = rare.alias("rb")
-        cand = (
+        inter_rare = (
             ra.join(
                 rb,
                 (F.col("ra.s") == F.col("rb.s"))
                 & (F.col("ra.doc_id") < F.col("rb.doc_id")),
             )
-            .select(
+            .groupBy(
                 F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b")
             )
-            .distinct()
-        )
-        inter = (
-            cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
-            .select("doc_a", "doc_b", F.col("a.s").alias("s_a"))
-            .join(
-                b,
-                (F.col("b.doc_id") == F.col("doc_b")) & (F.col("s_a") == F.col("b.s")),
-            )
-            .groupBy("doc_a", "doc_b")
             .count()
-            .withColumnRenamed("count", "c")
+            .withColumnRenamed("count", "rc")
+        )
+        hot_sets = (
+            sh.join(F.broadcast(hot), "s", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("s").alias("hs"))
+        )
+        sizes = sh.groupBy("doc_id").count().withColumnRenamed("count", "n")
+        empty = F.array().cast("array<string>")
+        hot_c = F.size(
+            F.array_intersect(
+                F.coalesce(F.col("hs_a"), empty), F.coalesce(F.col("hs_b"), empty)
+            )
+        )
+        c = F.col("rc") + hot_c
+        jac = F.round(c.cast("double") / (F.col("na") + F.col("nb") - c), 6)
+        return (
+            inter_rare.join(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+                "doc_a",
+            )
+            .join(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+                "doc_b",
+            )
+            .join(
+                hot_sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+                "doc_a",
+                "left",
+            )
+            .join(
+                hot_sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+                "doc_b",
+                "left",
+            )
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= tau)
         )
     else:
         # uncapped all-pairs (opt-in): no join hint — measured broadcast vs

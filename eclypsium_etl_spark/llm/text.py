@@ -10,7 +10,7 @@ over counts. Per-doc operators (q73–q76) are scan-stage map work — at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..functions import davg, davg_sql
 from ..io import table
@@ -388,17 +388,22 @@ def q117_sequence_pack(spark, sf_dir) -> DataFrame:
     what a tokenizer-side packer does; docs straddling a boundary spill
     into the next bin at materialization time).
 
-    Scale note: the running token total is a single global-order window —
-    at 100 TB, compute per-partition totals first, prefix-sum the partial
-    totals on the driver (one tiny row per partition), and add the
-    partition base offset map-side (the classic two-phase scan/prefix-sum)
-    instead of a one-partition window. The fixture-scale window states the
-    semantics the two-phase version must match."""
+    The running token total uses ops.global_running_sum — the two-phase
+    scan/prefix-sum (range repartition → parallel per-partition windows →
+    driver prefix over one tiny row per partition → map-side base add) —
+    NOT a one-partition global window, so the plan has no single-task
+    bottleneck at 100 TB. Integer token counts sum exactly, so the
+    distributed form is bit-identical to the single-window statement of
+    the semantics (equivalence asserted in tests/test_ops_properties.py)
+    and the oracle is unchanged."""
+    from .. import ops
+
     d = table(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     n_tok = F.size(F.split("text", " ")).cast("long")
     t = d.select("doc_id", "lang", n_tok.alias("n_tok"))
-    c = t.withColumn("tok_start", F.sum("n_tok").over(w) - F.col("n_tok"))
+    c = ops.global_running_sum(t, ["doc_id"], "n_tok", "__end").withColumn(
+        "tok_start", F.col("__end") - F.col("n_tok")
+    )
     return c.select(
         "doc_id",
         "lang",

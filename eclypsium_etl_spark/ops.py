@@ -159,6 +159,74 @@ def gap_fill(
     return out.withColumnRenamed("__day", "day")
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global running (prefix) sum in a total order — the
+    two-phase scan/prefix-sum that replaces a one-partition
+    ``Window.orderBy`` at scale (SURVEY-adjacent; q117's kernel).
+
+    Phases: (1) range-repartition on the order columns so partition i
+    holds a contiguous, ascending slice of the order; (2) per-partition
+    running sum (an ordinary partitioned window — parallel); (3) collect
+    ONE tiny row per partition (its value total), prefix-sum those on the
+    driver, and (4) broadcast the per-partition base offsets back and add
+    them map-side. The only driver-side data is num_partitions rows — the
+    corpus itself never leaves executors.
+
+    The per-partition stage is pinned to a disk temp-parquet before the
+    totals are read: range-boundary sampling is recomputed per job, so
+    without pinning, the totals job and the final job could disagree on
+    partition membership and mis-base every row. Disk, not
+    localCheckpoint — checkpoint blocks accumulate across invocations and
+    thrash the session (the engine's standard fixpoint discipline, see
+    llm/dedup.py shingles()); ``__pid`` is a stored COLUMN, so the
+    re-read's own partitioning is irrelevant to correctness.
+
+    Takes an INTEGER value column (the base offsets are typed long):
+    integer sums are exact and reproduce the single-window result
+    bit-for-bit (asserted in tests); for floats, cast to decimal and
+    scale to integer units first — the same discipline as everywhere
+    else in this engine."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = df.sparkSession
+    parts = partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+    staged = ranged.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scratch = os.path.join(
+        tempfile.gettempdir(), "eclypsium_etl_spark", f"prefix_{uuid.uuid4().hex[:12]}"
+    )
+    staged.withColumn("__run", F.sum(value_col).over(w)).write.parquet(scratch)
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    local = spark.read.parquet(scratch)
+    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__tot")).collect()
+    acc = 0
+    base_rows = []
+    for p, t in sorted((r["__pid"], r["__tot"]) for r in totals):
+        base_rows.append((p, acc))
+        acc += t or 0
+    base = spark.createDataFrame(base_rows, "__pid int, __base long")
+    return (
+        local.join(F.broadcast(base), "__pid")
+        .withColumn(out_col, F.col("__run") + F.col("__base"))
+        .drop("__pid", "__run", "__base")
+    )
+
+
 def sessionize(
     df: DataFrame, key: str, ts_col: str, gap: str = "INTERVAL 30 MINUTES",
     tiebreak: str | None = None,

@@ -58,3 +58,39 @@ def test_kmeans_assignment_complete_and_stable(spark):
     m1 = {r.vec_id: r.cent_id for r in a.collect()}
     m2 = {r.vec_id: r.cent_id for r in kmeans(spark, SF_SMOKE, iterations=2).collect()}
     assert m1 == m2
+
+
+def test_star_contraction_matches_label_prop(spark):
+    """connected_components_star must produce exactly the label-prop
+    result (same (doc_id, group_id) map) on a mixed graph: chains,
+    an island, a triangle, and out-of-order ids."""
+    from eclypsium_etl_spark.llm.clustering import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11),
+         (20, 21), (21, 22), (20, 22),  # triangle
+         (7, 30), (6, 30)],             # min id arrives via a hub
+        "doc_a long, doc_b long",
+    )
+    label = {r.doc_id: r.group_id for r in connected_components(pairs).collect()}
+    star = {r.doc_id: r.group_id for r in connected_components_star(pairs).collect()}
+    assert star == label
+
+
+def test_star_contraction_handles_high_diameter(spark):
+    """The O(log n) upgrade claim: a 60-node PATH graph (diameter 59)
+    converges for star contraction well inside 20 rounds — label
+    propagation would need ~59 rounds (one hop per round) and its default
+    budget correctly REFUSES instead of returning split components."""
+    import pytest
+
+    from eclypsium_etl_spark.llm.clustering import connected_components_star
+
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.group_id for r in connected_components_star(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=10)

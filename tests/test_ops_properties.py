@@ -196,3 +196,51 @@ def test_gap_fill_zero_fills_and_ffills(spark):
     assert got[1] == (1, 10.0)
     assert got[2] == (0, 10.0)   # zero-filled count, forward-filled sum
     assert got[3] == (1, 30.0)
+
+
+def test_global_running_sum_matches_single_window(spark):
+    """The distributed two-phase prefix sum must be BIT-IDENTICAL to the
+    one-partition global window it replaces (integer sums are exact), for
+    any partition count — including partitions the range split leaves
+    empty and a partition count of 1."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, (i * 37) % 11) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expected = {
+        r.id: r.run
+        for r in df.withColumn("run", F.sum("v").over(w)).collect()
+    }
+    for parts in (1, 7, 64):  # 64 > row ranges → some partitions empty-ish
+        got = {
+            r.id: r.run
+            for r in ops.global_running_sum(
+                df, ["id"], "v", "run", partitions=parts
+            ).collect()
+        }
+        assert got == expected, f"mismatch at partitions={parts}"
+
+
+def test_gap_fill_non_numeric_aggregates_survive(spark):
+    """ADVICE r2: a non-numeric aggregate (first over a string) must not be
+    coalesced with 0 — it stays NULL on gap days and intact on present
+    days — while numeric aggregates still zero-fill."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9), 10.0, "a"),
+        (1, datetime(2024, 1, 3, 9), 30.0, "b"),  # Jan 2 is a gap day
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double, tag string")
+    out = ops.gap_fill(
+        df, "k", "ts",
+        agg_cols={"n": F.count("*"), "first_tag": F.first("tag")},
+    )
+    got = {r.day.day: (r.n, r.first_tag) for r in out.collect()}
+    assert got[1] == (1, "a")
+    assert got[2] == (0, None)  # numeric zero-filled, string left NULL
+    assert got[3] == (1, "b")
