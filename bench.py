@@ -66,6 +66,11 @@ HEADLINE = [
     "q111_dedup_groups",
     "q115_decontaminate",
     "q118_stream_static_join",
+    "q120_dedup_blocks",
+    "q121_embed_quantize",
+    "q124_bloom_decontaminate",
+    "q126_sessionize",
+    "q127_running_total",
 ]
 
 
@@ -89,7 +94,10 @@ def main() -> None:
                 continue
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            samples[name].append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            samples[name].append(dt)
+            if os.environ.get("SPARK_GRAFT_BENCH_DEBUG"):
+                print(f"  iter {len(samples[name])} {name} {dt:.2f}s", file=sys.stderr)
 
     times = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items() if ts

@@ -629,3 +629,178 @@ def q115_decontaminate(spark, sf_dir) -> DataFrame:
             (ratio >= _DECON_TAU).alias("contaminated"),
         )
     )
+
+
+# ---- block-level ("line-level") dedup ratio (q120) ---------------------
+_BLOCK_W = 8  # tokens per block — the "line" unit on a corpus with no \n
+
+
+@query(
+    "q120_dedup_blocks",
+    oracle=f"""
+    WITH blk AS (
+        SELECT doc_id, UNNEST(
+            list_transform(
+                range(0, CAST(ceil(len(string_split(text, ' ')) / {_BLOCK_W}.0) AS BIGINT)),
+                i -> md5(array_to_string(
+                    list_slice(string_split(text, ' '),
+                               i * {_BLOCK_W} + 1, i * {_BLOCK_W} + {_BLOCK_W}), ' '))
+            )) AS h
+        FROM documents
+    ),
+    freq AS (SELECT h, COUNT(*) AS gf FROM blk GROUP BY h)
+    SELECT b.doc_id,
+           COUNT(*) AS n_blocks,
+           CAST(SUM(CASE WHEN f.gf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+           round(SUM(CASE WHEN f.gf > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+    FROM blk b JOIN freq f USING (h)
+    GROUP BY b.doc_id
+    """,
+)
+def q120_dedup_blocks(spark, sf_dir) -> DataFrame:
+    """Block-level dedup scoring — the corpus-scale "line dedup" pass
+    (CCNet-style): cut each doc into fixed-width token blocks (the line
+    unit on a corpus with no newlines), count each block's GLOBAL
+    frequency, and score every doc by the fraction of its blocks that are
+    duplicated somewhere in the corpus. Downstream curation drops docs
+    above a dup_ratio threshold or strips just the duplicated blocks.
+
+    Plan: blocks are built JVM-side from ONE split (transform over an
+    index sequence + slice — no token explode, no self-join) and hashed
+    to md5 BEFORE the explode, so the only thing that ever shuffles is
+    16-byte digests (the q102 discipline): one hash-aggregate for global
+    frequencies, one join back on digest, one per-doc rollup. The tail
+    block may be shorter than _BLOCK_W (both engines' slice clamps);
+    range/ceil over a >=1-token corpus never hits Spark's descending-
+    sequence trap but the math is guarded anyway via greatest(1, ...)."""
+    d = table(spark, sf_dir, "documents")
+    blocks = F.expr(
+        f"transform(sequence(1, greatest(1, cast(ceil(size(split(text, ' ')) / {_BLOCK_W}.0) AS INT))),"
+        f" i -> md5(concat_ws(' ', slice(split(text, ' '), (i - 1) * {_BLOCK_W} + 1, {_BLOCK_W}))))"
+    )
+    blk = d.select("doc_id", F.explode(blocks).alias("h"))
+    freq = blk.groupBy("h").agg(F.count("*").alias("gf"))
+    return (
+        blk.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.when(F.col("gf") > 1, 1).otherwise(0)).alias("n_dup_blocks"),
+            F.round(
+                F.sum(F.when(F.col("gf") > 1, 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+# ---- Bloom-filter decontamination (q124) -------------------------------
+_BLOOM_M = 65536  # bit-space size
+_BLOOM_K = 3      # probes per shingle
+
+_BLOOM_POS_SQL = ", ".join(
+    f"CAST(('0x' || substring(md5('{j}|' || s), 1, 8)) AS BIGINT) % {_BLOOM_M}"
+    for j in range(1, _BLOOM_K + 1)
+)
+
+
+@query(
+    "q124_bloom_decontaminate",
+    oracle=f"""
+    WITH {_SH_CTE.strip().rstrip()},
+    bits AS (
+        SELECT DISTINCT UNNEST([{_BLOOM_POS_SQL}]) AS pos
+        FROM sh WHERE doc_id < {_DECON_EVAL_MAX}
+    ),
+    probe AS (
+        SELECT doc_id, s, UNNEST([{_BLOOM_POS_SQL}]) AS pos
+        FROM sh WHERE doc_id >= {_DECON_EVAL_MAX}
+    ),
+    hit AS (
+        SELECT p.doc_id, p.s
+        FROM probe p JOIN bits b ON p.pos = b.pos
+        GROUP BY p.doc_id, p.s HAVING COUNT(*) = {_BLOOM_K}
+    ),
+    tot AS (
+        SELECT doc_id, COUNT(*) AS n_shingles
+        FROM sh WHERE doc_id >= {_DECON_EVAL_MAX} GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           COALESCE(t.n_shingles, 0) AS n_shingles,
+           COALESCE(h.n_hits, 0) AS n_maybe_hits,
+           round(COALESCE(h.n_hits, 0)
+                 / CAST(greatest(COALESCE(t.n_shingles, 0), 1) AS DOUBLE), 6)
+               AS hit_ratio
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {_DECON_EVAL_MAX}) c
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n_hits FROM hit GROUP BY doc_id) h
+        USING (doc_id)
+    """,
+)
+def q124_bloom_decontaminate(spark, sf_dir) -> DataFrame:
+    """Bloom-filter decontamination — the scale path for q115 when the
+    held-out eval set is too big to broadcast raw: fold the eval set's
+    shingles into an m-bit Bloom filter (k md5-derived probe positions
+    each), then flag corpus shingles whose k positions are ALL set. False
+    positives are possible (that's the Bloom trade — tune m/k), false
+    negatives are not, and with a deterministic hash family the exact
+    same false positives occur in both engines, so even the approximate
+    structure has an exact differential oracle.
+
+    Plan: the bit set is at most k·|eval shingles| distinct ints, orders
+    of magnitude smaller than the eval shingle strings — it broadcasts
+    long after the raw set cannot. Corpus shingles explode to k probe
+    rows, broadcast-join the bit set, and a probe survives only with k
+    matches; everything else is per-doc rollup. Shared kernel: the same
+    memoized shingle table as q63/q71/q115 (scan-only under the
+    harness). Eval split mirrors q115: doc_id < {_DECON_EVAL_MAX} is the
+    stand-in eval set."""
+    sh = shingles(spark, sf_dir)
+    probes = F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))), 1, 8), 16, 10
+            ).cast("long")
+            % _BLOOM_M
+            for j in range(1, _BLOOM_K + 1)
+        ]
+    )
+    bits = (
+        sh.filter(F.col("doc_id") < _DECON_EVAL_MAX)
+        .select(F.explode(probes).alias("pos"))
+        .distinct()
+    )
+    corpus_sh = sh.filter(F.col("doc_id") >= _DECON_EVAL_MAX)
+    probe = corpus_sh.select("doc_id", "s", F.explode(probes).alias("pos"))
+    hit = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "s")
+        .agg(F.count("*").alias("k_hits"))
+        .filter(F.col("k_hits") == _BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    tot = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    corpus = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= _DECON_EVAL_MAX)
+        .select("doc_id")
+    )
+    return (
+        corpus.join(tot, "doc_id", "left")
+        .join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_maybe_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0))
+                / F.greatest(
+                    F.coalesce("n_shingles", F.lit(0)), F.lit(1)
+                ).cast("double"),
+                6,
+            ).alias("hit_ratio"),
+        )
+    )

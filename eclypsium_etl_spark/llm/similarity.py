@@ -285,3 +285,70 @@ def lsh_pairs(spark, sf_dir, threshold: float = 0.7, seed: int = 42) -> DataFram
             (1.0 - F.col("dist") * F.col("dist") / 2.0).alias("cos_sim"),
         )
     )
+
+
+# ---- int8 embedding quantization (q121) --------------------------------
+@query(
+    "q121_embed_quantize",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
+           ELSE list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
+           END AS q,
+           round(list_sum(list_transform(embedding, x ->
+               CASE WHEN scale = 0.0 THEN CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+               ELSE (CAST(x AS DOUBLE)
+                     - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)
+                    * (CAST(x AS DOUBLE)
+                       - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale) END))
+               / len(embedding), 12) AS mse
+    FROM s
+    """,
+)
+def q121_embed_quantize(spark, sf_dir) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage/
+    bandwidth lever for ANN at scale (4 bytes → 1 byte per dim; IVF cells
+    and GEMM blocks move 4× more vectors per shuffle byte). Per vector:
+    scale = max|x| / 127, q_i = round-half-up(x_i / scale), plus the
+    per-vector reconstruction MSE so downstream recall tuning can gate on
+    quantization error instead of guessing.
+
+    Pure scan-stage expression work over the array column (transform /
+    aggregate HOFs — JVM-side, zero shuffle, no UDF). Rounding is
+    floor(x + 0.5) — round-half-toward-+inf — deliberately, NOT round():
+    floor is exact on doubles, so the result is bit-identical across
+    engines with no HALF_UP-vs-banker's tie hazard (the parity discipline
+    round() can't give at 0 decimal places). All math widens float →
+    double first; float→double widening is exact, so both engines compute
+    on identical doubles. Zero vectors (scale = 0) quantize to zeros and
+    report their own energy as mse."""
+    em = table(spark, sf_dir, "embeddings")
+    xd = "CAST(x AS DOUBLE)"
+    scale = F.expr(
+        f"aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs({xd}))) / 127.0"
+    )
+    s = em.select("vec_id", "embedding", scale.alias("scale"))
+    qexpr = (
+        "CASE WHEN scale = 0.0D THEN transform(embedding, x -> 0)"
+        f" ELSE transform(embedding, x -> CAST(floor({xd} / scale + 0.5) AS INT)) END"
+    )
+    err = f"({xd} - floor({xd} / scale + 0.5) * scale)"
+    mse = (
+        "round(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + "
+        f"CASE WHEN scale = 0.0D THEN {xd} * {xd} ELSE {err} * {err} END)"
+        " / size(embedding), 12)"
+    )
+    return s.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.expr(qexpr).alias("q"),
+        F.expr(mse).alias("mse"),
+    )

@@ -411,3 +411,207 @@ def q117_sequence_pack(spark, sf_dir) -> DataFrame:
         F.floor(F.col("tok_start") / _PACK_CAPACITY).cast("long").alias("bin_id"),
         (F.col("tok_start") % _PACK_CAPACITY).alias("bin_offset"),
     )
+
+
+# ---- PII redaction (q119) ----------------------------------------------
+# The fixture corpus is synthetic word soup with no PII, so the operator
+# augments each doc with DETERMINISTIC synthetic PII derived from doc_id
+# (identically in Spark and the oracle) before redacting — otherwise the
+# differential test would only ever prove "zero matches stay zero". The
+# redaction kernel itself (pattern → placeholder, per-doc match counts) is
+# exactly what runs on real data.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 7) % 200 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 13) % 250 AS VARCHAR)"
+)
+
+
+@query(
+    "q119_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, {_PII_AUG_SQL} AS raw FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(regexp_replace(raw, '{_PII_EMAIL}', '[EMAIL]', 'g'), '{_PII_IP}')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(raw, '{_PII_EMAIL}', '[EMAIL]', 'g'), '{_PII_IP}', '[IP]', 'g') AS redacted
+    FROM aug
+    """,
+)
+def q119_pii_redact(spark, sf_dir) -> DataFrame:
+    """PII scrubbing: regex-redact emails then IPv4 addresses to typed
+    placeholders, counting matches per doc — the compliance pass every
+    web-scale training corpus runs before anything else touches the text.
+
+    Pure scan-stage expression work (regexp_replace / regexp_count are
+    JVM codegen'd): zero shuffles, runs inside the Parquet scan projection
+    at any scale. Order matters and is part of the contract: emails are
+    redacted FIRST so the IP pass can't partially eat a dotted domain;
+    n_ips is counted on the email-redacted string for the same reason.
+    Patterns are RE2-safe (no backtracking constructs), so Java regex and
+    the oracle's RE2 agree; both engines see the same deterministic
+    augmented input (see _PII_AUG_SQL note above)."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 200).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 13) % 250).cast("string"),
+    )
+    no_email = F.regexp_replace(raw, _PII_EMAIL, "[EMAIL]")
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(no_email, F.lit(_PII_IP)).alias("n_ips"),
+        F.regexp_replace(no_email, _PII_IP, "[IP]").alias("redacted"),
+    )
+
+
+# ---- domain/source rebalancing (q122) ----------------------------------
+_BAL_CAP = 30  # per-source keep cap at fixture scale
+
+
+@query(
+    "q122_domain_rebalance",
+    oracle=f"""
+    SELECT doc_id, source, pick_rank FROM (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '|bal'), doc_id
+               ) AS BIGINT) AS pick_rank
+        FROM documents
+    ) WHERE pick_rank <= {_BAL_CAP}
+    """,
+)
+def q122_domain_rebalance(spark, sf_dir) -> DataFrame:
+    """Domain-mix rebalancing: cap every source's contribution at an exact
+    per-source quota, picking survivors in deterministic md5 order (a
+    rerun-stable uniform shuffle within each source, independent of input
+    order — the same salted-hash discipline as q114's mixing buckets).
+
+    Exact-cap via per-source row_number, the q37 top-k shape. Scale note:
+    source cardinality is LOW (tens of domains over 100 TB), so a naive
+    per-source window is a handful of giant partitions; the scale path is
+    two-level — row_number within (source, salt) buckets, keep the
+    cheapest `cap` across buckets by re-ranking the per-bucket survivors
+    (bounded at salt×cap rows per source) — or, when an approximate cap
+    suffices, q114's pure hash-threshold rate (zero sort, zero skew).
+    The fixture-scale window states the exact semantics those must match."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|bal")))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).cast("long").alias("pick_rank"))
+        .filter(F.col("pick_rank") <= _BAL_CAP)
+    )
+
+
+# ---- within-doc repetition quality (q123) ------------------------------
+@query(
+    "q123_quality_repetition",
+    oracle="""
+    WITH bg AS (
+        SELECT doc_id, UNNEST(
+            CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+                list_transform(range(1, len(string_split(text, ' '))),
+                               i -> string_split(text, ' ')[i] || ' ' ||
+                                    string_split(text, ' ')[i + 1])
+            ELSE [] END) AS b
+        FROM documents
+    ),
+    c AS (SELECT doc_id, b, COUNT(*) AS f FROM bg GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(SUM(f) AS BIGINT) AS n_bigrams,
+           COUNT(*) AS n_distinct_bigrams,
+           MAX(f) AS top_bigram_freq,
+           round(1.0 - COUNT(*) / CAST(SUM(f) AS DOUBLE), 6) AS rep_ratio
+    FROM c GROUP BY doc_id
+    """,
+)
+def q123_quality_repetition(spark, sf_dir) -> DataFrame:
+    """Within-document repetition scoring: bigram duplication ratio — the
+    standard heuristic for machine-generated/boilerplate text (a doc whose
+    bigrams are mostly repeats of a few phrases scores near 1). Emits the
+    raw counts too, so downstream filters can pick their own thresholds.
+
+    Plan: bigrams are built JVM-side from ONE split (transform over an
+    index sequence — no self-join of the token explode), then a two-phase
+    count on (doc_id, bigram) and a per-doc rollup. Both keys contain
+    doc_id, so at scale the second aggregate is a near-local regroup of
+    the first's output partitioning. The size()>=2 guard exists because
+    Spark's sequence(1, n) with n <= 0 yields a DESCENDING array, not an
+    empty one."""
+    d = table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+        " transform(sequence(1, size(split(text, ' ')) - 1),"
+        "           i -> concat(element_at(split(text, ' '), i), ' ',"
+        "                       element_at(split(text, ' '), i + 1)))"
+        " ELSE array() END"
+    )
+    c = (
+        d.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("f"))
+    )
+    return c.groupBy("doc_id").agg(
+        F.sum("f").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+        F.max("f").alias("top_bigram_freq"),
+        F.round(1.0 - F.count("*") / F.sum("f").cast("double"), 6).alias("rep_ratio"),
+    )
+
+
+# ---- deterministic weighted sampling (q125) ----------------------------
+@query(
+    "q125_sample_weighted",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, {_QUALITY_SQL} AS quality,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|samp'), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS draw
+        FROM documents
+    )
+    SELECT doc_id, quality, draw FROM scored WHERE draw < quality
+    """,
+)
+def q125_sample_weighted(spark, sf_dir) -> DataFrame:
+    """Quality-weighted corpus sampling: keep each doc with probability
+    equal to its q74 quality score, using a DETERMINISTIC per-doc uniform
+    draw (md5 of a salted doc_id, first 8 hex digits / 2^32) instead of
+    rand() — reruns, retries, and both engines agree row-for-row, which
+    rand() can never give a differential test or an idempotent pipeline.
+
+    Zero shuffles: score and draw are scan-stage expressions, the filter
+    is pushed into the scan projection. The draw is independent of the
+    score's inputs (different salt than q114's mixing buckets, so sampling
+    composes with mixing without correlation). int/2^32 is exact in a
+    double, so the comparison is bit-identical cross-engine."""
+    d = table(spark, sf_dir, "documents")
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|samp"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.select("doc_id", quality_col().alias("quality"), draw.alias("draw"))
+        .filter(F.col("draw") < F.col("quality"))
+    )

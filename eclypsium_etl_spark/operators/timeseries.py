@@ -231,3 +231,103 @@ def q92_cogroup(spark, sf_dir) -> DataFrame:
             schema="c_custkey long, n_orders long, total_spend double, acctbal double",
         )
     )
+
+
+@query(
+    "q126_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WHERE user_id < 30
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           {dsum_sql('value')} AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q126_sessionize(spark, sf_dir) -> DataFrame:
+    """Batch sessionization: the lag→flag→running-sum islands algorithm
+    (ops.sessionize) over the events table, rolled up to one row per
+    session. The BATCH twin of q55's streaming session_window, with the
+    same merge boundary (an event exactly `gap` after the previous one
+    merges; strict > opens a session) — so a backfill and the live stream
+    agree on session identity.
+
+    One shuffle on user_id serves both windows AND the final rollup
+    (everything is keyed by user, so the regroup stays co-partitioned).
+    event_id tie-breaks equal timestamps: total order → rerun-stable
+    session ids. Value totals use the decimal-cast sum so session sums
+    are order-independent. Watermark-free by construction — batch sees
+    all data, which is exactly why pipelines re-run sessionization in
+    batch to correct late-event splits the stream had to guess at."""
+    from .. import ops
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    s = ops.sessionize(e, "user_id", "ts", "INTERVAL 30 MINUTES", tiebreak="event_id")
+    return s.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@query(
+    "q127_running_total",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           SUM(cents) OVER (ORDER BY o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / 100.0 AS running_total
+    FROM c
+    """,
+)
+def q127_running_total(spark, sf_dir) -> DataFrame:
+    """Global running total of order value in o_orderkey order — the
+    direct registration of ops.global_running_sum (q117 uses the same
+    kernel behind packing): range-repartition on the order key, parallel
+    per-partition prefix sums, a one-row-per-partition driver prefix, and
+    a map-side base add. NO single-partition global window anywhere in
+    the plan — the classic two-phase scan/prefix-sum, so the operator
+    keeps every executor busy at 100 TB where `Window.orderBy` without a
+    partitionBy would serialize the entire table through one task.
+
+    Money discipline: prices are scaled to integer cents first
+    (floor(x*100+0.5) — exact on doubles, identical cross-engine), summed
+    exactly as longs, and divided back to dollars at the end — the
+    prefix sum is order-exact and bit-identical to the oracle's single
+    global window, which is the semantic statement the distributed form
+    must (and does) match."""
+    from .. import ops
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    out = ops.global_running_sum(o, ["o_orderkey"], "cents", "run_cents")
+    return out.select(
+        "o_orderkey", "o_custkey", (F.col("run_cents") / 100.0).alias("running_total")
+    )

@@ -198,6 +198,12 @@ def global_running_sum(
     import tempfile
     import uuid
 
+    reserved = {"__pid", "__run", "__base"}
+    if out_col in reserved or reserved & set(df.columns):
+        raise ValueError(
+            f"global_running_sum reserves {sorted(reserved)} internally; "
+            f"rename out_col/input columns that collide"
+        )
     spark = df.sparkSession
     parts = partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
@@ -272,14 +278,30 @@ def similarity_candidates(
     return grid_gemm_candidates(em, tau, n_blocks)
 
 
-def dedup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
-    """Near-dup pairs (doc_a, doc_b) → dedup groups: connected components
-    by min-label propagation, each group's min doc_id elected canonical
-    keeper (q111). Feed it any pair source — exact-Jaccard (q63), MinHash
-    banding (q71), or embedding candidates (similarity_candidates)."""
-    from .llm.clustering import connected_components
+def dedup_groups(
+    pairs: DataFrame, max_iter: int = 25, algorithm: str = "label"
+) -> DataFrame:
+    """Near-dup pairs (doc_a, doc_b) → dedup groups: connected components,
+    each group's min doc_id elected canonical keeper (q111). Feed it any
+    pair source — exact-Jaccard (q63), MinHash banding (q71), or embedding
+    candidates (similarity_candidates).
 
-    comp = connected_components(pairs, max_iter)
+    algorithm="label" (default): min-label propagation — one shuffle per
+    round, converges in diameter-many rounds; right for the shallow,
+    star-like components near-dup corpora produce. algorithm="star":
+    large-star/small-star contraction — O(log n) rounds regardless of
+    diameter; switch when components may be long chains (e.g. transitive
+    near-dup at a loose τ). Both return identical (doc_id, group_id)."""
+    if algorithm == "star":
+        from .llm.clustering import connected_components_star
+
+        comp = connected_components_star(pairs, max_iter)
+    elif algorithm == "label":
+        from .llm.clustering import connected_components
+
+        comp = connected_components(pairs, max_iter)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}: use 'label' or 'star'")
     return comp.withColumn(
         "is_canonical", F.col("doc_id") == F.col("group_id")
     )

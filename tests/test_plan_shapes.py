@@ -135,3 +135,35 @@ def test_q71_bucket_cap_guard_in_lineage(spark):
     against oversized buckets) in its lineage."""
     plan = plans.physical_plan(QUERIES["q71_dedup_minhash_lsh"](spark, SF_CHECK))
     assert "LeftAnti" in plan, plan
+
+
+def test_r3_scan_stage_ops_zero_shuffle(spark):
+    """q119 redaction, q121 quantization, and q125 weighted sampling are
+    pure scan-stage expression work — ZERO exchanges at any scale."""
+    for name in ("q119_pii_redact", "q121_embed_quantize", "q125_sample_weighted"):
+        assert plans.shuffle_count(QUERIES[name](spark, SF_CHECK)) == 0, name
+
+
+def test_q122_single_shuffle_rebalance(spark):
+    """Exact per-source quota costs exactly the one window shuffle."""
+    assert plans.shuffle_count(QUERIES["q122_domain_rebalance"](spark, SF_CHECK)) == 1
+
+
+def test_q120_blocks_shuffle_digests_only(spark):
+    """The block explode hashes to md5 BEFORE any exchange: no raw block
+    string appears in a shuffle — the only shuffled key is the digest."""
+    df = QUERIES["q120_dedup_blocks"](spark, SF_CHECK)
+    assert plans.shuffle_count(df) <= 3
+    plan = plans.physical_plan(df)
+    # the explode output (the digest column h) feeds the exchanges; the
+    # raw concat_ws block text exists only inside the project's md5 call
+    assert "md5" in plan
+
+
+def test_q124_bloom_bits_broadcast(spark):
+    """The Bloom bit set joins as a broadcast — the corpus probe side must
+    never shuffle to meet it."""
+    from eclypsium_etl_spark import plans as P
+
+    df = QUERIES["q124_bloom_decontaminate"](spark, SF_CHECK)
+    assert P.has_broadcast_join(df)
