@@ -71,6 +71,7 @@ HEADLINE = [
     "q124_bloom_decontaminate",
     "q126_sessionize",
     "q127_running_total",
+    "q128_heavy_hitters_cms",
 ]
 
 

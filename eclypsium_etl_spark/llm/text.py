@@ -615,3 +615,93 @@ def q125_sample_weighted(spark, sf_dir) -> DataFrame:
         d.select("doc_id", quality_col().alias("quality"), draw.alias("draw"))
         .filter(F.col("draw") < F.col("quality"))
     )
+
+
+# ---- count-min-sketch heavy hitters (q128) -----------------------------
+_CMS_D = 3      # hash rows
+_CMS_W = 1024   # counters per row
+_CMS_FRAC = 64  # heavy hitter: true count > corpus_tokens / _CMS_FRAC
+
+_CMS_POS_SQL = (
+    f"CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || t), 1, 8))"
+    f" AS BIGINT) % {_CMS_W}"
+)
+
+
+@query(
+    "q128_heavy_hitters_cms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT UNNEST(string_split(text, ' ')) AS t FROM documents
+    ),
+    cnt AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+    total AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM cnt),
+    pos AS (
+        SELECT t, n, j, {_CMS_POS_SQL} AS p
+        FROM cnt, UNNEST([1, 2, 3]) AS u(j)
+    ),
+    counters AS (SELECT j, p, CAST(SUM(n) AS BIGINT) AS c FROM pos GROUP BY j, p),
+    est AS (
+        SELECT pos.t, MIN(c.c) AS est_n
+        FROM pos JOIN counters c ON c.j = pos.j AND c.p = pos.p
+        GROUP BY pos.t
+    )
+    SELECT cnt.t AS token, cnt.n AS true_n, est.est_n AS est_n,
+           est.est_n >= cnt.n AS never_undercounts
+    FROM cnt JOIN est ON est.t = cnt.t CROSS JOIN total
+    WHERE cnt.n * {_CMS_FRAC} > total.tot
+    """,
+)
+def q128_heavy_hitters_cms(spark, sf_dir) -> DataFrame:
+    """Heavy-hitter detection by count-min sketch — the frequency sketch
+    that completes the engine's sketch family (HLL q23, Bloom q124,
+    MinHash q71, SimHash q70): d×w integer counters replace a
+    vocabulary-sized exact count, with one-sided error (estimates never
+    undercount; overcount bounded by collisions ≤ tot/w per row, take the
+    min across d rows).
+
+    The md5 probe family makes the sketch bit-identical cross-engine, so
+    the approximate structure has an EXACT differential oracle — and the
+    emitted never_undercounts boolean states CMS's guarantee as data the
+    hash check verifies. Exact counts ride along as the in-query
+    verification (affordable at check scale; at 100 TB you'd ship only
+    the d×w counter grid, which is why the sketch exists). The corpus
+    total arrives as a cross-joined 1-row aggregate — no driver-side
+    count action (the q67 discipline). Scale shape: one token shuffle for
+    counts; the counter grid is ≤ d·w rows — broadcastable at ANY corpus
+    size — and the heavy-hitter filter bounds the estimate join."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("t"))
+    cnt = tok.groupBy("t").agg(F.count("*").alias("n"))
+    total = cnt.agg(F.sum("n").cast("long").alias("tot"))
+    js = F.explode(F.array(*[F.lit(j) for j in range(1, _CMS_D + 1)])).alias("j")
+    pos = cnt.select(
+        "t", "n", js
+    ).withColumn(
+        "p",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("t"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % _CMS_W,
+    )
+    counters = pos.groupBy("j", "p").agg(F.sum("n").cast("long").alias("c"))
+    est = (
+        pos.join(F.broadcast(counters), ["j", "p"])
+        .groupBy("t")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return (
+        cnt.join(est, "t")
+        .crossJoin(total)
+        .filter(F.col("n") * _CMS_FRAC > F.col("tot"))
+        .select(
+            F.col("t").alias("token"),
+            F.col("n").alias("true_n"),
+            "est_n",
+            (F.col("est_n") >= F.col("n")).alias("never_undercounts"),
+        )
+    )

@@ -105,6 +105,7 @@ _CHEAP_FIRST = [
     "q119_pii_redact", "q121_embed_quantize", "q122_domain_rebalance",
     "q123_quality_repetition", "q125_sample_weighted", "q120_dedup_blocks",
     "q126_sessionize", "q124_bloom_decontaminate", "q127_running_total",
+    "q128_heavy_hitters_cms",
     # --- tier 3: driver-green in r1/r2 (98), cheapest-first ---
     "q96_unpivot", "q61_udtf", "q109_pad_trim", "q99_bitwise", "q98_string_distance",
     "q75_text_token_count", "q76_text_fingerprint", "q97_array_setops", "q74_text_quality", "q50_case_when",

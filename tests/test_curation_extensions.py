@@ -152,3 +152,19 @@ def test_global_running_sum_rejects_reserved_names(spark):
     df = spark.createDataFrame([(1, 1)], "id long, v long")
     with pytest.raises(ValueError, match="reserves"):
         ops.global_running_sum(df, ["id"], "v", "__run")
+
+
+def test_cms_one_sided_error_and_bound(spark):
+    """CMS guarantees: estimates never undercount, and (with the md5
+    family's near-uniform spread at w=1024 on a tiny fixture vocabulary)
+    overcount stays below the total colliding mass bound tot/w per row."""
+    out = QUERIES["q128_heavy_hitters_cms"](spark, SF_CHECK).collect()
+    assert out, "no heavy hitters found"
+    assert all(r.never_undercounts for r in out)
+    tok = (
+        spark.read.parquet(f"{SF_CHECK}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+    )
+    tot = tok.count()
+    for r in out:
+        assert r.est_n - r.true_n <= tot / 1024 * 3  # slack over E[collision]
