@@ -72,6 +72,10 @@ HEADLINE = [
     "q126_sessionize",
     "q127_running_total",
     "q128_heavy_hitters_cms",
+    "q129_semdedup",
+    "q130_sim_quantized_topk",
+    "q133_perplexity_unigram",
+    "q134_dedup_keep_best",
 ]
 
 

@@ -9,7 +9,7 @@ on movement < ε; the per-iteration plan is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..functions import dot, dot_sql
 from ..io import table
@@ -19,21 +19,42 @@ _K = 8
 
 
 def assign_to_centroids(em: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment (cosine, unit-norm ⇒ dot): broadcast
-    the centroid set, rank per vector, keep the argmax — deterministic
-    (cent_id tiebreak)."""
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    """Nearest-centroid assignment (cosine, unit-norm ⇒ dot) as a pure
+    scan-stage argmax: the centroid set folds into ONE row holding a
+    cent_id-sorted array of structs, that row broadcasts onto the corpus,
+    and a per-row HOF computes every dot and keeps the best — ZERO corpus
+    shuffle (asserted in test_plan_shapes). The earlier shape (crossJoin
+    → row_number window) shuffled corpus×k rows to rank per vec_id — at
+    100 TB that is k extra corpus volumes through the exchange, for an
+    argmax each row can compute locally.
+
+    Determinism: the array is sorted by cent_id and the fold keeps a
+    strictly-better sim only, so equal sims resolve to the LOWEST cent_id
+    — the same (sim DESC, cent_id ASC) tiebreak the oracle's window
+    states. The fold is the same left-to-right double accumulation as
+    functions.dot, bit-identical cross-engine."""
+    carr = centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cent_emb"))
+        ).alias("__cents")
+    )
+    sims = (
+        "transform(__cents, c -> struct("
+        " aggregate(zip_with(c.cent_emb, embedding,"
+        "   (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        "   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS sim,"
+        " c.cent_id AS cent_id))"
+    )
+    best = (
+        f"aggregate({sims},"
+        " CAST(NULL AS STRUCT<sim: DOUBLE, cent_id: BIGINT>),"
+        " (acc, s) -> CASE WHEN acc IS NULL OR s.sim > acc.sim"
+        " THEN s ELSE acc END)"
+    )
     return (
-        em.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id",
-            "embedding",
-            "cent_id",
-            dot(F.col("embedding"), F.col("cent_emb")).alias("sim"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
+        em.crossJoin(F.broadcast(carr))
+        .select("vec_id", "embedding", F.expr(best).alias("__best"))
+        .select("vec_id", "embedding", F.col("__best.cent_id").alias("cent_id"))
     )
 
 
@@ -387,3 +408,83 @@ def q103_kmeans_assign(spark, sf_dir) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
     return assign_to_centroids(em, centroids).select("vec_id", "cent_id")
+
+
+# ---- SemDeDup: cluster-scoped embedding dedup (q129) -------------------
+_SEM_TAU = 0.30  # within-cluster cosine above this ⇒ semantic duplicate
+
+
+@query(
+    "q129_semdedup",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+        WHERE vec_id < {_K}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cent_id FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {dot_sql('e.embedding', 'c.cent_emb')} DESC, c.cent_id
+                   ) AS rn
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        WHERE round({dot_sql('a.embedding', 'b.embedding')}, 6) >= {_SEM_TAU}
+    )
+    SELECT a.vec_id, a.cent_id, d.vec_id IS NULL AS kept
+    FROM assigned a LEFT JOIN dup d ON d.vec_id = a.vec_id
+    """,
+)
+def q129_semdedup(spark, sf_dir) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+    makes the O(n²) cosine comparison tractable by SCOPING it to k-means
+    clusters — pairs are only compared within a cluster, and every doc
+    with a lower-id cluster-mate above τ is dropped (min-id keeper, the
+    q62 discipline). Cross-cluster near-dups are the accepted recall loss;
+    q78's block-grid GEMM is the exact-recall alternative.
+
+    Plan: assignment is the broadcast k-means kernel (corpus never
+    shuffles; clustering.assign_to_centroids); the pair join shuffles on
+    cent_id so each cluster's quadratic runs executor-local, bounded by
+    cluster size — exactly the bound that makes SemDeDup work at 100 TB
+    (k scales with corpus so clusters stay ~constant-sized; skewed giant
+    clusters would get the q84 salting treatment or a cluster-size cap).
+    Every vector is emitted with its verdict so downstream filters join
+    on `kept` instead of re-deriving it."""
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = em.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    asg = assign_to_centroids(em, cents)
+    a = asg.select(
+        F.col("cent_id").alias("cent_a"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = asg.select(
+        F.col("cent_id").alias("cent_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    dup = (
+        a.join(
+            b,
+            (F.col("cent_a") == F.col("cent_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .filter(F.round(dot(F.col("emb_a"), F.col("emb_b")), 6) >= _SEM_TAU)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        asg.select("vec_id", "cent_id")
+        .join(dup, "vec_id", "left")
+        .select("vec_id", "cent_id", F.col("__dup").isNull().alias("kept"))
+    )

@@ -804,3 +804,56 @@ def q124_bloom_decontaminate(spark, sf_dir) -> DataFrame:
             ).alias("hit_ratio"),
         )
     )
+
+
+# ---- keep-best-quality dedup (q134) ------------------------------------
+from .text import _QUALITY_SQL  # noqa: E402  (no cycle: text never imports dedup)
+
+
+@query(
+    "q134_dedup_keep_best",
+    oracle=f"""
+    SELECT doc_id, n_group, quality, rn = 1 AS is_keeper FROM (
+        SELECT doc_id, {_QUALITY_SQL} AS quality,
+               COUNT(*) OVER (PARTITION BY md5(substring(text, 1, 40)))
+                   AS n_group,
+               row_number() OVER (
+                   PARTITION BY md5(substring(text, 1, 40))
+                   ORDER BY {_QUALITY_SQL} DESC, doc_id
+               ) AS rn
+        FROM documents
+    )
+    """,
+)
+def q134_dedup_keep_best(spark, sf_dir) -> DataFrame:
+    """Dedup with a QUALITY-AWARE keeper: within each near-dup group
+    (shared 40-char prefix, the q19/q111 candidate key) keep the highest-
+    quality copy instead of the lowest id — what production curation
+    actually does (min-id keeps whichever copy was crawled first; this
+    keeps the best one). Keeper policy: q74 quality DESC, doc_id ASC on
+    exact quality ties — deterministic because quality is already rounded
+    to 6 (identical doubles cross-engine).
+
+    Plan: the group key is hashed to md5 BEFORE the exchange, so the
+    window shuffles 16-byte digests + the quality double, never the raw
+    prefix (the q102 discipline); one shuffle total. Every doc is emitted
+    with its verdict + group size so the drop set is auditable."""
+    from pyspark.sql import Window
+
+    from .text import quality_col
+
+    d = table(spark, sf_dir, "documents")
+    k = F.md5(F.substring("text", 1, 40))
+    w = Window.partitionBy("k")
+    wr = w.orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", k.alias("k"), quality_col().alias("quality"))
+        .withColumn("n_group", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .select(
+            "doc_id",
+            "n_group",
+            "quality",
+            (F.col("rn") == 1).alias("is_keeper"),
+        )
+    )

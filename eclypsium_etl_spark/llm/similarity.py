@@ -287,7 +287,20 @@ def lsh_pairs(spark, sf_dir, threshold: float = 0.7, seed: int = 42) -> DataFram
     )
 
 
-# ---- int8 embedding quantization (q121) --------------------------------
+# ---- int8 embedding quantization (q121, q130) --------------------------
+_XD = "CAST(x AS DOUBLE)"
+# per-vector symmetric scale: max|x| / 127 (one int8 step in float units)
+_QSCALE_EXPR = (
+    f"aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs({_XD})))"
+    " / 127.0"
+)
+# int8 codes via floor(x/scale + 0.5) — exact on doubles, no tie hazard
+_QARR_EXPR = (
+    "CASE WHEN scale = 0.0D THEN transform(embedding, x -> 0)"
+    f" ELSE transform(embedding, x -> CAST(floor({_XD} / scale + 0.5) AS INT)) END"
+)
+
+
 @query(
     "q121_embed_quantize",
     oracle="""
@@ -331,15 +344,9 @@ def q121_embed_quantize(spark, sf_dir) -> DataFrame:
     on identical doubles. Zero vectors (scale = 0) quantize to zeros and
     report their own energy as mse."""
     em = table(spark, sf_dir, "embeddings")
-    xd = "CAST(x AS DOUBLE)"
-    scale = F.expr(
-        f"aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs({xd}))) / 127.0"
-    )
-    s = em.select("vec_id", "embedding", scale.alias("scale"))
-    qexpr = (
-        "CASE WHEN scale = 0.0D THEN transform(embedding, x -> 0)"
-        f" ELSE transform(embedding, x -> CAST(floor({xd} / scale + 0.5) AS INT)) END"
-    )
+    xd = _XD
+    s = em.select("vec_id", "embedding", F.expr(_QSCALE_EXPR).alias("scale"))
+    qexpr = _QARR_EXPR
     err = f"({xd} - floor({xd} / scale + 0.5) * scale)"
     mse = (
         "round(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + "
@@ -351,4 +358,90 @@ def q121_embed_quantize(spark, sf_dir) -> DataFrame:
         F.round("scale", 9).alias("scale"),
         F.expr(qexpr).alias("q"),
         F.expr(mse).alias("mse"),
+    )
+
+
+# ---- asymmetric quantized top-k (q130) ---------------------------------
+_PQ_TOP_K = 5
+
+
+@query(
+    "q130_sim_quantized_topk",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings
+    ),
+    qz AS (
+        SELECT vec_id, embedding, scale,
+               CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
+               ELSE list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
+               END AS q
+        FROM s
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id < {_N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, approx_sim, exact_sim FROM (
+        SELECT qu.query_id, c.vec_id AS neighbor_id,
+               round(c.scale * {dot_sql('c.q', 'qu.q_emb')}, 6) AS approx_sim,
+               round({dot_sql('c.embedding', 'qu.q_emb')}, 6) AS exact_sim,
+               row_number() OVER (
+                   PARTITION BY qu.query_id
+                   ORDER BY c.scale * {dot_sql('c.q', 'qu.q_emb')} DESC, c.vec_id
+               ) AS rn
+        FROM qz c JOIN queries qu ON c.vec_id <> qu.query_id
+    ) WHERE rn <= {_PQ_TOP_K}
+    """,
+)
+def q130_sim_quantized_topk(spark, sf_dir) -> DataFrame:
+    """Top-k search over the int8-QUANTIZED corpus with asymmetric
+    distance (query stays float, corpus is codes): approx_sim =
+    scale · ⟨q_int8, x_float⟩ — the memory-bandwidth lever that makes
+    brute-force scans viable at 4× the vectors per shuffle byte (the
+    standard ADC trick from product-quantization ANN, Jégou et al. 2011).
+    Ranking uses the approximate score; the exact float score rides along
+    per emitted neighbor so recall degradation is measurable downstream
+    (tests assert top-k recall vs q64's exact ranking).
+
+    Plan: same shape as q64 — query set broadcasts, the corpus never
+    shuffles, one scan computes codes + approx scores, per-partition
+    window heads. Quantization shares q121's module-level expressions
+    (one definition, JVM-side HOFs, no UDF); int→double widening is
+    exact, so the fold is bit-identical to the DuckDB oracle."""
+    em = table(spark, sf_dir, "embeddings")
+    corpus = (
+        em.select(
+            F.col("vec_id").alias("neighbor_id"),
+            "embedding",
+            F.expr(_QSCALE_EXPR).alias("scale"),
+        )
+        .withColumn("q", F.expr(_QARR_EXPR))
+    )
+    queries = em.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_raw"), F.asc("neighbor_id")
+    )
+    return (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("scale") * dot(F.col("q"), F.col("q_emb"))).alias("approx_raw"),
+            dot(F.col("embedding"), F.col("q_emb")).alias("exact_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("approx_raw", 6).alias("approx_sim"),
+            F.round("exact_raw", 6).alias("exact_sim"),
+        )
     )

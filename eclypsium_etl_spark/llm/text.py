@@ -705,3 +705,186 @@ def q128_heavy_hitters_cms(spark, sf_dir) -> DataFrame:
             (F.col("est_n") >= F.col("n")).alias("never_undercounts"),
         )
     )
+
+
+# ---- temperature-scaled mixture weights (q131) -------------------------
+_MIX_BUDGET = 100_000  # token budget the mixture allocates across sources
+
+
+@query(
+    "q131_mixture_temperature",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    sw AS (SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS w_raw FROM s),
+    t AS (SELECT list_sum(list(w_raw ORDER BY source)) AS tot FROM sw)
+    SELECT source, n_docs, n_tokens,
+           round(w_raw / t.tot, 9) AS weight,
+           CAST(floor(w_raw / t.tot * {_MIX_BUDGET} + 0.5) AS BIGINT)
+               AS target_tokens,
+           round(floor(w_raw / t.tot * {_MIX_BUDGET} + 0.5) / n_tokens, 6)
+               AS epochs
+    FROM sw CROSS JOIN t
+    """,
+)
+def q131_mixture_temperature(spark, sf_dir) -> DataFrame:
+    """Temperature-scaled source mixing (the mT5/PaLM recipe, Xue et al.
+    2021 §3.1): sampling weight w_s ∝ n_s^α with α = 0.5, so small
+    sources are upsampled and giant ones downweighted relative to
+    proportional mixing. Sized by TOKENS (doc counts mislead when doc
+    length varies by source); emits the normalized weight, the token
+    allocation under a fixed budget, and the implied epochs per source —
+    the three numbers a training-mixture config actually needs.
+
+    Cross-engine discipline: the weight denominator Σ n_s^α is a sum of
+    doubles, order-dependent in general — so it is folded LEFT over the
+    source-sorted list (collect_list → array_sort → aggregate; DuckDB:
+    list(ORDER BY) → list_sum), identical operands in identical order ⇒
+    bit-identical totals. Legal because source cardinality is tiny by
+    definition (tens of domains over 100 TB — the one place collect_list
+    is the RIGHT scale call); the heavy work is the per-source token
+    count, one partial-agg shuffle of (source, long). The budget split
+    uses floor(x + 0.5) — exact on doubles, no HALF_UP-vs-banker's
+    hazard (the q121 discipline)."""
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    sw = s.withColumn("w_raw", F.sqrt(F.col("n_tokens").cast("double")))
+    tot = sw.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("source").alias("s"), F.col("w_raw").alias("w")))
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v["w"],
+        ).alias("tot")
+    )
+    target = F.floor(F.col("w_raw") / F.col("tot") * _MIX_BUDGET + 0.5).cast("long")
+    return sw.crossJoin(tot).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("w_raw") / F.col("tot"), 9).alias("weight"),
+        target.alias("target_tokens"),
+        F.round(target.cast("double") / F.col("n_tokens"), 6).alias("epochs"),
+    )
+
+
+# ---- deterministic train/val/test split (q132) -------------------------
+_SPLIT_SALT = "split-v1"  # version the salt ⇒ version the split
+_SPLIT_SQL = (
+    f"CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|{_SPLIT_SALT}'),"
+    f" 1, 8)) AS BIGINT) % 100"
+)
+
+
+@query(
+    "q132_split_assign",
+    oracle=f"""
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (SELECT doc_id, lang, {_SPLIT_SQL} AS bucket FROM documents)
+    """,
+)
+def q132_split_assign(spark, sf_dir) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by salted content
+    hash — the split that stays stable under reruns, repartitioning, and
+    corpus growth (a doc's split NEVER changes when other docs are added,
+    which row_number- or rand()-based splits cannot promise). The salt
+    versions the split: bump it and the whole corpus re-splits
+    independently of q114/q125's sampling hashes (independent salts ⇒
+    independent uniform draws).
+
+    Pure scan-stage expression work: zero shuffle, filter-pushable, and
+    at 100 TB each split materializes as a partition-pruned write. The
+    md5-bucket family is the same as q114's mixing (one discipline,
+    different salt)."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"|{_SPLIT_SALT}"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---- unigram-LM surprisal scoring (q133) -------------------------------
+@query(
+    "q133_perplexity_unigram",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+    ),
+    cnt AS (SELECT t, COUNT(*) AS n_t FROM tok GROUP BY t),
+    tt AS (
+        SELECT CAST(SUM(n_t) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM cnt
+    )
+    SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+           round(CAST(SUM(CAST(-ln((cnt.n_t + 1.0) / (tt.tot + tt.vocab))
+                              AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+               AS mean_surprisal
+    FROM tok JOIN cnt ON cnt.t = tok.t CROSS JOIN tt
+    GROUP BY tok.doc_id
+    """,
+)
+def q133_perplexity_unigram(spark, sf_dir) -> DataFrame:
+    """Language-model quality filtering, CCNet-style, with the LM the
+    engine can train in-query: a unigram model with add-1 smoothing over
+    the corpus itself. Per-doc mean token surprisal −ln p(t) is the
+    perplexity proxy (monotone in it) — docs far above the corpus median
+    are line noise, far below are boilerplate; both ends get filtered in
+    a real pipeline (the thresholds stay downstream policy, the score is
+    emitted for every doc).
+
+    Cross-engine discipline: ln on identical doubles agrees (the q67
+    precedent); the per-doc MEAN of surprisals is a float sum, so each
+    term is cast to DECIMAL(28,12) first — exact, order-independent
+    summation (the functions.dsum discipline; 12 decimals ≪ the 17th
+    significant digit where double reprs diverge). Plan: one token-count
+    shuffle (vocab-sized values), one shuffle join of tokens against
+    their counts keyed on the token, one per-doc rollup; corpus totals
+    fold in as a cross-joined 1-row aggregate — fully lazy."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    cnt = tok.groupBy("t").agg(F.count("*").alias("n_t"))
+    tt = cnt.agg(
+        F.sum("n_t").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    surprisal = -F.log(
+        (F.col("n_t") + 1.0) / (F.col("tot") + F.col("vocab"))
+    )
+    return (
+        tok.join(cnt, "t")
+        .crossJoin(tt)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.round(
+                F.sum(surprisal.cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_surprisal"),
+        )
+    )

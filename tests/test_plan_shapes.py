@@ -167,3 +167,51 @@ def test_q124_bloom_bits_broadcast(spark):
 
     df = QUERIES["q124_bloom_decontaminate"](spark, SF_CHECK)
     assert P.has_broadcast_join(df)
+
+
+def test_q130_corpus_never_shuffles(spark):
+    """Quantized top-k keeps the q64 shape: queries broadcast (nested-loop
+    on the non-equi self-exclusion), the corpus is scanned once (codes +
+    scores in the scan stage), and the only exchange is the per-query
+    window rank."""
+    df = QUERIES["q130_sim_quantized_topk"](spark, SF_CHECK)
+    assert plans.has_broadcast(df)
+    assert plans.shuffle_count(df) <= 1
+
+
+def test_q129_assignment_broadcasts(spark):
+    """SemDeDup's cluster assignment must be the scan-stage argmax kernel
+    (one-row centroid-array broadcast, zero corpus shuffle on that path);
+    the quadratic never leaves cluster scope (join keyed on cent_id), so
+    the full plan's exchanges are the pair join + verdict join only."""
+    df = QUERIES["q129_semdedup"](spark, SF_CHECK)
+    assert plans.has_broadcast(df)
+    assert plans.shuffle_count(df) <= 6
+
+
+def test_kmeans_assignment_no_corpus_shuffle(spark):
+    """The k-means assignment kernel shared by q103/q72/q129 must be pure
+    scan-stage work on the corpus side: the ONLY exchange in the plan is
+    the SinglePartition fold of the k-row centroid set into its one-row
+    array (k rows, not corpus rows), which then arrives by broadcast. No
+    hash/range exchange may appear — that would be the old corpus×k
+    window shuffle."""
+    df = QUERIES["q103_kmeans_assign"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("Exchange rangepartitioning") == 0
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert plans.has_broadcast(df)
+
+
+def test_q132_split_zero_shuffle(spark):
+    """Split assignment is pure scan-stage expression work."""
+    assert plans.shuffle_count(QUERIES["q132_split_assign"](spark, SF_CHECK)) == 0
+
+
+def test_q134_single_digest_shuffle(spark):
+    """Keep-best dedup shuffles once, keyed on the md5 digest (never the
+    raw prefix)."""
+    df = QUERIES["q134_dedup_keep_best"](spark, SF_CHECK)
+    assert plans.shuffle_count(df) == 1
+    assert "md5" in plans.physical_plan(df)
