@@ -449,35 +449,51 @@ def q129_semdedup(spark, sf_dir) -> DataFrame:
     q62 discipline). Cross-cluster near-dups are the accepted recall loss;
     q78's block-grid GEMM is the exact-recall alternative.
 
-    Plan: assignment is the broadcast k-means kernel (corpus never
-    shuffles; clustering.assign_to_centroids); the pair join shuffles on
-    cent_id so each cluster's quadratic runs executor-local, bounded by
-    cluster size — exactly the bound that makes SemDeDup work at 100 TB
-    (k scales with corpus so clusters stay ~constant-sized; skewed giant
-    clusters would get the q84 salting treatment or a cluster-size cap).
+    Plan — the q65 two-phase discipline, scoped per cluster:
+    1. assignment is the zero-shuffle scan-stage argmax kernel
+       (assign_to_centroids); ONE shuffle moves each cluster's vectors to
+       one task, where numpy GEMMs the cluster against itself — the
+       quadratic runs executor-local, bounded by cluster size, at GEMM
+       speed instead of an interpreted per-pair fold. Exactly the bound
+       that makes SemDeDup work at 100 TB (k scales with corpus so
+       clusters stay ~constant-sized; skewed giant clusters would get
+       the q84 salting treatment or a cluster-size cap).
+    2. candidates (kept above τ − ε so none can be lost) are re-scored
+       with the exact fold dot, bit-identical to the oracle.
     Every vector is emitted with its verdict so downstream filters join
     on `kept` instead of re-deriving it."""
+    import numpy as np
+    import pandas as pd
+
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = em.filter(F.col("vec_id") < _K).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
     asg = assign_to_centroids(em, cents)
-    a = asg.select(
-        F.col("cent_id").alias("cent_a"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
+    guard = _SEM_TAU - 1e-6
+
+    def gemm_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        sims = m @ m.T
+        ii, jj = np.nonzero(sims >= guard)
+        keep = ids[ii] < ids[jj]
+        return pd.DataFrame({"vec_a": ids[ii][keep], "vec_b": ids[jj][keep]})
+
+    cand = (
+        asg.select("cent_id", "vec_id", "embedding")
+        .groupBy("cent_id")
+        .applyInPandas(gemm_cluster, schema="vec_a long, vec_b long")
     )
-    b = asg.select(
-        F.col("cent_id").alias("cent_b"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-    )
+    a = em.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = em.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     dup = (
-        a.join(
-            b,
-            (F.col("cent_a") == F.col("cent_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .filter(F.round(dot(F.col("emb_a"), F.col("emb_b")), 6) >= _SEM_TAU)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()

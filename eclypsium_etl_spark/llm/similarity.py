@@ -445,3 +445,53 @@ def q130_sim_quantized_topk(spark, sf_dir) -> DataFrame:
             F.round("exact_raw", 6).alias("exact_sim"),
         )
     )
+
+
+# ---- embedding hygiene validation (q136) -------------------------------
+@query(
+    "q136_embedding_validate",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           abs(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) - 1.0) < 0.001
+               AS is_unit,
+           len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0
+               AS has_nan,
+           len(list_filter(embedding, x -> CAST(x AS DOUBLE) = 0.0))
+               = len(embedding) AS is_zero
+    FROM embeddings
+    """,
+)
+def q136_embedding_validate(spark, sf_dir) -> DataFrame:
+    """Embedding-column hygiene: per-vector dimension, L2 norm,
+    unit-norm / NaN / all-zero flags — the validation pass that must gate
+    every similarity operator here, because functions.dot's cross-engine
+    parity PRECONDITION is equal-length NaN-free arrays (a dim mismatch
+    silently diverges between engines; this operator is how a corpus
+    proves it can't happen). A real ingest runs this before building any
+    index and quarantines rows that fail.
+
+    The norm is the same left-fold double accumulation as functions.dot
+    (sqrt is correctly rounded in both engines, so round-6 parity holds).
+    Pure scan-stage array HOFs: zero shuffle, no UDF; at 100 TB this
+    rides along with the ingest scan for free."""
+    em = table(spark, sf_dir, "embeddings")
+    xd = "CAST(x AS DOUBLE)"
+    sumsq = (
+        f"aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        f" (acc, x) -> acc + {xd} * {xd})"
+    )
+    norm = F.sqrt(F.expr(sumsq))
+    return em.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(norm, 6).alias("l2_norm"),
+        (F.abs(norm - 1.0) < 0.001).alias("is_unit"),
+        F.expr(f"size(filter(embedding, x -> isnan({xd}))) > 0").alias("has_nan"),
+        F.expr(
+            f"size(filter(embedding, x -> {xd} = 0.0)) = size(embedding)"
+        ).alias("is_zero"),
+    )

@@ -888,3 +888,39 @@ def q133_perplexity_unigram(spark, sf_dir) -> DataFrame:
             ).alias("mean_surprisal"),
         )
     )
+
+
+# ---- canonical text normalization (q135) -------------------------------
+@query(
+    "q135_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm_text,
+           md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_hash,
+           length(text) - length(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+               AS n_removed
+    FROM documents
+    """,
+)
+def q135_text_normalize(spark, sf_dir) -> DataFrame:
+    """Canonical text normalization — the cleaning step that runs BEFORE
+    every hash-based dedup so trivially-different copies (case, runs of
+    whitespace) collide: lowercase, collapse whitespace runs, trim, and
+    emit the normalized content hash (the key q62/q102/q134 would group
+    on in a real pipeline — normalization and dedup compose as
+    norm_hash → ops.dedup). n_removed audits how much the normalizer
+    changed, so a corpus where normalization is destructive gets noticed.
+
+    Unicode note: full NFC/NFKC folding needs ICU, absent here — the
+    kernel is the ASCII subset both engines implement identically; the
+    NFC pass would slot into the same expression (Spark 4 has no builtin
+    NFC; production adds a pandas_udf with unicodedata). Pure scan-stage
+    expression work: zero shuffle, JVM regexp, no UDF."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_hash"),
+        (F.length("text") - F.length(norm)).alias("n_removed"),
+    )

@@ -106,7 +106,8 @@ _CHEAP_FIRST = [
     "q123_quality_repetition", "q125_sample_weighted", "q120_dedup_blocks",
     "q126_sessionize", "q124_bloom_decontaminate", "q127_running_total",
     "q128_heavy_hitters_cms", "q131_mixture_temperature",
-    "q132_split_assign", "q134_dedup_keep_best", "q133_perplexity_unigram",
+    "q132_split_assign", "q135_text_normalize", "q136_embedding_validate",
+    "q134_dedup_keep_best", "q133_perplexity_unigram",
     "q130_sim_quantized_topk", "q129_semdedup",
     # --- tier 3: driver-green in r1/r2 (98), cheapest-first ---
     "q96_unpivot", "q61_udtf", "q109_pad_trim", "q99_bitwise", "q98_string_distance",

@@ -259,3 +259,34 @@ def test_q134_one_keeper_per_group_highest_quality(spark):
         best = max(r.quality for r in g)
         assert keepers[0].quality == best
         assert all(len(g) == r.n_group for r in g)
+
+
+def test_q135_normalize_composes_with_dedup(spark):
+    """Normalization must be idempotent and its hash must merge copies
+    that differ only by case/whitespace: a doctored corpus with such
+    copies collapses to one norm_hash group per original."""
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [(1, "Foo  Bar baz"), (2, "foo bar BAZ"), (3, " foo bar baz "), (4, "other doc")],
+        "doc_id long, text string",
+    )
+    norm = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+    out = d.select("doc_id", norm.alias("n"), F.md5(norm).alias("h")).collect()
+    h = {r.doc_id: r.h for r in out}
+    assert h[1] == h[2] == h[3] != h[4]
+    # idempotence: normalizing the normalized text is the identity
+    again = (
+        d.select(norm.alias("text"))
+        .select(F.trim(F.regexp_replace(F.lower("text"), " +", " ")).alias("n2"), "text")
+        .collect()
+    )
+    assert all(r.n2 == r.text for r in again)
+
+
+def test_q136_validates_fixture_corpus(spark):
+    """The embeddings fixture must satisfy dot()'s precondition: one
+    distinct dim, no NaN, no zero vectors, all unit-norm."""
+    rows = QUERIES["q136_embedding_validate"](spark, SF_CHECK).collect()
+    assert len({r.dim for r in rows}) == 1
+    assert all(not r.has_nan and not r.is_zero and r.is_unit for r in rows)

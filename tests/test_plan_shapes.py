@@ -215,3 +215,10 @@ def test_q134_single_digest_shuffle(spark):
     df = QUERIES["q134_dedup_keep_best"](spark, SF_CHECK)
     assert plans.shuffle_count(df) == 1
     assert "md5" in plans.physical_plan(df)
+
+
+def test_q135_q136_zero_shuffle(spark):
+    """Normalization and embedding validation are scan-stage expression
+    work — zero exchanges."""
+    for name in ("q135_text_normalize", "q136_embedding_validate"):
+        assert plans.shuffle_count(QUERIES[name](spark, SF_CHECK)) == 0, name
