@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from ..functions import dsum, dsum_sql
 from ..io import table
 from ..registry import query
+from ..llm.text import _QUALITY_SQL as _TEXT_QUALITY_SQL
 
 # Parquet-level schema for streaming reads: events.ts is TIMESTAMP(NANOS),
 # which Spark reads as long under nanosAsLong — readStream needs the
@@ -49,17 +50,23 @@ _EVENTS_RAW = T.StructType(
 )
 
 
-def _events_stream_dir(sf_dir: str) -> str:
+def _stream_src_dir(sf_dir: str, table_name: str) -> str:
     """The file-stream source wants a *directory*; stage one containing a
     symlink to the fixture parquet (read-only testdata stays untouched)."""
     staged = os.path.join(
-        tempfile.gettempdir(), "eclypsium_stream_src", sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(),
+        "eclypsium_stream_src",
+        sf_dir.strip("/").replace("/", "_") + "_" + table_name,
     )
     os.makedirs(staged, exist_ok=True)
-    link = os.path.join(staged, "events.parquet")
+    link = os.path.join(staged, f"{table_name}.parquet")
     if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+        os.symlink(f"{sf_dir}/{table_name}.parquet", link)
     return staged
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    return _stream_src_dir(sf_dir, "events")
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,3 +351,68 @@ def q58_stream_foreachbatch(spark, sf_dir) -> DataFrame:
         .trigger(availableNow=True)
     )
     return spark.read.parquet(out)
+
+
+_DOCS_RAW = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as an unbounded stream (file-replay source) with a
+    deterministic synthetic event time (one doc per minute by doc_id) —
+    the fixture has no ingest timestamp, and the curation stream needs
+    one for watermarking; a real corpus feed carries its crawl time."""
+    raw = spark.readStream.schema(_DOCS_RAW).parquet(
+        _stream_src_dir(sf_dir, "documents")
+    )
+    # +1h offset: doc_id 0 must not land exactly on the epoch — the initial
+    # watermark is epoch 0 and stateful dedup treats ts <= watermark as late.
+    return raw.withColumn("ts", F.timestamp_seconds(F.col("doc_id") * 60 + 3600))
+
+
+@query(
+    "q137_stream_curation",
+    oracle=f"""
+    SELECT doc_id, lang, source, {_TEXT_QUALITY_SQL} AS quality,
+           md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_hash
+    FROM documents WHERE {_TEXT_QUALITY_SQL} >= 0.5
+    """,
+)
+def q137_stream_curation(spark, sf_dir) -> DataFrame:
+    """Streaming corpus curation — the batch curation pipeline (q116's
+    shape: normalize → quality-gate → dedup) run as ONE Structured
+    Streaming query over a document feed: per-doc scoring and
+    normalization are scan-stage expressions on the micro-batch, the
+    quality gate filters BEFORE the stateful operator (state only ever
+    holds survivors), and dedup is dropDuplicatesWithinWatermark on the
+    NORMALIZED content hash, so trivially-different copies collapse while
+    the watermark bounds state on an unbounded feed. The source is
+    deliberately doubled (two replays) to prove the dedup state works;
+    16-byte digests key the state, never document text (the q102
+    discipline applied to streaming state).
+
+    On a finite in-order replay nothing is late, so the drained stream
+    equals the batch statement of the same pipeline — the differential
+    oracle the driver hash-checks."""
+    from ..llm.text import quality_col
+
+    norm = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+    doubled = stream_documents(spark, sf_dir).unionByName(
+        stream_documents(spark, sf_dir)
+    )
+    curated = (
+        doubled.withColumn("norm_hash", F.md5(norm))
+        .withColumn("quality", quality_col())
+        .filter(F.col("quality") >= 0.5)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["norm_hash"])
+    )
+    qname, _ = run_available_now(
+        lambda name, ckpt: curated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    return spark.table(qname).select(
+        "doc_id", "lang", "source", "quality", "norm_hash"
+    )
