@@ -76,6 +76,10 @@ HEADLINE = [
     "q130_sim_quantized_topk",
     "q133_perplexity_unigram",
     "q134_dedup_keep_best",
+    "q137_stream_curation",
+    "q138_doc_chunking",
+    "q140_ngram_decontaminate",
+    "q142_knn_graph",
 ]
 
 

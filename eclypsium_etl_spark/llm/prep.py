@@ -1,0 +1,333 @@
+"""Training-data preparation operators beyond dedup/similarity — RAG
+chunking, n-gram decontamination, vocabulary induction, and the
+mutual-kNN graph that SemDeDup-style semantic dedup builds on.
+
+All batch shapes here are scan-stage array expressions plus at most one
+keyed aggregation — the chunker and gram generators are per-row
+`transform`/`slice` lambdas that run inside whole-stage codegen, so at
+100 TB they cost one pass over the corpus with zero extra shuffles
+before the (optional) aggregate.
+
+Reference parity: the reference pipeline (mercadolibre_pipeline_dag.py)
+has no LLM surface; these extend SURVEY.md §2.13's training-data family
+(q62-q78, q114-q137) with the remaining curation steps a pretraining
+corpus pipeline runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import dot_sql
+from ..io import table
+from ..registry import query
+
+_CHUNK_W = 64   # tokens per RAG chunk
+_CHUNK_S = 48   # chunk stride (25% overlap)
+_GRAM_N = 5     # decontamination n-gram width
+_EVAL_MAX = 20  # doc_id < 20 stands in for the held-out eval set (q115's convention)
+_CONTAM_TAU = 0.2
+_VOCAB_TOP = 50
+_KNN_K = 5
+_KNN_TAU = 0.30  # radius bound — same threshold family as q65
+
+
+@query(
+    "q138_doc_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, greatest(len(toks) - 1, 0), {_CHUNK_S})) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           start // {_CHUNK_S} AS chunk_id,
+           array_to_string(list_slice(toks, start + 1, start + {_CHUNK_W}), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, start + 1, start + {_CHUNK_W})) AS BIGINT) AS n_chunk_toks
+    FROM s
+    """,
+)
+def q138_doc_chunking(spark, sf_dir) -> DataFrame:
+    """Overlapping token-window chunking (RAG/embedding prep): every doc
+    becomes ceil(n_toks/stride) chunks of ≤ 64 tokens with 16-token
+    overlap. Pure scan-stage work — `sequence` generates the chunk starts
+    per row and `slice` materializes each window, all inside codegen; no
+    shuffle, no UDF, and chunk count scales with the doc, not the corpus.
+    At 100 TB this runs as the projection of the corpus scan and writes
+    straight back out partitioned however the index wants it."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "toks",
+            F.posexplode(
+                F.expr(f"sequence(0, greatest(size(toks) - 1, 0), {_CHUNK_S})")
+            ).alias("chunk_id", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(
+                F.expr(f"slice(toks, start + 1, {_CHUNK_W})"), " "
+            ).alias("chunk_text"),
+            F.size(F.expr(f"slice(toks, start + 1, {_CHUNK_W})"))
+            .cast("long")
+            .alias("n_chunk_toks"),
+        )
+    )
+
+
+@query(
+    "q139_scd2_history",
+    oracle="""
+    WITH runs AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    starts AS (
+        SELECT user_id, event_type, ts AS valid_from, event_id
+        FROM runs WHERE is_start = 1
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           lead(valid_from) OVER w2 IS NULL AS is_current
+    FROM starts
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+)
+def q139_scd2_history(spark, sf_dir) -> DataFrame:
+    """SCD type-2 historization: collapse each user's event stream into
+    validity intervals of its tracked attribute (event_type) — a run
+    starts where the attribute differs from its predecessor; valid_to is
+    the next run's valid_from; the open interval is current.
+
+    Two windows over the SAME partitioning key (user_id), so Spark plans
+    ONE shuffle and both window operators run on the co-partitioned sort
+    — the classic CDC-to-dimension compaction, fully distributed (no
+    per-entity driver loop). Ties on ts break by event_id, so the history
+    is deterministic under cross-engine nanosecond truncation."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    e = table(spark, sf_dir, "events")
+    starts = (
+        e.withColumn(
+            "is_start",
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+        )
+        .filter("is_start")
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    return starts.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+_GRAMS_DUCK = (
+    f"list_distinct(list_transform(generate_series(1, len(toks) - {_GRAM_N - 1}),"
+    f" i -> array_to_string(list_slice(toks, i, i + {_GRAM_N - 1}), ' ')))"
+)
+# Spark's sequence() rejects descending bounds with a positive step, so the
+# short-doc case needs an explicit guard (DuckDB's generate_series returns
+# an empty list there).
+_GRAMS_SPARK = (
+    f"CASE WHEN size(toks) >= {_GRAM_N} THEN array_distinct("
+    f"  transform(sequence(1, size(toks) - {_GRAM_N - 1}),"
+    f"    i -> concat_ws(' ', slice(toks, i, {_GRAM_N}))))"
+    f" ELSE array() END"
+)
+
+
+@query(
+    "q140_ngram_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, unnest({_GRAMS_DUCK}) AS gram FROM t),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < {_EVAL_MAX}),
+    c AS (
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM g LEFT JOIN ev USING (gram)
+        WHERE g.doc_id >= {_EVAL_MAX} GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(c.n_grams, 0) AS n_grams,
+           CAST(COALESCE(c.n_hit, 0) AS BIGINT) AS n_hit,
+           round(CASE WHEN COALESCE(c.n_grams, 0) > 0
+                      THEN COALESCE(c.n_hit, 0) / c.n_grams ELSE 0.0 END, 6) AS overlap_frac,
+           CASE WHEN COALESCE(c.n_grams, 0) > 0
+                THEN COALESCE(c.n_hit, 0) / c.n_grams ELSE 0.0 END
+               >= {_CONTAM_TAU} AS contaminated
+    FROM documents d LEFT JOIN c USING (doc_id)
+    WHERE d.doc_id >= {_EVAL_MAX}
+    """,
+)
+def q140_ngram_decontaminate(spark, sf_dir) -> DataFrame:
+    """N-gram-overlap decontamination (the GPT-3/PaLM recipe): a training
+    doc is contaminated when the fraction of its distinct 5-grams that
+    also appear in the held-out eval set exceeds τ. Stricter than q124's
+    Bloom membership (graded overlap, not any-hit) and exact where q115's
+    shingle screen is thresholded.
+
+    Scale shape: the eval side is distinct 5-grams of a BOUNDED benchmark
+    set — it broadcasts by construction, so the corpus-side gram stream
+    joins map-side and the only shuffle is the per-doc count aggregate.
+    Short docs (< 5 tokens) surface with n_grams = 0, not silently
+    dropped — a curation gate must emit a verdict for every doc."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    grams = d.select("doc_id", F.explode(F.expr(_GRAMS_SPARK)).alias("gram"))
+    ev = (
+        grams.filter(F.col("doc_id") < _EVAL_MAX)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    counts = (
+        grams.filter(F.col("doc_id") >= _EVAL_MAX)
+        .join(F.broadcast(ev), "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"))
+    )
+    frac = F.when(
+        F.col("n_grams") > 0, F.col("n_hit") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return (
+        d.filter(F.col("doc_id") >= _EVAL_MAX)
+        .select("doc_id")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.round(frac, 6).alias("overlap_frac"),
+            (frac >= _CONTAM_TAU).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "q141_bigram_vocab",
+    oracle=f"""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    p AS (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS pair
+        FROM t
+    )
+    SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {_VOCAB_TOP}
+    """,
+)
+def q141_bigram_vocab(spark, sf_dir) -> DataFrame:
+    """Vocabulary induction, BPE step 1: count adjacent token pairs across
+    the corpus and keep the top merges. Pair generation is a per-row
+    `transform` over the token array (codegen, no self-join on position —
+    the naive explode-then-join-on-pos+1 shape would shuffle the whole
+    token stream twice); the count is one two-phase hash aggregate and the
+    top-k is TakeOrderedAndProject, so nothing but (pair, count) rows ever
+    shuffle. A full BPE trainer iterates this with the merge applied —
+    each iteration is this same one-aggregate pass."""
+    d = table(spark, sf_dir, "documents").select(F.split("text", " ").alias("toks"))
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN transform("
+                "  sequence(1, size(toks) - 1),"
+                "  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_VOCAB_TOP)
+    )
+
+
+@query(
+    "q142_knn_graph",
+    oracle=f"""
+    WITH sims AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {dot_sql('a.embedding', 'b.embedding')} AS s
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    edges AS (
+        SELECT src, dst, s FROM (
+            SELECT src, dst, s,
+                   row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rn
+            FROM sims WHERE round(s, 6) >= {_KNN_TAU}
+        ) WHERE rn <= {_KNN_K}
+    )
+    SELECT e.src, e.dst, round(e.s, 6) AS sim,
+           (m.src IS NOT NULL) AS is_mutual
+    FROM edges e LEFT JOIN edges m ON m.src = e.dst AND m.dst = e.src
+    """,
+)
+def q142_knn_graph(spark, sf_dir) -> DataFrame:
+    """Radius-bounded mutual-kNN graph over the embedding corpus — the
+    structure SemDeDup (q129), diversity filtering, and graph clustering
+    consume: for every vector, its top-k neighbors above similarity τ,
+    with mutuality marked (mutual edges are the high-precision ones).
+
+    τ bounds the candidate set so the graph is buildable at scale: phase 1
+    reuses q65's block-grid GEMM kernel (executor-side numpy over block
+    pairs, τ−ε guard — candidates grow with the τ-ball, never n²), phase 2
+    re-scores candidates with the bit-exact JVM fold and ranks per source
+    with one window. The mutuality check is a self-join of the EDGE list
+    (n·k rows, tiny vs the corpus). At 100 TB the GEMM phase swaps in the
+    IVF cell restriction (q72) — same downstream graph shape."""
+    from ..functions import dot
+    from .similarity import grid_gemm_candidates
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cand = grid_gemm_candidates(em, _KNN_TAU)
+    # both directions: the grid emits each unordered pair once
+    cand = cand.union(
+        cand.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    )
+    a = em.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = em.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
+    edges = (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            F.col("vec_a").alias("src"),
+            F.col("vec_b").alias("dst"),
+            dot(F.col("emb_a"), F.col("emb_b")).alias("s"),
+        )
+        .filter(F.round("s", 6) >= _KNN_TAU)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("src", "dst", "s")
+    )
+    e, m = edges.alias("e"), edges.alias("m")
+    return e.join(
+        m,
+        (F.col("m.src") == F.col("e.dst")) & (F.col("m.dst") == F.col("e.src")),
+        "left",
+    ).select(
+        F.col("e.src").alias("src"),
+        F.col("e.dst").alias("dst"),
+        F.round("e.s", 6).alias("sim"),
+        F.col("m.src").isNotNull().alias("is_mutual"),
+    )

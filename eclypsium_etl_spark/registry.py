@@ -46,6 +46,7 @@ _MODULES = [
     "eclypsium_etl_spark.streaming.queries",
     "eclypsium_etl_spark.streaming.advanced_queries",
     "eclypsium_etl_spark.llm.dedup",
+    "eclypsium_etl_spark.llm.prep",
     "eclypsium_etl_spark.llm.clustering",
     "eclypsium_etl_spark.llm.similarity",
     "eclypsium_etl_spark.llm.text",

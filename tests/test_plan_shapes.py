@@ -222,3 +222,38 @@ def test_q135_q136_zero_shuffle(spark):
     work — zero exchanges."""
     for name in ("q135_text_normalize", "q136_embedding_validate"):
         assert plans.shuffle_count(QUERIES[name](spark, SF_CHECK)) == 0, name
+
+
+def test_q138_chunking_zero_shuffle(spark):
+    """RAG chunking is scan-stage sequence/slice work — no exchange."""
+    assert plans.shuffle_count(QUERIES["q138_doc_chunking"](spark, SF_CHECK)) == 0
+
+
+def test_q139_scd2_single_shuffle(spark):
+    """Both SCD-2 windows share the user_id partitioning — ONE exchange."""
+    assert plans.shuffle_count(QUERIES["q139_scd2_history"](spark, SF_CHECK)) == 1
+
+
+def test_q140_eval_grams_broadcast(spark):
+    """The eval-set gram join must be map-side: the corpus gram stream
+    never shuffles for the membership probe, only for the per-doc count."""
+    df = QUERIES["q140_ngram_decontaminate"](spark, SF_CHECK)
+    assert plans.has_broadcast_join(df)
+
+
+def test_q141_vocab_topk_not_global_sort(spark):
+    """Top-merge selection is TakeOrderedAndProject over one aggregate —
+    a global sort of the pair-count table would be the wrong plan."""
+    df = QUERIES["q141_bigram_vocab"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plans.shuffle_count(df) == 1
+
+
+def test_q142_knn_graph_distributed(spark):
+    """The kNN graph inherits q65's kernel contract: candidates come from
+    the cogrouped GEMM (FlatMapGroupsInPandas), never a nested-loop
+    cross join of the corpus."""
+    plan = plans.physical_plan(QUERIES["q142_knn_graph"](spark, SF_CHECK))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
