@@ -23,10 +23,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (q01). Plain parquet scan: Catalyst handles
     predicate pushdown and column pruning for whatever is layered on top.
 
-    Timestamp note: events.parquet stores TIMESTAMP(NANOS), which Spark's
-    reader rejects. We read nanos as long (runtime conf, safe to set on any
-    session) and truncate to microseconds — exactly what DuckDB does when it
-    surfaces the same column as TIMESTAMP, so oracle parity holds.
+    Timestamp note: the fixture's physical timestamp encoding has CHANGED
+    across generations — TIMESTAMP(NANOS) (rounds 1-2) vs TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (round 3) — so normalization is adaptive on the
+    READ dtype, not hardcoded:
+      - nanos: Spark's reader rejects ns timestamps; read nanos-as-long
+        (runtime conf, safe on any session) and truncate to µs — exactly
+        DuckDB's ns→µs truncation, so oracle parity holds;
+      - naive micros: Spark infers TIMESTAMP_NTZ; cast to TIMESTAMP (LTZ).
+        Under the engine's pinned UTC session timezone the instant is
+        unchanged, and every downstream consumer (epoch casts, range
+        frames, streaming event time) sees the same LTZ type rounds 1-2
+        produced.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -34,14 +42,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if expected is not None:
         actual = dict(df.dtypes)
         for field in expected.fields:
-            if (
-                isinstance(field.dataType, T.TimestampType)
-                and actual.get(field.name) == "bigint"
-            ):
-                df = df.withColumn(
-                    field.name,
-                    F.timestamp_micros(F.expr(f"{field.name} div 1000")),
-                )
+            if isinstance(field.dataType, T.TimestampType):
+                if actual.get(field.name) == "bigint":
+                    df = df.withColumn(
+                        field.name,
+                        F.timestamp_micros(F.expr(f"{field.name} div 1000")),
+                    )
+                elif actual.get(field.name) == "timestamp_ntz":
+                    df = df.withColumn(
+                        field.name, F.col(field.name).cast("timestamp")
+                    )
     return df
 
 

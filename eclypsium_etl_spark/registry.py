@@ -110,6 +110,8 @@ _CHEAP_FIRST = [
     "q132_split_assign", "q135_text_normalize", "q136_embedding_validate",
     "q134_dedup_keep_best", "q133_perplexity_unigram",
     "q130_sim_quantized_topk", "q129_semdedup",
+    "q138_doc_chunking", "q139_scd2_history", "q140_ngram_decontaminate",
+    "q141_bigram_vocab", "q142_knn_graph", "q137_stream_curation",
     # --- tier 3: driver-green in r1/r2 (98), cheapest-first ---
     "q96_unpivot", "q61_udtf", "q109_pad_trim", "q99_bitwise", "q98_string_distance",
     "q75_text_token_count", "q76_text_fingerprint", "q97_array_setops", "q74_text_quality", "q50_case_when",

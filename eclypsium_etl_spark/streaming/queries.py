@@ -35,19 +35,33 @@ from ..io import table
 from ..registry import query
 from ..llm.text import _QUALITY_SQL as _TEXT_QUALITY_SQL
 
-# Parquet-level schema for streaming reads: events.ts is TIMESTAMP(NANOS),
-# which Spark reads as long under nanosAsLong — readStream needs the
-# physical schema, conversion to µs timestamps happens right after.
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.LongType(), False),
-        T.StructField("user_id", T.LongType(), False),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+# Parquet-level schema for streaming reads. readStream requires an
+# explicit schema, and that schema must match the fixture's PHYSICAL
+# timestamp encoding — which has differed across fixture generations
+# (TIMESTAMP(NANOS), which Spark only reads as long under nanosAsLong,
+# vs plain TIMESTAMP(MICROS)). The unit is sniffed from the parquet
+# footer (driver-side metadata read, no data IO) and the ns→µs
+# conversion applied only when the file is actually nanos — batch
+# io.table does the same adaptively via the read dtype.
+def _events_raw_schema(ts_is_nanos: bool) -> T.StructType:
+    ts_type = T.LongType() if ts_is_nanos else T.TimestampType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", ts_type, False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+def _parquet_ts_is_nanos(path: str, col: str = "ts") -> bool:
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(path).field(col).type
+    return getattr(t, "unit", None) == "ns"
 
 
 def _stream_src_dir(sf_dir: str, table_name: str) -> str:
@@ -71,9 +85,15 @@ def _events_stream_dir(sf_dir: str) -> str:
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded stream (file-replay source)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_EVENTS_RAW).parquet(_events_stream_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    nanos = _parquet_ts_is_nanos(f"{sf_dir}/events.parquet")
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_events_raw_schema(nanos)).parquet(
+        _events_stream_dir(sf_dir)
+    )
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def kafka_stream_options(
