@@ -924,3 +924,176 @@ def q135_text_normalize(spark, sf_dir) -> DataFrame:
         F.md5(norm).alias("norm_hash"),
         (F.length("text") - F.length(norm)).alias("n_removed"),
     )
+
+
+_BOILER_N = 6       # boilerplate gram width
+_BOILER_MIN_DF = 5  # grams in ≥ this many docs OF THE SAME SOURCE are boilerplate
+_BOILER_GRAMS_DUCK = (
+    f"list_distinct(list_transform(generate_series(1, len(toks) - {_BOILER_N - 1}),"
+    f" i -> array_to_string(list_slice(toks, i, i + {_BOILER_N - 1}), ' ')))"
+)
+_BOILER_GRAMS_SPARK = (
+    f"CASE WHEN size(toks) >= {_BOILER_N} THEN array_distinct("
+    f"  transform(sequence(1, size(toks) - {_BOILER_N - 1}),"
+    f"    i -> concat_ws(' ', slice(toks, i, {_BOILER_N}))))"
+    f" ELSE array() END"
+)
+
+
+@query(
+    "q149_boilerplate_grams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, source, unnest({_BOILER_GRAMS_DUCK}) AS gram FROM t),
+    boiler AS (
+        SELECT source, gram FROM g
+        GROUP BY source, gram
+        HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DF}
+    ),
+    per_doc AS (
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+        FROM g LEFT JOIN boiler b USING (source, gram)
+        GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, d.source,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+           round(CASE WHEN COALESCE(p.n_grams, 0) > 0
+                      THEN COALESCE(p.n_boiler, 0) / p.n_grams
+                      ELSE 0.0 END, 6) AS boiler_frac
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q149_boilerplate_grams(spark, sf_dir) -> DataFrame:
+    """Intra-source boilerplate detection (the C4/RefinedWeb cleaning
+    heuristic): an n-gram repeated across ≥ K documents of the SAME
+    source (site) is template text — nav bars, footers, cookie banners —
+    and each doc is scored by the fraction of its grams that are
+    boilerplate. Differs from q140 (overlap vs a FIXED eval set,
+    broadcast join) in that the reference set is discovered from the
+    corpus itself, per source.
+
+    Scale shape: gram document-frequency is one groupBy keyed on
+    (source, gram) — the shuffle carries distinct grams, not documents —
+    and the verdict join is keyed the same way, so both co-partition; a
+    source-keyed layout makes the whole thing shuffle-local. The
+    boilerplate table is NOT broadcast: it's corpus-derived and grows
+    with source count, exactly the case q67's TF-IDF fix documents (let
+    AQE decide)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    g = d.select(
+        "doc_id", "source", F.explode(F.expr(_BOILER_GRAMS_SPARK)).alias("gram")
+    )
+    boiler = (
+        g.groupBy("source", "gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BOILER_MIN_DF)
+        .select("source", "gram", F.lit(1).alias("hit"))
+    )
+    per_doc = (
+        g.join(boiler, ["source", "gram"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_boiler"),
+        )
+    )
+    frac = F.when(
+        F.col("n_grams") > 0, F.col("n_boiler") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+            F.round(frac, 6).alias("boiler_frac"),
+        )
+    )
+
+
+_ZIPF_TOP = 200  # fit the head of the rank-frequency curve
+
+
+@query(
+    "q150_zipf_fit",
+    oracle=f"""
+    WITH freq AS (
+        SELECT t AS token, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY t
+    ),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+        FROM freq
+    ),
+    pts AS (
+        SELECT log10(CAST(rank AS DOUBLE)) AS x, log10(CAST(n AS DOUBLE)) AS y
+        FROM ranked WHERE rank <= {_ZIPF_TOP}
+    ),
+    s AS (
+        SELECT COUNT(*) AS m,
+               CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+        FROM pts
+    )
+    SELECT m AS n_points,
+           round((sxy - sx * sy / m) / (sxx - sx * sx / m), 6) AS zipf_slope,
+           round(sy / m - (sxy - sx * sy / m) / (sxx - sx * sx / m) * sx / m, 6)
+               AS zipf_intercept
+    FROM s
+    """,
+)
+def q150_zipf_fit(spark, sf_dir) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: OLS slope of
+    log10(freq) on log10(rank) for the top-200 tokens — the one-number
+    health check for a pretraining corpus (natural text ≈ −1; a synthetic
+    or template-heavy corpus drifts toward 0 or oscillates). Counting is
+    the q66 word-count aggregate; ranking the head is a TakeOrdered-sized
+    window (only top-k rows survive the rank filter); the fit is a 5-sum
+    decimal aggregate over 200 points — nothing after the token count
+    exceeds kilobytes, regardless of corpus size. Log inputs are doubles
+    computed identically on both engines; the decimal sums make the tiny
+    regression order-independent."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    pts = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ZIPF_TOP)
+        .select(
+            F.log10(F.col("rank").cast("double")).alias("x"),
+            F.log10(F.col("n").cast("double")).alias("y"),
+        )
+    )
+    dec = "decimal(28,10)"
+    s = pts.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+    )
+    m, sx, sxx = F.col("m"), F.col("sx"), F.col("sxx")
+    sy, sxy = F.col("sy"), F.col("sxy")
+    slope = (sxy - sx * sy / m) / (sxx - sx * sx / m)
+    return s.select(
+        m.alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(sy / m - slope * sx / m, 6).alias("zipf_intercept"),
+    )

@@ -189,3 +189,37 @@ def q06_sink_report(spark, sf_dir) -> DataFrame:
             F.lit("</td><td>"), bal, F.lit("</td></tr>"),
         ).alias("row_html")
     )
+
+
+@query(
+    "q148_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS TIMESTAMP) AS o_orderdate
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def q148_schema_evolution(spark, sf_dir) -> DataFrame:
+    """Schema evolution on read (mergeSchema): a dataset whose early files
+    carry (o_orderkey, o_totalprice) and later files add o_orderdate is
+    read as ONE table with the union schema, old rows NULL-padded — the
+    append-only column-add pattern every long-lived 100 TB dataset hits.
+    mergeSchema reconciles the footers at planning time (per-file schema
+    union, a driver-side metadata pass over footers — at large file counts
+    you pin the schema explicitly instead); column pruning and pushdown
+    still reach each file with its own physical schema. The oracle states
+    the expected union semantics directly over the source table."""
+    out = _tmpdir(f"q148_evo_{os.path.basename(sf_dir)}")
+    o = table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    v1.write.mode("overwrite").parquet(f"{out}/v=1")
+    v2.write.mode("overwrite").parquet(f"{out}/v=2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{out}/v=1", f"{out}/v=2"
+    )
+    return merged.select("o_orderkey", "o_totalprice", "o_orderdate")

@@ -1,0 +1,255 @@
+"""Statistical / analytical operators: regression aggregates, lateral
+(correlated top-k) joins, histograms, ordered string aggregation, and
+windowed anomaly scoring.
+
+Reference parity: the reference DAG (mercadolibre_pipeline_dag.py) has a
+single filter query and no analytics surface; these extend SURVEY.md
+§2.13 with the descriptive-statistics layer an analytics engine is
+expected to carry (DuckDB/Trino/Snowflake all ship regr_*/width_bucket/
+listagg natively).
+
+Float discipline: every aggregate of doubles goes through the decimal
+moment sums (functions.dsum) so results are order-independent and hash-
+identical to the DuckDB oracle at any parallelism — the built-in
+regr_slope/corr are one-pass float accumulations whose low bits depend
+on partition order, which a differential gate cannot accept.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import dsum, dsum_sql
+from ..io import table
+from ..registry import query
+
+# z-score parameters: trailing frame size and the anomaly threshold
+_Z_FRAME = 20
+_Z_MIN_N = 5
+_Z_TAU = 2.5
+
+
+@query(
+    "q143_regression_agg",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               {dsum_sql('l_quantity')} AS sx,
+               {dsum_sql('l_quantity * l_quantity')} AS sxx,
+               {dsum_sql('l_extendedprice')} AS sy,
+               {dsum_sql('l_extendedprice * l_extendedprice')} AS syy,
+               {dsum_sql('l_quantity * l_extendedprice')} AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+           round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n, 6)
+               AS intercept,
+           round(((sxy - sx * sy / n) * (sxy - sx * sy / n))
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2,
+           round((sxy - sx * sy / n)
+                 / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr
+    FROM s
+    """,
+)
+def q143_regression_agg(spark, sf_dir) -> DataFrame:
+    """Per-group OLS regression + correlation (regr_slope / regr_intercept
+    / regr_r2 / corr) of extendedprice on quantity, computed from the five
+    decimal moment sums — one two-phase hash aggregate over the fact
+    table, the same cost as q90's variance. The built-in regr_* family
+    would give the same values within float noise; the explicit-moment
+    form is the deterministic one (and at 100 TB the moments are also what
+    you'd persist, since they merge associatively across partitions and
+    days)."""
+    li = table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum("l_quantity").alias("sx"),
+        dsum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        dsum("l_extendedprice").alias("sy"),
+        dsum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("syy"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    cov_n = sxy - sx * sy / n  # n·cov — shared numerator
+    var_x = sxx - sx * sx / n
+    var_y = syy - sy * sy / n
+    slope = cov_n / var_x
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(sy / n - slope * sx / n, 6).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr"),
+    )
+
+
+@query(
+    "q144_join_lateral",
+    oracle="""
+    SELECT c.c_custkey, top.o_orderkey, top.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) top
+    WHERE c.c_nationkey = 1
+    """,
+)
+def q144_join_lateral(spark, sf_dir) -> DataFrame:
+    """Correlated LATERAL subquery — per-customer top-2 orders expressed
+    as a dependent join, the SQL-standard twin of q37's window top-k.
+    Catalyst decorrelates it (DomainJoin rewrite) into a join + per-key
+    limit over the distinct correlation domain rather than re-running the
+    inner query per outer row — the plan shape that survives scale; a true
+    nested-loop re-execution would be O(outer × inner scan). Registered in
+    SQL form because LATERAL has no DataFrame-API equivalent."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, top.o_orderkey, top.o_totalprice
+        FROM customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) top
+        WHERE c.c_nationkey = 1
+        """
+    )
+
+
+# Shared bucket expression: semantics of width_bucket(x, 0, 600000, 12)
+# (underflow → 0, overflow → 13), but spelled as the IDENTICAL arithmetic
+# on both engines — the built-ins compute the bin via different float
+# paths (x·n/(hi−lo) vs x/w), which can disagree by 1 ulp for values at a
+# boundary; floor(x/50000) evaluated on the same doubles cannot.
+_BUCKET_SQL = (
+    "CASE WHEN o_totalprice < 0 THEN 0 "
+    "WHEN o_totalprice >= 600000 THEN 13 "
+    "ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) + 1 END"
+)
+
+
+@query(
+    "q145_histogram",
+    oracle=f"""
+    WITH b AS (SELECT {_BUCKET_SQL} AS bucket, o_totalprice FROM orders)
+    SELECT bucket,
+           CAST((bucket - 1) * 50000.0 AS DOUBLE) AS lo,
+           CAST(bucket * 50000.0 AS DOUBLE) AS hi,
+           COUNT(*) AS n,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM b GROUP BY bucket
+    """,
+)
+def q145_histogram(spark, sf_dir) -> DataFrame:
+    """Equi-width histogram (width_bucket semantics) — the scan-stage
+    binning primitive behind distribution profiling and range-partition
+    planning. Bucketing is a pure projection (codegen), the rollup one
+    small aggregate keyed by ≤ n_buckets+2 values — at 100 TB this is a
+    full scan but a kilobyte-sized shuffle. Bucket bounds are derived
+    from the bucket id post-aggregate so the result is self-describing
+    (the overflow bucket keeps its open hi edge visible rather than
+    silently clamping)."""
+    o = table(spark, sf_dir, "orders")
+    b = o.select(F.expr(_BUCKET_SQL).alias("bucket"), "o_totalprice")
+    return (
+        b.groupBy("bucket")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("revenue"))
+        .select(
+            "bucket",
+            ((F.col("bucket") - 1) * 50000.0).cast("double").alias("lo"),
+            (F.col("bucket") * 50000.0).cast("double").alias("hi"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "q146_string_agg",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(DISTINCT c_mktsegment) AS n_segments,
+           string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+               AS segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q146_string_agg(spark, sf_dir) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg): the distinct
+    segment names per nation, '|'-joined in lexical order. Deterministic
+    ONLY because the order is explicit — collect_list order is partition-
+    dependent, so the sort happens inside the aggregate expression
+    (array_sort ∘ collect_set), never relied on from shuffle order. The
+    aggregate state is the distinct set (bounded by segment cardinality),
+    so this scales like a count-distinct, not like the concatenated
+    output."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias(
+            "segments"
+        ),
+    )
+
+
+@query(
+    "q147_anomaly_zscore",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_id, user_id, ts, value,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(28,4))) OVER w AS DOUBLE)
+                   AS sxx
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {_Z_FRAME - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, value,
+           round((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6)
+               AS zscore
+    FROM s
+    WHERE n >= {_Z_MIN_N}
+      AND (sxx - sx * sx / n) / (n - 1) > 0
+      AND abs(round((value - sx / n)
+                    / sqrt((sxx - sx * sx / n) / (n - 1)), 6)) > {_Z_TAU}
+    """,
+)
+def q147_anomaly_zscore(spark, sf_dir) -> DataFrame:
+    """Windowed anomaly detection: each event's value scored against the
+    trailing {frame}-event mean/stddev of ITS user, anomalies = |z| > τ.
+    One shuffle (partition by user), moments via windowed decimal sums so
+    the flag is deterministic at any parallelism; the round-before-compare
+    keeps the τ boundary bit-identical cross-engine. The streaming twin is
+    q87's stateful spend tracker — same per-key moment state, unbounded
+    input."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_Z_FRAME - 1), 0)
+    )
+    e = table(spark, sf_dir, "events")
+    dec = "decimal(28,4)"
+    s = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("*").over(w).alias("n"),
+        F.sum(F.col("value").cast(dec)).over(w).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast(dec))
+        .over(w)
+        .cast("double")
+        .alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    z = F.round((F.col("value") - F.col("sx") / F.col("n")) / F.sqrt(var), 6)
+    return (
+        s.filter((F.col("n") >= _Z_MIN_N) & (var > 0))
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > _Z_TAU)
+        .select("event_id", "user_id", "value", "zscore")
+    )

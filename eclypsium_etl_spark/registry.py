@@ -42,6 +42,7 @@ _MODULES = [
     "eclypsium_etl_spark.operators.breadth",
     "eclypsium_etl_spark.operators.incremental",
     "eclypsium_etl_spark.operators.expressions",
+    "eclypsium_etl_spark.operators.statistics",
     "eclypsium_etl_spark.pipeline",
     "eclypsium_etl_spark.streaming.queries",
     "eclypsium_etl_spark.streaming.advanced_queries",
@@ -112,6 +113,9 @@ _CHEAP_FIRST = [
     "q130_sim_quantized_topk", "q129_semdedup",
     "q138_doc_chunking", "q139_scd2_history", "q140_ngram_decontaminate",
     "q141_bigram_vocab", "q142_knn_graph", "q137_stream_curation",
+    "q143_regression_agg", "q144_join_lateral", "q145_histogram",
+    "q146_string_agg", "q147_anomaly_zscore", "q148_schema_evolution",
+    "q149_boilerplate_grams", "q150_zipf_fit",
     # --- tier 3: driver-green in r1/r2 (98), cheapest-first ---
     "q96_unpivot", "q61_udtf", "q109_pad_trim", "q99_bitwise", "q98_string_distance",
     "q75_text_token_count", "q76_text_fingerprint", "q97_array_setops", "q74_text_quality", "q50_case_when",

@@ -257,3 +257,65 @@ def test_q142_knn_graph_distributed(spark):
     plan = plans.physical_plan(QUERIES["q142_knn_graph"](spark, SF_CHECK))
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q143_regression_single_aggregate(spark):
+    """The six moment sums ride ONE two-phase hash aggregate — the whole
+    regression costs the same shuffle as q90's variance."""
+    df = QUERIES["q143_regression_agg"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+    assert plans.shuffle_count(df) == 1
+
+
+def test_q144_lateral_decorrelated(spark):
+    """LATERAL must become a join over the correlation domain, not a
+    per-outer-row nested-loop re-execution of the subquery."""
+    plan = plans.physical_plan(QUERIES["q144_join_lateral"](spark, SF_CHECK))
+    assert "Join" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q145_histogram_tiny_shuffle(spark):
+    """Binning is scan-stage projection; only the ≤14-key rollup shuffles."""
+    df = QUERIES["q145_histogram"](spark, SF_CHECK)
+    assert plans.shuffle_count(df) == 1
+
+
+def test_q147_zscore_single_window_shuffle(spark):
+    """count/sum/sum² share one user_id window partitioning — ONE exchange."""
+    df = QUERIES["q147_anomaly_zscore"](spark, SF_CHECK)
+    assert plans.shuffle_count(df) == 1
+
+
+def test_q148_merged_read_prunes_columns(spark):
+    """The merged-schema scan still prunes: reading two columns of the
+    evolved dataset must not materialize the third."""
+    df = QUERIES["q148_schema_evolution"](spark, SF_CHECK).select(
+        "o_orderkey", "o_totalprice"
+    )
+    cols = plans.read_schema_columns(df)
+    assert "o_orderdate" not in cols
+
+
+def test_q149_df_table_not_broadcast_by_hint(spark):
+    """The boilerplate table is corpus-derived (grows with source count) —
+    the plan must not pin a broadcast of it; both sides co-partition on
+    (source, gram). AQE may still choose broadcast at fixture scale, but
+    no hint forces it at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from eclypsium_etl_spark.io import table as t
+
+    d = t(spark, SF_CHECK, "documents")
+    # lineage check: the query builds without ResolvedHint nodes
+    df = QUERIES["q149_boilerplate_grams"](spark, SF_CHECK)
+    assert "ResolvedHint" not in df._jdf.queryExecution().logical().toString()
+
+
+def test_q150_zipf_head_only_window(spark):
+    """Only the rank-filtered head reaches the regression aggregate: the
+    plan carries the token count shuffle + the rank window + the final
+    1-row aggregate, nothing quadratic."""
+    df = QUERIES["q150_zipf_fit"](spark, SF_CHECK)
+    assert plans.shuffle_count(df) <= 3
