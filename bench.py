@@ -80,6 +80,10 @@ HEADLINE = [
     "q138_doc_chunking",
     "q140_ngram_decontaminate",
     "q142_knn_graph",
+    "q143_regression_agg",
+    "q147_anomaly_zscore",
+    "q149_boilerplate_grams",
+    "q150_zipf_fit",
 ]
 
 

@@ -1097,3 +1097,82 @@ def q150_zipf_fit(spark, sf_dir) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round(sy / m - slope * sx / m, 6).alias("zipf_intercept"),
     )
+
+
+# top-p (nucleus) corpus selection: keep each source's best docs until the
+# kept set holds _TOPP_NUM/_TOPP_DEN of the source's tokens (exact integer
+# threshold compare — no float at the boundary)
+_TOPP_NUM, _TOPP_DEN = 4, 5
+
+
+@query(
+    "q154_nucleus_topp",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               {_QUALITY_SQL} AS quality
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n_tok) OVER (PARTITION BY source) AS total,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS rnk
+        FROM q
+    )
+    SELECT doc_id, source, n_tok, rnk,
+           round(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+    FROM w
+    WHERE (cum - n_tok) * {_TOPP_DEN} < total * {_TOPP_NUM}
+    """,
+)
+def q154_nucleus_topp(spark, sf_dir) -> DataFrame:
+    """Top-p (nucleus) corpus selection: per source, rank docs by quality
+    and keep the head until it holds p = 80% of the source's tokens —
+    the budgeted-quality cut that drops each domain's worst tail without
+    fixed per-domain quotas (q122) or a global rate (q125). Both window
+    sums share ONE source-keyed exchange; the p boundary is compared in
+    exact integer arithmetic (cum·5 < total·4), so the kept set is
+    bit-deterministic on both engines — a float share at the boundary
+    would not be. The crossing doc is kept (standard nucleus semantics:
+    smallest set whose share ≥ p)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        n_tok_col().cast("long").alias("n_tok"),
+        quality_col().alias("quality"),
+    )
+    from pyspark.sql import Window
+
+    order = [F.desc("quality"), F.asc("doc_id")]
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.sum("n_tok").over(w_cum).alias("cum"),
+        F.sum("n_tok").over(w_all).alias("total"),
+        F.row_number().over(Window.partitionBy("source").orderBy(*order)).alias(
+            "rnk"
+        ),
+    )
+    return ranked.filter(
+        (F.col("cum") - F.col("n_tok")) * _TOPP_DEN < F.col("total") * _TOPP_NUM
+    ).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "rnk",
+        F.round(F.col("cum").cast("double") / F.col("total"), 6).alias(
+            "cum_share"
+        ),
+    )

@@ -223,3 +223,41 @@ def q148_schema_evolution(spark, sf_dir) -> DataFrame:
         f"{out}/v=1", f"{out}/v=2"
     )
     return merged.select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+@query(
+    "q155_sink_dynamic_partition",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rewritten
+    FROM documents GROUP BY source
+    """,
+)
+def q155_sink_dynamic_partition(spark, sf_dir) -> DataFrame:
+    """Partitioned sink with DYNAMIC partition overwrite — the daily-load
+    pattern at scale: a full load lays the table out partitioned by
+    source, a later job rewrites ONLY the partitions it produced (src0,
+    src1 here, marked by negating n_chars) and every other partition's
+    files are untouched. Static overwrite mode would have dropped them —
+    the read-back count per source is the proof, and the oracle states
+    the expected post-rewrite state. partitionBy(source) also gives
+    source-pruned scans to every downstream per-source operator (q149,
+    q154, q122)."""
+    out = _tmpdir(f"q155_dpo_{os.path.basename(sf_dir)}")
+    d = table(spark, sf_dir, "documents")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        d.write.mode("overwrite").partitionBy("source").parquet(out)
+        upd = d.filter(F.col("source").isin("src0", "src1")).withColumn(
+            "n_chars", -F.col("n_chars")
+        )
+        upd.write.mode("overwrite").partitionBy("source").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_chars") < 0, 1).otherwise(0)).alias("n_rewritten"),
+    )

@@ -331,3 +331,125 @@ def q127_running_total(spark, sf_dir) -> DataFrame:
     return out.select(
         "o_orderkey", "o_custkey", (F.col("run_cents") / 100.0).alias("running_total")
     )
+
+
+_IBJ_WIN_S = 1800  # view attribution window (seconds)
+
+
+@query(
+    "q151_interval_bin_join",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_id AS vid, epoch_us(ts) AS s,
+               epoch_us(ts) + {_IBJ_WIN_S} * 1000000 AS e
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT event_id AS eid, user_id, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.eid, p.user_id, COUNT(v.vid) AS n_live_views
+    FROM p LEFT JOIN v ON v.s <= p.t AND p.t < v.e
+    GROUP BY p.eid, p.user_id
+    """,
+)
+def q151_interval_bin_join(spark, sf_dir) -> DataFrame:
+    """Keyless interval containment (every purchase vs the count of ANY
+    live view window, no shared user) — the range join whose only native
+    Spark plan is a broadcast nested loop. ops.interval_bin_join rewrites
+    it as time binning: intervals explode to their (≤2, width = interval
+    length) covered buckets, points hash to one bucket, and the match is
+    an equi join on bucket + residual filter — shuffle-partitioned on
+    time, O(pairs-that-match) not O(n·m), which is the plan that survives
+    100 TB of events. Epoch-microsecond integer arithmetic end-to-end, so
+    both engines bucket identically."""
+    from .. import ops
+
+    e = table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"),
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + _IBJ_WIN_S * 1_000_000).alias("e"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("eid"),
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+    )
+    joined = ops.interval_bin_join(
+        p, v, "t", "s", "e", bucket_width_us=_IBJ_WIN_S * 1_000_000
+    )
+    return joined.groupBy("eid", "user_id").agg(
+        F.count("vid").alias("n_live_views")
+    )
+
+
+_ASOF_TOL_S = 7200  # as-of lookback tolerance (seconds)
+
+
+@query(
+    "q152_asof_tolerance",
+    oracle=f"""
+    SELECT e.event_id, e.ts,
+           (SELECT MAX(p.ts) FROM events p
+             WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+               AND p.ts <= e.ts
+               AND p.ts >= e.ts - INTERVAL {_ASOF_TOL_S} SECOND)
+               AS last_purchase_ts
+    FROM events e WHERE e.event_type = 'click'
+    """,
+)
+def q152_asof_tolerance(spark, sf_dir) -> DataFrame:
+    """Backward as-of join with a staleness bound (pandas merge_asof
+    ``tolerance``): each click sees its user's latest purchase only if it
+    happened within the last 2 h — older state is stale and masked to
+    NULL. Same one-shuffle union-tag kernel as q18; the tolerance is a
+    pure post-fill projection, so bounding staleness costs nothing. The
+    oracle states the semantics as a correlated MAX subquery."""
+    from .. import ops
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    return ops.asof_join(
+        clicks, purchases, "user_id", value_cols=[], tolerance_s=_ASOF_TOL_S
+    ).select("event_id", "ts", F.col("ts_asof").alias("last_purchase_ts"))
+
+
+@query(
+    "q153_rollup_multigrain",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day,
+           date_trunc('hour', ts) AS hour,
+           CAST(grouping(date_trunc('hour', ts)) AS INT) AS is_day_level,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS total
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('day', ts)),
+                            (date_trunc('day', ts), date_trunc('hour', ts)))
+    """,
+)
+def q153_rollup_multigrain(spark, sf_dir) -> DataFrame:
+    """Multi-granularity time rollup (the hypertable/continuous-aggregate
+    shape): hourly and daily aggregates of the event stream in ONE pass
+    via GROUPING SETS, with grouping() tagging the level. Catalyst plans
+    an Expand (one row per grouping set) feeding a single two-phase
+    aggregate — cheaper at 100 TB than two scans, and the day level is
+    derivable from the hour level only by a second shuffle, which this
+    avoids. At petabyte retention you'd persist the hour level and let
+    the day level fold from it incrementally (q106's partial re-agg)."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        f"""
+        SELECT date_trunc('day', ts) AS day,
+               date_trunc('hour', ts) AS hour,
+               CAST(grouping(date_trunc('hour', ts)) AS INT) AS is_day_level,
+               COUNT(*) AS n,
+               {dsum_sql('value')} AS total
+        FROM events
+        GROUP BY GROUPING SETS ((date_trunc('day', ts)),
+                                (date_trunc('day', ts), date_trunc('hour', ts)))
+        """
+    )

@@ -20,6 +20,7 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     right_ts <= left_ts on the same key (backward as-of).
@@ -29,6 +30,13 @@ def asof_join(
     per-row subquery or range join cannot (SURVEY §2.3 q18). A right row
     at exactly left_ts is visible (<=), encoded by sorting right rows
     first among ts ties.
+
+    ``tolerance_s`` bounds the lookback (pandas merge_asof semantics): a
+    match older than left_ts − tolerance is masked back to NULL — applied
+    as a post-fill projection, so the plan cost is unchanged. (The window
+    still carries state per key across the full history; when keys are
+    long-lived and tolerance is short, the binned range join is the
+    alternative that also bounds state.)
     """
     if value_cols is None:  # explicit [] means "timestamps only", not "all"
         value_cols = [c for c in right.columns if c not in (key, right_ts)]
@@ -67,7 +75,20 @@ def asof_join(
             F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
         ).over(w).alias(f"{right_ts}{suffix}"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side", "__ts", *value_cols)
+    out = filled.filter(F.col("__side") == 1).drop("__side", "__ts", *value_cols)
+    if tolerance_s is not None:
+        within = F.col(f"{right_ts}{suffix}") >= F.col(left_ts) - F.expr(
+            f"INTERVAL {tolerance_s} SECONDS"
+        )
+        out = out.select(
+            *[
+                F.when(within, F.col(c)).alias(c)
+                if c in {f"{v}{suffix}" for v in [*value_cols, right_ts]}
+                else F.col(c)
+                for c in out.columns
+            ]
+        )
+    return out
 
 
 def topk_per_group(
@@ -305,3 +326,51 @@ def dedup_groups(
     return comp.withColumn(
         "is_canonical", F.col("doc_id") == F.col("group_id")
     )
+
+
+def interval_bin_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_us: str,
+    start_us: str,
+    end_us: str,
+    bucket_width_us: int,
+    how: str = "left",
+) -> DataFrame:
+    """Range join of points against half-open intervals [start, end) with
+    NO equi key — the case where Spark's only native plan is a nested-loop
+    (O(|points|·|intervals|)). The scalable shape is time binning: each
+    interval explodes to the buckets it covers, each point maps to exactly
+    ONE bucket, and the match becomes an equi join on bucket + a residual
+    range filter. A (point, interval) pair can meet only in the point's
+    bucket, so no post-join dedup is needed. Bucket width should be on the
+    order of the typical interval length: an interval spans
+    len/width (+1) buckets, so width ≫ len wastes selectivity and
+    width ≪ len multiplies the explode.
+
+    Timestamps are epoch-microsecond LONGS (callers convert with
+    unix_micros) — integer bucket arithmetic is exact and engine-portable
+    where float division is not. Columns from both inputs survive;
+    ``how='left'`` keeps unmatched points (interval columns NULL).
+    """
+    b = int(bucket_width_us)
+    # floor division everywhere (true floor, not truncation): the only
+    # correctness requirement is that a point's bucket is always among its
+    # covering interval's buckets, which holds when all three bounds go
+    # through the identical expression
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_us) / b).cast("long"),
+                F.floor((F.col(end_us) - 1) / b).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket", F.floor(F.col(point_us) / b).cast("long"))
+    cond = (
+        (pt["__bucket"] == iv["__bucket"])
+        & (iv[start_us] <= pt[point_us])
+        & (pt[point_us] < iv[end_us])
+    )
+    return pt.join(iv, cond, how).drop("__bucket")

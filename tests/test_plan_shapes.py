@@ -319,3 +319,39 @@ def test_q150_zipf_head_only_window(spark):
     1-row aggregate, nothing quadratic."""
     df = QUERIES["q150_zipf_fit"](spark, SF_CHECK)
     assert plans.shuffle_count(df) <= 3
+
+
+def test_q151_no_nested_loop(spark):
+    """The keyless interval join must bin to an equi join — a broadcast
+    nested loop (Spark's native plan for a pure range predicate) is the
+    O(n·m) shape the kernel exists to avoid."""
+    df = QUERIES["q151_interval_bin_join"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q152_asof_is_one_shuffle_no_join(spark):
+    """Tolerance must not change the as-of kernel's shape: union + one
+    window exchange, zero join operators."""
+    df = QUERIES["q152_asof_tolerance"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    assert "Join" not in plan
+    assert plans.shuffle_count(df) == 1
+
+
+def test_q153_single_pass_expand(spark):
+    """GROUPING SETS plans one Expand + one two-phase aggregate — not one
+    scan per granularity."""
+    df = QUERIES["q153_rollup_multigrain"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    assert plans.shuffle_count(df) == 1
+
+
+def test_q154_both_windows_share_exchange(spark):
+    """Running share + source total + rank all ride ONE source-keyed
+    exchange."""
+    df = QUERIES["q154_nucleus_topp"](spark, SF_CHECK)
+    assert plans.shuffle_count(df) == 1
