@@ -1176,3 +1176,223 @@ def q154_nucleus_topp(spark, sf_dir) -> DataFrame:
             "cum_share"
         ),
     )
+
+
+_TR_D = 0.85     # damping
+_TR_ITERS = 3    # fixed iteration count (unrolled in the oracle)
+_TR_TOP = 20
+_TR_DEC = "DECIMAL(28,18)"
+
+_TR_EDGES_DUCK = f"""
+    t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    pp AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i + 1]))
+                  AS pair
+           FROM t WHERE len(toks) >= 2),
+    e0 AS (SELECT string_split(pair, ' ')[1] AS u,
+                  string_split(pair, ' ')[2] AS v FROM pp),
+    e1 AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    edges AS (SELECT u, v, COUNT(*) AS w FROM e1 GROUP BY u, v),
+    outw AS (SELECT u, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY u),
+    nn AS (SELECT COUNT(*) AS n FROM outw)
+"""
+
+
+def _tr_iter_duck(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+        SELECT e.v AS node,
+               0.15 / MAX(nn.n)
+               + {_TR_D} * CAST(SUM(CAST(p.pr * e.w / o.ow AS {_TR_DEC}))
+                                AS DOUBLE) AS pr
+        FROM edges e
+        JOIN {prev} p ON p.node = e.u
+        JOIN outw o ON o.u = e.u
+        CROSS JOIN nn
+        GROUP BY e.v
+    )"""
+
+
+@query(
+    "q156_textrank",
+    oracle=f"""
+    WITH {_TR_EDGES_DUCK},
+    pr0 AS (SELECT o.u AS node, 1.0 / nn.n AS pr FROM outw o CROSS JOIN nn),
+    {','.join(_tr_iter_duck(f'pr{i}', f'pr{i + 1}') for i in range(_TR_ITERS))}
+    SELECT node AS token, round(pr, 12) AS rank_score, rnk FROM (
+        SELECT node, pr,
+               row_number() OVER (ORDER BY pr DESC, node) AS rnk
+        FROM pr{_TR_ITERS}
+    ) WHERE rnk <= {_TR_TOP}
+    """,
+)
+def q156_textrank(spark, sf_dir) -> DataFrame:
+    """TextRank keyword extraction: PageRank ({_TR_ITERS} fixed
+    iterations, d=0.85) over the undirected adjacent-token co-occurrence
+    graph — the classic iterative graph algorithm, with an EXACT
+    differential oracle (the oracle unrolls the same iterations as
+    chained CTEs; no rows-only cop-out). Per-edge contributions are
+    double arithmetic on identical operands; each iteration's fan-in sum
+    goes through decimal(28,18) so accumulation order can't move a bit.
+    Every node has incoming edges (both directions inserted), so there is
+    no dangling-mass term. Scale shape: edges/outw/pr are all vocab-keyed
+    tables co-partitioned on the join key; one iteration = one join +
+    one aggregate shuffle, and the iteration count is fixed, not
+    data-dependent — at 100 TB you'd persist pr between iterations
+    (clustering.py's fixpoint discipline) instead of growing one lazy
+    plan."""
+    d = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    pairs = d.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS u,"
+                "             element_at(toks, i + 1) AS v))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    e1 = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    edges = e1.groupBy("u", "v").agg(F.count("*").alias("w"))
+    outw = edges.groupBy("u").agg(F.sum("w").cast("long").alias("ow"))
+    nn = outw.agg(F.count("*").alias("n"))
+    pr = outw.crossJoin(nn).select(
+        F.col("u").alias("node"), (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(_TR_ITERS):
+        contrib = (
+            edges.join(pr, edges["u"] == pr["node"])
+            .join(outw, "u")
+            .select(
+                F.col("v"),
+                (F.col("pr") * F.col("w") / F.col("ow")).alias("c"),
+            )
+        )
+        pr = (
+            contrib.groupBy("v")
+            .agg(
+                F.sum(F.col("c").cast(_TR_DEC)).cast("double").alias("s")
+            )
+            .crossJoin(nn)
+            .select(
+                F.col("v").alias("node"),
+                (F.lit(0.15) / F.col("n") + _TR_D * F.col("s")).alias("pr"),
+            )
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pr"), F.asc("node"))
+    return (
+        pr.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TR_TOP)
+        .select(
+            F.col("node").alias("token"),
+            F.round("pr", 12).alias("rank_score"),
+            "rnk",
+        )
+    )
+
+
+_RES_K = 64  # reservoir size
+# md5-derived uniform in (0, 1]: 52 hash bits + 1, over 2^52
+_RES_U_DUCK = (
+    "(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|res1'), 1, 13))"
+    " AS BIGINT) + 1) / 4503599627370496.0"
+)
+
+
+@query(
+    "q158_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln({_RES_U_DUCK}) / n_chars AS k
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, round(k, 8) AS key FROM (
+        SELECT *, row_number() OVER (ORDER BY k DESC, doc_id) AS rnk
+        FROM keyed
+    ) WHERE rnk <= {_RES_K}
+    """,
+)
+def q158_weighted_reservoir(spark, sf_dir) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    each doc draws a deterministic md5 uniform u and is ranked by
+    ln(u)/weight (⇔ u^(1/w)) — the top-k by that key IS a weighted
+    sample without replacement, computed distributed as one
+    TakeOrderedAndProject instead of k sequential draws. Complements
+    q125 (independent Bernoulli by weight, no size bound): this draws an
+    EXACT-size sample. Deterministic u ⇒ rerun-stable and cross-engine
+    identical (same md5 bits, same double arithmetic)."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|res1"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4503599627370496.0)
+    keyed = d.select(
+        "doc_id", "source", "n_chars", (F.log(u) / F.col("n_chars")).alias("k")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RES_K)
+        .select("doc_id", "source", "n_chars", F.round("k", 8).alias("key"))
+    )
+
+
+_IDX_MIN_DF, _IDX_MAX_DF = 2, 200
+
+
+@query(
+    "q159_inverted_index",
+    oracle=f"""
+    WITH post AS (
+        SELECT DISTINCT t AS token, doc_id
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+    ),
+    agg AS (
+        SELECT token, COUNT(*) AS df,
+               list(doc_id ORDER BY doc_id) AS postings
+        FROM post GROUP BY token
+    )
+    SELECT token, df, postings FROM agg
+    WHERE df BETWEEN {_IDX_MIN_DF} AND {_IDX_MAX_DF}
+    """,
+)
+def q159_inverted_index(spark, sf_dir) -> DataFrame:
+    """Inverted-index build (token → sorted posting list + document
+    frequency) — the search-index construction shape. Postings are
+    per-token sorted INSIDE the aggregate expression (sort_array ∘
+    collect_list) because shuffle arrival order is nondeterministic;
+    df-band filtering (drop hapax legomena and stop-like terms) bounds
+    posting length. At 100 TB the groupBy keys on token — skewed by
+    Zipf — so the production variant shards hot tokens (token, doc_id
+    div B) into postings segments; the df cap here keeps any single
+    posting list executor-sized by construction."""
+    d = table(spark, sf_dir, "documents")
+    post = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    return (
+        post.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df").between(_IDX_MIN_DF, _IDX_MAX_DF))
+    )

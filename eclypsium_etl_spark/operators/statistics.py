@@ -253,3 +253,56 @@ def q147_anomaly_zscore(spark, sf_dir) -> DataFrame:
         .filter(F.abs(F.col("zscore")) > _Z_TAU)
         .select("event_id", "user_id", "value", "zscore")
     )
+
+
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+
+
+@query(
+    "q157_profile_columns",
+    oracle="""
+    SELECT 'o_orderstatus' AS col, COUNT(*) - COUNT(o_orderstatus) AS n_null,
+           COUNT(DISTINCT o_orderstatus) AS n_distinct,
+           CAST(MIN(o_orderstatus) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderstatus) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q157_profile_columns(spark, sf_dir) -> DataFrame:
+    """Column profiling (ANALYZE-style: null count, distinct count,
+    min/max per column) in ONE scan — the data-quality pass every
+    ingestion pipeline runs. All per-column statistics are computed as
+    one wide aggregate row and unpivoted to (col, stats) rows with
+    stack(), so profiling N columns costs one table pass, not N (the
+    oracle's UNION ALL states per-column semantics; DuckDB's optimizer
+    likewise merges the scans). Min/max surface as strings so
+    heterogeneous column types share one schema — the profile table
+    pattern."""
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack})"
+        " AS (col, n_null, n_distinct, min_val, max_val)"
+    )

@@ -453,3 +453,68 @@ def q153_rollup_multigrain(spark, sf_dir) -> DataFrame:
                                 (date_trunc('day', ts), date_trunc('hour', ts)))
         """
     )
+
+
+@query(
+    "q160_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS vt FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS ct
+          FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.vt
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS pt
+          FROM events e JOIN c ON c.user_id = e.user_id AND e.ts >= c.ct
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_click,
+           round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 6) AS view_to_purchase
+    """,
+)
+def q160_funnel(spark, sf_dir) -> DataFrame:
+    """Ordered funnel analysis (view → later click → later purchase):
+    per-user first-touch timestamps chained by event-time ordering, then
+    global step counts + conversion. Every stage joins and aggregates on
+    user_id, so the whole funnel rides ONE hash partitioning — the
+    chained joins co-locate and AQE broadcasts the shrinking stage
+    tables; the final counts are three 1-row aggregates cross-joined
+    (no collect). The classic product-analytics query, shaped so 100 TB
+    of events still funnels in one shuffle family."""
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_click_after_view"))
+    np_ = p.agg(F.count("*").alias("n_purchase_after_click"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click_after_view",
+            "n_purchase_after_click",
+            F.round(
+                F.col("n_purchase_after_click").cast("double") / F.col("n_view"),
+                6,
+            ).alias("view_to_purchase"),
+        )
+    )

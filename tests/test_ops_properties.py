@@ -244,3 +244,36 @@ def test_gap_fill_non_numeric_aggregates_survive(spark):
     assert got[1] == (1, "a")
     assert got[2] == (0, None)  # numeric zero-filled, string left NULL
     assert got[3] == (1, "b")
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_interval_bin_join_matches_bruteforce(spark, seed):
+    """Binned range join ≡ the nested-loop join it replaces, including
+    intervals much longer than the bucket (multi-bucket explode), zero-
+    length intervals (match nothing: [s, s)), and unmatched points
+    surviving a left join."""
+    rnd = random.Random(seed)
+    pts = [(i, rnd.randrange(0, 10_000)) for i in range(300)]
+    ivs = []
+    for j in range(120):
+        s = rnd.randrange(0, 10_000)
+        length = rnd.choice([0, 50, 500, 3_000])  # 0 to 6× bucket width
+        ivs.append((j, s, s + length))
+    p = spark.createDataFrame(pts, "pid long, t long")
+    v = spark.createDataFrame(ivs, "vid long, s long, e long")
+    got = sorted(
+        (r.pid, r.vid)
+        for r in ops.interval_bin_join(p, v, "t", "s", "e", 500, how="inner")
+        .select("pid", "vid")
+        .collect()
+    )
+    want = sorted(
+        (pid, vid)
+        for pid, t in pts
+        for vid, s, e in ivs
+        if s <= t < e
+    )
+    assert got == want
+    # left join: every point appears at least once
+    left = ops.interval_bin_join(p, v, "t", "s", "e", 500, how="left")
+    assert left.select("pid").distinct().count() == len(pts)

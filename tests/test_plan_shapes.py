@@ -355,3 +355,30 @@ def test_q154_both_windows_share_exchange(spark):
     exchange."""
     df = QUERIES["q154_nucleus_topp"](spark, SF_CHECK)
     assert plans.shuffle_count(df) == 1
+
+
+def test_q157_profile_one_scan(spark):
+    """Profiling 3 columns must cost ONE table pass, not three."""
+    plan = plans.physical_plan(QUERIES["q157_profile_columns"](spark, SF_CHECK))
+    assert plan.count("Scan parquet") == 1
+
+
+def test_q158_reservoir_takeordered(spark):
+    """The weighted sample is a TakeOrderedAndProject — never a global
+    sort of the keyed corpus."""
+    plan = plans.physical_plan(QUERIES["q158_weighted_reservoir"](spark, SF_CHECK))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q159_index_single_token_shuffle(spark):
+    """Posting-list build: distinct + groupBy share the token key — two
+    exchanges max (dedup, aggregate)."""
+    df = QUERIES["q159_inverted_index"](spark, SF_CHECK)
+    assert plans.shuffle_count(df) <= 2
+
+
+def test_q160_funnel_no_collect_one_key_family(spark):
+    """All funnel stages key on user_id; the three stage counts join as
+    1-row broadcasts (no driver-side collect in the lineage)."""
+    plan = plans.physical_plan(QUERIES["q160_funnel"](spark, SF_CHECK))
+    assert "CartesianProduct" not in plan
