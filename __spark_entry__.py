@@ -38,10 +38,14 @@ def entry(spark: SparkSession) -> DataFrame:
     """
     try:
         from eclypsium_etl_spark.llm.dedup import shingles
-        from eclypsium_etl_spark.operators.advanced import partitioned_orders
+        from eclypsium_etl_spark.operators.advanced import (
+            bucketed_orders_customer,
+            partitioned_orders,
+        )
 
         shingles(spark, CHECK_SF_DIR)
         partitioned_orders(spark, CHECK_SF_DIR)
+        bucketed_orders_customer(spark, CHECK_SF_DIR)
     except Exception:
         pass
     return flagship(spark, SMOKE_SF_DIR)

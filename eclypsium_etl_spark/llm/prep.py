@@ -331,3 +331,102 @@ def q142_knn_graph(spark, sf_dir) -> DataFrame:
         F.round("e.s", 6).alias("sim"),
         F.col("m.src").isNotNull().alias("is_mutual"),
     )
+
+
+_PCA_ITERS = 3
+_PCA_DEC = "DECIMAL(38,20)"
+
+
+def _pca_iter_duck(k: int, prev_v: str) -> str:
+    from ..functions import dot_sql
+
+    return f"""
+    s{k} AS (SELECT e.vec_id, e.embedding,
+                    {dot_sql('e.embedding', 'pv.v')} AS s
+             FROM e CROSS JOIN {prev_v} pv),
+    u{k} AS (SELECT t.j AS j,
+                    CAST(SUM(CAST(s.s * CAST(s.embedding[t.j] AS DOUBLE)
+                                  AS {_PCA_DEC})) AS DOUBLE) AS u
+             FROM s{k} s, UNNEST(generate_series(1, len(s.embedding))) AS t(j)
+             GROUP BY t.j),
+    n{k} AS (SELECT sqrt(CAST(SUM(CAST(u * u AS {_PCA_DEC})) AS DOUBLE))
+                    AS nrm FROM u{k}),
+    v{k} AS (SELECT list(u.u / n.nrm ORDER BY u.j) AS v
+             FROM u{k} u CROSS JOIN n{k} n)"""
+
+
+@query(
+    "q162_pca_power",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    dim AS (SELECT MAX(len(embedding)) AS d FROM e),
+    v0 AS (SELECT list_transform(generate_series(1, d),
+                                 i -> 1.0 / sqrt(CAST(d AS DOUBLE))) AS v
+           FROM dim),
+    {','.join(_pca_iter_duck(k, f'v{k - 1}') for k in range(1, _PCA_ITERS + 1))}
+    SELECT t.j AS j, round(v.v[t.j], 9) AS loading,
+           round(n{_PCA_ITERS}.nrm, 6) AS eigenvalue
+    FROM v{_PCA_ITERS} v CROSS JOIN n{_PCA_ITERS},
+         UNNEST(generate_series(1, len(v.v))) AS t(j)
+    """,
+)
+def q162_pca_power(spark, sf_dir) -> DataFrame:
+    """Top principal component of the embedding corpus by power iteration
+    ({_PCA_ITERS} fixed iterations from the deterministic uniform start) —
+    the whitening/centering primitive an embedding pipeline runs before
+    quantization (q121) or IVF cell training (q72). Like q156's TextRank,
+    an ITERATIVE linear-algebra algorithm with an exact differential
+    oracle: the oracle unrolls the same iterations as CTEs; every
+    dimension's fan-in sum and both norms route through decimal(38,20),
+    so partition order cannot move a bit, and the fixed start vector
+    fixes the eigenvector sign.
+
+    Scale shape per iteration: one broadcast of the (dim-sized) v vector,
+    one corpus scan computing scores s_i = x_i·v JVM-side, one
+    posexplode + 64-key aggregate for u = Σ s_i·x_i — the corpus never
+    shuffles, only (dim, partial-sum) rows do. The eigenvalue estimate is
+    ‖u‖ of the last iteration. Nothing touches the driver; v re-enters
+    the plan as a 1-row cross join, not a collect."""
+    from ..functions import dot
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = em.agg(F.max(F.size("embedding")).alias("d"))
+    v = dim.select(
+        F.expr(
+            "transform(sequence(1, d), i -> 1.0 / sqrt(CAST(d AS DOUBLE)))"
+        ).alias("v")
+    )
+    norm = None
+    for _ in range(_PCA_ITERS):
+        s = em.crossJoin(F.broadcast(v)).select(
+            "embedding", dot(F.col("embedding"), F.col("v")).alias("s")
+        )
+        terms = s.select(
+            "s", F.posexplode("embedding").alias("pos", "x")
+        ).select(
+            (F.col("pos") + 1).alias("j"),
+            (F.col("s") * F.col("x").cast("double")).alias("t"),
+        )
+        u = terms.groupBy("j").agg(
+            F.sum(F.col("t").cast(_PCA_DEC)).cast("double").alias("u")
+        )
+        norm = u.agg(
+            F.sqrt(
+                F.sum((F.col("u") * F.col("u")).cast(_PCA_DEC)).cast("double")
+            ).alias("nrm")
+        )
+        arr = u.agg(
+            F.array_sort(F.collect_list(F.struct("j", "u"))).alias("a")
+        )
+        v = arr.crossJoin(F.broadcast(norm)).select(
+            F.expr("transform(a, st -> st.u / nrm)").alias("v")
+        )
+    return (
+        v.crossJoin(F.broadcast(norm))
+        .select(F.posexplode("v").alias("pos", "x"), "nrm")
+        .select(
+            (F.col("pos") + 1).alias("j"),
+            F.round("x", 9).alias("loading"),
+            F.round("nrm", 6).alias("eigenvalue"),
+        )
+    )

@@ -256,3 +256,67 @@ def q86_partition_pruning(spark, sf_dir) -> DataFrame:
     return fact.join(
         F.broadcast(dim), fact.o_orderstatus == dim.status
     ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+
+# process-level memo: bucketed catalog tables built this session, keyed by
+# (catalog name). The WAREHOUSE dir is cross-process but the in-memory
+# catalog is not, so each process (re)registers once; write_bucketed drops
+# stale dirs before writing.
+_BUCKETED_BUILT: set[str] = set()
+
+
+def bucketed_orders_customer(spark, sf_dir) -> tuple[str, str]:
+    """orders + customer written as 8-bucket tables on the customer key —
+    the co-located layout that lets every later join/agg on that key skip
+    its shuffle. Returns the catalog table names."""
+    from ..io import source_stamp, write_bucketed
+
+    stamp = source_stamp(f"{sf_dir}/orders.parquet").replace("-", "_")
+    slug = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    ot, ct = f"orders_bkt_{slug}_{stamp}", f"customer_bkt_{slug}_{stamp}"
+    if ot not in _BUCKETED_BUILT:
+        write_bucketed(
+            table(spark, sf_dir, "orders"), ot, "o_custkey", 8,
+            sort_col="o_custkey",
+        )
+        write_bucketed(
+            table(spark, sf_dir, "customer").withColumnRenamed(
+                "c_custkey", "o_custkey"
+            ),
+            ct, "o_custkey", 8, sort_col="o_custkey",
+        )
+        _BUCKETED_BUILT.add(ot)
+    return ot, ct
+
+
+@query(
+    "q161_bucketed_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+               AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q161_bucketed_join(spark, sf_dir) -> DataFrame:
+    """Co-located (bucketed) fact⋈dim join: both tables pre-bucketed on
+    the customer key, so the join runs with ZERO exchanges — at 100 TB
+    the single biggest lever for a join that repeats every run (bucket
+    once at write, save the shuffle forever). The layout build is
+    session-memoized one-time ETL (io.write_bucketed); the query under
+    test is the shuffle-free join + the segment rollup, which is the only
+    exchange in the plan (asserted in test_plan_shapes.py). The MERGE
+    hint pins sort-merge join — a session-conf toggle would be lost by
+    the time the lazy plan executes, and at fixture scale AQE would
+    otherwise demote to broadcast and hide the co-location proof; on
+    bucketed+sorted tables SMJ needs neither exchange nor sort, which is
+    the whole point."""
+    ot, ct = bucketed_orders_customer(spark, sf_dir)
+    j = spark.table(ot).hint("merge").join(spark.table(ct), "o_custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -75,3 +75,17 @@ def has_broadcast(df: DataFrame) -> bool:
     """Any broadcast (hash OR nested-loop): the small side replicates
     instead of shuffling the big side."""
     return "BroadcastExchange" in physical_plan(df)
+
+
+def exchange_partitioning(df: DataFrame) -> str:
+    """Concatenated partitioning expressions of every shuffle exchange in
+    the plan — lets tests assert WHAT a shuffle carries/keys on (e.g.
+    'embedding' must not appear in any exchange of a corpus-stationary
+    algorithm), not just how many exchanges exist."""
+    plan = physical_plan(df)
+    return " | ".join(
+        m.group(0)
+        for m in re.finditer(
+            r"Exchange (?:hash|range)partitioning\([^)]*\)", plan
+        )
+    )

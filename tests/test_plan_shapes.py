@@ -382,3 +382,24 @@ def test_q160_funnel_no_collect_one_key_family(spark):
     1-row broadcasts (no driver-side collect in the lineage)."""
     plan = plans.physical_plan(QUERIES["q160_funnel"](spark, SF_CHECK))
     assert "CartesianProduct" not in plan
+
+
+def test_q161_bucketed_join_zero_exchange(spark):
+    """The co-located join itself must need no exchange and no sort: the
+    only shuffle in the whole plan is the segment rollup."""
+    df = QUERIES["q161_bucketed_join"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    assert "SortMergeJoin" in plan
+    assert plans.shuffle_count(df) == 1  # the groupBy only
+
+
+def test_q162_corpus_never_shuffles(spark):
+    """Power iteration: only (dim, partial-sum) rows shuffle; the corpus
+    enters each iteration via scan, v via broadcast — no corpus-sized
+    exchange, no driver collect in the lineage."""
+    df = QUERIES["q162_pca_power"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # every exchange keys on j (64 rows) or is a 1-row aggregate: none of
+    # them can carry embedding payloads
+    assert "embedding" not in plans.exchange_partitioning(df)
