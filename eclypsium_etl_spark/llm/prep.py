@@ -430,3 +430,129 @@ def q162_pca_power(spark, sf_dir) -> DataFrame:
             F.round("nrm", 6).alias("eigenvalue"),
         )
     )
+
+
+# MLM masking: token at (doc_id, pos) is masked when its md5-derived
+# uniform (first 8 hex = 32 bits) falls under _MLM_RATE
+_MLM_RATE_NUM, _MLM_RATE_DEN = 15, 100  # 15%
+_MLM_THRESH = (2**32) * _MLM_RATE_NUM // _MLM_RATE_DEN  # exact integer gate
+_MLM_U_DUCK = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' "
+    "|| CAST(i AS VARCHAR) || '|mlm1'), 1, 8)) AS BIGINT)"
+)
+
+
+@query(
+    "q165_mlm_mask",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, len(toks)),
+                   i -> CASE WHEN {_MLM_U_DUCK} < {_MLM_THRESH}
+                             THEN '[MASK]' ELSE toks[i] END) AS masked,
+               len(toks) AS n_tok,
+               len(list_filter(generate_series(1, len(toks)),
+                               i -> {_MLM_U_DUCK} < {_MLM_THRESH})) AS n_masked
+        FROM t
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n_masked AS BIGINT) AS n_masked,
+           array_to_string(masked, ' ') AS masked_text
+    FROM m
+    """,
+)
+def q165_mlm_mask(spark, sf_dir) -> DataFrame:
+    """MLM training-data preparation (BERT-style): each token position
+    draws a deterministic md5 uniform and is replaced by [MASK] at 15% —
+    rerun-stable (same doc ⇒ same masks, the property that makes
+    validation losses comparable across runs) and engine-exact because
+    the gate is an INTEGER threshold on 32 hash bits, never a float
+    compare. Pure scan-stage array transform: zero shuffle, zero UDF —
+    at 100 TB this is a projection fused into the corpus scan, like
+    q119/q132/q135."""
+    mask_u = (
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+        "CAST(i AS STRING), '|mlm1')), 1, 8), 16, 10) AS BIGINT)"
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tok"),
+        F.expr(
+            f"size(filter(sequence(1, size(toks)),"
+            f" i -> {mask_u} < {_MLM_THRESH}))"
+        )
+        .cast("long")
+        .alias("n_masked"),
+        F.array_join(
+            F.expr(
+                f"transform(sequence(1, size(toks)),"
+                f" i -> CASE WHEN {mask_u} < {_MLM_THRESH}"
+                f" THEN '[MASK]' ELSE element_at(toks, i) END)"
+            ),
+            " ",
+        ).alias("masked_text"),
+    )
+
+
+_LB_WIDTH = 32  # tokens per length bucket
+
+
+@query(
+    "q166_length_buckets",
+    oracle=f"""
+    WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+               FROM documents)
+    SELECT n_tok // {_LB_WIDTH} AS bucket,
+           COUNT(*) AS n_docs,
+           MAX(n_tok) AS max_len,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_len,
+           CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS pad_waste,
+           round(CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS DOUBLE)
+                 / (COUNT(*) * MAX(n_tok)), 6) AS waste_frac
+    FROM t GROUP BY bucket
+    """,
+)
+def q166_length_buckets(spark, sf_dir) -> DataFrame:
+    """Length-bucketed batching audit: group docs into token-length
+    buckets and measure the padding waste of batching each bucket to its
+    max length — the quantity that decides training/inference batch
+    geometry (uniform batching pads everything to the global max; small
+    buckets trade scheduling slots for pad FLOPs). Scan-stage length
+    projection + one tiny aggregate keyed by ≤ max_len/{_LB_WIDTH}
+    buckets; integer arithmetic throughout."""
+    d = table(spark, sf_dir, "documents").select(
+        n_tok_col_long().alias("n_tok")
+    )
+    b = d.select(
+        (F.col("n_tok") / _LB_WIDTH).cast("long").alias("bucket"), "n_tok"
+    )
+    waste = F.col("n_docs") * F.col("max_len") - F.col("sum_len")
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n_tok").alias("max_len"),
+            F.sum("n_tok").cast("long").alias("sum_len"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "max_len",
+            "sum_len",
+            waste.cast("long").alias("pad_waste"),
+            F.round(
+                waste.cast("double") / (F.col("n_docs") * F.col("max_len")), 6
+            ).alias("waste_frac"),
+        )
+    )
+
+
+def n_tok_col_long():
+    from pyspark.sql import functions as _F
+
+    return _F.size(_F.split("text", " ")).cast("long")

@@ -988,9 +988,13 @@ def q149_boilerplate_grams(spark, sf_dir) -> DataFrame:
     g = d.select(
         "doc_id", "source", F.explode(F.expr(_BOILER_GRAMS_SPARK)).alias("gram")
     )
+    # grams are per-doc DISTINCT (array_distinct upstream), so
+    # (doc_id, source, gram) rows are unique and COUNT(*) ≡
+    # COUNT(DISTINCT doc_id) — the plain count skips the distinct
+    # aggregate's Expand + second shuffle the oracle's spelling implies
     boiler = (
         g.groupBy("source", "gram")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= _BOILER_MIN_DF)
         .select("source", "gram", F.lit(1).alias("hit"))
     )

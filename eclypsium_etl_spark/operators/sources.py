@@ -261,3 +261,29 @@ def q155_sink_dynamic_partition(spark, sf_dir) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.when(F.col("n_chars") < 0, 1).otherwise(0)).alias("n_rewritten"),
     )
+
+
+@query(
+    "q164_source_text",
+    oracle="""
+    SELECT text AS value,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+    """,
+)
+def q164_source_text(spark, sf_dir) -> DataFrame:
+    """Text-format source/sink round-trip — the rawest ingestion format
+    (one line = one record, single `value` column), which is what web
+    crawl dumps and log shippers actually deliver before any schema
+    exists. Written once from the documents fixture, read back with
+    spark.read.text, and re-tokenized to prove content survives byte-
+    exact. (Line-oriented formats require the no-embedded-newline
+    invariant the fixture satisfies; real crawl pipelines escape or
+    length-prefix instead.)"""
+    out = _tmpdir(f"q164_text_{os.path.basename(sf_dir)}")
+    d = table(spark, sf_dir, "documents")
+    d.select("text").write.mode("overwrite").text(out)
+    return spark.read.text(out).select(
+        "value",
+        F.size(F.split("value", " ")).cast("long").alias("n_tok"),
+    )

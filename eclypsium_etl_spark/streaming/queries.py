@@ -436,3 +436,39 @@ def q137_stream_curation(spark, sf_dir) -> DataFrame:
     return spark.table(qname).select(
         "doc_id", "lang", "source", "quality", "norm_hash"
     )
+
+
+@query(
+    "q163_stream_update_counts",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n,
+           {dsum_sql('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q163_stream_update_counts(spark, sf_dir) -> DataFrame:
+    """UPDATE-mode streaming aggregation — the third output mode
+    (q53-q55 are append-with-watermark, q58 writes complete batches):
+    an unwatermarked running GROUP BY whose changed keys re-emit every
+    micro-batch. Update mode is what live dashboards consume; its cost
+    contract is the inverse of append's — no watermark means state never
+    evicts, so at 100 TB the key domain must be bounded (event_type
+    here) or a watermark added. The availableNow replay drains in one
+    batch, so the memory sink holds exactly one row per key — the batch
+    GROUP BY the oracle states. (Streaming aggregation REJECTS exact
+    distinct aggregates — state would be unbounded per group — so the
+    running metrics are count + decimal sum; approx_count_distinct is
+    the streaming-legal distinct, exercised in q23's bounds pattern.)"""
+    s = stream_events(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("total_value"),
+    )
+    qname, _ = run_available_now(
+        lambda name, ckpt: agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    return spark.table(qname)
