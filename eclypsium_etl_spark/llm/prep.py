@@ -556,3 +556,42 @@ def n_tok_col_long():
     from pyspark.sql import functions as _F
 
     return _F.size(_F.split("text", " ")).cast("long")
+
+
+@query(
+    "q169_map_in_arrow",
+    oracle="""
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q169_map_in_arrow(spark, sf_dir) -> DataFrame:
+    """mapInArrow: the zero-copy Arrow-native batch API — one level below
+    mapInPandas (no pandas materialization, columnar kernels straight on
+    the RecordBatch). Token counting via pyarrow.compute.count_substring
+    is exactly len(split(' ')) but demonstrates the surface a native
+    extension (tokenizers, image codecs) plugs into: the batch arrives
+    as Arrow, compute stays vectorized C++, and nothing converts to
+    Python objects. For pure arithmetic the built-in expressions (q75)
+    remain the right path — this is the API for work Spark expressions
+    CANNOT express; the fixture keeps it verifiable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def count_tokens(batches):
+        for b in batches:
+            n_tok = pc.add(
+                pc.count_substring(b.column("text"), pattern=" "), 1
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    n_tok.cast(pa.int64()),
+                    b.column("n_chars"),
+                ],
+                names=["doc_id", "n_tok", "n_chars"],
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    return d.mapInArrow(count_tokens, "doc_id long, n_tok long, n_chars long")

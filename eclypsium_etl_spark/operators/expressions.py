@@ -111,3 +111,30 @@ def q110_greatest_least(spark, sf_dir) -> DataFrame:
         F.least(F.col("l_extendedprice"), F.lit(50000.0)).alias("capped"),
         F.greatest("l_returnflag", "l_linestatus").alias("flag_max"),
     )
+
+
+@query(
+    "q168_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           json(props)::VARCHAR AS canon
+    FROM events
+    """,
+)
+def q168_variant_json(spark, sf_dir) -> DataFrame:
+    """VARIANT ingestion (Spark 4 semi-structured type): props parsed
+    once into the binary variant encoding, fields extracted with typed
+    paths, and the value re-serialized canonically. Versus q02/q46's
+    per-access string re-parse, variant parses ONCE at ingestion and
+    every later path access is a binary traversal — the difference
+    between O(accesses) and O(1) parses per row at 100 TB. Canonical
+    re-serialization (minified, key-order preserving) matches DuckDB's
+    json() normalization on these single-key payloads."""
+    e = table(spark, sf_dir, "events")
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        F.to_json("v").alias("canon"),
+    )

@@ -21,7 +21,7 @@ import os
 import tempfile
 from functools import reduce
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..io import sink_overwrite, table
 from ..registry import query
@@ -286,4 +286,43 @@ def q164_source_text(spark, sf_dir) -> DataFrame:
     return spark.read.text(out).select(
         "value",
         F.size(F.split("value", " ")).cast("long").alias("n_tok"),
+    )
+
+
+@query(
+    "q167_source_xml",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def q167_source_xml(spark, sf_dir) -> DataFrame:
+    """Native XML source/sink round-trip (Spark 4 built-in, no external
+    package): nation written as <row> elements and read back with an
+    EXPLICIT schema — XML has no type system, so schema-on-read is
+    mandatory (inference would re-scan and guess longs vs strings; same
+    discipline as q93's CSV). The third row-oriented interchange format
+    after CSV/JSON: what enterprise feeds and sitemap/feed crawls still
+    deliver."""
+    from ..schemas import NATION
+
+    out = _tmpdir(f"q167_xml_{os.path.basename(sf_dir)}")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    (
+        n.write.mode("overwrite")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .format("xml")
+        .save(out)
+    )
+    schema = T.StructType(
+        [f for f in NATION.fields if f.name in
+         ("n_nationkey", "n_name", "n_regionkey")]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("rowTag", "nation")
+        .format("xml")
+        .load(out)
     )
