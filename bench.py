@@ -84,6 +84,15 @@ HEADLINE = [
     "q147_anomaly_zscore",
     "q149_boilerplate_grams",
     "q150_zipf_fit",
+    "q151_interval_bin_join",
+    "q154_nucleus_topp",
+    "q156_textrank",
+    "q159_inverted_index",
+    "q161_bucketed_join",
+    "q162_pca_power",
+    "q165_mlm_mask",
+    "q170_recursive_hierarchy",
+    "q171_retention_cohorts",
 ]
 
 

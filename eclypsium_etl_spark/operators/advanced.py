@@ -320,3 +320,52 @@ def q161_bucketed_join(spark, sf_dir) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "q170_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE h(p_partkey, root, depth) AS (
+        SELECT p_partkey, p_partkey AS root, 0 AS depth
+        FROM part WHERE p_partkey < 10
+        UNION ALL
+        SELECT c.p_partkey, h.root, h.depth + 1
+        FROM part c JOIN h ON c.p_partkey // 10 = h.p_partkey
+        WHERE c.p_partkey >= 10
+    )
+    SELECT h.root, h.depth, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(28,4))) AS DOUBLE)
+               AS subtree_value
+    FROM h JOIN part p USING (p_partkey)
+    GROUP BY h.root, h.depth
+    """,
+)
+def q170_recursive_hierarchy(spark, sf_dir) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4): hierarchy traversal over
+    the synthetic 10-ary part tree (parent = partkey div 10) — per root,
+    per depth, subtree membership and value. The warehouse capability
+    Spark historically lacked (BOM explosions, org charts, graph
+    reachability) now runs natively: each recursion step is a planned
+    join against the previous frontier, executed as iterative jobs —
+    semantically what llm/clustering's hand-rolled label-propagation loop
+    does, with the engine owning the loop. Depth is data-bounded
+    (log₁₀ of the key domain), and each step's join keys on the parent —
+    a co-partitioned self-join family at scale."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        WITH RECURSIVE h(p_partkey, root, depth) AS (
+            SELECT p_partkey, p_partkey AS root, 0 AS depth
+            FROM part WHERE p_partkey < 10
+            UNION ALL
+            SELECT c.p_partkey, h.root, h.depth + 1
+            FROM part c JOIN h ON c.p_partkey div 10 = h.p_partkey
+            WHERE c.p_partkey >= 10
+        )
+        SELECT h.root, h.depth, COUNT(*) AS n_parts,
+               CAST(SUM(CAST(p.p_retailprice AS DECIMAL(28,4))) AS DOUBLE)
+                   AS subtree_value
+        FROM h JOIN part p USING (p_partkey)
+        GROUP BY h.root, h.depth
+        """
+    )

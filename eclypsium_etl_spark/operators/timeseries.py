@@ -518,3 +518,96 @@ def q160_funnel(spark, sf_dir) -> DataFrame:
             ).alias("view_to_purchase"),
         )
     )
+
+
+@query(
+    "q171_retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS c_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               CAST(date_diff('day', c.c_week,
+                              date_trunc('week', e.ts)) // 7 AS BIGINT)
+                   AS week_offset
+        FROM events e JOIN cohort c ON c.user_id = e.user_id
+        WHERE e.ts >= c.c_week
+    )
+    SELECT c.c_week AS cohort_week, a.week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN cohort c ON c.user_id = a.user_id
+    GROUP BY c.c_week, a.week_offset
+    """,
+)
+def q171_retention_cohorts(spark, sf_dir) -> DataFrame:
+    """Cohort retention matrix: users grouped by signup week, activity
+    counted per week offset — the (cohort × age) triangle every growth
+    dashboard draws. Both the cohort assignment and the activity dedup
+    key on user_id, so the joins co-partition on one exchange family;
+    the output is |cohorts| × |offsets| rows regardless of event volume.
+    Week arithmetic stays in date_trunc/day-diff integer math — both
+    engines truncate weeks to Monday, and the offset divides EXACT day
+    counts, never float durations."""
+    e = table(spark, sf_dir, "events")
+    cohort = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("c_week"))
+    )
+    activity = (
+        e.join(cohort, "user_id")
+        .filter(F.col("ts") >= F.col("c_week"))
+        .select(
+            "user_id",
+            "c_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("c_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("c_week").alias("cohort_week"), "week_offset"
+    ).agg(F.countDistinct("user_id").alias("n_active"))
+
+
+@query(
+    "q172_pattern_detect",
+    oracle="""
+    SELECT user_id, event_id, v1, v2, value AS v3 FROM (
+        SELECT user_id, event_id, value, ts,
+               lag(value, 2) OVER w AS v1,
+               lag(value, 1) OVER w AS v2
+        FROM events WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE v1 < v2 AND v2 < value
+    """,
+)
+def q172_pattern_detect(spark, sf_dir) -> DataFrame:
+    """Sequential pattern detection (MATCH_RECOGNIZE stand-in): three
+    consecutive purchases with strictly increasing value per user,
+    expressed as a lag chain over one event-time window — the pattern
+    length bounds the lag depth, and everything rides a single user_id
+    exchange. For unbounded patterns (A…B* within gap) the tool is
+    sessionization (q126) or applyInPandasWithState (q87); fixed-length
+    lookbacks like this stay pure window expressions."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        p.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.lag("value", 2).over(w).alias("v1"),
+            F.lag("value", 1).over(w).alias("v2"),
+        )
+        .filter((F.col("v1") < F.col("v2")) & (F.col("v2") < F.col("value")))
+        .select("user_id", "event_id", "v1", "v2", F.col("value").alias("v3"))
+    )

@@ -122,6 +122,7 @@ _CHEAP_FIRST = [
     "q161_bucketed_join", "q162_pca_power", "q163_stream_update_counts",
     "q164_source_text", "q165_mlm_mask", "q166_length_buckets",
     "q167_source_xml", "q168_variant_json", "q169_map_in_arrow",
+    "q170_recursive_hierarchy", "q171_retention_cohorts", "q172_pattern_detect",
     # --- tier 3: driver-green in r1/r2 (98), cheapest-first ---
     "q96_unpivot", "q61_udtf", "q109_pad_trim", "q99_bitwise", "q98_string_distance",
     "q75_text_token_count", "q76_text_fingerprint", "q97_array_setops", "q74_text_quality", "q50_case_when",
