@@ -6,11 +6,21 @@ partitioning / summation order. The trick used everywhere:
 
     SUM(CAST(x AS DECIMAL(28,4)))  →  cast back to DOUBLE
 
-Decimal addition is exact and associative, so the sum is order-independent;
-the double→decimal rounding at scale ≥ 1 can never hit an exact tie (x.5·10⁻⁴
-is not binary-representable), so both engines round identically. The same
-decimal goes back to the same double. This also happens to be the *correct*
-way to sum money at 100 TB — float sums drift, decimal sums don't.
+Decimal addition is exact and associative, so the sum is order-independent.
+The same decimal goes back to the same double. This also happens to be the
+*correct* way to sum money at 100 TB — float sums drift, decimal sums don't.
+
+THE SCALE RULE (learned the hard way in q173/q176): the double→decimal
+cast is only engine-portable when the cast scale is LOSSLESS for the
+value — i.e. the value is mathematically exact at that scale (a 2dp
+price × 2dp discount is exact at 4dp; × another 2dp factor needs 6dp).
+At a lossy scale the engines round DIFFERENT things: Spark half-ups the
+shortest decimal representation of the double (BigDecimal.valueOf),
+DuckDB rounds the scaled binary value — and when the shortest repr ends
+in 5 at the rounding digit they disagree by one ulp of the scale. The
+same applies to round(double, n). So: cast fixture money at scale 4
+(2dp×2dp products), three-factor products at scale 6, and never
+round/cast a derived double at a scale where legitimate ties occur.
 """
 
 from __future__ import annotations

@@ -138,3 +138,119 @@ def q168_variant_json(spark, sf_dir) -> DataFrame:
         F.expr("variant_get(v, '$.k', 'int')").alias("k"),
         F.to_json("v").alias("canon"),
     )
+
+
+@query(
+    "q173_sql_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                     AS DECIMAL(18,6)) AS DOUBLE) AS charged
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q173_sql_udf(spark, sf_dir) -> DataFrame:
+    """SQL-defined scalar function (CREATE FUNCTION … RETURN expr) — the
+    zero-cost UDF: the body is inlined into the plan at analysis time and
+    runs inside whole-stage codegen, unlike ANY Python UDF (q59's
+    pandas_udf is the fast Python path and still pays Arrow transfer).
+    This is the right tool for shared business expressions (the
+    reference's charged-amount formula) — define once in the catalog,
+    optimizer sees straight through it. The oracle states the inlined
+    expression, proving the function boundary adds nothing. (Output is
+    cast to DECIMAL at scale 6 — the scale where these products are
+    mathematically EXACT (2dp price × 2dp discount × 2dp tax), so the
+    double→decimal conversion never rounds. Casting or round()ing a
+    double at a scale with legitimate ties is the one operation the
+    engines disagree on: Spark half-ups the shortest decimal repr,
+    DuckDB rounds the scaled binary value — pick a lossless scale
+    instead.)"""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged_amount("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE "
+        "RETURN p * (1.0 - d) * (1.0 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(charged_amount(l_extendedprice, l_discount, l_tax)
+                         AS DECIMAL(18,6)) AS DOUBLE) AS charged
+        FROM lineitem WHERE l_returnflag = 'R'
+        """
+    )
+
+
+@query(
+    "q176_values_join",
+    oracle="""
+    WITH rates(status, fee_rate) AS (
+        VALUES ('F', 0.01), ('O', 0.015), ('P', 0.02)
+    )
+    SELECT o.o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o.o_totalprice * CAST(r.fee_rate AS DOUBLE)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS fees
+    FROM orders o JOIN rates r ON r.status = o.o_orderstatus
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q176_values_join(spark, sf_dir) -> DataFrame:
+    """Inline VALUES table joined against a fact — the config-as-data
+    pattern (rate cards, thresholds, enum decodes) without a file or
+    catalog table. An inline table is a LocalRelation: it broadcasts by
+    construction and constant-folds where possible, so the join adds no
+    shuffle on the fact side; at scale the same shape holds for any
+    driver-known dimension up to the broadcast threshold. (Bare decimal
+    literals type as DECIMAL in BOTH engines but with different
+    precision rules, so the rate is cast to DOUBLE before the multiply —
+    otherwise the per-row products differ in the last ulp and the sums
+    drift visibly apart. The per-term decimal cast uses scale 6, where
+    a 2dp price × 3dp rate product is exact — see q173's note.)"""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH rates AS (
+            SELECT * FROM VALUES ('F', 0.01), ('O', 0.015), ('P', 0.02)
+                AS rates(status, fee_rate)
+        )
+        SELECT o.o_orderstatus AS status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o.o_totalprice * CAST(r.fee_rate AS DOUBLE)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS fees
+        FROM orders o JOIN rates r ON r.status = o.o_orderstatus
+        GROUP BY o.o_orderstatus
+        """
+    )
+
+
+@query(
+    "q177_null_ordering",
+    oracle="""
+    SELECT event_id, user_id, value,
+           row_number() OVER (ORDER BY value DESC NULLS LAST, event_id)
+               AS rn_nl,
+           row_number() OVER (ORDER BY value ASC NULLS FIRST, event_id)
+               AS rn_nf
+    FROM events WHERE user_id < 5
+    """,
+)
+def q177_null_ordering(spark, sf_dir) -> DataFrame:
+    """Explicit NULL ordering (NULLS FIRST/LAST) — the cross-engine trap
+    spelled out: Spark's defaults are NULLS FIRST for ASC but NULLS LAST
+    for DESC, PostgreSQL's are the opposite for DESC, so any ranking
+    over a nullable column MUST state null placement or results silently
+    differ between engines. Both rankings here pin it explicitly (and
+    tiebreak on event_id), making the orders identical by construction."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    from pyspark.sql import Window
+
+    w_nl = Window.orderBy(F.col("value").desc_nulls_last(), F.col("event_id"))
+    w_nf = Window.orderBy(F.col("value").asc_nulls_first(), F.col("event_id"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(w_nl).alias("rn_nl"),
+        F.row_number().over(w_nf).alias("rn_nf"),
+    )

@@ -86,3 +86,74 @@ def q41_except(spark, sf_dir) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+@query(
+    "q174_setops_all",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey
+    UNION ALL
+    SELECT -1 - nationkey AS nationkey, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+)
+def q174_setops_all(spark, sf_dir) -> DataFrame:
+    """Multiset set operations (INTERSECT ALL / EXCEPT ALL) — bag
+    semantics where q40/q41 are the ANSI-distinct forms: each nation key
+    survives min(c_count, s_count) times in the intersection and
+    c_count − s_count times in the difference. Spark plans both without
+    materializing duplicates row-by-row (internally a counted aggregate
+    + generate), so the shuffle carries (key, count), not the bag — the
+    rollup here makes the multiplicities the checked value. The EXCEPT
+    ALL branch is key-shifted (−1−k) so both branches coexist in one
+    result without column games."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    inter = (
+        c.intersectAll(s)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+    )
+    diff = (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .select((F.lit(-1) - F.col("nationkey")).alias("nationkey"), "n")
+    )
+    return inter.unionByName(diff)
+
+
+@query(
+    "q175_limit_offset",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def q175_limit_offset(spark, sf_dir) -> DataFrame:
+    """LIMIT + OFFSET pagination over a total order. Offset pagination
+    executes as a top-(offset+limit) followed by a skip — cost grows
+    with page depth, which is why deep pagination at scale uses keyset
+    continuation (WHERE key > last_seen ORDER BY key LIMIT n, i.e. the
+    q36 shape with a pushed filter) instead; the total order (tiebreak
+    on c_custkey) is what makes either form deterministic."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM customer
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 20 OFFSET 40
+        """
+    )
