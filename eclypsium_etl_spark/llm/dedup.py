@@ -807,7 +807,7 @@ def q124_bloom_decontaminate(spark, sf_dir) -> DataFrame:
 
 
 # ---- keep-best-quality dedup (q134) ------------------------------------
-from .text import _QUALITY_SQL  # noqa: E402  (no cycle: text never imports dedup)
+from .text import _QUALITY_SQL, _SPLIT_SQL  # noqa: E402  (no cycle: text never imports dedup)
 
 
 @query(
@@ -856,4 +856,68 @@ def q134_dedup_keep_best(spark, sf_dir) -> DataFrame:
             "quality",
             (F.col("rn") == 1).alias("is_keeper"),
         )
+    )
+
+
+@query(
+    "q181_split_leakage",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, substring(text, 1, 40) AS pref,
+               CASE WHEN {_SPLIT_SQL} < 80 THEN 'train'
+                    WHEN {_SPLIT_SQL} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT pref, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+           string_agg(DISTINCT split, '|' ORDER BY split) AS splits,
+           MIN(doc_id) AS min_doc
+    FROM s GROUP BY pref
+    HAVING COUNT(DISTINCT split) > 1
+    """,
+)
+def q181_split_leakage(spark, sf_dir) -> DataFrame:
+    """Train/test leakage audit: near-duplicate groups (q19's shared
+    40-char prefix as the candidate key) that SPAN splits of the q132
+    assignment — the exact failure mode hash-random splits cannot
+    prevent (duplicates land in different splits and the eval set leaks
+    into training). The production loop is: run this audit, then move
+    whole dedup GROUPS (q111's components) to one split, not documents.
+    One shuffle keyed on the prefix; the split column is scan-stage
+    hash arithmetic; emitted rows are only the leaking groups."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit("|split-v1"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    s = d.select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("pref"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        s.groupBy("pref")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("split").cast("long").alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), "|").alias(
+                "splits"
+            ),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_splits") > 1)
     )

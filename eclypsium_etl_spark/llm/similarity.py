@@ -495,3 +495,109 @@ def q136_embedding_validate(spark, sf_dir) -> DataFrame:
             f"size(filter(embedding, x -> {xd} = 0.0)) = size(embedding)"
         ).alias("is_zero"),
     )
+
+
+_POOL_CHUNKS = 4  # chunks per parent document (vec_id div 4)
+_POOL_DEC = "DECIMAL(38,20)"
+
+
+@query(
+    "q178_embedding_pool",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, vec_id // {_POOL_CHUNKS} AS doc,
+                      embedding FROM embeddings),
+    t AS (
+        SELECT c.doc, j.j AS j,
+               CAST(SUM(CAST(CAST(c.embedding[j.j] AS DOUBLE)
+                             AS {_POOL_DEC})) AS DOUBLE) AS s,
+               COUNT(*) AS n
+        FROM c, UNNEST(generate_series(1, len(c.embedding))) AS j(j)
+        GROUP BY c.doc, j.j
+    )
+    SELECT doc, MAX(n) AS n_chunks,
+           list(round(s / n, 9) ORDER BY j) AS pooled
+    FROM t GROUP BY doc
+    """,
+)
+def q178_embedding_pool(spark, sf_dir) -> DataFrame:
+    """Chunk→document embedding pooling (mean): chunk vectors grouped by
+    parent doc (vec_id div {_POOL_CHUNKS} stands in for the chunker's
+    doc_id), averaged per dimension through decimal sums, reassembled
+    into an ordered array — the aggregation every RAG/retrieval index
+    runs between q138's chunker and q64's search. One exchange keyed on
+    (doc, dim) carrying scalar partial sums — never whole vectors — then
+    a per-doc array rebuild (array_sort ∘ collect_list, order explicit).
+    Exact cross-engine: per-dim means divide identical decimal-exact
+    sums by identical counts."""
+    em = table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") / _POOL_CHUNKS).cast("long").alias("doc"), "embedding"
+    )
+    t = (
+        em.select("doc", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("doc", (F.col("pos") + 1).alias("j"))
+        .agg(
+            F.sum(F.col("x").cast("double").cast(_POOL_DEC))
+            .cast("double")
+            .alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    return t.groupBy("doc").agg(
+        F.max("n").alias("n_chunks"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(j, s, n))),"
+            " st -> round(st.s / st.n, 9))"
+        ).alias("pooled"),
+    )
+
+
+_HN_QUERIES = 10  # query chunks (vec_id < 10)
+_HN_K = 5
+
+
+@query(
+    "q179_hard_negatives",
+    oracle=f"""
+    SELECT query_id, neg_id, sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+               round({dot_sql('q.embedding', 'c.embedding')}, 6) AS sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {dot_sql('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id
+               ) AS rn
+        FROM embeddings q JOIN embeddings c
+          ON c.vec_id // {_POOL_CHUNKS} <> q.vec_id // {_POOL_CHUNKS}
+        WHERE q.vec_id < {_HN_QUERIES}
+    ) WHERE rn <= {_HN_K}
+    """,
+)
+def q179_hard_negatives(spark, sf_dir) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query chunk,
+    the top-k most similar chunks from OTHER documents — maximally
+    confusable non-positives, the pairs that actually move an embedding
+    model. Same broadcast-query shape as q64 with the positive exclusion
+    widened from self-id to parent-doc-id (chunks of the same doc are
+    near-positives, not negatives). At 100 TB the candidate stage swaps
+    in the IVF cell restriction (q72) or block-grid GEMM (q65); the
+    doc-exclusion predicate rides the rank stage unchanged."""
+    em = table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < _HN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = em.select(F.col("vec_id").alias("neg_id"), "embedding")
+    sim = dot(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neg_id")
+    )
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("neg_id") / _POOL_CHUNKS).cast("long")
+            != (F.col("query_id") / _POOL_CHUNKS).cast("long"),
+        )
+        .select("query_id", "neg_id", sim.alias("sim_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HN_K)
+        .select("query_id", "neg_id", F.round("sim_raw", 6).alias("sim"))
+    )
