@@ -1400,3 +1400,61 @@ def q159_inverted_index(spark, sf_dir) -> DataFrame:
         )
         .filter(F.col("df").between(_IDX_MIN_DF, _IDX_MAX_DF))
     )
+
+
+_CURR_SHARDS = 10
+
+
+@query(
+    "q180_curriculum_order",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, {_QUALITY_SQL} AS quality,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, quality, n_tok,
+               ntile({_CURR_SHARDS})
+                   OVER (ORDER BY quality DESC, doc_id) AS shard
+        FROM q
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS avg_quality,
+           CAST(SUM(n_tok) AS BIGINT) AS total_toks
+    FROM sh GROUP BY shard
+    """,
+)
+def q180_curriculum_order(spark, sf_dir) -> DataFrame:
+    """Curriculum sharding: docs ranked easiest-first (quality as the
+    difficulty proxy — a perplexity model slots in identically, q133)
+    and cut into {_CURR_SHARDS} equal shards with ntile; training then
+    consumes shards in order. Emits the shard manifest (count, mean
+    quality via decimal-exact sums, token budget) — what the data
+    loader's schedule is built from. The global ntile is a single-
+    reducer sort at fixture scale; at 100 TB the same ordering comes
+    from range partitioning on the difficulty score (sample quantile
+    bounds → rangepartition → per-partition rank), which the docstring
+    of q35 names — curriculum needs only shard-level, not total, order."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality_col().alias("quality"),
+        n_tok_col().cast("long").alias("n_tok"),
+    )
+    from pyspark.sql import Window
+
+    sh = d.withColumn(
+        "shard",
+        F.ntile(_CURR_SHARDS).over(
+            Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+        ),
+    )
+    return sh.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.col("quality").cast("decimal(28,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_quality"),
+        F.sum("n_tok").cast("long").alias("total_toks"),
+    )
