@@ -403,3 +403,24 @@ def test_q162_corpus_never_shuffles(spark):
     # every exchange keys on j (64 rows) or is a 1-row aggregate: none of
     # them can carry embedding payloads
     assert "embedding" not in plans.exchange_partitioning(df)
+
+
+def test_q178_pool_shuffles_scalars_not_vectors(spark):
+    """Pooling exchanges key on (doc, dim) with scalar partial sums — no
+    exchange may carry the embedding array."""
+    df = QUERIES["q178_embedding_pool"](spark, SF_CHECK)
+    assert "embedding" not in plans.exchange_partitioning(df)
+
+
+def test_q179_queries_broadcast(spark):
+    """Hard-negative mining broadcasts the query set; the corpus side
+    never shuffles for the join."""
+    df = QUERIES["q179_hard_negatives"](spark, SF_CHECK)
+    assert plans.has_broadcast(df)
+
+
+def test_q181_single_prefix_shuffle(spark):
+    """Leakage audit: split assignment is scan-stage; only the prefix
+    group-by shuffles."""
+    df = QUERIES["q181_split_leakage"](spark, SF_CHECK)
+    assert plans.shuffle_count(df) <= 2  # group-by + distinct-split expand
