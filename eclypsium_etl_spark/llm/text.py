@@ -1458,3 +1458,193 @@ def q180_curriculum_order(spark, sf_dir) -> DataFrame:
         ).alias("avg_quality"),
         F.sum("n_tok").cast("long").alias("total_toks"),
     )
+
+
+_PSI_BUCKETS = 10
+
+
+@query(
+    "q182_drift_psi",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id % 2 AS snap,
+               least({_PSI_BUCKETS - 1},
+                     CAST(floor({_QUALITY_SQL} * {_PSI_BUCKETS}) AS BIGINT))
+                   AS bucket
+        FROM documents
+    ),
+    b AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM q GROUP BY bucket
+    ),
+    t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM b)
+    SELECT b.bucket, b.n_a, b.n_b,
+           round((CAST(b.n_a + 1 AS DOUBLE) / (t.ta + {_PSI_BUCKETS})
+                  - CAST(b.n_b + 1 AS DOUBLE) / (t.tb + {_PSI_BUCKETS}))
+                 * ln((CAST(b.n_a + 1 AS DOUBLE) / (t.ta + {_PSI_BUCKETS}))
+                      / (CAST(b.n_b + 1 AS DOUBLE) / (t.tb + {_PSI_BUCKETS}))),
+                 9) AS psi_contrib
+    FROM b CROSS JOIN t
+    """,
+)
+def q182_drift_psi(spark, sf_dir) -> DataFrame:
+    """Distribution drift between corpus snapshots via PSI (population
+    stability index) over quality-score deciles — the monitor that
+    catches a crawler or filter change shifting the corpus before it
+    shifts the model. Snapshots stand in as doc_id parity; per-bucket
+    counts are one tiny aggregate, totals fold back with a 1-row cross
+    join (never a collect), and Laplace (+1) smoothing keeps empty
+    buckets finite AND integer-derived — every double on both engines
+    is computed from the same exact integers, so the log-ratio
+    contributions match bitwise. Σ|contrib| > 0.2 is the usual alarm."""
+    d = table(spark, sf_dir, "documents")
+    q = d.select(
+        (F.col("doc_id") % 2).alias("snap"),
+        F.least(
+            F.lit(_PSI_BUCKETS - 1),
+            F.floor(quality_col() * _PSI_BUCKETS).cast("long"),
+        ).alias("bucket"),
+    )
+    b = q.groupBy("bucket").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    t = b.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    pa = (F.col("n_a") + 1).cast("double") / (F.col("ta") + _PSI_BUCKETS)
+    pb = (F.col("n_b") + 1).cast("double") / (F.col("tb") + _PSI_BUCKETS)
+    return b.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * F.log(pa / pb), 9).alias("psi_contrib"),
+    )
+
+
+@query(
+    "q183_ab_lift",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS grp,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN grp = 0 THEN converted ELSE 0 END)
+                    AS BIGINT) AS c_a,
+               CAST(SUM(CASE WHEN grp = 1 THEN converted ELSE 0 END)
+                    AS BIGINT) AS c_b
+        FROM u
+    )
+    SELECT n_a, n_b, c_a, c_b,
+           round(CAST(c_b AS DOUBLE) / n_b / (CAST(c_a AS DOUBLE) / n_a) - 1.0,
+                 9) AS lift,
+           round((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 9) AS zscore
+    FROM s
+    """,
+)
+def q183_ab_lift(spark, sf_dir) -> DataFrame:
+    """A/B conversion lift with a pooled two-proportion z-test — the
+    experimentation readout. Per-user conversion collapses events to one
+    flag per user (one user_id aggregate), the four counts are a second
+    1-row aggregate, and lift/z derive from exact integers so the
+    doubles match bitwise cross-engine. Nothing in the plan scales with
+    event volume past the first aggregate."""
+    e = table(spark, sf_dir, "events")
+    # conversion = a HIGH-VALUE purchase: the plain any-purchase flag is
+    # saturated in this fixture (every user converts), which makes the
+    # pooled z denominator exactly 0 — a degenerate test either way
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("grp"), "converted")
+    s = u.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    ra = F.col("c_a").cast("double") / F.col("n_a")
+    rb = F.col("c_b").cast("double") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pooled * (1.0 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        F.round(rb / ra - 1.0, 9).alias("lift"),
+        F.round((rb - ra) / se, 9).alias("zscore"),
+    )
+
+
+@query(
+    "q184_token_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT source, t AS token, COUNT(*) AS n
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        GROUP BY source, t
+    ),
+    tot AS (SELECT source, SUM(n) AS total FROM c GROUP BY source)
+    SELECT c.source,
+           CAST(MAX(tot.total) AS BIGINT) AS n_tokens,
+           COUNT(*) AS vocab,
+           round(-CAST(SUM(CAST((CAST(c.n AS DOUBLE) / tot.total)
+                                * ln(CAST(c.n AS DOUBLE) / tot.total)
+                                AS DECIMAL(38,20))) AS DOUBLE), 9) AS entropy
+    FROM c JOIN tot USING (source)
+    GROUP BY c.source
+    """,
+)
+def q184_token_entropy(spark, sf_dir) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution — the corpus
+    diversity gauge (template/boilerplate-heavy sources score low;
+    entropy collapsing over time means the crawler is looping). Token
+    counts are the q66 word-count aggregate keyed by (source, token);
+    totals join back source-keyed (co-partitioned); each −p·ln p term is
+    computed from the same exact integers on both engines and the
+    vocab-sized fan-in sum routes through decimal(38,20), the same
+    discipline as q156/q162's iterative fan-ins."""
+    d = table(spark, sf_dir, "documents")
+    c = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = c.groupBy("source").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        c.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("total").cast("long").alias("n_tokens"),
+            F.count("*").alias("vocab"),
+            F.round(
+                -F.sum((p * F.log(p)).cast("decimal(38,20)")).cast("double"), 9
+            ).alias("entropy"),
+        )
+    )
