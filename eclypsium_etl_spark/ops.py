@@ -225,6 +225,16 @@ def global_running_sum(
             f"global_running_sum reserves {sorted(reserved)} internally; "
             f"rename out_col/input columns that collide"
         )
+    vtype = dict(df.dtypes).get(value_col)
+    if vtype not in ("tinyint", "smallint", "int", "bigint"):
+        # enforce the documented contract eagerly — otherwise the float
+        # leaks into the long-typed base-offset frame and dies later with
+        # an unrelatable serializer error
+        raise TypeError(
+            f"global_running_sum requires an integral value column "
+            f"(got {value_col}: {vtype}); scale floats to integer units "
+            f"first, e.g. cents: (col * 100).cast('long')"
+        )
     spark = df.sparkSession
     parts = partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
