@@ -1648,3 +1648,65 @@ def q184_token_entropy(spark, sf_dir) -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+@query(
+    "q186_source_overlap",
+    oracle="""
+    WITH v AS (
+        SELECT DISTINCT source, t AS token
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+    ),
+    sz AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM v a JOIN v b ON a.token = b.token AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT s.src_a, s.src_b, s.n_shared,
+           round(CAST(s.n_shared AS DOUBLE)
+                 / (x.n + y.n - s.n_shared), 6) AS vocab_jaccard
+    FROM shared s
+    JOIN sz x ON x.source = s.src_a
+    JOIN sz y ON y.source = s.src_b
+    """,
+)
+def q186_source_overlap(spark, sf_dir) -> DataFrame:
+    """Source-pair vocabulary overlap matrix (Jaccard over distinct
+    token sets) — which domains say the same things; the input to
+    merging near-identical sources before mixture weighting (q131) and
+    to spotting a mirror site the URL-level dedup missed. The token
+    self-join fans out per token by the number of sources containing it
+    — bounded by sources², never documents² (same blow-up logic as
+    q63's df cap, with source count as the natural cap). Shuffles key
+    on token then on the pair; output is |sources|²/2 rows regardless
+    of corpus size."""
+    d = table(spark, sf_dir, "documents")
+    v = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    sz = v.groupBy("source").agg(F.count("*").alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "token")
+    b = v.select(F.col("source").alias("src_b"), "token")
+    shared = (
+        a.join(b, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(sz.select(F.col("source").alias("src_a"), F.col("n").alias("na")), "src_a")
+        .join(sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )

@@ -306,3 +306,45 @@ def q157_profile_columns(spark, sf_dir) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack})"
         " AS (col, n_null, n_distinct, min_val, max_val)"
     )
+
+
+_ED_BUCKETS = 8
+
+
+@query(
+    "q185_histogram_equidepth",
+    oracle=f"""
+    WITH b AS (
+        SELECT o_totalprice,
+               ntile({_ED_BUCKETS})
+                   OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM b GROUP BY bucket
+    """,
+)
+def q185_histogram_equidepth(spark, sf_dir) -> DataFrame:
+    """Equi-DEPTH histogram (quantile buckets via ntile) — q145's
+    equi-width twin and the basis of range-partition boundary planning:
+    each bucket holds the same row count and its [lo, hi] edges ARE the
+    sampled split points a range exchange would use. The global ntile is
+    the fixture-scale spelling; at 100 TB the same boundaries come from
+    approx_percentile (t-digest, mergeable) without any global sort —
+    the histogram needs the edges, not a total order. Tiebreak on
+    o_orderkey makes bucket assignment deterministic across engines."""
+    o = table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_totalprice",
+        F.ntile(_ED_BUCKETS)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        dsum("o_totalprice").alias("revenue"),
+    )

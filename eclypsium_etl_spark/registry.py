@@ -127,6 +127,7 @@ _CHEAP_FIRST = [
     "q176_values_join", "q177_null_ordering", "q178_embedding_pool",
     "q179_hard_negatives", "q180_curriculum_order", "q181_split_leakage",
     "q182_drift_psi", "q183_ab_lift", "q184_token_entropy",
+    "q185_histogram_equidepth", "q186_source_overlap",
     # --- tier 3: driver-green in r1/r2 (98), cheapest-first ---
     "q96_unpivot", "q61_udtf", "q109_pad_trim", "q99_bitwise", "q98_string_distance",
     "q75_text_token_count", "q76_text_fingerprint", "q97_array_setops", "q74_text_quality", "q50_case_when",

@@ -135,3 +135,57 @@ def test_transform_with_state(spark):
     # record which path ran (both share the semantics; only one is runnable
     # per image) — the assert above is the evidence either way
     assert transform_state_available() in (True, False)
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Exactly-once across a restart: drain a file stream with
+    availableNow, add a new source file, then resume from the SAME
+    checkpoint — the second drain must process only the new file (the
+    checkpoint's source offsets skip everything already committed), so
+    the sink holds each input row exactly once."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from eclypsium_etl_spark.io import table
+    from eclypsium_etl_spark.streaming.queries import _events_raw_schema
+
+    from .conftest import SF_SMOKE
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    e = table(spark, SF_SMOKE, "events")
+
+    def stage(name, pred):
+        tmp = tmp_path / f"stage_{name}"
+        e.filter(pred).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    def drain():
+        s = spark.readStream.schema(_events_raw_schema(False)).parquet(str(src))
+        q = (
+            s.select("event_id", "user_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage("f1", F.col("user_id") < 10)
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == e.filter(F.col("user_id") < 10).count()
+
+    stage("f2", (F.col("user_id") >= 10) & (F.col("user_id") < 20))
+    drain()
+    got = spark.read.parquet(out)
+    expected = e.filter(F.col("user_id") < 20)
+    # exactly-once: every row once, none duplicated by the resume
+    assert got.count() == expected.count()
+    assert got.select("event_id").distinct().count() == expected.count()
