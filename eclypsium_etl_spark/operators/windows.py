@@ -180,3 +180,73 @@ def q34_win_ntile_pct(spark, sf_dir) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cum_dist"),
     )
+
+
+@query(
+    "q188_pct_change",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT user_id, day, total,
+           round((total - lag(total) OVER w)
+                 / abs(lag(total) OVER w), 6) AS pct_change
+    FROM m WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    """,
+)
+def q188_pct_change(spark, sf_dir) -> DataFrame:
+    """Period-over-period percent change (day-over-day spend per user) —
+    the BI delta every dashboard computes: aggregate to the period grain,
+    lag one period, normalize by the prior absolute value. Aggregate and
+    window share the user_id key family (one exchange then a co-
+    partitioned sort); the first period's change is honestly NULL, never
+    zero-filled. abs() in the denominator keeps the sign meaning 'grew'
+    even off a negative base."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    m = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag("total").over(w)
+    return m.select(
+        "user_id",
+        "day",
+        "total",
+        F.round((F.col("total") - prev) / F.abs(prev), 6).alias("pct_change"),
+    )
+
+
+@query(
+    "q189_win_first_last_nth",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING) AS last_type,
+           nth_value(event_type, 2) OVER w AS second_type
+    FROM events WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q189_win_first_last_nth(spark, sf_dir) -> DataFrame:
+    """first_value / last_value / nth_value — the positional window trio
+    q31's lag/lead doesn't cover, with THE frame trap spelled out:
+    last_value over the default frame (UNBOUNDED PRECEDING..CURRENT ROW)
+    is just the current row; an unbounded-following frame is required
+    for the actual last element. All three ride one user_id exchange;
+    the total order (ts, event_id) makes every position deterministic."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )

@@ -472,3 +472,40 @@ def q163_stream_update_counts(spark, sf_dir) -> DataFrame:
         .trigger(availableNow=True)
     )
     return spark.table(qname)
+
+
+@query(
+    "q187_stream_complete_topk",
+    oracle=f"""
+    SELECT user_id, n, total_value FROM (
+        SELECT user_id, n, total_value,
+               row_number() OVER (ORDER BY total_value DESC, user_id) AS rn
+        FROM (SELECT user_id, COUNT(*) AS n, {dsum_sql('value')} AS total_value
+              FROM events GROUP BY user_id)
+    ) WHERE rn <= 10
+    """,
+)
+def q187_stream_complete_topk(spark, sf_dir) -> DataFrame:
+    """COMPLETE-mode streaming aggregation — the last of the three output
+    modes (append: q53-q55, update: q163): the ENTIRE result table
+    re-emits every micro-batch, which is the only mode that supports a
+    global ORDER BY + LIMIT over a stream (top-k leaderboards). Complete
+    mode's contract is the inverse of append's: tiny bounded result,
+    unbounded re-emission — correct for a 10-row leaderboard, ruinous
+    for a high-cardinality aggregate. availableNow drains in one batch,
+    so the memory sink holds exactly the batch top-k the oracle states."""
+    s = stream_events(spark, sf_dir)
+    agg = (
+        s.groupBy("user_id")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )
+    qname, _ = run_available_now(
+        lambda name, ckpt: agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    return spark.table(qname)
