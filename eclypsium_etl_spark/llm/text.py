@@ -1710,3 +1710,61 @@ def q186_source_overlap(spark, sf_dir) -> DataFrame:
             ).alias("vocab_jaccard"),
         )
     )
+
+
+@query(
+    "q191_corpus_fingerprint",
+    oracle="""
+    WITH h AS (
+        SELECT source,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                                        || md5(text)), 1, 12)) AS BIGINT)
+                   AS h,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(h) AS BIGINT) AS fingerprint
+    FROM h GROUP BY source
+    """,
+)
+def q191_corpus_fingerprint(spark, sf_dir) -> DataFrame:
+    """Dataset manifest with a content fingerprint per source: doc count,
+    token budget, and an ORDER-INDEPENDENT checksum (sum of 48-bit
+    per-doc content hashes — addition commutes, so any partitioning or
+    row order yields the same value; 48 bits leaves 15 bits of count
+    headroom before an int64 ANSI overflow, and a modular sum is the
+    production form at larger counts). This is the data-versioning primitive: two corpus
+    builds with equal fingerprints are content-identical per source —
+    what dataset cards, cache keys, and rerun-skip logic key on. Pure
+    scan-stage hashing + one tiny aggregate. The id is hashed WITH the
+    content (md5(doc_id:md5(text))) so id remaps change the fingerprint
+    too."""
+    d = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), F.md5("text")
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.select(
+            "source",
+            h.alias("h"),
+            n_tok_col().cast("long").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("h").cast("long").alias("fingerprint"),
+        )
+    )

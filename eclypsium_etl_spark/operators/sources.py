@@ -326,3 +326,37 @@ def q167_source_xml(spark, sf_dir) -> DataFrame:
         .format("xml")
         .load(out)
     )
+
+
+@query(
+    "q190_sink_jsonl",
+    oracle="""
+    SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q190_sink_jsonl(spark, sf_dir) -> DataFrame:
+    """JSON-Lines sink/source round-trip — the delivery format training
+    pipelines actually ship (one JSON object per line, splittable,
+    append-friendly). Written partitioned by source (each domain its own
+    shard directory, the layout data loaders shard-shuffle over) and
+    read back with an EXPLICIT schema — JSONL carries no types, so
+    schema-on-read is mandatory and numbers would otherwise widen or
+    re-infer per file. Round-trip equality IS the check: text survives
+    JSON escaping byte-exact."""
+    out = _tmpdir(f"q190_jsonl_{os.path.basename(sf_dir)}")
+    d = table(spark, sf_dir, "documents")
+    d.write.mode("overwrite").partitionBy("source").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    # the partition column comes back from the directory layout, so it
+    # joins the read schema explicitly
+    return spark.read.schema(schema.add("source", T.StringType())).json(out).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
