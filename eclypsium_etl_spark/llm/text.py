@@ -1768,3 +1768,130 @@ def q191_corpus_fingerprint(spark, sf_dir) -> DataFrame:
             F.sum("h").cast("long").alias("fingerprint"),
         )
     )
+
+
+_SHARDS_N = 8
+
+
+@query(
+    "q193_shard_rebalance",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_tok,
+               CAST((row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1)
+                    % {_SHARDS_N} AS BIGINT) AS shard
+        FROM t
+    ),
+    s AS (
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_toks
+        FROM r GROUP BY shard
+    ),
+    g AS (SELECT CAST(SUM(total_toks) AS DOUBLE) / {_SHARDS_N} AS mean_toks
+          FROM s)
+    SELECT s.shard, s.n_docs, s.total_toks,
+           round(s.total_toks / g.mean_toks, 6) AS balance_ratio
+    FROM s CROSS JOIN g
+    """,
+)
+def q193_shard_rebalance(spark, sf_dir) -> DataFrame:
+    """Size-balanced training-shard assignment: docs ranked by token
+    count descending and dealt round-robin across {_SHARDS_N} shards —
+    the deterministic one-pass approximation of LPT bin balancing
+    (true greedy-least-loaded is inherently sequential; snake-order
+    round-robin over size-sorted items bounds imbalance tightly when
+    item sizes are small vs shard totals). Emits the shard manifest
+    with each shard's deviation from the mean token load — the number
+    that decides whether stragglers will dominate a training epoch.
+    Global rank is the fixture spelling; the scale path is range
+    partitioning on n_tok (q185's quantile edges) + per-range dealing."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", n_tok_col().cast("long").alias("n_tok")
+    )
+    r = d.withColumn(
+        "shard",
+        (
+            (F.row_number().over(W.orderBy(F.desc("n_tok"), F.asc("doc_id"))) - 1)
+            % _SHARDS_N
+        ).cast("long"),
+    )
+    s = r.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_toks"),
+    )
+    g = s.agg(
+        (F.sum("total_toks").cast("double") / _SHARDS_N).alias("mean_toks")
+    )
+    return s.crossJoin(F.broadcast(g)).select(
+        "shard",
+        "n_docs",
+        "total_toks",
+        F.round(F.col("total_toks") / F.col("mean_toks"), 6).alias(
+            "balance_ratio"
+        ),
+    )
+
+
+@query(
+    "q194_pack_boundaries",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) - n_tok AS tok_start
+        FROM t
+    )
+    SELECT CAST(floor(tok_start / {_PACK_CAPACITY}) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           list(CAST(tok_start % {_PACK_CAPACITY} AS BIGINT)
+                ORDER BY doc_id) AS boundaries,
+           CAST(MAX(tok_start % {_PACK_CAPACITY} + n_tok) AS BIGINT)
+               AS fill_level
+    FROM c GROUP BY bin_id
+    """,
+)
+def q194_pack_boundaries(spark, sf_dir) -> DataFrame:
+    """Attention-boundary metadata for packed sequences: per training bin
+    (q117's contiguous packing), the ordered token offsets where each
+    document starts — exactly what block-diagonal attention masking and
+    position-id resets consume at train time — plus the bin's fill
+    level (capacity minus fill = padding). The offsets aggregate sorted
+    INSIDE the array expression; the window + rollup share the q117
+    plan shape (two-phase prefix sum at scale, see q127)."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", n_tok_col().cast("long").alias("n_tok")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = d.withColumn("tok_start", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        c.withColumn(
+            "bin_id", F.floor(F.col("tok_start") / _PACK_CAPACITY).cast("long")
+        )
+        .withColumn("off", F.col("tok_start") % _PACK_CAPACITY)
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(doc_id, off))),"
+                " st -> st.off)"
+            ).alias("boundaries"),
+            F.max(F.col("off") + F.col("n_tok")).cast("long").alias(
+                "fill_level"
+            ),
+        )
+    )

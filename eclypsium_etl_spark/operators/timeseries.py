@@ -611,3 +611,73 @@ def q172_pattern_detect(spark, sf_dir) -> DataFrame:
         .filter((F.col("v1") < F.col("v2")) & (F.col("v2") < F.col("value")))
         .select("user_id", "event_id", "v1", "v2", F.col("value").alias("v3"))
     )
+
+
+@query(
+    "q192_pit_join",
+    oracle="""
+    WITH runs AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    iv AS (
+        SELECT user_id, event_type AS state, valid_from,
+               lead(valid_from) OVER w2 AS valid_to
+        FROM (SELECT user_id, event_type, ts AS valid_from, event_id
+              FROM runs WHERE is_start = 1)
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    )
+    SELECT e.event_id, e.user_id, e.ts, i.state, i.valid_from
+    FROM events e JOIN iv i
+      ON i.user_id = e.user_id
+     AND i.valid_from <= e.ts
+     AND (e.ts < i.valid_to OR i.valid_to IS NULL)
+    WHERE e.event_type = 'click'
+    """,
+)
+def q192_pit_join(spark, sf_dir) -> DataFrame:
+    """Point-in-time (PIT) join — the feature-store lookup: each click
+    joined to the SCD-2 state interval (q139's historization) valid AT
+    its event time, never a later one (no feature leakage from the
+    future). The interval predicate is anchored on the user_id equi key,
+    so the join co-partitions and the range condition only filters
+    within a key's handful of intervals — the q17 shape, not an
+    unbounded range join (q151 is the keyless fallback). Intervals
+    partition each user's timeline from their first event, so every
+    click matches exactly one state row."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        e.withColumn(
+            "is_start",
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+        )
+        .filter("is_start")
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    iv = starts.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", F.col("user_id").alias("uid"), "ts"
+    )
+    return clicks.join(
+        iv,
+        (F.col("uid") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & ((F.col("ts") < F.col("valid_to")) | F.col("valid_to").isNull()),
+    ).select("event_id", "user_id", "ts", "state", "valid_from")
