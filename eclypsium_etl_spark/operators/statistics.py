@@ -348,3 +348,174 @@ def q185_histogram_equidepth(spark, sf_dir) -> DataFrame:
         F.max("o_totalprice").alias("hi"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+# 16-bit × 2 Morton (Z-order) interleave, generated once per dialect —
+# identical integer arithmetic, so the curve value is engine-exact
+_Z_BITS = 16
+_Z_SPARK = " + ".join(
+    t
+    for i in range(_Z_BITS)
+    for t in (
+        f"shiftleft(shiftright(a, {i}) & 1, {2 * i})",
+        f"shiftleft(shiftright(b, {i}) & 1, {2 * i + 1})",
+    )
+)
+_Z_DUCK = " + ".join(
+    t
+    for i in range(_Z_BITS)
+    for t in (
+        f"(((a >> {i}) & 1) << {2 * i})",
+        f"(((b >> {i}) & 1) << {2 * i + 1})",
+    )
+)
+
+
+@query(
+    "q195_zorder_layout",
+    oracle=f"""
+    WITH k AS (
+        SELECT o_orderkey % 65536 AS a, o_custkey % 65536 AS b,
+               o_totalprice
+        FROM orders
+    ),
+    z AS (SELECT ({_Z_DUCK}) AS zval, a, b, o_totalprice FROM k)
+    SELECT CAST(zval // 67108864 AS BIGINT) AS z_bucket,
+           COUNT(*) AS n,
+           CAST(MIN(a) AS BIGINT) AS a_min, CAST(MAX(a) AS BIGINT) AS a_max,
+           CAST(MIN(b) AS BIGINT) AS b_min, CAST(MAX(b) AS BIGINT) AS b_max
+    FROM z GROUP BY z_bucket
+    """,
+)
+def q195_zorder_layout(spark, sf_dir) -> DataFrame:
+    """Z-order (Morton) layout clustering — the multi-dimensional
+    data-skipping trick behind OPTIMIZE ZORDER BY: interleaving the bits
+    of two keys gives a 1-D sort order in which ranges of EITHER key
+    stay spatially clustered, so per-file min/max stats prune scans on
+    both columns at once. The curve value is pure integer bit
+    arithmetic (generated identically for both engines); the emitted
+    per-bucket key envelopes (a_min..a_max × b_min..b_max) are exactly
+    the file-skipping statistics a reader would consult — tight
+    envelopes = effective pruning. At 100 TB: compute zval, range-write
+    sorted by it, and file stats do the rest."""
+    o = table(spark, sf_dir, "orders")
+    k = o.select(
+        (F.col("o_orderkey") % 65536).alias("a"),
+        (F.col("o_custkey") % 65536).alias("b"),
+    )
+    z = k.select(F.expr(f"({_Z_SPARK})").alias("zval"), "a", "b")
+    return (
+        z.groupBy(F.floor(F.col("zval") / 67108864).cast("long").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("a").cast("long").alias("a_min"),
+            F.max("a").cast("long").alias("a_max"),
+            F.min("b").cast("long").alias("b_min"),
+            F.max("b").cast("long").alias("b_max"),
+        )
+    )
+
+
+@query(
+    "q196_outlier_iqr",
+    oracle="""
+    WITH f AS (
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+           round(f.q3 + 1.5 * (f.q3 - f.q1), 6) AS upper_fence
+    FROM orders o JOIN f ON f.o_orderstatus = o.o_orderstatus
+    WHERE o.o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1)
+    """,
+)
+def q196_outlier_iqr(spark, sf_dir) -> DataFrame:
+    """Tukey IQR outlier detection per group: values above
+    Q3 + 1.5·IQR — the robust data-quality fence that a mean/stddev
+    rule (q147) gets wrong under heavy tails, since quartiles don't
+    move with the outliers being hunted. Per-group fences are a
+    3-row aggregate that broadcasts back onto the fact scan, so the
+    detection pass is scan + broadcast-join + filter: one job, no
+    fact shuffle. Exact interpolated quantiles match DuckDB's
+    quantile_cont (q80's proven parity); at 100 TB swap in
+    approx_percentile for the fence and keep the same join shape."""
+    o = table(spark, sf_dir, "orders")
+    f = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    fence = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        o.join(F.broadcast(f), "o_orderstatus")
+        .filter(F.col("o_totalprice") > fence)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.round(fence, 6).alias("upper_fence"),
+        )
+    )
+
+
+@query(
+    "q197_first_touch_attribution",
+    oracle="""
+    WITH ft AS (
+        SELECT user_id, event_type AS channel FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    rev AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT ft.channel, COUNT(*) AS n_users,
+           CAST(SUM(CAST(COALESCE(rev.revenue, 0.0) AS DECIMAL(28,4)))
+                AS DOUBLE) AS revenue
+    FROM ft LEFT JOIN rev ON rev.user_id = ft.user_id
+    GROUP BY ft.channel
+    """,
+)
+def q197_first_touch_attribution(spark, sf_dir) -> DataFrame:
+    """First-touch attribution: each user's lifetime purchase revenue
+    credited to the channel (event type) of their FIRST event — the
+    marketing-analytics allocation every growth team starts with
+    (last-touch is the same window ordered DESC). First-touch, per-user
+    revenue, and the join all key on user_id — one exchange family —
+    and users who never purchased still attribute 0 revenue to their
+    entry channel rather than vanishing (LEFT join + coalesce). The
+    final rollup is channel-cardinality rows."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ft = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("channel"))
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return (
+        ft.join(rev, "user_id", "left")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce("revenue", F.lit(0.0)).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
