@@ -519,3 +519,131 @@ def q197_first_touch_attribution(spark, sf_dir) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+_LIFT_DECILES = 10
+
+
+@query(
+    "q198_decile_lift",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS score,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    d AS (
+        SELECT ntile({_LIFT_DECILES})
+                   OVER (ORDER BY score DESC, user_id) AS decile,
+               converted
+        FROM u
+    ),
+    agg AS (
+        SELECT decile, COUNT(*) AS n,
+               CAST(SUM(converted) AS BIGINT) AS n_conv
+        FROM d GROUP BY decile
+    ),
+    tot AS (SELECT SUM(n) AS tn, SUM(n_conv) AS tc FROM agg)
+    SELECT a.decile, a.n, a.n_conv,
+           round(CAST(a.n_conv AS DOUBLE) / a.n, 6) AS conv_rate,
+           round((CAST(a.n_conv AS DOUBLE) / a.n)
+                 / (CAST(t.tc AS DOUBLE) / t.tn), 6) AS lift
+    FROM agg a CROSS JOIN tot t
+    """,
+)
+def q198_decile_lift(spark, sf_dir) -> DataFrame:
+    """Decile lift/gains table — the model-evaluation readout: entities
+    ranked by a score (lifetime spend as the stand-in; a model
+    propensity plugs in identically), cut into deciles, each decile's
+    conversion rate divided by the base rate. Lift ≈ 1 everywhere means
+    the score carries no signal. Per-user collapse and the decile
+    rollup are two small aggregates; the base rate folds back via a
+    1-row cross join (no collect); every ratio derives from exact
+    integers so both engines agree bitwise."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    d = u.select(
+        F.ntile(_LIFT_DECILES)
+        .over(W.orderBy(F.desc("score"), F.asc("user_id")))
+        .alias("decile"),
+        "converted",
+    )
+    agg = d.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    tot = agg.agg(F.sum("n").alias("tn"), F.sum("n_conv").alias("tc"))
+    rate = F.col("n_conv").cast("double") / F.col("n")
+    base = F.col("tc").cast("double") / F.col("tn")
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n",
+        "n_conv",
+        F.round(rate, 6).alias("conv_rate"),
+        F.round(rate / base, 6).alias("lift"),
+    )
+
+
+@query(
+    "q199_calendar_dim",
+    oracle="""
+    WITH d AS (
+        SELECT UNNEST(generate_series(DATE '2024-01-01', DATE '2024-12-31',
+                                      INTERVAL 1 DAY))::DATE AS day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(year(day) AS INT) AS y,
+           CAST(month(day) AS INT) AS m,
+           CAST(dayofmonth(day) AS INT) AS dom,
+           CAST(date_diff('day', DATE '2024-01-01', day) % 7 AS INT) AS dow0,
+           CAST((date_diff('day', DATE '2024-01-01', day) // 7) AS INT)
+               AS week0,
+           CAST(quarter(day) AS INT) AS q,
+           (date_diff('day', DATE '2024-01-01', day) % 7) IN (5, 6)
+               AS is_weekend
+    FROM d
+    """,
+)
+def q199_calendar_dim(spark, sf_dir) -> DataFrame:
+    """Calendar dimension (date spine) generation — the table every
+    warehouse joins facts against for fiscal rollups and gap-free
+    reporting, generated in-engine (sequence + explode, no driver loop,
+    no source file). Day-of-week and week number derive from an EXPLICIT
+    epoch anchor (days since 2024-01-01, a Monday) in integer arithmetic
+    — the engines' native dayofweek/weekofyear DISAGREE on origin
+    (Spark: 1=Sunday; DuckDB isodow: 1=Monday; ISO week years differ at
+    boundaries), a classic cross-engine trap this formulation sidesteps
+    entirely. One row per day: 366 rows for 2024 regardless of fact
+    volume."""
+    days = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(DATE '2024-01-01', DATE '2024-12-31',"
+                " INTERVAL 1 DAY)"
+            )
+        ).alias("day")
+    )
+    epoch = F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+    return days.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.year("day").cast("int").alias("y"),
+        F.month("day").cast("int").alias("m"),
+        F.dayofmonth("day").cast("int").alias("dom"),
+        (epoch % 7).cast("int").alias("dow0"),
+        F.floor(epoch / 7).cast("int").alias("week0"),
+        F.quarter("day").cast("int").alias("q"),
+        (epoch % 7).isin(5, 6).alias("is_weekend"),
+    )
