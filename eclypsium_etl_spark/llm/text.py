@@ -1895,3 +1895,128 @@ def q194_pack_boundaries(spark, sf_dir) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q200_corpus_build",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, source, text, lower(trim(text)) AS norm,
+               {_QUALITY_SQL} AS quality,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    good AS (SELECT * FROM q WHERE quality >= 0.5),
+    canon AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(norm)
+                                         ORDER BY doc_id) AS rn
+            FROM good
+        ) WHERE rn = 1
+    ),
+    clean AS (
+        SELECT c.* FROM canon c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM documents ev
+            WHERE ev.doc_id < 20
+              AND substring(ev.text, 1, 40) = substring(c.text, 1, 40)
+        ) AND c.doc_id >= 20
+    ),
+    assigned AS (
+        SELECT *, CASE WHEN {_SPLIT_SQL} < 80 THEN 'train'
+                       WHEN {_SPLIT_SQL} < 90 THEN 'val'
+                       ELSE 'test' END AS split
+        FROM clean
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                            || ':' || md5(text)), 1, 12))
+                         AS BIGINT)) AS BIGINT) AS fingerprint,
+           CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS avg_quality
+    FROM assigned GROUP BY split
+    """,
+)
+def q200_corpus_build(spark, sf_dir) -> DataFrame:
+    """The capstone: the corpus build END-TO-END as one lazy plan —
+    quality gate (q74) → normalized-hash canonical dedup (q135+q62) →
+    eval-set decontamination (q115's prefix screen as a broadcast
+    anti-join) → deterministic split assignment (q132) → per-split
+    manifest with token budget, order-independent content fingerprint
+    (q191), and decimal-exact mean quality. Catalyst fuses the gate,
+    normalization, split hash, and fingerprint into the scan stage; the
+    plan's only wide operations are the dedup window and the final
+    3-row rollup, with the eval prefixes broadcast. This is the query a
+    user of the engine actually ships nightly: corpus in, versioned
+    training manifest out, rerun-identical to the bit."""
+    d = table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.lower(F.trim("text")).alias("norm"),
+        quality_col().alias("quality"),
+        n_tok_col().cast("long").alias("n_tok"),
+    )
+    good = q.filter(F.col("quality") >= 0.5)
+    from pyspark.sql import Window as W
+
+    canon = (
+        good.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(F.md5("norm")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    ev = (
+        d.filter(F.col("doc_id") < 20)
+        .select(F.substring("text", 1, 40).alias("pref"))
+        .distinct()
+    )
+    clean = canon.filter(F.col("doc_id") >= 20).join(
+        F.broadcast(ev),
+        F.substring(F.col("text"), 1, 40) == F.col("pref"),
+        "left_anti",
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit("|split-v1"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    assigned = clean.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+    fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.md5("text"))
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum(fp).cast("long").alias("fingerprint"),
+        (
+            F.sum(F.col("quality").cast("decimal(28,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_quality"),
+    )

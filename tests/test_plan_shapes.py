@@ -424,3 +424,15 @@ def test_q181_single_prefix_shuffle(spark):
     group-by shuffles."""
     df = QUERIES["q181_split_leakage"](spark, SF_CHECK)
     assert plans.shuffle_count(df) <= 2  # group-by + distinct-split expand
+
+
+def test_q200_corpus_build_shape(spark):
+    """The end-to-end corpus build: eval prefixes broadcast (anti-join is
+    map-side), no cartesian anywhere, and the only wide ops are the
+    dedup window + final rollup (+ the eval-set prefix distinct, a
+    dim-side exchange bounded by the benchmark set, not the corpus)."""
+    df = QUERIES["q200_corpus_build"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    assert plans.has_broadcast(df)
+    assert "CartesianProduct" not in plan
+    assert plans.shuffle_count(df) <= 3
