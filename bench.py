@@ -93,6 +93,10 @@ HEADLINE = [
     "q165_mlm_mask",
     "q170_recursive_hierarchy",
     "q171_retention_cohorts",
+    "q186_source_overlap",
+    "q192_pit_join",
+    "q198_decile_lift",
+    "q200_corpus_build",
 ]
 
 
