@@ -97,8 +97,8 @@ def q22_agg_distinct(spark, sf_dir) -> DataFrame:
     oracle="""
     SELECT COUNT(DISTINCT user_id) AS n_users,
            COUNT(DISTINCT event_id) AS n_events,
-           TRUE AS users_within_5pct,
-           TRUE AS events_within_5pct
+           TRUE AS users_within_tol,
+           TRUE AS events_within_tol
     FROM events
     """,
 )
@@ -108,10 +108,12 @@ def q23_agg_approx_distinct(spark, sf_dir) -> DataFrame:
 
     Bounds-checking oracle: sketch values differ across engines by design,
     so the emitted columns are the EXACT counts plus booleans asserting the
-    HLL estimate landed within 5% of them — the oracle states the exact
-    counts and TRUE. A drifting sketch flips a boolean and fails the value
-    hash, so the approximate operator gets a full differential check
-    instead of a rows-only row. (The exact countDistinct alongside the
+    HLL estimate landed within 3·rsd (15%) of them — the oracle states the
+    exact counts and TRUE. A broken sketch flips a boolean and fails the
+    value hash, so the approximate operator gets a full differential check
+    instead of a rows-only row. The tolerance is three STANDARD ERRORS, not
+    one: rsd is a σ, and a 1σ bound fails ~32% of (fixture, seed) draws —
+    it did at sf0.1 (1500 users, estimate 5.6% off) while passing sf0.01. (The exact countDistinct alongside the
     sketch is the in-query verification, affordable at check scale; at
     100 TB you'd ship only the sketch.)"""
     e = table(spark, sf_dir, "events")
@@ -122,13 +124,13 @@ def q23_agg_approx_distinct(spark, sf_dir) -> DataFrame:
         F.countDistinct("event_id").alias("n_events"),
     )
     within = lambda a, n: (  # noqa: E731
-        F.abs(F.col(a).cast("double") - F.col(n)) / F.col(n) <= 0.05
+        F.abs(F.col(a).cast("double") - F.col(n)) / F.col(n) <= 0.15
     )
     return agg.select(
         "n_users",
         "n_events",
-        within("approx_users", "n_users").alias("users_within_5pct"),
-        within("approx_events", "n_events").alias("events_within_5pct"),
+        within("approx_users", "n_users").alias("users_within_tol"),
+        within("approx_events", "n_events").alias("events_within_tol"),
     )
 
 

@@ -392,9 +392,16 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q137_stream_curation",
     oracle=f"""
-    SELECT doc_id, lang, source, {_TEXT_QUALITY_SQL} AS quality,
-           md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_hash
-    FROM documents WHERE {_TEXT_QUALITY_SQL} >= 0.5
+    SELECT doc_id, lang, source, quality, norm_hash FROM (
+        SELECT doc_id, lang, source, {_TEXT_QUALITY_SQL} AS quality,
+               md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+                   AS norm_hash,
+               row_number() OVER (
+                   PARTITION BY md5(trim(regexp_replace(lower(text),
+                                                        ' +', ' ', 'g')))
+                   ORDER BY doc_id) AS rn
+        FROM documents WHERE {_TEXT_QUALITY_SQL} >= 0.5
+    ) WHERE rn = 1
     """,
 )
 def q137_stream_curation(spark, sf_dir) -> DataFrame:
@@ -412,7 +419,16 @@ def q137_stream_curation(spark, sf_dir) -> DataFrame:
 
     On a finite in-order replay nothing is late, so the drained stream
     equals the batch statement of the same pipeline — the differential
-    oracle the driver hash-checks."""
+    oracle the driver hash-checks.
+
+    Determinism boundary (found by the sf0.1 cross-scale walk): when the
+    CORPUS ITSELF contains same-hash duplicates (it does at sf0.1, not
+    at sf0.01), the streaming dedup's surviving ROW is whichever copy
+    arrived first — partition order, not a contract. The stream's
+    verified artifact is therefore the surviving HASH SET (state dedup
+    is what's under test); the emitted row per hash is re-canonicalized
+    deterministically (min doc_id) from the batch table, mirroring the
+    keeper election every batch dedup here uses (q62/q134)."""
     from ..llm.text import quality_col
 
     norm = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
@@ -433,7 +449,22 @@ def q137_stream_curation(spark, sf_dir) -> DataFrame:
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
     )
-    return spark.table(qname).select(
+    survivors = spark.table(qname).select("norm_hash").distinct()
+    from pyspark.sql import Window as W
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .withColumn("norm_hash", F.md5(norm))
+        .withColumn("quality", quality_col())
+        .filter(F.col("quality") >= 0.5)
+    )
+    canon = (
+        d.withColumn(
+            "rn", F.row_number().over(W.partitionBy("norm_hash").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return canon.join(survivors, "norm_hash", "left_semi").select(
         "doc_id", "lang", "source", "quality", "norm_hash"
     )
 
