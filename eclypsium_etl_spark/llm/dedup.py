@@ -921,3 +921,155 @@ def q181_split_leakage(spark, sf_dir) -> DataFrame:
         )
         .filter(F.col("n_splits") > 1)
     )
+
+
+# synthetic URL per doc (the fixture carries none): 50 distinct pages per
+# source plus tracking noise — enough aliasing for canonicalization to bite
+_URL_RAW_SQL = (
+    "'https://WWW.' || source || '.example.com/page/' "
+    "|| CAST(doc_id % 50 AS VARCHAR) "
+    "|| '?utm_source=feed&session=' || CAST(doc_id AS VARCHAR) || '#frag'"
+)
+
+
+@query(
+    "q201_url_canonical_dedup",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id,
+               {_URL_RAW_SQL} AS raw_url,
+               lower('https://www.' || source || '.example.com/page/'
+                     || CAST(doc_id % 50 AS VARCHAR)) AS canon_url
+        FROM documents
+    )
+    SELECT canon_url, COUNT(*) AS n_aliases,
+           MIN(doc_id) AS keeper_doc
+    FROM u GROUP BY canon_url
+    """,
+)
+def q201_url_canonical_dedup(spark, sf_dir) -> DataFrame:
+    """URL canonicalization + dedup — the crawl front door: lowercase the
+    host, strip the fragment and tracking parameters (utm_*, session
+    ids), and collapse aliases of the same page to one keeper (min
+    doc_id). The URLs are synthesized deterministically since the
+    fixture has none; the REGEX canonicalization on the Spark side must
+    land on the oracle's constructed canonical form — the check is that
+    normalization actually inverts the noise. Scan-stage regex + one
+    hash aggregate keyed on 60-byte canonical URLs; at crawl scale the
+    groupBy keys on md5(canon_url) digests instead (q102's discipline)."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".example.com/page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=feed&session="),
+        F.col("doc_id").cast("string"),
+        F.lit("#frag"),
+    )
+    canon = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(raw, r"#.*$", ""),  # fragment
+            r"\?.*$",  # query string (all params here are tracking noise)
+            "",
+        )
+    )
+    return (
+        d.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").alias("n_aliases"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+    )
+
+
+_MH_K = 16  # signature components
+
+
+@query(
+    "q202_minhash_merge",
+    oracle=f"""
+    WITH v AS (
+        SELECT DISTINCT source, t AS token
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+    ),
+    h AS (
+        SELECT v.source, j.j AS j,
+               MIN(CAST(('0x' || substring(md5(CAST(j.j AS VARCHAR) || '|'
+                                           || v.token), 1, 12)) AS BIGINT))
+                   AS sig
+        FROM v, UNNEST(generate_series(1, {_MH_K})) AS j(j)
+        GROUP BY v.source, j.j
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match,
+           round(CAST(SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END)
+                      AS DOUBLE) / {_MH_K}, 6) AS est_jaccard
+    FROM h a JOIN h b ON a.j = b.j AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q202_minhash_merge(spark, sf_dir) -> DataFrame:
+    """Mergeable-sketch algebra: per-source MinHash signatures over the
+    token vocabulary, compared component-wise to ESTIMATE every source
+    pair's vocabulary Jaccard (q186 computes it exactly; the agreement
+    is testable). The point is mergeability — MIN is associative and
+    commutative, so per-partition, per-day, or per-shard signatures
+    merge by elementwise min without revisiting data: the sketch
+    property that makes corpus-level similarity maintainable
+    incrementally at 100 TB, same family as HLL (q23), CMS (q128), and
+    Bloom (q124). The md5 hash family makes every signature component
+    engine-exact, so even the ESTIMATE is differentially checked —
+    sketch parity, not just bounds. Shuffles carry (source, j, min-hash)
+    triples: sources × {_MH_K} rows."""
+    d = table(spark, sf_dir, "documents")
+    v = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    hj = v.select(
+        "source",
+        F.explode(F.expr(f"sequence(1, {_MH_K})")).alias("j"),
+        "token",
+    ).select(
+        "source",
+        "j",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("token"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    sig = hj.groupBy("source", "j").agg(F.min("h").alias("sig"))
+    a = sig.select(
+        F.col("source").alias("src_a"), "j", F.col("sig").alias("sig_a")
+    )
+    b = sig.select(
+        F.col("source").alias("src_b"), "j", F.col("sig").alias("sig_b")
+    )
+    return (
+        a.join(b, "j")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.when(F.col("sig_a") == F.col("sig_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_match"),
+            F.round(
+                F.sum(
+                    F.when(F.col("sig_a") == F.col("sig_b"), 1).otherwise(0)
+                ).cast("double")
+                / _MH_K,
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
