@@ -647,3 +647,101 @@ def q199_calendar_dim(spark, sf_dir) -> DataFrame:
         F.quarter("day").cast("int").alias("q"),
         (epoch % 7).isin(5, 6).alias("is_weekend"),
     )
+
+
+@query(
+    "q203_quantile_sketch",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS p50_exact,
+           round(quantile_cont(o_totalprice, 0.95), 6) AS p95_exact,
+           TRUE AS p50_within_1pct,
+           TRUE AS p95_within_1pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q203_quantile_sketch(spark, sf_dir) -> DataFrame:
+    """Quantile sketch (approx_percentile) with a bounds-checking oracle
+    — q23's pattern applied to the last sketch in the family
+    (HLL→q23, CMS→q128, Bloom→q124, MinHash→q202): the emitted columns
+    are the EXACT interpolated quantiles plus booleans asserting the
+    sketch landed within 1% relative error at accuracy 10000. The
+    sketch is mergeable and single-pass — the 100 TB quantile path
+    where exact percentile's per-group sort is not — and this query
+    keeps its error contract continuously verified rather than assumed.
+    (Value tolerance, not rank tolerance: at fixture sizes the
+    Greenwald-Khanna rank error ≪ 1% of value for these smooth
+    distributions.)"""
+    o = table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.50)").alias("e50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("e95"),
+        F.expr("approx_percentile(o_totalprice, 0.50, 10000)").alias("a50"),
+        F.expr("approx_percentile(o_totalprice, 0.95, 10000)").alias("a95"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) <= 0.01
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.round("e50", 6).alias("p50_exact"),
+        F.round("e95", 6).alias("p95_exact"),
+        within("a50", "e50").alias("p50_within_1pct"),
+        within("a95", "e95").alias("p95_within_1pct"),
+    )
+
+
+@query(
+    "q204_rolling_multi_horizon",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, epoch(date_trunc('day', ts)) AS day_s,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total
+        FROM events WHERE user_id < 20
+        GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT user_id, CAST(to_timestamp(day_s) AS TIMESTAMP) AS day,
+           round(CAST(SUM(CAST(total AS DECIMAL(28,4)))
+                 OVER (PARTITION BY user_id ORDER BY day_s
+                       RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 4) AS roll_7d,
+           round(CAST(SUM(CAST(total AS DECIMAL(28,4)))
+                 OVER (PARTITION BY user_id ORDER BY day_s
+                       RANGE BETWEEN 2332800 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 4) AS roll_28d
+    FROM d
+    """,
+)
+def q204_rolling_multi_horizon(spark, sf_dir) -> DataFrame:
+    """Multi-horizon rolling metrics (trailing 7-day AND 28-day spend)
+    computed in ONE pass: both RANGE frames share the identical
+    partitioning and ordering, so Catalyst plans a single exchange and a
+    single sort with two frame evaluators — the metrics-table pattern
+    (daily grain × k horizons) that naive per-horizon queries re-shuffle
+    k times. Day keys compare as epoch seconds so the frame bounds are
+    exact integers on both engines; sums are decimal-routed per the
+    house discipline."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    d = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total")
+    ).withColumn("day_s", F.unix_timestamp("day"))
+    roll = lambda days: (  # noqa: E731
+        F.round(
+            F.sum(F.col("total").cast("decimal(28,4)"))
+            .over(
+                Window.partitionBy("user_id")
+                .orderBy("day_s")
+                .rangeBetween(-(days - 1) * 86400, 0)
+            )
+            .cast("double"),
+            4,
+        )
+    )
+    return d.select(
+        "user_id",
+        "day",
+        roll(7).alias("roll_7d"),
+        roll(28).alias("roll_28d"),
+    )

@@ -436,3 +436,10 @@ def test_q200_corpus_build_shape(spark):
     assert plans.has_broadcast(df)
     assert "CartesianProduct" not in plan
     assert plans.shuffle_count(df) <= 3
+
+
+def test_q204_two_horizons_one_exchange(spark):
+    """Both rolling frames share the (user_id, day) partitioning/order —
+    the daily rollup + ONE window exchange, never one per horizon."""
+    df = QUERIES["q204_rolling_multi_horizon"](spark, SF_CHECK)
+    assert plans.shuffle_count(df) <= 2  # day rollup + shared window
