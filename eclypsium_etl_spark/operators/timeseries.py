@@ -681,3 +681,35 @@ def q192_pit_join(spark, sf_dir) -> DataFrame:
         & (F.col("valid_from") <= F.col("ts"))
         & ((F.col("ts") < F.col("valid_to")) | F.col("valid_to").isNull()),
     ).select("event_id", "user_id", "ts", "state", "valid_from")
+
+
+@query(
+    "q205_collapse_adjacent",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts FROM (
+        SELECT event_id, user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ) WHERE prev_type IS DISTINCT FROM event_type
+    """,
+)
+def q205_collapse_adjacent(spark, sf_dir) -> DataFrame:
+    """Adjacent-duplicate collapse (run-length dedup): keep each event
+    only when its type DIFFERS from the user's immediately preceding
+    event — the instrumentation-noise filter (double-clicks, retry
+    storms, heartbeat spam) that q85's global keep-first is too blunt
+    for: a type may legitimately recur later, just not consecutively.
+    One lag over one user_id exchange; IS DISTINCT FROM keeps the
+    first-row (NULL predecessor) case explicit. The same shape feeds
+    q139's SCD-2 run compaction — this is its event-level filter
+    expressed standalone."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(~F.col("prev_type").eqNullSafe(F.col("event_type")))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
