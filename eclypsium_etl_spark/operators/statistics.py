@@ -745,3 +745,58 @@ def q204_rolling_multi_horizon(spark, sf_dir) -> DataFrame:
         roll(7).alias("roll_7d"),
         roll(28).alias("roll_28d"),
     )
+
+
+@query(
+    "q207_percent_of_total",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    t AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(28,4))) AS DOUBLE)
+                 AS grand FROM m)
+    SELECT m.o_orderstatus, m.o_orderpriority, round(m.revenue, 4) AS revenue,
+           round(m.revenue / CAST(SUM(CAST(m.revenue AS DECIMAL(28,4)))
+                 OVER (PARTITION BY m.o_orderstatus) AS DOUBLE), 6)
+               AS pct_of_status,
+           round(m.revenue / t.grand, 6) AS pct_of_total
+    FROM m CROSS JOIN t
+    """,
+)
+def q207_percent_of_total(spark, sf_dir) -> DataFrame:
+    """Ratio-to-report (percent of subtotal AND grand total per cell) —
+    the share-of-business view every BI layer renders. The subtotal is
+    a window sum over the already-aggregated cells (cardinality =
+    status × priority, tiny); the grand total folds back as a 1-row
+    cross join rather than an unpartitioned window over the fact table
+    — the distinction that matters at 100 TB, where a global window
+    means one reducer but a 1-row broadcast is free. Shares divide
+    decimal-exact sums, so both engines produce identical doubles."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    t = m.agg(
+        F.sum(F.col("revenue").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("grand")
+    )
+    w = Window.partitionBy("o_orderstatus")
+    return m.crossJoin(F.broadcast(t)).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round("revenue", 4).alias("revenue"),
+        F.round(
+            F.col("revenue")
+            / F.sum(F.col("revenue").cast("decimal(28,4)"))
+            .over(w)
+            .cast("double"),
+            6,
+        ).alias("pct_of_status"),
+        F.round(F.col("revenue") / F.col("grand"), 6).alias("pct_of_total"),
+    )

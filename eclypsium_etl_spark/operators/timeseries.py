@@ -713,3 +713,98 @@ def q205_collapse_adjacent(spark, sf_dir) -> DataFrame:
         .filter(~F.col("prev_type").eqNullSafe(F.col("event_type")))
         .select("event_id", "user_id", "event_type", "ts")
     )
+
+
+@query(
+    "q206_time_to_convert",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS vt FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS pt
+          FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.vt
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    d AS (SELECT CAST(date_diff('second', v.vt, p.pt) AS BIGINT) AS delay_s
+          FROM v JOIN p ON p.user_id = v.user_id)
+    SELECT COUNT(*) AS n_converted,
+           CAST(MIN(delay_s) AS BIGINT) AS min_s,
+           round(quantile_cont(delay_s, 0.50), 4) AS p50_s,
+           round(quantile_cont(delay_s, 0.90), 4) AS p90_s,
+           CAST(MAX(delay_s) AS BIGINT) AS max_s
+    FROM d
+    """,
+)
+def q206_time_to_convert(spark, sf_dir) -> DataFrame:
+    """Conversion-latency distribution: per user, first view to first
+    subsequent purchase, summarized as exact percentiles — the product
+    metric behind funnel SLAs (q160 counts the funnel; this times it).
+    Delays are integer SECONDS (timestamp difference truncated
+    identically on both engines — float duration division would not
+    be), so the percentile interpolation operates on exact integers.
+    Both stages key on user_id; the distribution summary is a 1-row
+    aggregate over |converted users| values."""
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    d = v.join(p, "user_id").select(
+        (F.unix_timestamp("pt") - F.unix_timestamp("vt")).alias("delay_s")
+    )
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        F.min("delay_s").cast("long").alias("min_s"),
+        F.round(F.expr("percentile(delay_s, 0.50)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(delay_s, 0.90)"), 4).alias("p90_s"),
+        F.max("delay_s").cast("long").alias("max_s"),
+    )
+
+
+@query(
+    "q208_gap_audit",
+    oracle="""
+    WITH present AS (
+        SELECT event_id FROM events WHERE event_id % 97 <> 0
+    ),
+    gaps AS (
+        SELECT event_id + 1 AS gap_start,
+               lead(event_id) OVER (ORDER BY event_id) - 1 AS gap_end
+        FROM present
+    )
+    SELECT gap_start, gap_end, gap_end - gap_start + 1 AS n_missing
+    FROM gaps WHERE gap_end >= gap_start
+    """,
+)
+def q208_gap_audit(spark, sf_dir) -> DataFrame:
+    """Sequence-completeness audit: find every MISSING id range in what
+    should be a dense sequence (every 97th id deleted here to create
+    known gaps) — the ingestion check that catches dropped batches and
+    silent partition loss. The gaps-and-islands lead trick: sort the
+    present ids once, and each adjacent pair straddling a hole emits
+    [prev+1, next−1]. One global-ordered window at fixture scale; at
+    100 TB the same lead runs per range-partition with a tiny
+    boundary-pair fixup join (the q127 two-phase discipline) — gap
+    detection needs only adjacent pairs, never a total materialized
+    sort on one node."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 97 != 0)
+    w = W.orderBy("event_id")
+    g = e.select("event_id").withColumn(
+        "next_id", F.lead("event_id").over(w)
+    )
+    return (
+        g.select(
+            (F.col("event_id") + 1).alias("gap_start"),
+            (F.col("next_id") - 1).alias("gap_end"),
+        )
+        .filter(F.col("gap_end") >= F.col("gap_start"))
+        .withColumn("n_missing", F.col("gap_end") - F.col("gap_start") + 1)
+    )
