@@ -294,3 +294,119 @@ def q51_cast_coalesce(spark, sf_dir) -> DataFrame:
         F.coalesce(nullified, F.lit("n/a")).alias("type_or_na"),
         nullified.isNull().alias("was_error"),
     )
+
+
+@query(
+    "q209_nested_output",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderstatus,
+               {lo: MIN(o_totalprice), hi: MAX(o_totalprice),
+                avg: CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                     / COUNT(*)} AS price_stats,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, price_stats.lo AS lo, price_stats.hi AS hi,
+           round(price_stats.avg, 6) AS avg, n
+    FROM s
+    """,
+)
+def q209_nested_output(spark, sf_dir) -> DataFrame:
+    """Nested STRUCT round trip in the RESULT path: min/max/decimal-exact
+    mean packed into a named struct per group (the API-response /
+    document-sink shape), then the fields projected back OUT for the
+    differential compare — proving construction and field access both
+    work. The compared output is deliberately flat: a raw struct CELL's
+    collected representation is harness-dependent (tuple without Arrow,
+    dict with it / in DuckDB), which is a property of result transport,
+    not of the query; serialized nested OUTPUT is covered by q47 and the
+    struct-typed transport by q210's explode."""
+    o = table(spark, sf_dir, "orders")
+    s = o.groupBy("o_orderstatus").agg(
+        F.struct(
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(28,4)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("avg"),
+        ).alias("price_stats"),
+        F.count("*").alias("n"),
+    )
+    return s.select(
+        "o_orderstatus",
+        F.col("price_stats.lo").alias("lo"),
+        F.col("price_stats.hi").alias("hi"),
+        F.round(F.col("price_stats.avg"), 6).alias("avg"),
+        "n",
+    )
+
+
+@query(
+    "q210_struct_array_explode",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, least(3, len(string_split(text, ' ')))),
+                   i -> {pos: i, tok: string_split(text, ' ')[i]}) AS head
+        FROM documents
+    )
+    SELECT doc_id, u.pos, u.tok
+    FROM t, UNNEST(head) AS x(u)
+    """,
+)
+def q210_struct_array_explode(spark, sf_dir) -> DataFrame:
+    """Array-of-structs: build typed records per row (the first three
+    (position, token) pairs), then explode and project the fields — the
+    full nested round-trip (construct → collect → flatten) that
+    log-event and API-payload pipelines live in. All codegen expression
+    work: transform builds the structs, explode is the only
+    row-multiplier, field access prunes to the projected members."""
+    d = table(spark, sf_dir, "documents")
+    head = F.expr(
+        "transform(sequence(1, least(3, size(split(text, ' ')))),"
+        " i -> struct(i AS pos, element_at(split(text, ' '), i) AS tok))"
+    )
+    return (
+        d.select("doc_id", F.explode(head).alias("u"))
+        .select("doc_id", F.col("u.pos").alias("pos"), F.col("u.tok").alias("tok"))
+    )
+
+
+@query(
+    "q211_try_expressions",
+    oracle="""
+    SELECT event_id,
+           COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER),
+                    -1) AS k_or_default,
+           CASE WHEN value = 0 THEN NULL ELSE round(100.0 / value, 6) END
+               AS inv_value,
+           TRY_CAST(event_type AS INTEGER) AS type_as_int
+    FROM events
+    """,
+)
+def q211_try_expressions(spark, sf_dir) -> DataFrame:
+    """Error-safe expressions (try_cast / try_divide) — load-bearing
+    under Spark 4's ANSI-by-default mode, where a bad cast or a zero
+    divisor FAILS THE JOB instead of yielding NULL (q183 hit exactly
+    this). The try_ family restores per-row NULL semantics only where
+    the pipeline explicitly tolerates dirty data, keeping ANSI's
+    fail-fast everywhere else — strictly better than globally disabling
+    ANSI. DuckDB's TRY_CAST + a guarded division state the same
+    semantics."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.coalesce(
+            F.expr(
+                "try_cast(get_json_object(props, '$.k') AS INT)"
+            ),
+            F.lit(-1),
+        ).alias("k_or_default"),
+        F.round(F.expr("try_divide(100.0, value)"), 6).alias("inv_value"),
+        F.expr("try_cast(event_type AS INT)").alias("type_as_int"),
+    )
