@@ -808,3 +808,68 @@ def q208_gap_audit(spark, sf_dir) -> DataFrame:
         .filter(F.col("gap_end") >= F.col("gap_start"))
         .withColumn("n_missing", F.col("gap_end") - F.col("gap_start") + 1)
     )
+
+
+@query(
+    "q212_dayparting",
+    oracle="""
+    SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY hour(ts), event_type
+    """,
+)
+def q212_dayparting(spark, sf_dir) -> DataFrame:
+    """Dayparting heat map (hour-of-day × event type) — the load-shape
+    view capacity planning and send-time optimization read. hour() is
+    one of the FEW date parts the engines agree on natively (unlike
+    dayofweek/weekofyear — q199's trap); under the pinned UTC session
+    both extract the identical hour. Scan-stage bucketing + one
+    24×|types|-key aggregate: a heat map over 100 TB of events is still
+    a ~100-row result."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.hour("ts").cast("int").alias("hour_of_day"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@query(
+    "q213_user_profile",
+    oracle="""
+    SELECT user_id,
+           MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+           CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT) AS tenure_days,
+           CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+               AS active_days,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM events GROUP BY user_id
+    """,
+)
+def q213_user_profile(spark, sf_dir) -> DataFrame:
+    """User profile table build: first/last seen, tenure, distinct active
+    days, event and purchase counts — the entity-summary materialization
+    every feature store and CRM sync starts from, and the fact-to-
+    dimension collapse (events → one row per user) that turns a 100 TB
+    stream into a dimension the q12/q161 join ladder can broadcast or
+    bucket. One user-keyed aggregate; the distinct-day count is the only
+    sub-aggregate and stays bounded by tenure."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.datediff(F.max("ts"), F.min("ts")).cast("long").alias("tenure_days"),
+        F.countDistinct(F.date_trunc("day", "ts"))
+        .cast("long")
+        .alias("active_days"),
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+    )

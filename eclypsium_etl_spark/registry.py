@@ -136,7 +136,7 @@ _CHEAP_FIRST = [
     "q202_minhash_merge", "q203_quantile_sketch", "q204_rolling_multi_horizon",
     "q205_collapse_adjacent", "q206_time_to_convert", "q207_percent_of_total",
     "q208_gap_audit", "q209_nested_output", "q210_struct_array_explode",
-    "q211_try_expressions",
+    "q211_try_expressions", "q212_dayparting", "q213_user_profile",
     # --- tier 3: driver-green in r1/r2 (98), cheapest-first ---
     "q96_unpivot", "q61_udtf", "q109_pad_trim", "q99_bitwise", "q98_string_distance",
     "q75_text_token_count", "q76_text_fingerprint", "q97_array_setops", "q74_text_quality", "q50_case_when",
