@@ -97,6 +97,8 @@ HEADLINE = [
     "q192_pit_join",
     "q198_decile_lift",
     "q200_corpus_build",
+    "q214_substring_spans",
+    "q221_python_datasource",
 ]
 
 

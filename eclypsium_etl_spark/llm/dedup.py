@@ -1073,3 +1073,97 @@ def q202_minhash_merge(spark, sf_dir) -> DataFrame:
             ).alias("est_jaccard"),
         )
     )
+
+
+# ------------------------------------------------- exact substring spans
+
+# Sliding-gram width (tokens) and the minimal reported span length. A span
+# of k consecutive duplicated grams covers k + _SPAN_W - 1 tokens, so the
+# _SPAN_W + 2 floor requires >= 3 consecutive shared grams — one colliding
+# gram alone is noise on a small vocabulary.
+_SPAN_W = 8
+_SPAN_MIN = _SPAN_W + 2
+
+
+@query(
+    "q214_substring_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS p,
+               md5(array_to_string(list_slice(t, i, i + {_SPAN_W} - 1), ' ')) AS h
+        FROM toks, UNNEST(range(1, len(t) - {_SPAN_W} + 2)) AS u(i)
+    ),
+    freq AS (SELECT h, COUNT(*) AS gf FROM g GROUP BY h),
+    sh AS (SELECT g.doc_id, g.p FROM g JOIN freq USING (h) WHERE gf > 1),
+    grp AS (
+        SELECT doc_id, p,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grpid
+        FROM sh
+    )
+    SELECT doc_id,
+           MIN(p) AS span_start,
+           MAX(p) - MIN(p) + {_SPAN_W} AS span_len,
+           COUNT(*) AS n_grams
+    FROM grp GROUP BY doc_id, grpid
+    HAVING MAX(p) - MIN(p) + {_SPAN_W} >= {_SPAN_MIN}
+    """,
+)
+def q214_substring_spans(spark, sf_dir) -> DataFrame:
+    """Exact duplicated-substring spans (the suffix-array dedup recipe of
+    "Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2022, re-expressed relationally): slide an 8-token (_SPAN_W) gram window
+    over every document, keep grams whose corpus-wide frequency is > 1,
+    and merge runs of consecutive duplicated positions into maximal spans
+    (gaps-and-islands: position minus row_number is constant within a
+    run). Downstream curation CLIPS the reported [span_start, span_len)
+    token ranges out of the text rather than dropping whole documents —
+    the reference-free twin of q120's fixed-block scoring (overlapping
+    grams find spans at ANY alignment; q120's disjoint blocks only
+    multiples of the block width).
+
+    Scale shape: grams are hashed to md5 BEFORE the explode leaves the
+    scan stage, so the only bytes that ever shuffle are 16-byte digests +
+    a position — never text. One hash-aggregate for global gram
+    frequencies — computed as a COUNT window over the gram digest, so the
+    gram stream is scanned once and never self-joined — and a per-doc
+    window whose partitions are single documents (no global sort). Short
+    docs (< _SPAN_W tokens) produce no grams by construction. The
+    doc-frequency cap discipline of q63 is unnecessary here: a hot gram
+    inflates only its own frequency partition (linear, not a pairwise
+    self-join). Tokens are materialized ONCE as a projected array column
+    before the gram lambda — referencing split(text) inside the lambda
+    would re-tokenize per gram (no CSE inside higher-order functions).
+    Spark's descending-sequence trap is guarded with an explicit
+    empty-array branch, matching the oracle's empty range()."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    grams = F.expr(
+        f"CASE WHEN size(t) < {_SPAN_W}"
+        f" THEN cast(array() AS array<struct<p:int,h:string>>)"
+        f" ELSE transform(sequence(1, size(t) - {_SPAN_W} + 1),"
+        f" i -> struct(i AS p, md5(concat_ws(' ', slice(t, i, {_SPAN_W}))) AS h)) END"
+    )
+    g = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.p").cast("long").alias("p"), F.col("g.h").alias("h"))
+    )
+    sh = g.withColumn(
+        "gf", F.count("*").over(Window.partitionBy("h"))
+    ).where(F.col("gf") > 1).select("doc_id", "p")
+    run = F.col("p") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("p")
+    )
+    return (
+        sh.withColumn("grpid", run)
+        .groupBy("doc_id", "grpid")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") - F.min("p") + F.lit(_SPAN_W)).alias("span_len"),
+            F.count("*").alias("n_grams"),
+        )
+        .where(F.col("span_len") >= _SPAN_MIN)
+        .select("doc_id", "span_start", "span_len", "n_grams")
+    )

@@ -210,23 +210,27 @@ def q85_window_dedup(spark, sf_dir) -> DataFrame:
     ).select("event_id", "user_id", "ts", "event_type")
 
 
-def partitioned_orders(spark, sf_dir) -> DataFrame:
-    """orders laid out partitionBy(o_orderstatus) in the shared scratch
-    area — the write-once intermediate behind q86, also pre-warmed by
-    __spark_entry__.entry() so the harness's q86 run is scan-only."""
+def partitioned_orders_path(sf_dir: str) -> str:
+    """Scratch path of the partitionBy(o_orderstatus) orders layout:
+    full-path slug (same-basename data dirs must not alias) + source
+    mtime/size stamp (regenerated fixtures must not hit a stale layout)."""
     from ..io import source_stamp
 
-    # full-path slug (same-basename data dirs must not alias) + source
-    # mtime/size stamp (regenerated fixtures must not hit a stale layout)
-    out = os.path.join(
+    return os.path.join(
         tempfile.gettempdir(),
         "eclypsium_etl_spark",
         f"orders_partitioned_{sf_dir.strip('/').replace('/', '_')}"
         f"_{source_stamp(f'{sf_dir}/orders.parquet')}",
     )
+
+
+def partitioned_orders(spark, sf_dir) -> DataFrame:
+    """orders laid out partitionBy(o_orderstatus) in the shared scratch
+    area — the write-once intermediate behind q86 and q217, also pre-warmed
+    by __spark_entry__.entry() so the harness's q86 run is scan-only."""
     return materialize_once(
         spark,
-        out,
+        partitioned_orders_path(sf_dir),
         lambda path: table(spark, sf_dir, "orders")
         .write.partitionBy("o_orderstatus")
         .parquet(path),
@@ -368,4 +372,150 @@ def q170_recursive_hierarchy(spark, sf_dir) -> DataFrame:
         FROM h JOIN part p USING (p_partkey)
         GROUP BY h.root, h.depth
         """
+    )
+
+
+@query(
+    "q216_observe_metrics",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q216_observe_metrics(spark, sf_dir) -> DataFrame:
+    """Pipeline instrumentation via the Observation API: named metrics
+    (row count, null count, value total) are accumulated ON the scan as a
+    side effect of whatever action runs downstream — zero extra jobs,
+    zero extra scans, unlike a separate `df.count()` audit pass (the
+    anti-pattern the reference's row-count logging would naively become;
+    its DAG re-reads data per task, mercadolibre_pipeline_dag.py:93,134).
+    At 100 TB an extra audit scan is hours — observe() makes data-quality
+    counters free riders on the job you already run.
+
+    The returned plan is the ordinary per-type rollup; the observation
+    point is part of its lineage, so the driver's collect() both checks
+    the rollup against the oracle AND fires the metrics. Metric VALUES
+    are asserted in tests/test_ops_properties.py (Observation.get blocks
+    until the action completes) — the oracle here checks the data path."""
+    from pyspark.sql import Observation
+
+    e = table(spark, sf_dir, "events")
+    obs = Observation()
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+        dsum("value").alias("value_total"),
+    )
+    return observed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@query(
+    "q217_scan_file_metadata",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q217_scan_file_metadata(spark, sf_dir) -> DataFrame:
+    """Hidden file-metadata columns (`_metadata.file_path`) as first-class
+    query inputs: re-read q86's hive-partitioned orders layout and recover
+    each row's partition value FROM ITS FILE PATH rather than from the
+    partition column — auditing that physical layout and logical value
+    agree (the check a lakehouse ingestion job runs after a partitioned
+    backfill; a mismatch means misplaced files). Also the idiomatic
+    replacement for the deprecated input_file_name().
+
+    Scale shape: _metadata is constant-per-file, evaluated at the scan
+    with zero I/O (it comes from the file listing, not file bytes), and
+    the rollup is an ordinary two-phase hash aggregate over 3 distinct
+    keys. The layout build is the same write-once memo q86 uses, so under
+    the harness this query is scan-only."""
+    partitioned_orders(spark, sf_dir)  # ensure the layout exists (memo)
+    return (
+        spark.read.parquet(partitioned_orders_path(sf_dir))
+        .select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"o_orderstatus=([^/]+)/", 1
+            ).alias("o_orderstatus"),
+            "o_totalprice",
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q218_sql_pipe",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+               AS disc_revenue
+    FROM lineitem
+    WHERE l_quantity > 10
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q218_sql_pipe(spark, sf_dir) -> DataFrame:
+    """SQL pipe syntax (Spark 4.x `|>` operators): the same logical plan a
+    chained DataFrame program declares, written as linear SQL — each stage
+    reads top-to-bottom (FROM |> WHERE |> EXTEND |> AGGREGATE) instead of
+    inside-out. Catalyst compiles pipes to the identical operators as the
+    nested form, so this is purely a query-authoring surface: the oracle
+    is the classic nested formulation and must hash-match exactly.
+    Pipe WHERE placement still reaches the parquet scan as a pushed
+    filter — syntax doesn't move the predicate out of pushdown's reach."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe")
+    return spark.sql(
+        """
+        FROM lineitem_pipe
+        |> WHERE l_quantity > 10
+        |> EXTEND CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)) AS disc
+        |> AGGREGATE COUNT(*) AS n, CAST(SUM(disc) AS DOUBLE) AS disc_revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, disc_revenue
+        """
+    )
+
+
+@query(
+    "q219_sql_named_params",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > 1000.0 AND c_nationkey < 10
+    GROUP BY c_mktsegment
+    """,
+)
+def q219_sql_named_params(spark, sf_dir) -> DataFrame:
+    """Parameterized SQL (`spark.sql(..., args={...})`): named `:param`
+    markers bound server-side as literals by the parser — the
+    injection-safe way to template the reference's string-interpolated
+    SQL (mercadolibre_pipeline_dag.py:75 builds its query by f-string;
+    a malicious category name would execute). Binding happens before
+    analysis, so constant folding and predicate pushdown see real
+    literals — parameterization costs nothing at plan time."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_p")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+        FROM customer_p
+        WHERE c_acctbal > :min_bal AND c_nationkey < :max_nation
+        GROUP BY c_mktsegment
+        """,
+        args={"min_bal": 1000.0, "max_nation": 10},
     )

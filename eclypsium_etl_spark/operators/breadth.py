@@ -205,3 +205,46 @@ def q101_stream_stream_join(spark, sf_dir) -> DataFrame:
         & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 30 MINUTES")),
     ).select("eid_a", "eid_b", "user_id")
     return run_stream_to_memory(spark, joined)
+
+
+@query(
+    "q220_transpose",
+    oracle="""
+    SELECT 'n_customers' AS key,
+           CAST(COUNT(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS DOUBLE) AS AUTOMOBILE,
+           CAST(COUNT(*) FILTER (c_mktsegment = 'BUILDING') AS DOUBLE) AS BUILDING,
+           CAST(COUNT(*) FILTER (c_mktsegment = 'FURNITURE') AS DOUBLE) AS FURNITURE,
+           CAST(COUNT(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS DOUBLE) AS HOUSEHOLD,
+           CAST(COUNT(*) FILTER (c_mktsegment = 'MACHINERY') AS DOUBLE) AS MACHINERY
+    FROM customer
+    UNION ALL
+    SELECT 'total_bal' AS key,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) FILTER (c_mktsegment = 'AUTOMOBILE') AS DOUBLE),
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) FILTER (c_mktsegment = 'BUILDING') AS DOUBLE),
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) FILTER (c_mktsegment = 'FURNITURE') AS DOUBLE),
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) FILTER (c_mktsegment = 'HOUSEHOLD') AS DOUBLE),
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) FILTER (c_mktsegment = 'MACHINERY') AS DOUBLE)
+    FROM customer
+    """,
+)
+def q220_transpose(spark, sf_dir) -> DataFrame:
+    """DataFrame.transpose (Spark 4.x): flip a small aggregate so metrics
+    become rows and group values become columns — the report orientation
+    (q06's HTML table wants one row per metric). Transpose collects the
+    frame to the driver to learn the new column names, so it is ONLY for
+    post-aggregation results of bounded width (here: 2 metrics × 5 fixed
+    segments); transposing a fact table is a driver OOM by construction.
+    The double-typed metric matrix is required — transpose unifies all
+    value columns to the least common type."""
+    from ..functions import dsum
+
+    c = table(spark, sf_dir, "customer")
+    wide = (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("double").alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+    return wide.transpose()

@@ -360,3 +360,90 @@ def q190_sink_jsonl(spark, sf_dir) -> DataFrame:
     return spark.read.schema(schema.add("source", T.StringType())).json(out).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+
+
+# ------------------------------------------------ Python Data Source API
+
+try:  # Spark 4.x Python Data Source API
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _ApiReader(DataSourceReader):
+        """Partitioned reader over a deterministic synthetic 'product API':
+        each InputPartition owns a strided id range, so the fan-out the
+        reference performs driver-side (one REST call per category,
+        mercadolibre_pipeline_dag.py:44-45) runs ON EXECUTORS here — the
+        Python Data Source API is how an HTTP/API extraction becomes a
+        first-class parallel Spark scan instead of a driver loop."""
+
+        def __init__(self, options):
+            self.n = int(options.get("n", 10_000))
+            self.parts = int(options.get("parts", 8))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            # Deterministic integer-derived rows (the hermetic stand-in for
+            # the HTTP GET a real reader would issue per partition). Prices
+            # are exact quarters so double arithmetic is engine-portable.
+            for i in range(partition.value, self.n, self.parts):
+                yield (i, i % 8, (i * 37 % 1000) / 4.0, i * 13 % 50)
+
+    class ProductApiSource(DataSource):
+        """spark.read.format("product_api") — registered per session in
+        q221 via spark.dataSource.register."""
+
+        @classmethod
+        def name(cls):
+            return "product_api"
+
+        def schema(self):
+            return "item_id BIGINT, category BIGINT, price DOUBLE, sold BIGINT"
+
+        def reader(self, schema):
+            return _ApiReader(self.options)
+
+    _HAS_PY_DATASOURCE = True
+except ImportError:  # pragma: no cover - older pyspark
+    _HAS_PY_DATASOURCE = False
+
+
+@query(
+    "q221_python_datasource",
+    oracle="""
+    SELECT i % 8 AS category,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST((i * 37 % 1000) / 4.0 * (i * 13 % 50) AS DECIMAL(28,4))) AS DOUBLE)
+               AS revenue
+    FROM range(0, 10000) t(i)
+    GROUP BY i % 8
+    """,
+)
+def q221_python_datasource(spark, sf_dir) -> DataFrame:
+    """Custom connector via the Python Data Source API (Spark 4.x): the
+    reference's REST extraction re-expressed as a real pluggable source —
+    `spark.read.format("product_api")` plans one task per InputPartition,
+    each executor-side reader yields its strided slice, and everything
+    downstream (pushdown aside) is an ordinary DataFrame. The revenue
+    rollup on top proves rows flow through Catalyst like any scan.
+
+    Scale shape: partitions() is the parallelism contract — a real API
+    source returns one partition per page/shard/category so a 1000-task
+    read saturates the cluster while the driver only lists partitions.
+    The synthetic rows are integer-derived (prices are exact quarters),
+    making the whole source reproducible cross-engine for the oracle."""
+    if not _HAS_PY_DATASOURCE:  # pragma: no cover
+        raise NotImplementedError("pyspark.sql.datasource requires Spark 4+")
+    spark.dataSource.register(ProductApiSource)
+    src = (
+        spark.read.format("product_api")
+        .option("n", 10_000)
+        .option("parts", 8)
+        .load()
+    )
+    from ..functions import dsum
+
+    return src.groupBy("category").agg(
+        F.count("*").alias("n_items"),
+        dsum(F.col("price") * F.col("sold")).alias("revenue"),
+    )

@@ -133,3 +133,68 @@ def q88_python_udtf(spark, sf_dir) -> DataFrame:
         FROM documents d, LATERAL head_tokens(d.text) t
         """
     )
+
+
+def _minmax_scale_arrow(t):
+    """Arrow-native grouped transform: per-group min-max scaling. Min/max
+    are comparison-only (exact, order-independent); each scaled value is
+    then ONE subtract + ONE divide on doubles — the identical two-op IEEE
+    sequence the oracle's window expression performs, so results are
+    bit-equal across engines with no rounding discipline needed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    x = t.column("o_totalprice")
+    mn = pc.min(x).as_py()
+    mx = pc.max(x).as_py()
+    if mn is None or mx == mn:
+        scaled = pa.nulls(t.num_rows, pa.float64())
+    else:
+        scaled = pc.divide(pc.subtract(x, mn), mx - mn)
+    return pa.table(
+        {
+            "o_orderkey": t.column("o_orderkey"),
+            "o_orderpriority": t.column("o_orderpriority"),
+            "o_totalprice": x,
+            "scaled": scaled,
+        }
+    )
+
+
+@query(
+    "q215_apply_in_arrow",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CASE WHEN mx = mn THEN NULL
+                ELSE (o_totalprice - mn) / (mx - mn) END AS scaled
+    FROM (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               MIN(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mn,
+               MAX(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mx
+        FROM orders
+    )
+    """,
+)
+def q215_apply_in_arrow(spark, sf_dir) -> DataFrame:
+    """Grouped-map over raw Arrow record batches (applyInArrow) — the
+    zero-copy sibling of q60's applyInPandas, completing the Python batch
+    API family (q59 pandas_udf, q60 applyInPandas, q88 arrow-optimized
+    Python UDTF, q92 cogroup, q169 mapInArrow): no pandas materialization,
+    the group arrives as a pyarrow.Table and compute runs through Arrow's
+    C++ kernels.
+
+    Plan: ONE shuffle on the group key (the same exchange any grouped
+    aggregate pays), then embarrassingly parallel per-group work. The
+    demo kernel (per-group min-max normalization) is chosen because it's
+    verifiable bit-for-bit against a SQL window oracle — in production
+    this slot holds the genuinely non-relational per-group logic (model
+    scoring, library calls) that built-ins can't express. Skew caveat at
+    100 TB: one group = one task, so a dominant key serializes — salt or
+    pre-aggregate before reaching for grouped-map APIs."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return o.groupBy("o_orderpriority").applyInArrow(
+        _minmax_scale_arrow,
+        "o_orderkey long, o_orderpriority string, o_totalprice double, scaled double",
+    )

@@ -137,6 +137,9 @@ _CHEAP_FIRST = [
     "q205_collapse_adjacent", "q206_time_to_convert", "q207_percent_of_total",
     "q208_gap_audit", "q209_nested_output", "q210_struct_array_explode",
     "q211_try_expressions", "q212_dayparting", "q213_user_profile",
+    "q214_substring_spans", "q215_apply_in_arrow", "q216_observe_metrics",
+    "q217_scan_file_metadata", "q218_sql_pipe", "q219_sql_named_params",
+    "q220_transpose", "q221_python_datasource",
     # --- tier 3: driver-green in r1/r2 (98), cheapest-first ---
     "q96_unpivot", "q61_udtf", "q109_pad_trim", "q99_bitwise", "q98_string_distance",
     "q75_text_token_count", "q76_text_fingerprint", "q97_array_setops", "q74_text_quality", "q50_case_when",

@@ -277,3 +277,57 @@ def test_interval_bin_join_matches_bruteforce(spark, seed):
     # left join: every point appears at least once
     left = ops.interval_bin_join(p, v, "t", "s", "e", 500, how="left")
     assert left.select("pid").distinct().count() == len(pts)
+
+
+def test_observation_metrics_fire_with_action(spark):
+    """q216's side-channel: Observation metrics must reflect exactly the
+    rows that flowed through the observe point, with no extra job."""
+    from pyspark.sql import Observation
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 2.5)], "id long, value double"
+    )
+    obs = Observation()
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+    ).groupBy().count()
+    assert out.collect()[0][0] == 3
+    got = obs.get
+    assert got["n_rows"] == 3
+    assert got["null_values"] == 1
+
+
+def test_substring_spans_bruteforce(spark):
+    """q214 span semantics on a crafted corpus: a 12-token run shared by
+    two docs at DIFFERENT alignments must surface as one maximal span per
+    doc; a lone 8-token collision (< _SPAN_MIN) must not."""
+    from eclypsium_etl_spark.llm.dedup import _SPAN_MIN, _SPAN_W
+
+    shared = [f"s{i}" for i in range(12)]          # 12-token duplicated run
+    lone = [f"q{i}" for i in range(_SPAN_W)]       # exactly one gram wide
+    docs = [
+        (0, " ".join(shared + ["a1", "a2", "a3", "a4"] + lone)),
+        (1, " ".join(["b1", "b2", "b3"] + shared + ["b4", "b5", "b6", "b7"])),
+        (2, " ".join(lone + [f"c{i}" for i in range(10)])),
+    ]
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.mkdtemp(), "documents.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(d)
+
+    from eclypsium_etl_spark.registry import load_all
+
+    q, _ = load_all()
+    rows = {
+        (r.doc_id, r.span_start): (r.span_len, r.n_grams)
+        for r in q["q214_substring_spans"](spark, os.path.dirname(d)).collect()
+    }
+    # the 12-token run: 12 - _SPAN_W + 1 = 5 consecutive grams per doc
+    assert rows[(0, 1)] == (12, 12 - _SPAN_W + 1)
+    assert rows[(1, 4)] == (12, 12 - _SPAN_W + 1)
+    # the lone 8-token collision is below _SPAN_MIN everywhere
+    assert all(l >= _SPAN_MIN for l, _ in rows.values())
+    assert (2, 1) not in rows and len(rows) == 2
