@@ -519,3 +519,105 @@ def q219_sql_named_params(spark, sf_dir) -> DataFrame:
         """,
         args={"min_bal": 1000.0, "max_nation": 10},
     )
+
+
+@query(
+    "q230_sql_variables",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_totalprice > 250000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def q230_sql_variables(spark, sf_dir) -> DataFrame:
+    """SQL session variables (DECLARE VARIABLE / SET VAR) + the
+    IDENTIFIER() clause: typed, session-scoped parameters referenced
+    directly in queries, and identifier templating that stays
+    injection-safe (IDENTIFIER() accepts a NAME, not arbitrary SQL) — the
+    second half of the templating story q219's :param markers start
+    (params bind VALUES; variables & IDENTIFIER bind state and NAMES).
+    Variables fold to literals during analysis, so pushdown sees a
+    constant predicate — asserted by the oracle being the inlined form."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q230")
+    spark.sql("DECLARE OR REPLACE VARIABLE rev_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR rev_floor = 250000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM IDENTIFIER('orders_q230')
+        WHERE o_totalprice > rev_floor
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q231_execute_immediate",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM customer
+    WHERE c_acctbal BETWEEN 2000.0 AND 8000.0
+    GROUP BY c_mktsegment
+    """,
+)
+def q231_execute_immediate(spark, sf_dir) -> DataFrame:
+    """EXECUTE IMMEDIATE — dynamic SQL with positional ? parameters: the
+    statement text is data, the parameters bind as literals before
+    analysis (same safety contract as q219). This is how generated
+    report/rollup SQL runs without Python-side string interpolation; the
+    parameters here are the BETWEEN bounds a scheduler would vary per
+    run. Plan-wise there is nothing dynamic left after parse: the inner
+    statement optimizes exactly like its static form (the oracle)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_q231")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT c_mktsegment, COUNT(*) AS n
+         FROM customer_q231 WHERE c_acctbal BETWEEN ? AND ? GROUP BY c_mktsegment'
+        USING 2000.0, 8000.0
+        """
+    )
+
+
+@query(
+    "q232_cached_scan",
+    oracle="""
+    WITH seg AS (
+        SELECT c_mktsegment,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS bal
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT a.c_mktsegment, a.n, a.bal,
+           round(a.bal / t.total_bal, 6) AS bal_share
+    FROM seg a
+    CROSS JOIN (SELECT CAST(SUM(CAST(bal AS DECIMAL(28,4))) AS DOUBLE)
+                       AS total_bal FROM seg) t
+    """,
+)
+def q232_cached_scan(spark, sf_dir) -> DataFrame:
+    """Explicit caching (df.cache → InMemoryRelation): a small aggregate
+    consumed TWICE — per-segment rows and their grand total — reads the
+    columnar cache on the second pass instead of re-running the scan +
+    aggregate (asserted in test_plan_shapes: InMemoryTableScan appears in
+    the executed plan). The cache is the right tool exactly here: a tiny,
+    reused intermediate. Caching a 100 TB fact table is the classic
+    anti-pattern — executors evict under memory pressure and the 'cache'
+    becomes a slow disk spill; prefer a written intermediate (the
+    materialize_once discipline q86/q63 use) for anything big."""
+    seg = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), dsum("c_acctbal").alias("bal"))
+        .cache()
+    )
+    total = seg.agg(dsum("bal").alias("total_bal"))
+    return seg.crossJoin(total).select(
+        "c_mktsegment",
+        "n",
+        "bal",
+        F.round(F.col("bal") / F.col("total_bal"), 6).alias("bal_share"),
+    )

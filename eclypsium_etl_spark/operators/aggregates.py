@@ -231,3 +231,46 @@ def q28_agg_collect(spark, sf_dir) -> DataFrame:
         ).alias("order_keys"),
         F.size(F.collect_set("o_orderstatus")).cast("long").alias("n_statuses"),
     )
+
+
+@query(
+    "q222_hll_sketch_union",
+    oracle="""
+    SELECT COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           TRUE AS union_within_tol
+    FROM documents
+    """,
+)
+def q222_hll_sketch_union(spark, sf_dir) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, hll_sketch_agg /
+    hll_union_agg) — the 100 TB upgrade over q23's approx_count_distinct:
+    the sketch itself is a first-class VALUE, so per-shard / per-day
+    sketches can be stored and re-merged later without touching raw data
+    (approx_count_distinct only yields a number; re-aggregation needs a
+    full rescan). This query proves the merge law: per-source sketches,
+    unioned, must estimate the GLOBAL distinct count.
+
+    Bounds-checking oracle (the q23 discipline): sketch bytes are
+    engine-specific, so the emitted columns are exact counts plus a
+    boolean asserting the unioned estimate lands within 15% (≫ 3σ for
+    lgConfigK=12) of the exact global distinct — a broken sketch or
+    broken merge flips the boolean and fails the value hash."""
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.hll_sketch_agg("doc_id").alias("sk")
+    )
+    merged = per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_docs"),
+        F.count("*").alias("n_sources"),
+    )
+    exact = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return exact.crossJoin(merged).select(
+        "n_docs",
+        "n_sources",
+        (
+            F.abs(F.col("est_docs").cast("double") - F.col("n_docs"))
+            / F.col("n_docs")
+            <= 0.15
+        ).alias("union_within_tol"),
+    )

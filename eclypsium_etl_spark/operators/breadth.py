@@ -248,3 +248,96 @@ def q220_transpose(spark, sf_dir) -> DataFrame:
         .orderBy("c_mktsegment")
     )
     return wide.transpose()
+
+
+@query(
+    "q225_sql_pivot_unpivot",
+    oracle="""
+    SELECT o_orderpriority, status, total FROM (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderstatus = 'F' THEN 'F'
+                    WHEN o_orderstatus = 'O' THEN 'O'
+                    ELSE 'P' END AS status,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1, 2
+    )
+    """,
+)
+def q225_sql_pivot_unpivot(spark, sf_dir) -> DataFrame:
+    """SQL PIVOT / UNPIVOT keywords (the declarative forms of q79's
+    .pivot() and q96's .unpivot()): pivot per-priority status totals wide,
+    then unpivot straight back to long — a lossless round trip whenever
+    every (priority, status) combination exists, because UNPIVOT's
+    default EXCLUDE NULLS drops exactly the holes PIVOT manufactured.
+    The oracle is the direct GROUP BY the round trip must reproduce.
+    Both rewrites happen at analysis time (PIVOT becomes aggregate-with-
+    filters, UNPIVOT becomes Expand) — no extra shuffle beyond the one
+    aggregate exchange."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q225")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, status, total FROM (
+            SELECT * FROM (
+                SELECT o_orderpriority, o_orderstatus,
+                       CAST(o_totalprice AS DECIMAL(28,4)) AS price
+                FROM orders_q225
+            )
+            PIVOT (CAST(SUM(price) AS DOUBLE) FOR o_orderstatus IN ('F' AS F, 'O' AS O, 'P' AS P))
+        )
+        UNPIVOT (total FOR status IN (F, O, P))
+        """
+    )
+
+
+@query(
+    "q226_lateral_view",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
+    FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+    WHERE len(t) >= 1
+    """,
+)
+def q226_lateral_view(spark, sf_dir) -> DataFrame:
+    """LATERAL VIEW posexplode — the HiveQL generator syntax that decades
+    of warehouse SQL still uses (the modern spellings are the explode()
+    API, q61/q95, and ANSI LATERAL joins, q144; all compile to the same
+    Generate operator). Zero shuffle: generation happens inside the scan
+    stage, and the 0-based position comes from posexplode itself rather
+    than a window — no ordering assumption anywhere."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("docs_q226")
+    return spark.sql(
+        """
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok
+        FROM docs_q226
+        LATERAL VIEW posexplode(split(text, ' ')) g AS pos, tok
+        """
+    )
+
+
+@query(
+    "q227_distribute_sort_by",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity
+    FROM lineitem WHERE l_quantity >= 25
+    """,
+)
+def q227_distribute_sort_by(spark, sf_dir) -> DataFrame:
+    """DISTRIBUTE BY / SORT BY — the physical-layout clauses: hash-spread
+    rows across partitions on a key, sort WITHIN each partition, and
+    deliberately skip the global order (ORDER BY's range exchange +
+    merge). This is the write-side recipe for run-length-friendly,
+    min/max-prunable files (the SQL spelling of
+    repartition().sortWithinPartitions(), which q195's Z-order layout
+    uses): rows are identical to the plain filter — only PLACEMENT
+    changes, which is exactly what the order-insensitive oracle hash
+    proves. The plan must show one hash exchange and NO range exchange
+    (asserted in test_plan_shapes)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q227")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity
+        FROM lineitem_q227 WHERE l_quantity >= 25
+        DISTRIBUTE BY l_suppkey SORT BY l_suppkey, l_orderkey, l_linenumber
+        """
+    )

@@ -447,3 +447,55 @@ def q221_python_datasource(spark, sf_dir) -> DataFrame:
         F.count("*").alias("n_items"),
         dsum(F.col("price") * F.col("sold")).alias("revenue"),
     )
+
+
+@query(
+    "q234_csv_permissive",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, FALSE AS corrupt FROM nation
+    UNION ALL SELECT CAST(NULL AS INTEGER), 'BADLAND', 0, TRUE
+    UNION ALL SELECT 99, 'TOOFEW', CAST(NULL AS INTEGER), TRUE
+    UNION ALL SELECT 100, 'EXTRA', 3, TRUE
+    """,
+)
+def q234_csv_permissive(spark, sf_dir) -> DataFrame:
+    """Malformed-record tolerance (PERMISSIVE mode + corrupt-record
+    column): an ingestion job must load the good rows AND surface the bad
+    ones — never crash (FAILFAST) or silently drop (DROPMALFORMED). The
+    staged landing dir gets three deliberately broken lines — a type
+    mismatch, a short row, a long row — and the read must (a) best-effort
+    parse every salvageable field (PERMISSIVE keeps 'BADLAND' even though
+    its key is unparseable) and (b) stamp each bad line's RAW TEXT into
+    _corrupt_record so a quarantine sink can reprocess it. The oracle
+    states the exact triage the reader must produce. The corrupt column
+    is projected to a boolean here; routing on it (good → table, bad →
+    dead-letter path) is the q58 foreachBatch pattern."""
+    import shutil
+
+    out = _tmpdir(f"q234_csv_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    n.write.mode("overwrite").csv(out)
+    with open(os.path.join(out, "zz_bad.csv"), "w") as f:
+        f.write("notanint,BADLAND,0\n")      # type mismatch -> key NULL
+        f.write("99,TOOFEW\n")               # short row -> missing NULL
+        f.write("100,EXTRA,3,surplus\n")     # long row -> surplus dropped
+    schema = (
+        T.StructType()  # nullable fields: corrupt rows carry NULL holes
+        .add("n_nationkey", T.IntegerType())
+        .add("n_name", T.StringType())
+        .add("n_regionkey", T.IntegerType())
+        .add("_corrupt_record", T.StringType())
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        .select(
+            "n_nationkey",
+            "n_name",
+            "n_regionkey",
+            F.col("_corrupt_record").isNotNull().alias("corrupt"),
+        )
+    )

@@ -9,6 +9,8 @@ Python is genuinely needed it runs vectorized over Arrow batches
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
@@ -198,3 +200,137 @@ def q215_apply_in_arrow(spark, sf_dir) -> DataFrame:
         _minmax_scale_arrow,
         "o_orderkey long, o_orderpriority string, o_totalprice double, scaled double",
     )
+
+
+def length_score_iter_udf():
+    """Iterator-form pandas UDF (Iterator[pd.Series] → Iterator[pd.Series]):
+    the per-partition warm-up pattern — expensive setup (model load,
+    connection, tokenizer build) runs ONCE per partition, then every Arrow
+    batch streams through it; the scalar form would re-enter Python with
+    no way to hoist shared state. Here the 'model' is a deterministic
+    affine map so the oracle stays exact."""
+
+    @F.pandas_udf("double")
+    def _score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        weight, bias = 0.5, 7.0  # stand-in for the once-per-partition load
+        for s in batches:
+            yield s * weight + bias
+
+    return _score
+
+
+@query(
+    "q223_udf_iterator",
+    oracle="""
+    SELECT doc_id, n_chars, n_chars * 0.5 + 7.0 AS score
+    FROM documents
+    """,
+)
+def q223_udf_iterator(spark, sf_dir) -> DataFrame:
+    """Iterator-of-series pandas UDF over the documents table — the third
+    member of the scalar-Python family (q59 series-form pandas_udf, q215
+    applyInArrow, q169 mapInArrow). Same vectorized Arrow transport as
+    q59; the iterator signature only changes WHERE per-partition state
+    can live. Zero shuffle: pure scan-stage projection work."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        length_score_iter_udf()(F.col("n_chars").cast("double")).alias("score"),
+    )
+
+
+@query(
+    "q224_udtf_table_arg",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q224_udtf_table_arg(spark, sf_dir) -> DataFrame:
+    """Python UDTF consuming a TABLE argument with PARTITION BY — the SQL
+    route to custom per-group aggregation (the UDTF twin of q60's
+    applyInPandas): the planner shuffles the input on the PARTITION BY
+    key, instantiates the UDTF once per key, streams the rows through
+    eval(), and terminate() emits the group's result. Counts and integer
+    sums are order-independent, so the custom aggregate is exactly
+    differential-testable. At scale the same caveat as every grouped-map:
+    one key = one instance — pre-aggregate or salt dominant keys."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, n_docs bigint, total_chars bigint")
+    class LangRollup:
+        def __init__(self):
+            self._lang = None
+            self._n = 0
+            self._chars = 0
+
+        def eval(self, row):
+            self._lang = row["lang"]
+            self._n += 1
+            self._chars += int(row["n_chars"])
+
+        def terminate(self):
+            if self._n:
+                yield (self._lang, self._n, self._chars)
+
+    spark.udtf.register("q224_lang_rollup", LangRollup)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("docs_q224")
+    return spark.sql(
+        "SELECT * FROM q224_lang_rollup(TABLE(docs_q224) PARTITION BY lang)"
+    )
+
+
+@query(
+    "q228_script_transform",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, source
+    FROM documents
+    """,
+)
+def q228_script_transform(spark, sf_dir) -> DataFrame:
+    """Hive script transform (TRANSFORM ... USING): rows stream through an
+    external process over stdin/stdout, tab-separated — the oldest
+    "arbitrary code over rows" escape hatch in the warehouse world, kept
+    for parity with legacy HiveQL workloads (`cat` as the identity script
+    makes the round trip exactly checkable; every output column is a
+    string, per TRANSFORM's contract without a ROW FORMAT). One forked
+    process per task, pipe-buffered — at 100 TB this is strictly worse
+    than Arrow-batched Python (q59/q215: no fork, no text serialization),
+    which is the migration this engine recommends; the surface exists so
+    such workloads can land before being rewritten."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("docs_q228")
+    return spark.sql(
+        """
+        SELECT TRANSFORM(doc_id, lang, source)
+        USING 'cat' AS (doc_id STRING, lang STRING, source STRING)
+        FROM docs_q228
+        """
+    )
+
+
+@query(
+    "q233_udf_arrow_optimized",
+    oracle="""
+    SELECT event_id,
+           CAST(event_type || ':' || CAST(user_id % 100 AS VARCHAR) AS VARCHAR)
+               AS route_key
+    FROM events
+    """,
+)
+def q233_udf_arrow_optimized(spark, sf_dir) -> DataFrame:
+    """Arrow-optimized row UDF (`F.udf(..., useArrow=True)`): the classic
+    per-row Python UDF signature, but batched over Arrow instead of
+    pickled row-by-row — the drop-in accelerator for the long tail of
+    existing row UDFs that nobody rewrites. The family ladder this engine
+    recommends, fastest first: built-in expression (no Python at all) >
+    pandas_udf / applyInArrow (vectorized compute) > THIS (Arrow
+    transport, scalar Python compute) > legacy pickle UDF (never in a hot
+    path). The kernel is string routing logic — trivially expressible as
+    an expression, chosen so the oracle checks the transport exactly."""
+    route = F.udf(
+        lambda et, uid: f"{et}:{uid % 100}", "string", useArrow=True
+    )
+    e = table(spark, sf_dir, "events")
+    return e.select("event_id", route("event_type", "user_id").alias("route_key"))

@@ -139,7 +139,12 @@ _CHEAP_FIRST = [
     "q211_try_expressions", "q212_dayparting", "q213_user_profile",
     "q214_substring_spans", "q215_apply_in_arrow", "q216_observe_metrics",
     "q217_scan_file_metadata", "q218_sql_pipe", "q219_sql_named_params",
-    "q220_transpose", "q221_python_datasource",
+    "q220_transpose", "q221_python_datasource", "q222_hll_sketch_union",
+    "q223_udf_iterator", "q224_udtf_table_arg", "q225_sql_pivot_unpivot",
+    "q226_lateral_view", "q227_distribute_sort_by", "q228_script_transform",
+    "q229_python_stream_source", "q230_sql_variables",
+    "q231_execute_immediate", "q232_cached_scan", "q233_udf_arrow_optimized",
+    "q234_csv_permissive",
     # --- tier 3: driver-green in r1/r2 (98), cheapest-first ---
     "q96_unpivot", "q61_udtf", "q109_pad_trim", "q99_bitwise", "q98_string_distance",
     "q75_text_token_count", "q76_text_fingerprint", "q97_array_setops", "q74_text_quality", "q50_case_when",

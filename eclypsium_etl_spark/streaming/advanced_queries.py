@@ -219,3 +219,129 @@ def q118_stream_static_join(spark, sf_dir) -> DataFrame:
         .select("event_id", "user_id", "value", "user_name", "segment")
     )
     return run_stream_to_memory(spark, enriched)
+
+
+# --------------------------------------- q229: Python streaming source
+
+_TICK_TOTAL = 3_000  # rows the synthetic source emits before going idle
+_TICK_STEP = 1_000   # rows per micro-batch offset advance
+
+
+def _tick_rows(lo: int, hi: int):
+    """Deterministic synthetic feed rows for [lo, hi): integer-derived so
+    replays and cross-engine oracles agree exactly (prices are quarters).
+    Returns a LIST iterator, not a generator — the prefetch cache
+    copy.copy()s the iterator between planning and execution, and
+    generators aren't copyable."""
+    return iter([(k, k % 7, (k * 37 % 1000) / 4.0) for k in range(lo, hi)])
+
+
+try:  # Spark 4.x Python Data Source streaming API
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _TickStreamReader(SimpleDataSourceStreamReader):
+        """Offset-tracked streaming reader: offsets are {"i": row_index};
+        read() serves the prefetch path, readBetweenOffsets() the replay
+        path after failure — both derive rows from the offset alone, which
+        is the exactly-once contract (deterministic replay per offset
+        range, no side state)."""
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            i = start["i"]
+            if i >= _TICK_TOTAL:
+                return iter([]), start
+            j = min(i + _TICK_STEP, _TICK_TOTAL)
+            return _tick_rows(i, j), {"i": j}
+
+        def readBetweenOffsets(self, start, end):
+            return _tick_rows(start["i"], end["i"])
+
+    class TickStreamSource(DataSource):
+        """readStream.format("tick_stream") — the streaming twin of q221's
+        batch Python data source."""
+
+        @classmethod
+        def name(cls):
+            return "tick_stream"
+
+        def schema(self):
+            return "id BIGINT, grp BIGINT, amount DOUBLE"
+
+        def simpleStreamReader(self, schema):
+            return _TickStreamReader()
+
+    _HAS_PY_STREAM_SOURCE = True
+except ImportError:  # pragma: no cover - older pyspark
+    _HAS_PY_STREAM_SOURCE = False
+
+
+@query(
+    "q229_python_stream_source",
+    oracle="""
+    SELECT i % 7 AS grp,
+           COUNT(*) AS n,
+           CAST(SUM(CAST((i * 37 % 1000) / 4.0 AS DECIMAL(28,4))) AS DOUBLE)
+               AS amount_total
+    FROM range(0, 3000) t(i)
+    GROUP BY i % 7
+    """,
+)
+def q229_python_stream_source(spark, sf_dir) -> DataFrame:
+    """Custom STREAMING connector via the Python Data Source API
+    (SimpleDataSourceStreamReader): a Kafka-shaped feed — monotonically
+    advancing offsets, deterministic replay between any two offsets —
+    implemented in pure Python and consumed as a normal readStream with
+    checkpointed state. The complete-mode rollup must converge to exactly
+    the batch aggregate over everything the source ever emitted, which is
+    what the oracle states over the same integer-derived rows.
+
+    Drain protocol: availableNow snapshots only the source's prefetched
+    first batch for a simple reader, so the query polls the sink under a
+    processingTime trigger until the emitted row count reaches the
+    source's total — then stops. A real deployment just leaves the stream
+    running; the bounded poll is the hermetic-test harness shape. Offsets
+    are tiny dicts; state (7 groups) is bounded — the 100 TB concern
+    (unbounded state) doesn't arise for keyed rollups over a fixed key
+    domain."""
+    if not _HAS_PY_STREAM_SOURCE:  # pragma: no cover
+        raise NotImplementedError("pyspark.sql.datasource requires Spark 4+")
+    import tempfile
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..functions import dsum
+
+    spark.dataSource.register(TickStreamSource)
+    sdf = spark.readStream.format("tick_stream").load()
+    agg = sdf.groupBy("grp").agg(
+        F.count("*").alias("n"), dsum("amount").alias("amount_total")
+    )
+    qname = f"tick_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="eclypsium_tick_"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = (
+                spark.sql(f"SELECT COALESCE(SUM(n), 0) FROM {qname}").collect()[0][0]
+                == _TICK_TOTAL
+            )
+            if done:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("tick_stream did not drain within 120s")
+    finally:
+        q.stop()
+    return spark.table(qname)

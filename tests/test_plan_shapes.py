@@ -443,3 +443,61 @@ def test_q204_two_horizons_one_exchange(spark):
     the daily rollup + ONE window exchange, never one per horizon."""
     df = QUERIES["q204_rolling_multi_horizon"](spark, SF_CHECK)
     assert plans.shuffle_count(df) <= 2  # day rollup + shared window
+
+
+def test_q214_no_self_join_digests_only(spark):
+    """The gram-frequency screen is a count-window, not a join: the plan
+    must contain NO join operator, and the only shuffled payload is the
+    md5 digest + position (text never leaves the scan stage)."""
+    df = QUERIES["q214_substring_spans"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    assert "Join" not in plan
+    # digest window + per-doc window + final (doc,grpid) aggregate
+    assert plans.shuffle_count(df) <= 3
+    # tokens are hashed inside the scan-stage project; the exchanges move
+    # (doc_id, p, h) — text/t never appear downstream of the explode
+    assert "md5" in plan
+
+
+def test_q217_metadata_scan_single_aggregate(spark):
+    """_metadata costs no extra scan or join: one partitioned read, one
+    two-phase aggregate."""
+    df = QUERIES["q217_scan_file_metadata"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    assert "Join" not in plan
+    assert plans.shuffle_count(df) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q218_pipe_filter_reaches_scan(spark):
+    """Pipe syntax must not break predicate pushdown: the l_quantity
+    filter appears as a pushed filter on the parquet scan."""
+    plan = plans.explain_formatted(QUERIES["q218_sql_pipe"](spark, SF_CHECK))
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+
+
+def test_q221_datasource_partition_parallelism(spark):
+    """The Python data source's partitions() contract: 8 InputPartitions
+    → 8 scan tasks."""
+    from eclypsium_etl_spark.operators.sources import ProductApiSource
+
+    spark.dataSource.register(ProductApiSource)
+    src = spark.read.format("product_api").option("n", 1000).option("parts", 8).load()
+    assert src.rdd.getNumPartitions() == 8
+
+
+def test_q227_no_global_sort(spark):
+    """DISTRIBUTE BY is one hash exchange; SORT BY must NOT add the
+    range exchange a global ORDER BY would."""
+    df = QUERIES["q227_distribute_sort_by"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    assert "Exchange hashpartitioning" in plan
+    assert "rangepartitioning" not in plan
+    assert plans.shuffle_count(df) == 1
+
+
+def test_q232_second_consumer_reads_cache(spark):
+    """The reused aggregate must come from the columnar cache: the
+    executed plan shows InMemoryTableScan, not a second scan+aggregate."""
+    plan = plans.physical_plan(QUERIES["q232_cached_scan"](spark, SF_CHECK))
+    assert "InMemoryTableScan" in plan

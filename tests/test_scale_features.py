@@ -176,3 +176,51 @@ def test_exact_jaccard_df_cap_bounds_candidates(spark):
     assert set(got) == {(9001, 9002)}
     # exact jaccard over full sets: {hot, rare} ∩ {hot, rare} = 2/2
     assert got[(9001, 9002)] == 1.0
+
+
+def test_streaming_under_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB state backend: the same windowed aggregation runs and
+    converges under RocksDBStateStoreProvider (the provider that spills
+    state off-heap and scales past executor memory — the default HDFS-
+    backed store keeps everything on-heap). Provider choice is frozen
+    into the checkpoint at creation, so this exercises a full fresh
+    stream under RocksDB, not a config toggle on an existing one."""
+    from pyspark.sql import functions as F
+
+    rows = [(k % 5, float(k)) for k in range(100)]
+    df = spark.createDataFrame(rows, "grp long, value double")
+    src = str(tmp_path / "src")
+    df.write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema("grp long, value double").parquet(src)
+        agg = stream.groupBy("grp").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total"),
+        )
+        qname = f"rocks_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r.grp: (r.n, r.total) for r in spark.table(qname).collect()}
+        expect = {
+            g: (20, float(sum(k for k in range(100) if k % 5 == g)))
+            for g in range(5)
+        }
+        assert got == expect
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
