@@ -341,3 +341,35 @@ def q227_distribute_sort_by(spark, sf_dir) -> DataFrame:
         DISTRIBUTE BY l_suppkey SORT BY l_suppkey, l_orderkey, l_linenumber
         """
     )
+
+
+@query(
+    "q236_lateral_alias",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                 - l_extendedprice * (1 - l_discount), 6) AS tax_paid
+    FROM lineitem WHERE l_quantity > 40
+    """,
+)
+def q236_lateral_alias(spark, sf_dir) -> DataFrame:
+    """Lateral column aliases: a SELECT item referencing an alias defined
+    EARLIER IN THE SAME SELECT (net → gross → tax_paid), the chained-
+    derivation style every hand-written report query uses instead of
+    nesting three subqueries. Purely an analysis-time rewrite — the
+    optimizer inlines the chain, so the plan (and the oracle, written in
+    the fully-expanded form DuckDB needs) is identical to the nested
+    spelling; each row's arithmetic runs the same IEEE op sequence in
+    both engines."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q236")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS net,
+               net * (1 + l_tax) AS gross,
+               round(gross - net, 6) AS tax_paid
+        FROM lineitem_q236 WHERE l_quantity > 40
+        """
+    )

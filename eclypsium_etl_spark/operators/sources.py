@@ -499,3 +499,51 @@ def q234_csv_permissive(spark, sf_dir) -> DataFrame:
             F.col("_corrupt_record").isNotNull().alias("corrupt"),
         )
     )
+
+
+@query(
+    "q235_compact_small_files",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
+def q235_compact_small_files(spark, sf_dir) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every lakehouse
+    runs (OPTIMIZE in Delta/Iceberg terms): a fragmented landing layout
+    (here: deliberately written as 64 splinter files, the shape a
+    per-micro-batch or per-task sink produces) is rewritten into files
+    sized from the MEASURED input bytes against a target file size, with
+    zstd compression for the long-lived copy. Small files poison 100 TB
+    scans twice — one scheduler task + one footer read per file — so
+    compaction trades one bounded rewrite for every future scan's
+    planning cost.
+
+    The repartition count derives from actual on-disk bytes (a driver-
+    side listing of the directory being compacted — metadata, not data),
+    clamped to ≥1; rows are preserved exactly, which is what the oracle
+    checks (compaction is a permutation, and the hash compare is
+    order-insensitive by design). test_ops_properties asserts the file
+    count actually collapses."""
+    import shutil
+
+    frag = _tmpdir(f"q235_frag_{os.path.basename(sf_dir)}")
+    out = _tmpdir(f"q235_compact_{os.path.basename(sf_dir)}")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    o = table(spark, sf_dir, "orders").select(*cols)
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+
+    target_bytes = 128 * 1024 * 1024
+    in_bytes = sum(
+        e.stat().st_size
+        for e in os.scandir(frag)
+        if e.name.endswith(".parquet")
+    )
+    n_out = max(1, -(-in_bytes // target_bytes))  # ceil division
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        spark.read.parquet(frag)
+        .repartition(n_out)
+        .write.option("compression", "zstd")
+        .parquet(out)
+    )
+    return spark.read.parquet(out)

@@ -331,3 +331,23 @@ def test_substring_spans_bruteforce(spark):
     # the lone 8-token collision is below _SPAN_MIN everywhere
     assert all(l >= _SPAN_MIN for l, _ in rows.values())
     assert (2, 1) not in rows and len(rows) == 2
+
+
+def test_compaction_collapses_file_count(spark):
+    """q235: the fragmented 64-file layout must compact to a handful of
+    files (fixture bytes ≪ the 128 MB target → exactly 1 data file) with
+    every row preserved."""
+    import os
+
+    from eclypsium_etl_spark.operators.sources import _tmpdir
+    from eclypsium_etl_spark.registry import load_all
+
+    q, _ = load_all()
+    sf = "/root/testdata/sf0.01"
+    out = q["q235_compact_small_files"](spark, sf)
+    frag = _tmpdir(f"q235_frag_{os.path.basename(sf)}")
+    comp = _tmpdir(f"q235_compact_{os.path.basename(sf)}")
+    n_frag = sum(1 for e in os.scandir(frag) if e.name.endswith(".parquet"))
+    n_comp = sum(1 for e in os.scandir(comp) if e.name.endswith(".parquet"))
+    assert n_frag == 64 and n_comp == 1
+    assert out.count() == 15000
