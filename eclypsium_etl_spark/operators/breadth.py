@@ -373,3 +373,73 @@ def q236_lateral_alias(spark, sf_dir) -> DataFrame:
         FROM lineitem_q236 WHERE l_quantity > 40
         """
     )
+
+
+@query(
+    "q237_collated_group",
+    oracle="""
+    SELECT lower(c_mktsegment) AS segment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS bal
+    FROM customer
+    GROUP BY lower(c_mktsegment)
+    """,
+)
+def q237_collated_group(spark, sf_dir) -> DataFrame:
+    """Collated strings (Spark 4.x COLLATE): case-insensitive GROUP BY as
+    a TYPE property instead of a lower() rewrite — the collation travels
+    with the column, so every downstream comparison/join/sort inherits
+    it (a lower() wrapper must be re-applied at each use and silently
+    breaks on one forgotten site). Input case is deliberately mangled by
+    a deterministic rule (odd keys get Initcap) so the collation is
+    load-bearing: under UTF8_BINARY the mangled table has 10 groups, the
+    collated group-by must fold them back to 5. The emitted group label
+    is min(lower(x)) — the group REPRESENTATIVE under a case-folding
+    collation is first-arrival nondeterministic, a real gotcha this
+    query documents by construction. Hash aggregation works on the
+    collation key unchanged — same two-phase plan, no extra shuffle."""
+    c = table(spark, sf_dir, "customer")
+    mangled = c.select(
+        F.when(
+            F.col("c_custkey") % 2 == 1, F.initcap(F.lower("c_mktsegment"))
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        "c_acctbal",
+    ).withColumn("seg_ci", F.expr("seg COLLATE UTF8_LCASE"))
+    from ..functions import dsum
+
+    return (
+        mangled.groupBy("seg_ci")
+        .agg(
+            F.min(F.lower("seg")).alias("segment"),
+            F.count("*").alias("n"),
+            dsum("c_acctbal").alias("bal"),
+        )
+        .select("segment", "n", "bal")
+    )
+
+
+@query(
+    "q238_approx_top_k",
+    oracle="""
+    SELECT event_type AS item, COUNT(*) AS est
+    FROM events GROUP BY event_type
+    ORDER BY est DESC LIMIT 3
+    """,
+)
+def q238_approx_top_k(spark, sf_dir) -> DataFrame:
+    """approx_top_k — the built-in heavy-hitters sketch (the engine-native
+    twin of q128's hand-rolled count-min-sketch): fixed-size state, one
+    pass, mergeable across partitions; the 100 TB replacement for the
+    GROUP BY + ORDER BY + LIMIT it approximates (which shuffles EVERY
+    distinct key; the sketch ships only its tracked candidates). On this
+    column the sketch is exact — 5 distinct values ≪ the 10k tracked
+    slots, and all per-type counts are distinct at every fixture scale
+    (checked), so membership and order are deterministic and the oracle
+    can be the exact top-3. The struct array is exploded to rows so the
+    comparison is per-item, not array-order-dependent."""
+    e = table(spark, sf_dir, "events")
+    topk = e.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+    return topk.select(F.explode("tk").alias("t")).select(
+        F.col("t.item").alias("item"), F.col("t.count").cast("long").alias("est")
+    )

@@ -145,6 +145,7 @@ _CHEAP_FIRST = [
     "q229_python_stream_source", "q230_sql_variables",
     "q231_execute_immediate", "q232_cached_scan", "q233_udf_arrow_optimized",
     "q234_csv_permissive", "q235_compact_small_files", "q236_lateral_alias",
+    "q237_collated_group", "q238_approx_top_k",
     # --- tier 3: driver-green in r1/r2 (98), cheapest-first ---
     "q96_unpivot", "q61_udtf", "q109_pad_trim", "q99_bitwise", "q98_string_distance",
     "q75_text_token_count", "q76_text_fingerprint", "q97_array_setops", "q74_text_quality", "q50_case_when",
