@@ -595,3 +595,110 @@ def q169_map_in_arrow(spark, sf_dir) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     return d.mapInArrow(count_tokens, "doc_id long, n_tok long, n_chars long")
+
+
+@query(
+    "q239_triangle_count",
+    oracle=f"""
+    WITH sims AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {dot_sql('a.embedding', 'b.embedding')} AS s
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    edges AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rn
+            FROM sims WHERE round(s, 6) >= {_KNN_TAU}
+        ) WHERE rn <= {_KNN_K}
+    ),
+    und AS (  -- mutual edges, one row per unordered pair (a < b)
+        SELECT e.src AS a, e.dst AS b
+        FROM edges e JOIN edges m ON m.src = e.dst AND m.dst = e.src
+        WHERE e.src < e.dst
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    wedges AS (  -- paths of length 2 through a center node
+        SELECT COUNT(*) AS n_wedges FROM (
+            SELECT l.center FROM (
+                SELECT a AS center, b AS leaf FROM und
+                UNION ALL SELECT b AS center, a AS leaf FROM und
+            ) n1 JOIN (
+                SELECT a AS center, b AS leaf FROM und
+                UNION ALL SELECT b AS center, a AS leaf FROM und
+            ) l ON l.center = n1.center AND n1.leaf < l.leaf
+        )
+    )
+    SELECT (SELECT COUNT(*) FROM und) AS n_edges,
+           (SELECT COUNT(*) FROM tri) AS n_triangles,
+           n_wedges,
+           round(CASE WHEN n_wedges = 0 THEN 0.0
+                 ELSE 3.0 * (SELECT COUNT(*) FROM tri) / n_wedges END, 6)
+               AS clustering_coeff
+    FROM wedges
+    """,
+)
+def q239_triangle_count(spark, sf_dir) -> DataFrame:
+    """Triangle count + global clustering coefficient over the mutual-kNN
+    similarity graph — the third graph-analytics kernel (q111 connected
+    components, q156 PageRank/TextRank, and now triads). Triangle density
+    distinguishes tight near-duplicate CLUSTERS (cliques → candidates for
+    one-per-group dedup, q129/q134) from chain-like topical neighborhoods
+    (paths → keep all), so curation reads this before choosing a dedup
+    policy for a cluster.
+
+    Plan: mutual undirected edges come from q142's graph (each unordered
+    pair once, a < b orientation); triangles are the canonical two-hop
+    join e1(a,b)⋈e2(b,c) closed by a third edge (a,c) — the a<b<c
+    orientation counts each triangle exactly once and bounds the join
+    fan-out by forward-degree (at scale you additionally orient by
+    degree: low-degree→high-degree edges make the worst-case fan-out
+    O(E^1.5), the standard trick, noted here as the 100× upgrade).
+    Wedges (open two-paths) are counted per center node; 3·triangles /
+    wedges is the global clustering coefficient. Everything that shuffles
+    is (int, int) edge rows — the corpus embeddings leave the plan after
+    the kNN phase."""
+    g = q142_knn_graph(spark, sf_dir)
+    und = (
+        g.where(F.col("is_mutual") & (F.col("src") < F.col("dst")))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(F.col("e1.a"), F.col("e1.b"), F.col("e2.b").alias("c"))
+    )
+    nbr = und.select(F.col("a").alias("center"), F.col("b").alias("leaf")).union(
+        und.select(F.col("b").alias("center"), F.col("a").alias("leaf"))
+    )
+    n1, n2 = nbr.alias("n1"), nbr.alias("n2")
+    wedges = n1.join(
+        n2,
+        (F.col("n2.center") == F.col("n1.center"))
+        & (F.col("n1.leaf") < F.col("n2.leaf")),
+    )
+    counts = (
+        und.agg(F.count("*").alias("n_edges"))
+        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+        .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
+    )
+    return counts.select(
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                3.0 * F.col("n_triangles") / F.col("n_wedges")
+            ),
+            6,
+        ).alias("clustering_coeff"),
+    )
