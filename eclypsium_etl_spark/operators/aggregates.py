@@ -274,3 +274,40 @@ def q222_hll_sketch_union(spark, sf_dir) -> DataFrame:
             <= 0.15
         ).alias("union_within_tol"),
     )
+
+
+@query(
+    "q240_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q240_bitmap_distinct(spark, sf_dir) -> DataFrame:
+    """EXACT distinct counting via bitmap algebra (bitmap_bit_position /
+    bitmap_construct_agg / bitmap_or_agg / bitmap_count): each 32k-key
+    bucket's members become bits, buckets OR together, population count =
+    distinct count — exact like COUNT(DISTINCT), but the partial state is
+    a fixed-size bitmap instead of a growing key set, it merges by OR
+    (associative, re-aggregatable like q222's HLL but with zero error),
+    and it never expands into Catalyst's two-level distinct rewrite. The
+    warehouse use: persist per-partition bitmaps once, answer distinct
+    questions over any partition combination by OR-ing bitmaps. The
+    oracle is the plain COUNT(DISTINCT) the bitmaps must reproduce
+    bit-for-bit. Keys shift to 1-based first: bitmap_bit_position is
+    (key - 1) mod 32768 by definition, so key 0 (present in the fixture)
+    would alias into the previous bucket and undercount by one."""
+    o = table(spark, sf_dir, "orders")
+    per_bucket = o.groupBy(
+        "o_orderpriority",
+        F.expr("bitmap_bucket_number(o_custkey + 1)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey + 1))").alias("bm"),
+        F.count("*").alias("n"),
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.expr("bitmap_count(bitmap_or_agg(bm))").alias("n_customers"),
+        F.sum("n").alias("n_orders"),
+    )

@@ -410,3 +410,73 @@ def q211_try_expressions(spark, sf_dir) -> DataFrame:
         F.round(F.expr("try_divide(100.0, value)"), 6).alias("inv_value"),
         F.expr("try_cast(event_type AS INT)").alias("type_as_int"),
     )
+
+
+@query(
+    "q241_timezone_convert",
+    oracle="""
+    SELECT event_id,
+           timezone('America/New_York', timezone('UTC', ts)) AS ny_time,
+           timezone('Asia/Tokyo', timezone('UTC', ts)) AS tokyo_time,
+           (hour(timezone('America/New_York', timezone('UTC', ts)))
+                BETWEEN 9 AND 16) AS ny_business_hours
+    FROM events
+    """,
+)
+def q241_timezone_convert(spark, sf_dir) -> DataFrame:
+    """Timezone conversion (convert_timezone, Spark 3.5+): storage time is
+    UTC by contract; LOCAL wall-clock views (user-facing reports,
+    business-hours flags) are derived at query time through the IANA tz
+    database — DST transitions included, which no hour-offset arithmetic
+    gets right twice a year. The oracle's DuckDB spelling composes
+    timezone() twice (interpret-as-UTC, then render-local) so it is
+    independent of the oracle session's host timezone — a deliberate
+    hardening, since a naive ::TIMESTAMPTZ cast would silently bind to
+    whatever TZ the harness host runs in. Pure scan-stage expression
+    work: zero shuffle at any scale."""
+    e = table(spark, sf_dir, "events")
+    ny = F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), F.col("ts"))
+    tokyo = F.convert_timezone(F.lit("UTC"), F.lit("Asia/Tokyo"), F.col("ts"))
+    return e.select(
+        "event_id",
+        ny.alias("ny_time"),
+        tokyo.alias("tokyo_time"),
+        F.hour(ny).between(9, 16).alias("ny_business_hours"),
+    )
+
+
+@query(
+    "q242_calendar_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(last_day(o_orderdate) AS DATE) AS TIMESTAMP) AS month_end,
+           CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP)
+               AS plus_quarter,
+           CAST(CAST(o_orderdate + INTERVAL (CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0
+                THEN 7 ELSE (8 - isodow(o_orderdate)) % 7 END) DAY AS DATE) AS TIMESTAMP)
+               AS next_monday,
+           CAST(date_diff('day', o_orderdate,
+                          TIMESTAMP '2002-01-01 00:00:00') AS BIGINT)
+               AS days_to_cutoff
+    FROM orders
+    """,
+)
+def q242_calendar_arithmetic(spark, sf_dir) -> DataFrame:
+    """Business-calendar arithmetic: month-end (billing cycle close),
+    add_months with end-of-month clamping (Jan 31 + 1 month = Feb 29 in
+    both engines — the clamp IS the semantic, not a rounding accident),
+    next-Monday (SLA start-of-week; the oracle derives it from isodow
+    since DuckDB lacks next_day), and day counts to a fixed cutoff. All
+    scan-stage expression work over the date column — the building
+    blocks q199's calendar dimension materializes, used inline."""
+    o = table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.add_months(d, 3).cast("timestamp").alias("plus_quarter"),
+        F.next_day(d, "Mon").cast("timestamp").alias("next_monday"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d)
+        .cast("long")
+        .alias("days_to_cutoff"),
+    )

@@ -113,6 +113,7 @@ _CHEAP_FIRST = [
     "q119_pii_redact", "q158_weighted_reservoir",
     "q210_struct_array_explode", "q219_sql_named_params", "q212_dayparting",
     "q231_execute_immediate", "q220_transpose", "q226_lateral_view",
+    "q240_bitmap_distinct", "q241_timezone_convert", "q242_calendar_arithmetic",
     "q208_gap_audit", "q191_corpus_fingerprint", "q205_collapse_adjacent",
     "q145_histogram", "q146_string_agg", "q173_sql_udf",
     "q201_url_canonical_dedup", "q223_udf_iterator",
