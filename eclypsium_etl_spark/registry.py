@@ -150,7 +150,8 @@ _CHEAP_FIRST = [
     "q170_recursive_hierarchy", "q142_knn_graph", "q148_schema_evolution",
     "q161_bucketed_join", "q156_textrank", "q235_compact_small_files",
     "q137_stream_curation", "q155_sink_dynamic_partition", "q162_pca_power",
-    "q239_triangle_count", "q229_python_stream_source", "q221_python_datasource",
+    "q239_triangle_count", "q243_state_reader",
+    "q229_python_stream_source", "q221_python_datasource",
     # --- tier 3: driver-green in r1/r2 (98), cheapest-first ---
     "q96_unpivot", "q61_udtf", "q109_pad_trim", "q99_bitwise", "q98_string_distance",
     "q75_text_token_count", "q76_text_fingerprint", "q97_array_setops", "q74_text_quality", "q50_case_when",

@@ -345,3 +345,48 @@ def q229_python_stream_source(spark, sf_dir) -> DataFrame:
     finally:
         q.stop()
     return spark.table(qname)
+
+
+@query(
+    "q243_state_reader",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def q243_state_reader(spark, sf_dir) -> DataFrame:
+    """State Store data source (Spark 4.x `format("statestore")`): the
+    checkpoint of a streaming aggregation read back as an ordinary batch
+    DataFrame — the operational debugging surface for stateful streams
+    (inspect what a stuck query is actually holding, audit state size per
+    key, verify a migration) without stopping or instrumenting the query.
+
+    The checked claim is the strongest one available: after an
+    availableNow drain of the finite source, the per-key counts IN THE
+    STATE FILES equal the batch aggregate over the same data — state is
+    not an opaque blob but an exactly-recoverable table. Keys and values
+    come back as typed structs (key.event_type, value.count); the
+    `state-metadata` format (operator names, partition counts, batch
+    range) is exercised in tests. At 100 TB this reader is also the
+    escape hatch for state surgery: read, repair, and seed a new
+    checkpoint offline."""
+    from pyspark.sql import functions as F
+
+    from .queries import run_available_now, stream_events
+
+    counts = (
+        stream_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    _, ckpt = run_available_now(
+        lambda name, c: counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", c)
+        .trigger(availableNow=True)
+    )
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n"),
+    )

@@ -189,3 +189,35 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     # exactly-once: every row once, none duplicated by the resume
     assert got.count() == expected.count()
     assert got.select("event_id").distinct().count() == expected.count()
+
+
+def test_state_metadata_reader(spark, tmp_path):
+    """The state-metadata companion format: operator name, store name,
+    partition count, and batch range of q243-style checkpoints are
+    readable without touching state bytes."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(k % 3, k) for k in range(30)], "g long, v long")
+    src = str(tmp_path / "src")
+    df.write.mode("overwrite").parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.schema("g long, v long")
+        .parquet(src)
+        .groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(f"sm_{uuid.uuid4().hex[:8]}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(meta) == 1
+    m = meta[0]
+    assert m.operatorName == "stateStoreSave"
+    assert m.numPartitions >= 1 and m.maxBatchId >= m.minBatchId
