@@ -547,3 +547,115 @@ def q235_compact_small_files(spark, sf_dir) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out)
+
+
+@query(
+    "q244_ddl_defaults",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS id, 'new' AS status,
+           0.5 AS score
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey + 100 AS BIGINT), n_name,
+           1.0
+    FROM nation
+    """,
+)
+def q244_ddl_defaults(spark, sf_dir) -> DataFrame:
+    """Catalog DDL + DML with column DEFAULTs: CREATE TABLE ... DEFAULT,
+    a partial-column INSERT...SELECT that lets the engine fill the
+    defaulted columns, and a full INSERT...SELECT — the managed-table
+    write path (everything else in this engine goes through path-based
+    reads/writes and temp views; warehouses live on CREATE/INSERT). The
+    DEFAULT is bound at ANALYSIS time per statement — it backfills rows
+    inserted without the column, it does not rewrite history when the
+    default changes, which is why defaults beat post-hoc COALESCE
+    repairs at 100 TB: no reread of old files.
+
+    The table is declared with an explicit tmp LOCATION and the location
+    is cleared first: the driver's own session may not configure a
+    warehouse dir, and an external-table DROP keeps files — both
+    rerun-safety hazards this query must own, not inherit."""
+    import shutil
+
+    loc = _tmpdir(f"q244_tbl_{os.path.basename(sf_dir)}")
+    shutil.rmtree(loc, ignore_errors=True)
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation_q244")
+    spark.sql("DROP TABLE IF EXISTS t_q244")
+    spark.sql(
+        f"""
+        CREATE TABLE t_q244 (
+            id BIGINT,
+            status STRING DEFAULT 'new',
+            score DOUBLE DEFAULT 0.5
+        ) USING parquet LOCATION '{loc}'
+        """
+    )
+    spark.sql(
+        "INSERT INTO t_q244 (id) SELECT CAST(n_nationkey AS BIGINT) FROM nation_q244"
+    )
+    spark.sql(
+        """
+        INSERT INTO t_q244
+        SELECT CAST(n_nationkey + 100 AS BIGINT), n_name, 1.0
+        FROM nation_q244
+        """
+    )
+    return spark.table("t_q244")
+
+
+@query(
+    "q245_analyze_stats",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('id',     '0',    '124',  0, TRUE),
+        ('score',  '0.5',  '1.0',  0, TRUE),
+        ('status', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 0, TRUE)
+    ) t(col_name, min_val, max_val, num_nulls, nd_within_tol)
+    """,
+)
+def q245_analyze_stats(spark, sf_dir) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS — the statistics
+    that feed cost-based optimization (join reordering, broadcast
+    selection by size estimate, CBO cardinality math). Collected stats
+    are read back via DESC EXTENDED <table> <col> and checked
+    differentially: min/max/null-count are EXACT by definition and the
+    oracle states them literally; distinct_count is an HLL estimate by
+    design, so it gets the q23-style bounds check (within 15% of the
+    true distinct count computed from the same table) rather than a
+    hardcoded sketch artifact. At 100 TB, ANALYZE replaces Catalyst's
+    size-only heuristics with real row counts — the difference between
+    a broadcast decision made on bytes-on-disk and one made on
+    cardinality — and column min/max feed range-predicate selectivity."""
+    q244_ddl_defaults(spark, sf_dir)  # (re)build t_q244 deterministically
+    spark.sql(
+        "ANALYZE TABLE t_q244 COMPUTE STATISTICS FOR COLUMNS id, status, score"
+    )
+    t = spark.table("t_q244")
+    per_col = []
+    for col in ("id", "status", "score"):
+        desc = (
+            spark.sql(f"DESC EXTENDED t_q244 {col}")
+            .groupBy()
+            .pivot("info_name", ["min", "max", "num_nulls", "distinct_count"])
+            .agg(F.first("info_value"))
+        )
+        exact_nd = t.agg(
+            F.countDistinct(col).cast("double").alias("exact_nd")
+        )
+        per_col.append(
+            desc.crossJoin(exact_nd).select(
+                F.lit(col).alias("col_name"),
+                # DESC renders absent stats as the literal string 'NULL'
+                # (strings get no min/max) — map it back to SQL NULL
+                F.expr("nullif(min, 'NULL')").alias("min_val"),
+                F.expr("nullif(max, 'NULL')").alias("max_val"),
+                F.col("num_nulls").cast("int").alias("num_nulls"),
+                (
+                    F.abs(F.col("distinct_count").cast("double") - F.col("exact_nd"))
+                    / F.col("exact_nd")
+                    <= 0.15
+                ).alias("nd_within_tol"),
+            )
+        )
+    return reduce(DataFrame.unionByName, per_col)
