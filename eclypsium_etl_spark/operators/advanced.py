@@ -621,3 +621,91 @@ def q232_cached_scan(spark, sf_dir) -> DataFrame:
         "bal",
         F.round(F.col("bal") / F.col("total_bal"), 6).alias("bal_share"),
     )
+
+
+@query(
+    "q246_sql_scripting",
+    oracle="""
+    SELECT COUNT(*) FILTER (o_totalprice > 100000) AS n1,
+           COUNT(*) FILTER (o_totalprice > 200000) AS n2,
+           COUNT(*) FILTER (o_totalprice > 300000) AS n3,
+           CAST(COUNT(*) FILTER (o_totalprice > 100000)
+              + COUNT(*) FILTER (o_totalprice > 200000)
+              + COUNT(*) FILTER (o_totalprice > 300000) AS BIGINT) AS total,
+           CASE WHEN COUNT(*) FILTER (o_totalprice > 300000) > 0
+                THEN 'has_whales' ELSE 'no_whales' END AS verdict
+    FROM orders
+    """,
+)
+def q246_sql_scripting(spark, sf_dir) -> DataFrame:
+    """SQL scripting (Spark 4.x BEGIN...END): DECLARE'd variables, a
+    WHILE loop issuing a parameterized aggregate per iteration, and an
+    IF/ELSE verdict — procedural control flow INSIDE the SQL surface,
+    where the reference put it in Airflow Python tasks
+    (mercadolibre_pipeline_dag.py:131-138's gate). Each loop iteration's
+    SELECT-into-variable is an ordinary optimized query; the script only
+    sequences them, so scripting costs nothing at plan level. The oracle
+    is the single-pass FILTER form — which is ALSO the better plan (one
+    scan, not three), a point the docstring makes deliberately: scripts
+    are for orchestration logic, not for what one aggregate can say."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q246")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE n1 BIGINT DEFAULT 0;
+          DECLARE n2 BIGINT DEFAULT 0;
+          DECLARE n3 BIGINT DEFAULT 0;
+          DECLARE i INT DEFAULT 1;
+          DECLARE v STRING DEFAULT '';
+          WHILE i <= 3 DO
+            IF i = 1 THEN
+              SET n1 = (SELECT COUNT(*) FROM orders_q246 WHERE o_totalprice > 100000);
+            ELSEIF i = 2 THEN
+              SET n2 = (SELECT COUNT(*) FROM orders_q246 WHERE o_totalprice > 200000);
+            ELSE
+              SET n3 = (SELECT COUNT(*) FROM orders_q246 WHERE o_totalprice > 300000);
+            END IF;
+            SET i = i + 1;
+          END WHILE;
+          IF n3 > 0 THEN
+            SET v = 'has_whales';
+          ELSE
+            SET v = 'no_whales';
+          END IF;
+          SELECT n1, n2, n3, n1 + n2 + n3 AS total, v AS verdict;
+        END
+        """
+    )
+
+
+@query(
+    "q247_join_hints",
+    oracle="""
+    SELECT 'shuffle_hash' AS strategy, o.o_orderkey, c.c_mktsegment
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 400000
+    UNION ALL
+    SELECT 'merge', o.o_orderkey, c.c_mktsegment
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def q247_join_hints(spark, sf_dir) -> DataFrame:
+    """Join strategy hints: the SAME equi join forced through
+    SHUFFLE_HASH (build a hash table from the hinted side — wins when
+    one side is modest and sort would dominate) and MERGE (sort-merge —
+    wins when both sides are huge or pre-sorted/bucketed), with
+    identical results — the plan changes, the answer must not, which is
+    exactly what the duplicated oracle checks. Hints are the manual
+    override on the broadcast→SHJ→SMJ ladder (README "join ladder") for
+    when Catalyst's size estimates are wrong and ANALYZE (q245) hasn't
+    run; both hinted operators are plan-asserted in test_plan_shapes."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    shj = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey).select(
+        F.lit("shuffle_hash").alias("strategy"), "o_orderkey", "c_mktsegment"
+    )
+    smj = o.join(c.hint("merge"), o.o_custkey == c.c_custkey).select(
+        F.lit("merge").alias("strategy"), "o_orderkey", "c_mktsegment"
+    )
+    return shj.unionByName(smj)

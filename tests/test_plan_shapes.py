@@ -501,3 +501,10 @@ def test_q232_second_consumer_reads_cache(spark):
     executed plan shows InMemoryTableScan, not a second scan+aggregate."""
     plan = plans.physical_plan(QUERIES["q232_cached_scan"](spark, SF_CHECK))
     assert "InMemoryTableScan" in plan
+
+
+def test_q247_hints_change_strategy_not_answer(spark):
+    """Both hinted physical strategies must actually be chosen."""
+    plan = plans.physical_plan(QUERIES["q247_join_hints"](spark, SF_CHECK))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" in plan
