@@ -197,3 +197,104 @@ def q77_multimodal_decode(spark, sf_dir) -> DataFrame:
         _decode_batches,
         schema="doc_id long, n_bytes long, head_hex string, stub_feature double",
     )
+
+
+# ------------------------------------------------ real WAV codec (q248)
+
+_WAV_RATE = 8000
+
+
+def _wav_samples(doc_id: int, n: int) -> list[int]:
+    """Deterministic int16 PCM from integer arithmetic only — the exact
+    same formula the DuckDB oracle evaluates, so decoded features are
+    integer-exact cross-engine."""
+    step = doc_id % 7 + 1
+    return [((i * step) % 200) - 100 for i in range(n)]
+
+
+def encode_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage 1: synthesize a REAL RIFF/WAVE container per doc
+    (stdlib wave module, mono 16-bit PCM) — executors produce genuine
+    media bytes, not placeholder blobs."""
+    import io
+    import struct
+    import wave
+
+    for pdf in batches:
+        blobs = []
+        for doc_id in pdf["doc_id"]:
+            n = 400 + int(doc_id) % 100
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(_WAV_RATE)
+                w.writeframes(
+                    struct.pack(f"<{n}h", *_wav_samples(int(doc_id), n))
+                )
+            blobs.append(buf.getvalue())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "audio": blobs})
+
+
+def decode_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage 2: parse the container back with the stdlib wave
+    decoder and extract integer-exact features (frame count, rate,
+    channel count, sum of squared samples — the RMS numerator, kept as
+    an exact BIGINT instead of a float RMS)."""
+    import io
+    import struct
+    import wave
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_frames": [], "rate": [], "channels": [], "sum_sq": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
+            with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                n, rate, ch = w.getnframes(), w.getframerate(), w.getnchannels()
+                samples = struct.unpack(f"<{n * ch}h", w.readframes(n))
+            out["doc_id"].append(doc_id)
+            out["n_frames"].append(n)
+            out["rate"].append(rate)
+            out["channels"].append(ch)
+            out["sum_sq"].append(sum(s * s for s in samples))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "q248_wav_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(400 + doc_id % 100 AS BIGINT) AS n_frames,
+           8000 AS rate,
+           1 AS channels,
+           CAST(list_sum(list_transform(
+               range(0, 400 + doc_id % 100),
+               i -> ((i * (doc_id % 7 + 1)) % 200 - 100)
+                  * ((i * (doc_id % 7 + 1)) % 200 - 100)
+           )) AS BIGINT) AS sum_sq
+    FROM documents
+    """,
+)
+def q248_wav_roundtrip(spark, sf_dir) -> DataFrame:
+    """REAL media codec end-to-end — no stub: executors synthesize a
+    genuine RIFF/WAVE container per document (stdlib wave, mono 16-bit
+    PCM), the binary column flows through the plan as opaque bytes, and
+    a second mapInPandas stage parses the container back with the real
+    decoder and extracts features. This retires the q77 caveat for
+    formats the runtime can actually decode: the pipeline shape is
+    identical for PIL/ffmpeg codecs — only the library inside the batch
+    function changes.
+
+    Exactness discipline: PCM samples come from integer arithmetic, and
+    the audio 'energy' feature is the raw sum of squares (BIGINT), not a
+    float RMS — so the oracle recomputes the identical integers from the
+    same formula and the decode is verified bit-for-bit, container
+    framing included (a single byte off in the RIFF header breaks frame
+    count or sample alignment and fails the hash). Blob hygiene per the
+    module header: the binary column is produced and consumed inside the
+    two scan-stage mapInPandas stages, never shuffled."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    encoded = d.mapInPandas(encode_wav_batches, "doc_id long, audio binary")
+    return encoded.mapInPandas(
+        decode_wav_batches,
+        "doc_id long, n_frames long, rate int, channels int, sum_sq long",
+    )
