@@ -298,3 +298,84 @@ def q248_wav_roundtrip(spark, sf_dir) -> DataFrame:
         decode_wav_batches,
         "doc_id long, n_frames long, rate int, channels int, sum_sq long",
     )
+
+
+# ------------------------------------------- real PPM image codec (q249)
+
+
+def _ppm_pixel(doc_id: int, idx: int) -> tuple[int, int, int]:
+    """Deterministic RGB from integer arithmetic (the oracle's formula)."""
+    return (
+        (idx * 7 + doc_id) % 256,
+        (idx * 13 + doc_id * 3) % 256,
+        (idx * 31) % 256,
+    )
+
+
+def encode_ppm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage 1: synthesize a REAL binary PPM (P6) image per
+    doc — magic, dimensions, maxval header + packed RGB rows."""
+    for pdf in batches:
+        blobs = []
+        for doc_id in pdf["doc_id"]:
+            w, h = 8 + int(doc_id) % 8, 6
+            px = bytearray()
+            for i in range(w * h):
+                px.extend(_ppm_pixel(int(doc_id), i))
+            blobs.append(b"P6\n%d %d\n255\n" % (w, h) + bytes(px))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "image": blobs})
+
+
+def decode_ppm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage 2: parse the P6 container back — header fields
+    drive the pixel-buffer length, so framing errors surface as exact
+    feature mismatches (width/height/channel sums)."""
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [], "r_sum": [], "g_sum": [], "b_sum": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
+            raw = bytes(blob)
+            magic, dims, maxval_and_px = raw.split(b"\n", 2)
+            assert magic == b"P6"
+            w, h = (int(x) for x in dims.split())
+            px = maxval_and_px.split(b"\n", 1)[1]
+            assert len(px) == w * h * 3
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["r_sum"].append(sum(px[0::3]))
+            out["g_sum"].append(sum(px[1::3]))
+            out["b_sum"].append(sum(px[2::3]))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "q249_ppm_roundtrip",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 8 + doc_id % 8 AS w, 6 AS h FROM documents
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(list_sum(list_transform(range(0, w * h),
+                i -> (i * 7 + doc_id) % 256)) AS BIGINT) AS r_sum,
+           CAST(list_sum(list_transform(range(0, w * h),
+                i -> (i * 13 + doc_id * 3) % 256)) AS BIGINT) AS g_sum,
+           CAST(list_sum(list_transform(range(0, w * h),
+                i -> (i * 31) % 256)) AS BIGINT) AS b_sum
+    FROM dims
+    """,
+)
+def q249_ppm_roundtrip(spark, sf_dir) -> DataFrame:
+    """REAL image codec end-to-end — q248's audio discipline applied to
+    images: executors synthesize genuine binary PPM (P6) containers with
+    per-doc dimensions, and a second mapInPandas stage parses header +
+    packed RGB planes back into integer-exact per-channel sums. Variable
+    width (8–15 px by doc) makes the header load-bearing: a mis-parsed
+    dimension mis-strides every channel sum and fails the hash. Same
+    pipeline shape as a PIL/torchvision decode — only the library inside
+    the batch function changes; blobs never shuffle."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    encoded = d.mapInPandas(encode_ppm_batches, "doc_id long, image binary")
+    return encoded.mapInPandas(
+        decode_ppm_batches,
+        "doc_id long, width int, height int, r_sum long, g_sum long, b_sum long",
+    )
