@@ -379,3 +379,90 @@ def q249_ppm_roundtrip(spark, sf_dir) -> DataFrame:
         decode_ppm_batches,
         "doc_id long, width int, height int, r_sum long, g_sum long, b_sum long",
     )
+
+
+# -------------------------------------- real Y4M video codec (q250)
+
+_Y4M_W, _Y4M_H = 8, 4  # tiny frames; C444 = full-res Y,U,V planes
+
+
+def _y4m_luma(doc_id: int, frame: int, idx: int) -> int:
+    """Deterministic luma byte (the oracle's formula)."""
+    return (doc_id + frame * 17 + idx * 5) % 256
+
+
+def encode_y4m_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage 1: synthesize a REAL YUV4MPEG2 (y4m) stream per
+    doc — the uncompressed video interchange format ffmpeg itself uses:
+    global header, then FRAME-delimited planar YUV payloads."""
+    for pdf in batches:
+        blobs = []
+        for doc_id in pdf["doc_id"]:
+            n_frames = 4 + int(doc_id) % 5
+            parts = [
+                b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444\n" % (_Y4M_W, _Y4M_H)
+            ]
+            plane = _Y4M_W * _Y4M_H
+            for f in range(n_frames):
+                y = bytes(
+                    _y4m_luma(int(doc_id), f, i) % 256 for i in range(plane)
+                )
+                parts.append(b"FRAME\n" + y + b"\x80" * plane + b"\x80" * plane)
+            blobs.append(b"".join(parts))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "video": blobs})
+
+
+def sample_y4m_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage 2: parse the y4m container and FRAME-SAMPLE every
+    2nd frame (the standard decimation before expensive per-frame
+    models), emitting integer-exact luma sums per sampled frame."""
+    for pdf in batches:
+        out = {"doc_id": [], "frame_no": [], "luma_sum": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["video"]):
+            raw = bytes(blob)
+            header, body = raw.split(b"\n", 1)
+            fields = dict(
+                (p[:1], p[1:]) for p in header.split(b" ")[1:] if p
+            )
+            w, h = int(fields[b"W"]), int(fields[b"H"])
+            plane = w * h
+            frames = body.split(b"FRAME\n")[1:]
+            for f_no, payload in enumerate(frames):
+                assert len(payload) == 3 * plane
+                if f_no % 2 == 0:  # sample every 2nd frame
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(f_no)
+                    out["luma_sum"].append(sum(payload[:plane]))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "q250_y4m_framesample",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, UNNEST(range(0, 4 + doc_id % 5)) AS frame_no
+        FROM documents
+    )
+    SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+           CAST(list_sum(list_transform(range(0, {_Y4M_W * _Y4M_H}),
+                i -> (doc_id + frame_no * 17 + i * 5) % 256)) AS BIGINT)
+               AS luma_sum
+    FROM f WHERE frame_no % 2 = 0
+    """,
+)
+def q250_y4m_framesample(spark, sf_dir) -> DataFrame:
+    """REAL video container + frame sampling — completing the multimodal
+    codec triple (q248 audio, q249 image): executors synthesize genuine
+    YUV4MPEG2 streams (the uncompressed interchange format ffmpeg
+    emits), and the decode stage parses the global header, splits
+    FRAME-delimited planar YUV payloads, DECIMATES to every 2nd frame,
+    and extracts integer-exact luma sums. This is q112's frame-sample
+    shape with a real container: header fields drive plane sizes, so a
+    parsing error mis-strides every sampled frame and fails the hash.
+    Variable frame counts per doc exercise the ragged 1-row→N-rows
+    expansion; blobs never shuffle (both stages are scan-stage)."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    encoded = d.mapInPandas(encode_y4m_batches, "doc_id long, video binary")
+    return encoded.mapInPandas(
+        sample_y4m_batches, "doc_id long, frame_no int, luma_sum long"
+    )
