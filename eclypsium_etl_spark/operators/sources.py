@@ -659,3 +659,81 @@ def q245_analyze_stats(spark, sf_dir) -> DataFrame:
             )
         )
     return reduce(DataFrame.unionByName, per_col)
+
+
+@query(
+    "q251_gzip_jsonl_source",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    """,
+)
+def q251_gzip_jsonl_source(spark, sf_dir) -> DataFrame:
+    """Gzip-compressed JSONL round trip — the wire format web-scale text
+    corpora actually arrive in (Common Crawl WET/WARC derivatives ship
+    as .gz shards): write the documents as gzip JSONL, read back with an
+    explicit schema. Spark's text/JSON readers decompress by extension
+    transparently, BUT gzip is a NON-SPLITTABLE codec — one .gz file is
+    one task no matter its size, the classic ingestion bottleneck. The
+    write therefore shards BEFORE compressing (repartition(4) → 4
+    independently-parallel .gz parts), which is the operational fix:
+    many medium gzip shards, never one giant one; re-compress to a
+    splittable layout (parquet+zstd, q235) on first touch."""
+    out = _tmpdir(f"q251_gz_{os.path.basename(sf_dir)}")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    (
+        d.repartition(4)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(out)
+    )
+    schema = "doc_id BIGINT, lang STRING, n_chars BIGINT"
+    return spark.read.schema(schema).json(out)
+
+
+@query(
+    "q252_binary_file_source",
+    oracle="""
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def q252_binary_file_source(spark, sf_dir) -> DataFrame:
+    """Whole-file binary ingestion (`format("binaryFile")`): each file
+    becomes one row of (path, modificationTime, length, content) — the
+    front door through which media assets enter the q248–q250 codec
+    pipelines when they arrive as loose files rather than packed
+    columns. The staged files hold each document's text bytes under a
+    doc_id-derived name; the read recovers the id FROM THE PATH and
+    fingerprints the content, and the oracle recomputes both from the
+    source column — proving path parsing and byte fidelity end-to-end.
+    modificationTime is projected away (wall-clock, unhashable by
+    design). Scale notes: binaryFile caps at one row per file — pack
+    small assets (tar/parquet) before reading at 100 TB, or the file
+    listing itself becomes the bottleneck; maxPartitionBytes still
+    groups small files per task."""
+    import shutil
+
+    out = _tmpdir(f"q252_files_{os.path.basename(sf_dir)}")
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        for r in (
+            table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        ):
+            with open(os.path.join(out, f"doc_{r.doc_id}.txt"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        open(marker, "w").close()
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(out)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+    )
