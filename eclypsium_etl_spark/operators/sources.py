@@ -737,3 +737,87 @@ def q252_binary_file_source(spark, sf_dir) -> DataFrame:
             F.md5(F.col("content")).alias("content_md5"),
         )
     )
+
+
+def _untar_batches(batches):
+    """mapInPandas: expand each tar shard's members into rows — the
+    executor-side unpack that turns a 1-row-per-shard binaryFile read
+    back into 1-row-per-asset, keeping extraction fully distributed."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_bytes": [], "content": []}
+        for blob in pdf["content"]:
+            with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                for m in tf.getmembers():
+                    if not m.isfile():
+                        continue
+                    data = tf.extractfile(m).read()
+                    out["doc_id"].append(
+                        int(m.name.rsplit("_", 1)[1].split(".")[0])
+                    )
+                    out["n_bytes"].append(len(data))
+                    out["content"].append(data)
+        yield pd.DataFrame(out)
+
+
+@query(
+    "q253_tar_packed_assets",
+    oracle="""
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def q253_tar_packed_assets(spark, sf_dir) -> DataFrame:
+    """Packed-asset ingestion — the FIX q252's docstring prescribes for
+    loose small files (and the shape WebDataset standardized for
+    training corpora): assets are bundled into a few tar shards, the
+    scan reads ONE row per shard (binaryFile — the file listing is now
+    8 entries, not one per asset), and an executor-side mapInPandas
+    unpacks members back into per-asset rows. Listing cost, scheduler
+    task count, and open()-per-file overhead all collapse by the
+    packing factor while the downstream per-asset schema is unchanged —
+    byte fidelity proven by the same md5 oracle as q252. Shard assembly
+    is stdlib tarfile; at 100 TB the shards are written once by the
+    packing job and every epoch reads them sequentially."""
+    import io
+    import shutil
+    import tarfile
+
+    out = _tmpdir(f"q253_tars_{os.path.basename(sf_dir)}")
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        rows = (
+            table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        )
+        n_shards = 8
+        shards = [io.BytesIO() for _ in range(n_shards)]
+        tars = [tarfile.open(fileobj=b, mode="w") for b in shards]
+        for r in rows:
+            data = r.text.encode("utf-8")
+            info = tarfile.TarInfo(name=f"doc_{r.doc_id}.txt")
+            info.size = len(data)
+            tars[r.doc_id % n_shards].addfile(info, io.BytesIO(data))
+        for i, (t, b) in enumerate(zip(tars, shards)):
+            t.close()
+            with open(os.path.join(out, f"shard_{i:02d}.tar"), "wb") as f:
+                f.write(b.getvalue())
+        open(marker, "w").close()
+    shard_rows = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(out)
+        .select("content")
+    )
+    unpacked = shard_rows.mapInPandas(
+        _untar_batches, "doc_id long, n_bytes long, content binary"
+    )
+    return unpacked.select(
+        "doc_id", "n_bytes", F.md5("content").alias("content_md5")
+    )
