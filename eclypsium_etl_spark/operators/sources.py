@@ -821,3 +821,79 @@ def q253_tar_packed_assets(spark, sf_dir) -> DataFrame:
     return unpacked.select(
         "doc_id", "n_bytes", F.md5("content").alias("content_md5")
     )
+
+
+@query(
+    "q254_multiline_json",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def q254_multiline_json(spark, sf_dir) -> DataFrame:
+    """Multi-line JSON ingestion (`multiLine=true`): one file holding one
+    big JSON ARRAY — the shape REST API dumps and exports actually
+    arrive in (the reference's category payload is exactly this,
+    mercadolibre_pipeline_dag.py:23), as opposed to the line-delimited
+    JSONL Spark prefers (q190/q251). multiLine is the non-splittable
+    slow path: the whole document must parse as one unit, so one file =
+    one task regardless of size — land it once, convert to JSONL or
+    parquet, never scan it repeatedly (the same playbook as q251's
+    gzip). The staged file is built from the nation table and read back
+    with an explicit schema; round trip proven by the plain oracle."""
+    import json
+    import shutil
+
+    out = _tmpdir(f"q254_mljson_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    rows = [
+        {"n_nationkey": r.n_nationkey, "n_name": r.n_name, "n_regionkey": r.n_regionkey}
+        for r in table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    ]
+    with open(os.path.join(out, "dump.json"), "w") as f:
+        json.dump(rows, f, indent=2)  # pretty-printed: spans many lines
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    return spark.read.schema(schema).option("multiLine", True).json(out)
+
+
+@query(
+    "q255_csv_quoting",
+    oracle="""
+    SELECT n_nationkey,
+           n_name || ', officially "' || n_name || '"' || chr(10) || 'line2'
+               AS gnarly,
+           n_regionkey
+    FROM nation
+    """,
+)
+def q255_csv_quoting(spark, sf_dir) -> DataFrame:
+    """CSV quoting torture round trip: field values containing the
+    delimiter, embedded double quotes, AND a literal newline — the
+    trifecta that breaks naive split-on-comma parsers and half the
+    world's ad-hoc CSV writers. Spark's writer quotes and doubles-up
+    per RFC 4180; the reader must reassemble the multi-line record
+    (multiLine=true — quoted newlines make CSV non-splittable, same
+    operational caveat as q254). The gnarly value is constructed from
+    the source column by the SAME expression the oracle uses, so the
+    round trip is verified byte-for-byte; a parser that mangles any of
+    the three hazards changes the hash."""
+    out = _tmpdir(f"q255_csvq_{os.path.basename(sf_dir)}")
+    gnarly = F.concat(
+        F.col("n_name"),
+        F.lit(', officially "'),
+        F.col("n_name"),
+        F.lit('"\nline2'),
+    )
+    d = table(spark, sf_dir, "nation").select(
+        "n_nationkey", gnarly.alias("gnarly"), "n_regionkey"
+    )
+    d.write.mode("overwrite").option("header", True).option("quoteAll", True).csv(out)
+    schema = "n_nationkey INT, gnarly STRING, n_regionkey INT"
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(out)
+    )
