@@ -480,3 +480,108 @@ def q242_calendar_arithmetic(spark, sf_dir) -> DataFrame:
         .cast("long")
         .alias("days_to_cutoff"),
     )
+
+
+@query(
+    "q256_from_csv_expr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+    FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def q256_from_csv_expr(spark, sf_dir) -> DataFrame:
+    """Expression-level CSV parsing (from_csv) — CSV embedded IN a column,
+    as opposed to CSV files (q93): log lines, legacy message payloads,
+    and denormalized export columns all carry delimiter-packed records
+    that must parse per-row inside the plan, schema-checked, without a
+    detour through the file system. The packed column is built from the
+    source columns and parsed straight back, so the oracle is the plain
+    projection — any asymmetry between the packer and from_csv's parser
+    (quoting, type coercion, field order) breaks the hash. Scan-stage
+    expression work; zero shuffle."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    packed = li.select(
+        F.concat_ws(
+            ",",
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("l_returnflag"),
+            F.col("l_quantity"),
+        ).alias("rec")
+    )
+    parsed = packed.select(
+        F.from_csv(
+            "rec",
+            F.lit(
+                "l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING, l_quantity DOUBLE"
+            ),
+        ).alias("p")
+    )
+    return parsed.select("p.*")
+
+
+@query(
+    "q257_xpath_functions",
+    oracle="""
+    SELECT n_nationkey, n_name AS name_from_xml,
+           n_regionkey AS region_from_xml,
+           2 AS n_tags
+    FROM nation
+    """,
+)
+def q257_xpath_functions(spark, sf_dir) -> DataFrame:
+    """XPath scalar functions (xpath_string / xpath_int / xpath) over XML
+    embedded in a column — the per-row XML companion to q167's XML file
+    source and q46's JSON extraction: SOAP payloads, config fragments,
+    and feed items live inside string columns and are queried in place.
+    The document is assembled from the source columns and the XPath
+    extraction must invert it exactly (the array-returning xpath()
+    counts the tag list), so the oracle is the plain projection. Like
+    all parser expressions: scan-stage, zero shuffle, codegen-adjacent
+    (the XPath itself evaluates in the JVM, no Python)."""
+    n = table(spark, sf_dir, "nation")
+    xml = F.concat(
+        F.lit("<nation><name>"),
+        F.col("n_name"),
+        F.lit("</name><region>"),
+        F.col("n_regionkey"),
+        F.lit("</region><tags><t>a</t><t>b</t></tags></nation>"),
+    )
+    d = n.select("n_nationkey", xml.alias("xml"))
+    return d.select(
+        "n_nationkey",
+        F.expr("xpath_string(xml, '/nation/name/text()')").alias("name_from_xml"),
+        F.expr("xpath_int(xml, '/nation/region/text()')").alias("region_from_xml"),
+        F.size(F.expr("xpath(xml, '/nation/tags/t/text()')")).alias("n_tags"),
+    )
+
+
+@query(
+    "q258_hash_functions",
+    oracle="""
+    SELECT n_nationkey,
+           sha256(n_name) AS sha_256,
+           md5(n_name) AS md5_hex,
+           CAST(strlen(sha256(n_name)) AS INT) AS sha_len
+    FROM nation
+    """,
+)
+def q258_hash_functions(spark, sf_dir) -> DataFrame:
+    """Cryptographic hash expression family: sha2-256 and md5 computed
+    JVM-side, hex-identical across engines — the content-addressing
+    primitives the dedup pipelines build on (md5 keys q62/q71/q120;
+    sha-256 is the collision-resistant upgrade for content IDs exposed
+    outside the pipeline, where md5's broken collision resistance
+    matters). Spark additionally ships crc32/xxhash64/murmur (faster,
+    engine-specific — used for salting and bucketing, never for
+    identity); they have no cross-engine twin, which is precisely why
+    every ORACLE-CHECKED hash in this repo is md5/sha (the q71 portability
+    principle)."""
+    n = table(spark, sf_dir, "nation")
+    sha = F.sha2(F.col("n_name"), 256)
+    return n.select(
+        "n_nationkey",
+        sha.alias("sha_256"),
+        F.md5(F.col("n_name")).alias("md5_hex"),
+        F.length(sha).cast("int").alias("sha_len"),
+    )

@@ -117,7 +117,8 @@ _CHEAP_FIRST = [
     "q244_ddl_defaults", "q245_analyze_stats", "q246_sql_scripting",
     "q247_join_hints", "q248_wav_roundtrip", "q249_ppm_roundtrip", "q250_y4m_framesample",
     "q251_gzip_jsonl_source", "q252_binary_file_source", "q253_tar_packed_assets",
-    "q254_multiline_json", "q255_csv_quoting",
+    "q254_multiline_json", "q255_csv_quoting", "q256_from_csv_expr",
+    "q257_xpath_functions", "q258_hash_functions",
     "q208_gap_audit", "q191_corpus_fingerprint", "q205_collapse_adjacent",
     "q145_histogram", "q146_string_agg", "q173_sql_udf",
     "q201_url_canonical_dedup", "q223_udf_iterator",
