@@ -155,7 +155,7 @@ _CHEAP_FIRST = [
     "q170_recursive_hierarchy", "q142_knn_graph", "q148_schema_evolution",
     "q161_bucketed_join", "q156_textrank", "q235_compact_small_files",
     "q137_stream_curation", "q155_sink_dynamic_partition", "q162_pca_power",
-    "q239_triangle_count", "q243_state_reader",
+    "q239_triangle_count", "q243_state_reader", "q259_stream_append_final",
     "q229_python_stream_source", "q221_python_datasource",
     # --- tier 3: driver-green in r1/r2 (98), cheapest-first ---
     "q96_unpivot", "q61_udtf", "q109_pad_trim", "q99_bitwise", "q98_string_distance",

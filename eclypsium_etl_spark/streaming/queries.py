@@ -540,3 +540,44 @@ def q187_stream_complete_topk(spark, sf_dir) -> DataFrame:
         .trigger(availableNow=True)
     )
     return spark.table(qname)
+
+
+@query(
+    "q259_stream_append_final",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+           COUNT(*) AS n, {dsum_sql('value')} AS val
+    FROM events
+    GROUP BY 1
+    HAVING w_start + INTERVAL 5 MINUTE <= (SELECT m FROM mx) - INTERVAL 10 MINUTE
+    """,
+)
+def q259_stream_append_final(spark, sf_dir) -> DataFrame:
+    """APPEND-mode watermarked windows — the strongest streaming
+    guarantee made differentially checkable: append emits a window
+    exactly once, only after the watermark (max event time − delay)
+    passes its end, so on a drained finite replay the emitted set is
+    EXACTLY the windows whose end ≤ final watermark — which the oracle
+    states in closed form (HAVING w_end ≤ max(ts) − 10 min). Windows
+    still open at end-of-stream must NOT leak; a duplicate or early
+    emission changes the row count and fails the hash. This is the
+    once-per-window contract downstream idempotent sinks rely on (q58),
+    here verified against the batch aggregate rather than asserted on a
+    hand-built two-file fixture (that unit-scale check lives in
+    tests/test_streaming.py::test_watermark_finalizes_windows)."""
+    e = stream_events(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("val"))
+        .select(F.col("window.start").alias("w_start"), "n", "val")
+    )
+    qname, _ = run_available_now(
+        lambda name, ckpt: agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    return spark.table(qname)
