@@ -607,13 +607,26 @@ def q232_cached_scan(spark, sf_dir) -> DataFrame:
     reused intermediate. Caching a 100 TB fact table is the classic
     anti-pattern — executors evict under memory pressure and the 'cache'
     becomes a slow disk spill; prefer a written intermediate (the
-    materialize_once discipline q86/q63 use) for anything big."""
+    materialize_once discipline q86/q63 use) for anything big.
+
+    Cache lifecycle: the result must be returned LAZY (the harness
+    collects it), so the cache can't be unpersisted inside this call.
+    Instead each invocation unpersists the previous invocation's cached
+    relation, bounding the long-lived session to at most one small
+    InMemoryRelation from this query instead of one per invocation."""
+    prev = getattr(q232_cached_scan, "_cached_seg", None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
     seg = (
         table(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n"), dsum("c_acctbal").alias("bal"))
         .cache()
     )
+    q232_cached_scan._cached_seg = seg
     total = seg.agg(dsum("bal").alias("total_bal"))
     return seg.crossJoin(total).select(
         "c_mktsegment",

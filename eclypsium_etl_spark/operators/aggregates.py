@@ -293,21 +293,30 @@ def q240_bitmap_distinct(spark, sf_dir) -> DataFrame:
     a fixed-size bitmap instead of a growing key set, it merges by OR
     (associative, re-aggregatable like q222's HLL but with zero error),
     and it never expands into Catalyst's two-level distinct rewrite. The
-    warehouse use: persist per-partition bitmaps once, answer distinct
-    questions over any partition combination by OR-ing bitmaps. The
-    oracle is the plain COUNT(DISTINCT) the bitmaps must reproduce
-    bit-for-bit. Keys shift to 1-based first: bitmap_bit_position is
-    (key - 1) mod 32768 by definition, so key 0 (present in the fixture)
-    would alias into the previous bucket and undercount by one."""
+    warehouse use: persist per-(partition, bucket) bitmaps once, answer
+    distinct questions over any partition combination by OR-ing bitmaps
+    THAT SHARE A BUCKET NUMBER and summing the per-bucket popcounts.
+    bitmap_bit_position is (key - 1) mod 32768, so bit positions are only
+    meaningful relative to their bucket: OR across different buckets
+    collides distinct keys onto the same bit and undercounts. The merge
+    algebra is therefore (priority, bkt) -> OR -> bitmap_count, then
+    SUM counts per priority — buckets partition the key space, so the
+    per-bucket distinct counts add exactly. The oracle is the plain
+    COUNT(DISTINCT) the bitmaps must reproduce bit-for-bit. Keys shift
+    to 1-based first: key 0 (present in the fixture) would otherwise
+    alias into the previous bucket and undercount by one."""
     o = table(spark, sf_dir, "orders")
     per_bucket = o.groupBy(
         "o_orderpriority",
         F.expr("bitmap_bucket_number(o_custkey + 1)").alias("bkt"),
     ).agg(
-        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey + 1))").alias("bm"),
+        # bitmap_construct_agg is the partial state; a re-aggregation layer
+        # (e.g. merging persisted per-partition bitmaps) would bitmap_or_agg
+        # within the same (priority, bkt) before counting.
+        F.expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey + 1)))").alias("bucket_distinct"),
         F.count("*").alias("n"),
     )
     return per_bucket.groupBy("o_orderpriority").agg(
-        F.expr("bitmap_count(bitmap_or_agg(bm))").alias("n_customers"),
+        F.sum("bucket_distinct").cast("long").alias("n_customers"),
         F.sum("n").alias("n_orders"),
     )

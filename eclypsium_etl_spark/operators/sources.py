@@ -34,6 +34,17 @@ def _tmpdir(name: str) -> str:
     return os.path.join(base, name)
 
 
+def _staging_key(sf_dir: str, source: str = "documents.parquet") -> str:
+    """Staging-dir key for write-once file fixtures: full-path slug (two
+    data dirs sharing a basename must not alias) + mtime/size stamp of the
+    source table (a regenerated fixture must never be served stale staged
+    files) — the same discipline as advanced.partitioned_orders_path."""
+    from ..io import source_stamp
+
+    slug = sf_dir.strip("/").replace("/", "_")
+    return f"{slug}_{source_stamp(os.path.join(sf_dir, source))}"
+
+
 @query(
     "q01_scan_parquet",
     oracle="SELECT r_regionkey, r_name FROM region",
@@ -714,7 +725,7 @@ def q252_binary_file_source(spark, sf_dir) -> DataFrame:
     groups small files per task."""
     import shutil
 
-    out = _tmpdir(f"q252_files_{os.path.basename(sf_dir)}")
+    out = _tmpdir(f"q252_files_{_staging_key(sf_dir)}")
     marker = os.path.join(out, "_STAGED")
     if not os.path.exists(marker):
         shutil.rmtree(out, ignore_errors=True)
@@ -788,7 +799,7 @@ def q253_tar_packed_assets(spark, sf_dir) -> DataFrame:
     import shutil
     import tarfile
 
-    out = _tmpdir(f"q253_tars_{os.path.basename(sf_dir)}")
+    out = _tmpdir(f"q253_tars_{_staging_key(sf_dir)}")
     marker = os.path.join(out, "_STAGED")
     if not os.path.exists(marker):
         shutil.rmtree(out, ignore_errors=True)

@@ -224,3 +224,49 @@ def test_streaming_under_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_bitmap_distinct_exact_across_buckets(spark):
+    """Regression for q240's merge algebra: keys spanning MULTIPLE 32k-key
+    bitmap buckets must count exactly. bitmap_bit_position is
+    (key-1) mod 32768 — OR-ing bitmaps across different bucket numbers
+    collides distinct keys onto the same bit and undercounts (e.g. keys 1
+    and 32769 share bit 0). The fix counts within each (group, bucket) and
+    SUMs; this fixture puts the same group's keys in 3 different buckets,
+    including a colliding pair, so the old cross-bucket OR would return 4
+    where the truth is 6."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("A", 1), ("A", 2), ("A", 32769),          # 32769 collides with 1
+        ("A", 40000), ("A", 70000), ("A", 70001),  # third bucket
+        ("B", 5), ("B", 5), ("B", 32773),          # dup + collider with 5
+    ]
+    df = spark.createDataFrame(rows, "grp string, key long")
+    per_bucket = df.groupBy(
+        "grp", F.expr("bitmap_bucket_number(key)").alias("bkt")
+    ).agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg(bitmap_bit_position(key)))"
+        ).alias("bucket_distinct")
+    )
+    got = {
+        r.grp: r.nd
+        for r in per_bucket.groupBy("grp")
+        .agg(F.sum("bucket_distinct").alias("nd"))
+        .collect()
+    }
+    assert got == {"A": 6, "B": 2}
+    # and the collision is real: the old cross-bucket OR undercounts
+    per_bucket_bm = df.groupBy(
+        "grp", F.expr("bitmap_bucket_number(key)").alias("bkt")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(key))").alias("bm")
+    )
+    naive = {
+        r.grp: r.nd
+        for r in per_bucket_bm.groupBy("grp")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("nd"))
+        .collect()
+    }
+    assert naive["A"] < 6, "collision fixture no longer collides"
