@@ -138,7 +138,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     total = round(sum(times.values()), 3)
-    out = {
+    # Detail (spreads, optional duckdb reference) goes to a sidecar file:
+    # round 3's single stdout line grew past the driver's tail capture and
+    # BENCH_r03.json came back `parsed: null`. The machine-readable line
+    # must stay small AND be the LAST stdout line (tail capture keeps the
+    # end of output), so: sidecar first, then one compact line of medians.
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -148,8 +153,21 @@ def main() -> None:
         "sf": sf,
     }
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB"):
-        out["duckdb"] = _duckdb_times()
-    print(json.dumps(out))
+        detail["duckdb"] = _duckdb_times()
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(sidecar, "w") as f:
+        json.dump(detail, f, indent=1)
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "n": BENCH_N,
+        "sf": sf,
+        "n_queries": len(times),
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 def _duckdb_times() -> dict[str, float]:
