@@ -412,6 +412,95 @@ def q103_kmeans_assign(spark, sf_dir) -> DataFrame:
 
 # ---- SemDeDup: cluster-scoped embedding dedup (q129) -------------------
 _SEM_TAU = 0.30  # within-cluster cosine above this ⇒ semantic duplicate
+_SEM_CLUSTER_CAP = 4096  # max rows per GEMM sub-block; giants split
+
+
+def cluster_scoped_pairs(
+    asg: DataFrame, tau: float, cap: int = _SEM_CLUSTER_CAP
+) -> DataFrame:
+    """Candidate pairs (vec_a < vec_b, cosine ≥ tau − ε) WITHIN each
+    cluster of an assignment frame (vec_id, embedding, cent_id) — the
+    skew-bounded GEMM stage of SemDeDup.
+
+    The naive shape (one applyInPandas task per cluster) concentrates a
+    skewed giant cluster into a single task: n rows and an n×n GEMM on
+    one core. The bound here is the q65 block-grid applied WITHIN each
+    cluster: a cluster of n rows splits into s = ceil(n / cap) sub-blocks
+    (vec_id mod s), every unordered sub-block pair (ra ≤ cb) is one grid
+    cell keyed (cent_id, cell), and one explode emits each row into the
+    s cells it participates in — so every intra-cluster pair still meets
+    exactly once, but no task ever holds more than 2·cap rows or GEMMs
+    more than cap² pairs. Clusters at or under the cap keep s = 1, which
+    degenerates to exactly the old one-task-per-cluster plan (zero extra
+    replication on the unskewed path). Sub-block counts come from a
+    broadcast of the k-row cluster-size aggregate, never a corpus
+    re-shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    guard = tau - 1e-6
+    sizes = asg.groupBy("cent_id").agg(
+        F.ceil(F.count("*") / F.lit(cap)).cast("int").alias("s")
+    )
+    assigned = (
+        asg.join(F.broadcast(sizes), "cent_id")
+        .withColumn("p", F.pmod("vec_id", F.col("s")))
+        .select(
+            "cent_id",
+            "vec_id",
+            "embedding",
+            F.explode(
+                F.expr(
+                    "concat("
+                    " transform(sequence(p, s - 1),"
+                    "   cb -> struct(p * s + cb AS cell, 0 AS side)),"
+                    " transform(sequence(0, p),"
+                    "   ra -> struct(ra * s + p AS cell, 1 AS side)))"
+                )
+            ).alias("a"),
+            F.col("s"),
+        )
+        .select(
+            "cent_id",
+            F.col("a.cell").alias("cell"),
+            F.col("a.side").alias("side"),
+            "vec_id",
+            "embedding",
+            "s",
+        )
+    )
+
+    def gemm_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
+        )
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1]
+        if left.empty or right.empty:
+            return empty
+        ids_a = left["vec_id"].to_numpy()
+        ids_b = right["vec_id"].to_numpy()
+        ma = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        mb = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        sims = ma @ mb.T
+        ii, jj = np.nonzero(sims >= guard)
+        ia, ib = ids_a[ii], ids_b[jj]
+        s = int(pdf["s"].iloc[0])
+        cell = int(key[1])
+        if cell // s == cell % s:
+            # diagonal cell: both operands are the same sub-block — every
+            # pair appears twice; `<` both dedups and orders
+            keep = ia < ib
+            ia, ib = ia[keep], ib[keep]
+        else:
+            # off-diagonal: each cross-block pair meets exactly once, in
+            # arbitrary id order — normalize smaller-id-first
+            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"vec_a": ia, "vec_b": ib})
+
+    return assigned.groupBy("cent_id", "cell").applyInPandas(
+        gemm_cell, schema="vec_a long, vec_b long"
+    )
 
 
 @query(
@@ -451,44 +540,21 @@ def q129_semdedup(spark, sf_dir) -> DataFrame:
 
     Plan — the q65 two-phase discipline, scoped per cluster:
     1. assignment is the zero-shuffle scan-stage argmax kernel
-       (assign_to_centroids); ONE shuffle moves each cluster's vectors to
-       one task, where numpy GEMMs the cluster against itself — the
-       quadratic runs executor-local, bounded by cluster size, at GEMM
-       speed instead of an interpreted per-pair fold. Exactly the bound
-       that makes SemDeDup work at 100 TB (k scales with corpus so
-       clusters stay ~constant-sized; skewed giant clusters would get
-       the q84 salting treatment or a cluster-size cap).
+       (assign_to_centroids); ONE shuffle moves each cluster's vectors
+       into GEMM tasks (cluster_scoped_pairs) — the quadratic runs
+       executor-local at GEMM speed, and a skewed giant cluster splits
+       into sub-block grid cells so no task exceeds 2·cap rows (the q84
+       salting treatment, realized; skew test in test_scale_features).
     2. candidates (kept above τ − ε so none can be lost) are re-scored
        with the exact fold dot, bit-identical to the oracle.
     Every vector is emitted with its verdict so downstream filters join
     on `kept` instead of re-deriving it."""
-    import numpy as np
-    import pandas as pd
-
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = em.filter(F.col("vec_id") < _K).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
     asg = assign_to_centroids(em, cents)
-    guard = _SEM_TAU - 1e-6
-
-    def gemm_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
-            )
-        ids = pdf["vec_id"].to_numpy()
-        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        sims = m @ m.T
-        ii, jj = np.nonzero(sims >= guard)
-        keep = ids[ii] < ids[jj]
-        return pd.DataFrame({"vec_a": ids[ii][keep], "vec_b": ids[jj][keep]})
-
-    cand = (
-        asg.select("cent_id", "vec_id", "embedding")
-        .groupBy("cent_id")
-        .applyInPandas(gemm_cluster, schema="vec_a long, vec_b long")
-    )
+    cand = cluster_scoped_pairs(asg, _SEM_TAU)
     a = em.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = em.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     dup = (

@@ -182,11 +182,14 @@ def test_q130_corpus_never_shuffles(spark):
 def test_q129_assignment_broadcasts(spark):
     """SemDeDup's cluster assignment must be the scan-stage argmax kernel
     (one-row centroid-array broadcast, zero corpus shuffle on that path);
-    the quadratic never leaves cluster scope (join keyed on cent_id), so
-    the full plan's exchanges are the pair join + verdict join only."""
+    the quadratic never leaves cluster scope (GEMM keyed on
+    (cent_id, cell)), so the full plan's exchanges are the grid shuffle +
+    pair/verdict joins plus ONE k-row aggregate (the cluster-size count
+    behind the giant-cluster split — map-side combined, k rows through
+    the wire, its result re-enters by broadcast)."""
     df = QUERIES["q129_semdedup"](spark, SF_CHECK)
     assert plans.has_broadcast(df)
-    assert plans.shuffle_count(df) <= 6
+    assert plans.shuffle_count(df) <= 7
 
 
 def test_kmeans_assignment_no_corpus_shuffle(spark):
