@@ -67,12 +67,17 @@ def q69_multimodal_cols(spark, sf_dir) -> DataFrame:
 
 
 def decode_media(asset: bytes, media_type: str) -> dict:
-    """REAL decode entry point — requires media codecs (PIL/librosa/ffmpeg)
-    that are not in this container. The Spark plumbing around it
-    (_decode_batches) is exercised with the deterministic fake below."""
+    """REAL decode entry point for transform-coded formats (JPEG/MP3/
+    H.264 …) whose entropy coders need codec libraries this container
+    doesn't ship. Formats decodable with the stdlib have REAL codecs and
+    full oracles instead of this stub: WAV (q248), PPM (q249), Y4M
+    (q250), PNG incl. zlib inflate + scanline unfiltering (q260). The
+    Spark plumbing around this entry point (_decode_batches) is
+    exercised with the deterministic fake below."""
     raise NotImplementedError(
-        "media decode requires codec libraries not present in this image; "
-        "use fake_decode for plumbing tests"
+        "transform-coded media (JPEG/MP3/H.264) requires codec libraries "
+        "not present in this image; WAV/PPM/Y4M/PNG decode for real via "
+        "q248-q250/q260 — use fake_decode for plumbing tests"
     )
 
 
@@ -465,4 +470,186 @@ def q250_y4m_framesample(spark, sf_dir) -> DataFrame:
     encoded = d.mapInPandas(encode_y4m_batches, "doc_id long, video binary")
     return encoded.mapInPandas(
         sample_y4m_batches, "doc_id long, frame_no int, luma_sum long"
+    )
+
+
+# -------------------------------------- real PNG image codec (q260)
+
+
+def _png_pixel(doc_id: int, idx: int) -> tuple[int, int, int]:
+    """Deterministic RGB from integer arithmetic (the oracle's formula —
+    distinct constants from q249 so the two codecs can't mask each other)."""
+    return (
+        (idx * 11 + doc_id) % 256,
+        (idx * 17 + doc_id * 5) % 256,
+        (idx * 23 + doc_id * 7) % 256,
+    )
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    """One PNG chunk: length, tag, payload, CRC32 over tag+payload."""
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage 1: synthesize a REAL PNG per doc — 8-byte
+    signature, IHDR (8-bit RGB, color type 2), zlib-compressed IDAT with
+    a DIFFERENT scanline filter per row (None/Sub/Up cycling), split
+    across TWO IDAT chunks. Every structural feature of the format is
+    load-bearing for the decode: chunk CRCs, IDAT reassembly, inflate,
+    and per-row unfiltering all have to be right or the channel sums
+    diverge."""
+    import struct
+    import zlib
+
+    for pdf in batches:
+        blobs = []
+        for doc_id in pdf["doc_id"]:
+            w, h = 8 + int(doc_id) % 8, 6
+            stride = w * 3
+            raw_rows = []
+            for r in range(h):
+                row = bytearray()
+                for c in range(w):
+                    row.extend(_png_pixel(int(doc_id), r * w + c))
+                raw_rows.append(bytes(row))
+            filtered = bytearray()
+            for r, row in enumerate(raw_rows):
+                ftype = r % 3  # 0=None, 1=Sub, 2=Up
+                filtered.append(ftype)
+                if ftype == 0:
+                    filtered.extend(row)
+                elif ftype == 1:  # Sub: delta vs pixel to the left
+                    filtered.extend(
+                        (row[i] - (row[i - 3] if i >= 3 else 0)) % 256
+                        for i in range(stride)
+                    )
+                else:  # Up: delta vs same byte in the row above
+                    prev = raw_rows[r - 1] if r > 0 else b"\x00" * stride
+                    filtered.extend(
+                        (row[i] - prev[i]) % 256 for i in range(stride)
+                    )
+            comp = zlib.compress(bytes(filtered), 6)
+            half = max(1, len(comp) // 2)
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            blobs.append(
+                b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", comp[:half])
+                + _png_chunk(b"IDAT", comp[half:])
+                + _png_chunk(b"IEND", b"")
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "image": blobs})
+
+
+def decode_png_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage 2: a real (narrow) PNG decoder — signature check,
+    chunk walk with CRC32 verification, multi-IDAT reassembly, zlib
+    inflate, and None/Sub/Up scanline unfiltering — then integer-exact
+    per-channel sums. Supports exactly what q260 emits (8-bit RGB, no
+    interlace); anything else raises rather than guessing."""
+    import struct
+    import zlib
+
+    for pdf in batches:
+        out = {
+            "doc_id": [], "width": [], "height": [],
+            "r_sum": [], "g_sum": [], "b_sum": [],
+        }
+        for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
+            raw = bytes(blob)
+            assert raw[:8] == b"\x89PNG\r\n\x1a\n", "bad PNG signature"
+            pos, idat, w = 8, b"", None
+            while pos < len(raw):
+                (length,) = struct.unpack(">I", raw[pos : pos + 4])
+                tag = raw[pos + 4 : pos + 8]
+                payload = raw[pos + 8 : pos + 8 + length]
+                (crc,) = struct.unpack(
+                    ">I", raw[pos + 8 + length : pos + 12 + length]
+                )
+                assert crc == zlib.crc32(tag + payload) & 0xFFFFFFFF, "bad CRC"
+                if tag == b"IHDR":
+                    w, h, depth, ctype, comp_m, filt_m, interlace = struct.unpack(
+                        ">IIBBBBB", payload
+                    )
+                    assert (depth, ctype, interlace) == (8, 2, 0), (
+                        "q260 decoder handles 8-bit RGB non-interlaced only"
+                    )
+                elif tag == b"IDAT":
+                    idat += payload
+                elif tag == b"IEND":
+                    break
+                pos += 12 + length
+            assert w is not None, "missing IHDR"
+            stride = w * 3
+            data = zlib.decompress(idat)
+            assert len(data) == h * (stride + 1), "inflated size mismatch"
+            rows: list[bytearray] = []
+            for r in range(h):
+                ftype = data[r * (stride + 1)]
+                line = bytearray(
+                    data[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+                )
+                if ftype == 1:  # Sub
+                    for i in range(3, stride):
+                        line[i] = (line[i] + line[i - 3]) % 256
+                elif ftype == 2:  # Up
+                    prev = rows[r - 1] if r > 0 else bytearray(stride)
+                    for i in range(stride):
+                        line[i] = (line[i] + prev[i]) % 256
+                elif ftype != 0:
+                    raise AssertionError(f"unsupported filter {ftype}")
+                rows.append(line)
+            px = b"".join(bytes(r) for r in rows)
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["r_sum"].append(sum(px[0::3]))
+            out["g_sum"].append(sum(px[1::3]))
+            out["b_sum"].append(sum(px[2::3]))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "q260_png_roundtrip",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 8 + doc_id % 8 AS w, 6 AS h FROM documents
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(list_sum(list_transform(range(0, w * h),
+                i -> (i * 11 + doc_id) % 256)) AS BIGINT) AS r_sum,
+           CAST(list_sum(list_transform(range(0, w * h),
+                i -> (i * 17 + doc_id * 5) % 256)) AS BIGINT) AS g_sum,
+           CAST(list_sum(list_transform(range(0, w * h),
+                i -> (i * 23 + doc_id * 7) % 256)) AS BIGINT) AS b_sum
+    FROM dims
+    """,
+)
+def q260_png_roundtrip(spark, sf_dir) -> DataFrame:
+    """REAL compressed image codec — the first q248-discipline format with
+    an actual compression layer (VERDICT r3 #5): executors synthesize
+    genuine PNGs with stdlib zlib (CRC'd chunks, IDAT split in two,
+    None/Sub/Up filters cycling per scanline) and the decode stage walks
+    chunks, verifies every CRC, reassembles + inflates IDAT, unfilters
+    each row, and emits integer-exact channel sums the DuckDB oracle
+    recomputes from the pixel formula. Any framing, compression, or
+    filter error mis-strides the sums and fails the hash. With this, the
+    decode_media stub narrows to transform-coded formats (JPEG/MP3/
+    H.264) whose entropy coders genuinely need codec libraries; the
+    container/filter/checksum layer of image decoding is now real.
+    Blobs never shuffle — both stages are scan-stage mapInPandas."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    encoded = d.mapInPandas(encode_png_batches, "doc_id long, image binary")
+    return encoded.mapInPandas(
+        decode_png_batches,
+        "doc_id long, width int, height int, r_sum long, g_sum long, b_sum long",
     )

@@ -10,6 +10,7 @@ over counts. Per-doc operators (q73–q76) are scan-stage map work — at
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import davg, davg_sql
@@ -923,6 +924,65 @@ def q135_text_normalize(spark, sf_dir) -> DataFrame:
         norm.alias("norm_text"),
         F.md5(norm).alias("norm_hash"),
         (F.length("text") - F.length(norm)).alias("n_removed"),
+    )
+
+
+# ---- Unicode NFC normalization (q261) ----------------------------------
+# NFC-divergent building blocks: decomposed sequences (base + combining
+# mark) that canonical composition rewrites to single codepoints. Embedded
+# as literals on BOTH engines so the normalizers face identical input.
+_NFC_DECOMP = " Cafe\u0301 A\u030angstro\u0308m no\u0303"  # é Å ö õ
+
+
+@query(
+    "q261_unicode_nfc",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id,
+               substr(text, 1, 24) || '{_NFC_DECOMP}' AS raw_text
+        FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(raw_text) AS nfc_text,
+           md5(nfc_normalize(raw_text)) AS nfc_hash,
+           CAST(length(raw_text) AS INT) AS len_raw,
+           CAST(length(nfc_normalize(raw_text)) AS INT) AS len_nfc,
+           length(raw_text) <> length(nfc_normalize(raw_text)) AS changed
+    FROM raw
+    """,
+)
+def q261_unicode_nfc(spark, sf_dir) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization layer q135's
+    docstring deferred (VERDICT r3 #8): text arriving from different
+    sources encodes the same glyphs differently (e-acute as one codepoint
+    or as e + combining acute), so hash-based dedup misses duplicates
+    until codepoint sequences are canonically composed. Spark 4 has no
+    NFC builtin, so the normalizer is a pandas_udf over stdlib
+    unicodedata (Arrow-batched — the sanctioned slow path); DuckDB
+    checks it with its native nfc_normalize. Every row is made
+    NFC-DIVERGENT by appending decomposed sequences, so the pass is
+    exercised on content where NFC actually rewrites bytes: length
+    shrinks by 4 per row (four compositions) and the md5 is over
+    composed bytes — an engine skipping normalization fails both.
+    Scan-stage: zero shuffle; at 100 TB this rides the ingest scan."""
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: unicodedata.normalize("NFC", t))
+
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(F.substring("text", 1, 24), F.lit(_NFC_DECOMP))
+    out = d.select("doc_id", raw.alias("raw_text")).withColumn(
+        "nfc_text", nfc("raw_text")
+    )
+    return out.select(
+        "doc_id",
+        "nfc_text",
+        F.md5("nfc_text").alias("nfc_hash"),
+        F.length("raw_text").cast("int").alias("len_raw"),
+        F.length("nfc_text").cast("int").alias("len_nfc"),
+        (F.length("raw_text") != F.length("nfc_text")).alias("changed"),
     )
 
 

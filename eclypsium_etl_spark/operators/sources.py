@@ -120,16 +120,44 @@ def q04_sink_overwrite(spark, sf_dir) -> DataFrame:
     """,
 )
 def q05_sink_jdbc(spark, sf_dir) -> DataFrame:
-    """JDBC boundary stand-in (no DB in env): a *partitioned* Parquet
-    round-trip — write customer partitioned by mktsegment (the layout a
-    100 TB table would use for partition pruning) and read it back.
-    Real JDBC read/write wrappers: io.read_jdbc / io.write_jdbc."""
-    out = _tmpdir("q05_roundtrip")
+    """REAL JDBC round trip (reference: SQLAlchemy→Postgres to_sql /
+    read_sql, mercadolibre_pipeline_dag.py:63-75): Spark ships embedded
+    Apache Derby in its own jars, so the write goes through the actual
+    JDBC sink (INSERT batches per task, mode=overwrite DROP+CREATE via
+    DerbyDialect DDL) and the read back through the actual JDBC source
+    with ALL FOUR partition options — Spark issues one bounded WHERE
+    range query per partition, the parallel-scan shape a warehouse read
+    at scale requires (a boundless JDBC read is one connection on one
+    executor). Pointing at Postgres instead is a URL + driver-jar swap;
+    everything else — io.read_jdbc / io.write_jdbc — is unchanged.
+
+    Derby-specific care: derby.system.home is pinned to scratch BEFORE
+    the first connection (else derby.log lands in the cwd), and the DB
+    directory is per-sf_dir so scale factors can't cross-contaminate.
+    Embedded Derby is single-JVM — exactly right for local[n]; a
+    multi-executor cluster would use a networked store."""
+    from ..io import read_jdbc, write_jdbc
+
+    spark._jvm.java.lang.System.setProperty(
+        "derby.system.home", _tmpdir("derby_home")
+    )
+    db = _tmpdir(f"q05_derby_{os.path.basename(sf_dir)}")
+    url = f"jdbc:derby:{db};create=true"
     df = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     )
-    sink_overwrite(df, out, partition_by=["c_mktsegment"])
-    back = spark.read.parquet(out)
+    write_jdbc(df, url, "customer_q05", mode="overwrite", batch_size=1000)
+    hi = df.agg(F.max("c_custkey")).first()[0]
+    back = read_jdbc(
+        spark,
+        url,
+        "customer_q05",
+        partition_column="c_custkey",
+        lower_bound=0,
+        upper_bound=int(hi) + 1,
+        num_partitions=4,
+        fetch_size=1000,
+    )
     return back.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
 
 

@@ -86,3 +86,20 @@ def test_decontaminate_emits_shingleless_docs(spark, tmp_path):
     assert out[22].overlap_ratio == 0.0 and out[22].contaminated is False
     assert out[20].contaminated is True  # verbatim eval copy
     assert out[21].n_overlap > 0  # shares the eval prefix shingles
+
+
+def test_q261_nfc_actually_composes(spark):
+    """The NFC pass must be exercised on genuinely divergent content —
+    parity alone would also pass if both engines were no-ops. Every row's
+    appended decomposed tail (4 base+combining sequences) must compose:
+    length shrinks by exactly 4 and the composed codepoints appear."""
+    from eclypsium_etl_spark.registry import load_all
+
+    q, _ = load_all()
+    rows = q["q261_unicode_nfc"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.changed is True
+        assert r.len_raw - r.len_nfc == 4
+        assert "é" in r.nfc_text and "Å" in r.nfc_text
+        assert "́" not in r.nfc_text  # no residual combining marks
