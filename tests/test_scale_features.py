@@ -320,3 +320,24 @@ def test_semdedup_giant_cluster_splits_bounded(spark):
             cells[(ra * s + p,)] = cells.get((ra * s + p,), 0) + 1
     assert len(cells) == s * (s + 1) // 2
     assert max(cells.values()) <= 2 * cap
+
+
+def test_scale_proof_10x():
+    """Re-run the empirical sub-quadratic proof (scripts/scale_proof.py,
+    BASELINE.md round-4 table) — gated behind SPARK_GRAFT_SCALE_PROOF=1
+    because it builds a 10x fixture and runs ~1.5 min of queries."""
+    import subprocess
+    import sys
+
+    import pytest
+
+    if not os.environ.get("SPARK_GRAFT_SCALE_PROOF"):
+        pytest.skip("set SPARK_GRAFT_SCALE_PROOF=1 to run the 10x proof")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "scale_proof.py")],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
