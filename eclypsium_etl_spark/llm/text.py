@@ -2080,3 +2080,213 @@ def q200_corpus_build(spark, sf_dir) -> DataFrame:
             / F.count("*")
         ).alias("avg_quality"),
     )
+
+
+# ---- tokenizer-prep character coverage (q262) --------------------------
+@query(
+    "q262_char_coverage",
+    oracle="""
+    WITH ch AS (
+        SELECT UNNEST(string_split_regex(text, '')) AS c FROM documents
+        WHERE text <> ''
+    ),
+    cnt AS (SELECT c, COUNT(*) AS n FROM ch WHERE c <> '' GROUP BY c),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt)
+    SELECT c, n,
+           round(CAST(SUM(n) OVER (ORDER BY n DESC, c ASC) AS DOUBLE)
+                 / tot.total, 6) AS cum_frac,
+           SUM(n) OVER (ORDER BY n DESC, c ASC) - n
+               < CAST(0.99 * tot.total AS DOUBLE) AS in_coverage_99
+    FROM cnt CROSS JOIN tot
+    """,
+)
+def q262_char_coverage(spark, sf_dir) -> DataFrame:
+    """Character-coverage table — the statistic SentencePiece/BPE
+    tokenizer training starts from (its character_coverage parameter
+    decides which rare codepoints collapse to <unk>): explode the corpus
+    to characters, rank by frequency, and compute the cumulative
+    coverage fraction plus a 99%-coverage membership flag (a char is IN
+    coverage if the mass BEFORE it is still under the target — the
+    greedy prefix rule). Two tiny shuffles (char count, then a
+    ~vocab-row window); the explode itself is scan-stage and never
+    materializes corpus-size state. At 100 TB the char-count partial
+    aggregation map-side-combines to at most |alphabet| rows per task —
+    this is the cheapest corpus-wide statistic there is."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    cnt = (
+        d.select(F.explode(F.split("text", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("c")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cnt.agg(F.sum("n").cast("long").alias("total"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("c")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cnt.crossJoin(tot)
+        .withColumn("cum_n", F.sum("n").over(w))
+        .select(
+            "c",
+            "n",
+            F.round(F.col("cum_n").cast("double") / F.col("total"), 6).alias(
+                "cum_frac"
+            ),
+            (
+                (F.col("cum_n") - F.col("n")).cast("double")
+                < 0.99 * F.col("total")
+            ).alias("in_coverage_99"),
+        )
+    )
+
+
+# ---- bigram-LM surprisal scoring (q263) --------------------------------
+@query(
+    "q263_perplexity_bigram",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               UNNEST(list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM t WHERE len(toks) >= 2
+    ),
+    bgc AS (SELECT bigram, COUNT(*) AS n_bg FROM bg GROUP BY bigram),
+    ctx AS (
+        SELECT string_split(bigram, ' ')[1] AS w1, SUM(n_bg) AS n_ctx
+        FROM bgc GROUP BY 1
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM (
+            SELECT UNNEST(toks) AS tok FROM t
+        )
+    )
+    SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(CAST(-ln((bgc.n_bg + 1.0)
+                                   / (ctx.n_ctx + vocab.v))
+                              AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+               AS mean_surprisal
+    FROM bg
+    JOIN bgc USING (bigram)
+    JOIN ctx ON ctx.w1 = string_split(bg.bigram, ' ')[1]
+    CROSS JOIN vocab
+    GROUP BY bg.doc_id
+    """,
+)
+def q263_perplexity_bigram(spark, sf_dir) -> DataFrame:
+    """Bigram-LM surprisal per document — q133's unigram scorer upgraded
+    one Markov order (the CCNet-style quality signal: fluent text has
+    predictable ADJACENT-token statistics, not just common tokens).
+    Add-one smoothing over context counts: p(w2|w1) = (C(w1 w2) + 1) /
+    (C(w1 ·) + V), with C(w1 ·) the context total derived FROM the
+    bigram table (so the model is self-consistent at document edges) and
+    V the corpus unigram vocabulary. Same float-parity discipline as
+    q133: per-doc sums fold in DECIMAL so partitioning order can't move
+    a bit, rounded once at the end. Shuffles: bigram count, context
+    roll-up (tiny), per-doc aggregate — the corpus text never shuffles,
+    only bigram strings do, and at 100 TB those are Zipf-concentrated so
+    map-side combine absorbs most of the volume."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    bg = t.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    bgc = bg.groupBy("bigram").agg(F.count("*").alias("n_bg"))
+    ctx = bgc.groupBy(
+        F.split("bigram", " ").getItem(0).alias("w1")
+    ).agg(F.sum("n_bg").alias("n_ctx"))
+    vocab = t.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").cast("long").alias("v")
+    )
+    surprisal = -F.log(
+        (F.col("n_bg") + 1.0) / (F.col("n_ctx") + F.col("v"))
+    )
+    return (
+        bg.join(bgc, "bigram")
+        .join(ctx, F.split(F.col("bigram"), " ").getItem(0) == F.col("w1"))
+        .crossJoin(vocab)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(surprisal.cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
+# ---- vocabulary truncation + OOV rate (q267) ---------------------------
+_VOCAB_TOP = 20  # kept vocabulary size
+
+
+@query(
+    "q267_vocab_oov",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+    ),
+    ranked AS (
+        SELECT t, row_number() OVER (ORDER BY COUNT(*) DESC, t ASC) AS r
+        FROM tok GROUP BY t
+    ),
+    kept AS (SELECT t FROM ranked WHERE r <= {_VOCAB_TOP})
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(COUNT(*) FILTER (kept.t IS NULL) AS BIGINT) AS n_oov,
+           round(CAST(COUNT(*) FILTER (kept.t IS NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate
+    FROM tok LEFT JOIN kept ON kept.t = tok.t
+    GROUP BY tok.doc_id
+    """,
+)
+def q267_vocab_oov(spark, sf_dir) -> DataFrame:
+    """Vocabulary truncation + per-document OOV rate — the classic
+    fixed-vocab (word2vec / GloVe / WordPiece seed) preprocessing
+    decision: keep the top-V tokens by frequency (deterministic
+    count-desc, token-asc tiebreak), measure what fraction of each
+    document falls out of vocabulary. High-OOV docs are either noise or
+    domain-shifted — both things a curation pipeline wants flagged. The
+    kept vocabulary is V rows → broadcast joined against the token
+    stream (never a shuffle of the corpus); the rank itself is a
+    |vocab|-row window, not a corpus sort. At 100 TB: identical plan,
+    with the token count map-side combining into |vocab| partials."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    ranked = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("t"))),
+        )
+    )
+    kept = ranked.filter(F.col("r") <= _VOCAB_TOP).select(
+        F.col("t").alias("kt")
+    )
+    return (
+        tok.join(F.broadcast(kept), tok.t == F.col("kt"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.count(F.when(F.col("kt").isNull(), 1)).cast("long").alias("n_oov"),
+            F.round(
+                F.count(F.when(F.col("kt").isNull(), 1)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

@@ -443,3 +443,126 @@ def q238_approx_top_k(spark, sf_dir) -> DataFrame:
     return topk.select(F.explode("tk").alias("t")).select(
         F.col("t.item").alias("item"), F.col("t.count").cast("long").alias("est")
     )
+
+
+@query(
+    "q264_group_order_by_all",
+    oracle="""
+    SELECT e.event_type, d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE), 4)
+               AS total_value
+    FROM events e JOIN documents d ON d.doc_id = e.event_id % 500
+    GROUP BY e.event_type, d.lang
+    ORDER BY e.event_type, d.lang
+    """,
+)
+def q264_group_order_by_all(spark, sf_dir) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 3.4+ SQL sugar, matching
+    DuckDB's original): every non-aggregate select item becomes a
+    grouping key, every select item an order key — the migration-killer
+    niceties analysts reach for first. The oracle spells the expansion
+    out explicitly, proving the sugar resolves to exactly the explicit
+    form (a mis-expansion would change grouping and fail the hash).
+    Resolution happens in the analyzer; the physical plan is identical
+    to q21's hash aggregate."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_q264")
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_q264")
+    return spark.sql(
+        """
+        SELECT e.event_type, d.lang,
+               COUNT(*) AS n,
+               round(CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE), 4)
+                   AS total_value
+        FROM events_q264 e
+        JOIN documents_q264 d ON d.doc_id = e.event_id % 500
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@query(
+    "q265_stack_inline",
+    oracle="""
+    SELECT o_orderkey, metric, val FROM (
+        SELECT o_orderkey, 'price' AS metric,
+               CAST(o_totalprice AS DOUBLE) AS val FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'priority_n',
+               CAST(CAST(o_orderpriority[1] AS INTEGER) AS DOUBLE) FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'status_n',
+               CAST(strlen(o_orderstatus) AS DOUBLE) FROM orders
+    ) WHERE o_orderkey % 100 = 0
+    """,
+)
+def q265_stack_inline(spark, sf_dir) -> DataFrame:
+    """stack() — the generator-function wide-to-long unpivot (the
+    pre-UNPIVOT idiom q96 modernized, still everywhere in migrated
+    code): n (label, expr) pairs become n rows per input row inside the
+    SAME select, no self-union and ONE scan of the source. The oracle is
+    the triple-UNION expansion stack replaces — same rows, one-third the
+    scans. Generators run scan-stage (Generate node, no shuffle);
+    filter on the source column still pushes below the Generate into
+    the parquet scan."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(3,"
+            " 'price', CAST(o_totalprice AS DOUBLE),"
+            " 'priority_n', CAST(CAST(substring(o_orderpriority, 1, 1) AS INT) AS DOUBLE),"
+            " 'status_n', CAST(length(o_orderstatus) AS DOUBLE)"
+            ") AS (metric, val)"
+        ),
+    )
+
+
+@query(
+    "q266_str_to_map",
+    oracle="""
+    WITH kv AS (
+        SELECT e.event_id,
+               'type:' || COALESCE(e.event_type, 'none')
+               || ',uid:' || CAST(e.user_id AS VARCHAR)
+               || ',val:' || CAST(CAST(floor(e.value) AS INTEGER) AS VARCHAR)
+                   AS tag_str
+        FROM events e
+    )
+    SELECT event_id, tag_str,
+           string_split(string_split(tag_str, ',')[1], ':')[2] AS type_v,
+           CAST(string_split(string_split(tag_str, ',')[2], ':')[2]
+                AS BIGINT) AS uid_v,
+           CAST(string_split(string_split(tag_str, ',')[3], ':')[2]
+                AS BIGINT) AS val_v
+    FROM kv
+    """,
+)
+def q266_str_to_map(spark, sf_dir) -> DataFrame:
+    """str_to_map — the log-line / tag-string parser (the k1:v1,k2:v2
+    format agents and exporters emit): build a deterministic tag string
+    from event fields, parse it back with the builtin in ONE expression,
+    and project typed values out of the map. MapType doesn't
+    value-hash across engines (iteration order), so the checked output
+    is the extracted fields — which is also the honest usage: maps are
+    an access path, not a storage format. The oracle re-parses with
+    split indexing, proving delimiter semantics match. Scan-stage,
+    zero shuffle, whole-stage codegen."""
+    e = table(spark, sf_dir, "events")
+    tag = F.concat(
+        F.lit("type:"), F.coalesce(F.col("event_type"), F.lit("none")),
+        F.lit(",uid:"), F.col("user_id").cast("string"),
+        F.lit(",val:"), F.floor("value").cast("int").cast("string"),
+    )
+    return (
+        e.select("event_id", tag.alias("tag_str"))
+        .withColumn("m", F.expr("str_to_map(tag_str, ',', ':')"))
+        .select(
+            "event_id",
+            "tag_str",
+            F.col("m").getItem("type").alias("type_v"),
+            F.col("m").getItem("uid").cast("long").alias("uid_v"),
+            F.col("m").getItem("val").cast("long").alias("val_v"),
+        )
+    )

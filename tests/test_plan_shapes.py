@@ -511,3 +511,48 @@ def test_q247_hints_change_strategy_not_answer(spark):
     plan = plans.physical_plan(QUERIES["q247_join_hints"](spark, SF_CHECK))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" in plan
+
+
+def test_runtime_bloom_filter_injects_at_scale_thresholds(spark):
+    """Catalyst's runtime Bloom-filter join pruning (InjectRuntimeFilter):
+    when a join's creation side carries a selective filter, the optimizer
+    builds a Bloom filter from it and pushes a bloom_filter_might_contain
+    probe beneath the big side's scan — shrinking shuffle input before
+    the join. Its production thresholds (application side > 10 GB) exist
+    because the filter only pays at scale, so this test lowers them to
+    fixture scale in a try/finally, asserts the probe lands in the
+    optimized plan, AND asserts results are identical with the feature
+    off (pruning must be semantically invisible)."""
+    from pyspark.sql import functions as F
+
+    from eclypsium_etl_spark.io import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # broadcast joins skip runtime filters (already pruned) — force SMJ
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = table(spark, SF_CHECK, "orders")
+        c = table(spark, SF_CHECK, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        joined = o.join(c, o.o_custkey == c.c_custkey).select(
+            "o_orderkey", "c_custkey"
+        )
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan
+        n_with = joined.count()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        assert joined.count() == n_with
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -341,3 +341,66 @@ def test_scale_proof_10x():
         timeout=1200,
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "provider",
+    [
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    ],
+    ids=["hdfs", "rocksdb"],
+)
+def test_stream_dedup_state_identical_under_both_providers(
+    spark, tmp_path, provider
+):
+    """q57's shape (dropDuplicatesWithinWatermark over a doubled stream)
+    must produce IDENTICAL results under both state-store providers —
+    RocksDB is the 100 TB state backend (off-heap, spillable), and
+    provider choice must be an operational knob, never a semantic one.
+    Fresh checkpoint per provider (the provider is frozen into the
+    checkpoint at creation)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i % 40, f"e{i % 40}", float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, tag string, value double")
+    df = df.withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 10:00:00")) + F.make_interval(
+            secs=F.col("event_id")
+        )
+    )
+    src = str(tmp_path / "src")
+    df.write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        stream = spark.readStream.schema(
+            "event_id long, tag string, value double, ts timestamp"
+        ).parquet(src)
+        doubled = stream.unionByName(stream)
+        deduped = doubled.withWatermark(
+            "ts", "10 minutes"
+        ).dropDuplicatesWithinWatermark(["event_id"])
+        qname = f"dedup_{provider.rsplit('.', 1)[1][:5].lower()}_{uuid.uuid4().hex[:6]}"
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{qname}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r.event_id, r.tag) for r in spark.table(qname).collect()
+        )
+        assert got == sorted((i, f"e{i}") for i in range(40))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
