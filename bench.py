@@ -99,6 +99,12 @@ HEADLINE = [
     "q200_corpus_build",
     "q214_substring_spans",
     "q221_python_datasource",
+    # round 4 additions
+    "q260_png_roundtrip",
+    "q262_char_coverage",
+    "q263_perplexity_bigram",
+    "q267_vocab_oov",
+    "q268_bpe_merges",
 ]
 
 

@@ -2290,3 +2290,151 @@ def q267_vocab_oov(spark, sf_dir) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# ---- BPE merge learning (q268) -----------------------------------------
+_BPE_ROUNDS = 3
+
+# Symbol sequences are bracket-delimited ('<a> <b> <c>') so that a single
+# left-to-right string replace IS the BPE merge step: the pattern
+# '<a> <b>' (no surrounding spaces consumed) can never match inside a
+# longer symbol ('<ba> <b>' does not contain '<a> <b>'), and adjacent
+# occurrences ('<a> <b> <a> <b>') share no characters, so one replace
+# merges all of them — the exact greedy non-overlapping semantics BPE
+# defines. A space-joined representation without brackets fails BOTH
+# properties (shared boundary spaces and substring ambiguity).
+_BPE_MERGED = "replace({p}, '> <', '')"  # '<a> <b>' -> '<ab>'
+
+
+def _bpe_seq_spark(word_col: str) -> str:
+    return (
+        f"concat_ws(' ', transform("
+        f"  filter(split({word_col}, ''), c -> c <> ''),"
+        f"  c -> concat('<', c, '>')))"
+    )
+
+
+@query(
+    "q268_bpe_merges",
+    oracle=f"""
+    WITH w AS (
+        SELECT t AS word, COUNT(*) AS n FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS t FROM documents
+        ) WHERE t <> '' GROUP BY t
+    ),
+    s0 AS (
+        SELECT word, n,
+               array_to_string(list_transform(
+                   list_filter(string_split_regex(word, ''), c -> c <> ''),
+                   c -> '<' || c || '>'), ' ') AS seq
+        FROM w
+    ),
+    p1 AS (
+        SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+            SELECT n, UNNEST(list_transform(
+                generate_series(1, len(sym) - 1),
+                i -> sym[i] || ' ' || sym[i + 1])) AS pair
+            FROM (SELECT n, string_split(seq, ' ') AS sym FROM s0)
+            WHERE len(sym) >= 2
+        ) GROUP BY pair
+    ),
+    b1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+    s1 AS (
+        SELECT word, n,
+               replace(seq, b1.pair, {_BPE_MERGED.format(p='b1.pair')}) AS seq
+        FROM s0 CROSS JOIN b1
+    ),
+    p2 AS (
+        SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+            SELECT n, UNNEST(list_transform(
+                generate_series(1, len(sym) - 1),
+                i -> sym[i] || ' ' || sym[i + 1])) AS pair
+            FROM (SELECT n, string_split(seq, ' ') AS sym FROM s1)
+            WHERE len(sym) >= 2
+        ) GROUP BY pair
+    ),
+    b2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+    s2 AS (
+        SELECT word, n,
+               replace(seq, b2.pair, {_BPE_MERGED.format(p='b2.pair')}) AS seq
+        FROM s1 CROSS JOIN b2
+    ),
+    p3 AS (
+        SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+            SELECT n, UNNEST(list_transform(
+                generate_series(1, len(sym) - 1),
+                i -> sym[i] || ' ' || sym[i + 1])) AS pair
+            FROM (SELECT n, string_split(seq, ' ') AS sym FROM s2)
+            WHERE len(sym) >= 2
+        ) GROUP BY pair
+    ),
+    b3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair ASC LIMIT 1)
+    SELECT 1 AS rank, pair, {_BPE_MERGED.format(p='pair')} AS merged, cnt FROM b1
+    UNION ALL
+    SELECT 2, pair, {_BPE_MERGED.format(p='pair')}, cnt FROM b2
+    UNION ALL
+    SELECT 3, pair, {_BPE_MERGED.format(p='pair')}, cnt FROM b3
+    """,
+)
+def q268_bpe_merges(spark, sf_dir) -> DataFrame:
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016 — the
+    algorithm behind GPT/LLaMA tokenizers), distributed and fully
+    oracled for {_BPE_ROUNDS} merge rounds: word frequencies roll up
+    once (the classic BPE-on-word-counts optimization — corpus size
+    drops out, only the vocabulary's weighted symbol sequences iterate),
+    then each round (a) explodes adjacent symbol pairs weighted by word
+    count, (b) picks the global argmax pair (count desc, pair asc — a
+    TakeOrdered of a tiny aggregate, never a full sort), and (c) applies
+    the merge to every sequence via ONE broadcast of the single winning
+    row + a string replace whose bracket-delimited symbol encoding makes
+    left-to-right non-overlapping replace exactly BPE's merge semantics
+    (see _BPE_MERGED comment). The iteration state is (vocab-size rows x
+    seq string) — at 100 TB the word-count rollup is the only
+    corpus-scale pass; every subsequent round runs on the ~1M-row
+    weighted vocabulary, which is the same reason SentencePiece trains
+    on counts, not tokens. Rounds unroll statically into one lazy plan:
+    the driver never sees a pair count."""
+    d = table(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    seq = w.select("word", "n", F.expr(_bpe_seq_spark("word")).alias("seq"))
+
+    pair_expr = (
+        "transform(sequence(1, size(sym) - 1),"
+        " i -> concat(element_at(sym, i), ' ', element_at(sym, i + 1)))"
+    )
+    results = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            seq.select("n", F.split("seq", " ").alias("sym"))
+            .filter(F.size("sym") >= 2)
+            .select("n", F.explode(F.expr(pair_expr)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("n").cast("long").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+        results.append(
+            best.select(
+                F.lit(r).alias("rank"),
+                "pair",
+                F.expr(_BPE_MERGED.format(p="pair")).alias("merged"),
+                "cnt",
+            )
+        )
+        best_b = best.select(
+            F.col("pair").alias("__bp"),
+            F.expr(_BPE_MERGED.format(p="pair")).alias("__bm"),
+        )
+        seq = seq.crossJoin(F.broadcast(best_b)).select(
+            "word",
+            "n",
+            F.expr("replace(seq, __bp, __bm)").alias("seq"),
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out

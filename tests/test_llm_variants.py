@@ -103,3 +103,36 @@ def test_q261_nfc_actually_composes(spark):
         assert r.len_raw - r.len_nfc == 4
         assert "é" in r.nfc_text and "Å" in r.nfc_text
         assert "́" not in r.nfc_text  # no residual combining marks
+
+
+def test_q268_bpe_semantics_hand_computed(spark, tmp_path):
+    """BPE merge semantics on a corpus small enough to verify by hand,
+    including the overlap case the symbol encoding must get right:
+    'abab' contains TWO non-overlapping (a,b) pairs and one (b,a) —
+    a boundary-sharing string replace would merge only the first.
+
+    corpus: 'abab' x3, 'ab' x2  (as five whitespace tokens in two docs)
+    round 1 pair counts: (a,b) = 3*2 + 2*1 = 8;  (b,a) = 3*1 = 3
+      -> merge 1 = <a> <b> (cnt 8); seqs: <ab> <ab> x3, <ab> x2
+    round 2: (ab,ab) = 3 -> merge 2 = <ab> <ab> (cnt 3)
+    round 3: nothing remains adjacent... except nothing — all seqs are
+      single symbols, so the round-3 winner is whatever pair remains:
+      none. Add 'cd' x1 so round 3 has a deterministic (c,d) = 1."""
+    from eclypsium_etl_spark.registry import load_all
+
+    docs = [
+        (0, "abab abab ab", "en", "t", 12),
+        (1, "abab ab cd", "en", "t", 10),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    q, _ = load_all()
+    rows = {
+        r.rank: (r.pair, r.merged, r.cnt)
+        for r in q["q268_bpe_merges"](spark, str(tmp_path)).collect()
+    }
+    assert rows[1] == ("<a> <b>", "<ab>", 8)
+    assert rows[2] == ("<ab> <ab>", "<abab>", 3)
+    assert rows[3] == ("<c> <d>", "<cd>", 1)
