@@ -434,7 +434,11 @@ def cluster_scoped_pairs(
     degenerates to exactly the old one-task-per-cluster plan (zero extra
     replication on the unskewed path). Sub-block counts come from a
     broadcast of the k-row cluster-size aggregate, never a corpus
-    re-shuffle."""
+    re-shuffle. Cost note: the size aggregate re-evaluates the
+    assignment lineage (one extra corpus scan — scan-stage argmax, no
+    shuffle); a production SemDeDup run persists the assignment table
+    anyway (it feeds dedup, reporting, and cluster audits), which
+    removes the recompute entirely."""
     import numpy as np
     import pandas as pd
 
@@ -449,13 +453,20 @@ def cluster_scoped_pairs(
             "cent_id",
             "vec_id",
             "embedding",
+            # Diagonal cells (ra == cb) receive the block ONCE as side 0
+            # (the kernel GEMMs it against itself) — so an unsplit cluster
+            # (s = 1) shuffles each row exactly once, the same volume as a
+            # plain one-task-per-cluster plan; only genuinely split
+            # clusters pay replication.
             F.explode(
                 F.expr(
                     "concat("
                     " transform(sequence(p, s - 1),"
                     "   cb -> struct(p * s + cb AS cell, 0 AS side)),"
-                    " transform(sequence(0, p),"
-                    "   ra -> struct(ra * s + p AS cell, 1 AS side)))"
+                    " CASE WHEN p > 0 THEN"
+                    "   transform(sequence(0, p - 1),"
+                    "     ra -> struct(ra * s + p AS cell, 1 AS side))"
+                    " ELSE array() END)"
                 )
             ).alias("a"),
             F.col("s"),
@@ -474,22 +485,24 @@ def cluster_scoped_pairs(
         empty = pd.DataFrame(
             {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
         )
+        s = int(pdf["s"].iloc[0])
+        cell = int(key[1])
+        diagonal = cell // s == cell % s
         left = pdf[pdf["side"] == 0]
-        right = pdf[pdf["side"] == 1]
-        if left.empty or right.empty:
+        right = left if diagonal else pdf[pdf["side"] == 1]
+        if left.empty or right.empty or (diagonal and len(left) < 2):
             return empty
         ids_a = left["vec_id"].to_numpy()
         ids_b = right["vec_id"].to_numpy()
         ma = np.stack(left["embedding"].to_numpy()).astype(np.float64)
-        mb = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        mb = ma if diagonal else np.stack(
+            right["embedding"].to_numpy()
+        ).astype(np.float64)
         sims = ma @ mb.T
         ii, jj = np.nonzero(sims >= guard)
         ia, ib = ids_a[ii], ids_b[jj]
-        s = int(pdf["s"].iloc[0])
-        cell = int(key[1])
-        if cell // s == cell % s:
-            # diagonal cell: both operands are the same sub-block — every
-            # pair appears twice; `<` both dedups and orders
+        if diagonal:
+            # self-GEMM: every pair appears twice; `<` dedups and orders
             keep = ia < ib
             ia, ib = ia[keep], ib[keep]
         else:

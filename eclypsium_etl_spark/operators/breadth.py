@@ -6,10 +6,13 @@ shapes a warehouse user reaches for that earlier groups didn't cover.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..io import table
 from ..registry import query
+from .sources import _tmpdir
 
 
 @query(
@@ -565,4 +568,105 @@ def q266_str_to_map(spark, sf_dir) -> DataFrame:
             F.col("m").getItem("uid").cast("long").alias("uid_v"),
             F.col("m").getItem("val").cast("long").alias("val_v"),
         )
+    )
+
+
+@query(
+    "q269_map_hofs",
+    oracle="""
+    SELECT event_id,
+           'T_' || COALESCE(event_type, 'none') AS type_upkey,
+           CAST(floor(value) * 2 AS BIGINT) AS val_doubled,
+           (value >= 50) AS kept_big,
+           CAST(user_id + floor(value) AS BIGINT) AS zipped_sum
+    FROM events
+    """,
+)
+def q269_map_hofs(spark, sf_dir) -> DataFrame:
+    """Map higher-order functions — transform_keys / transform_values /
+    map_filter / map_zip_with, the lambda family that rewrites MapType
+    columns WITHOUT exploding them (the explode→group round trip costs a
+    corpus shuffle; the HOF runs scan-stage in codegen). A map is built
+    from event fields, each HOF is applied, and the checked output is
+    scalar extractions (MapType doesn't value-hash across engines; the
+    extracted entries prove each lambda ran). The oracle computes what
+    each extraction must equal directly from the source columns.
+    Zero shuffle at any scale."""
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.create_map(
+            F.coalesce(F.col("event_type"), F.lit("none")),
+            F.floor("value").cast("long"),
+        ).alias("m"),
+    )
+    return base.select(
+        "event_id",
+        # transform_keys: prefix every key
+        F.expr(
+            "map_keys(transform_keys(m, (k, v) -> concat('T_', k)))[0]"
+        ).alias("type_upkey"),
+        # transform_values: double every value
+        F.expr("map_values(transform_values(m, (k, v) -> v * 2))[0]").alias(
+            "val_doubled"
+        ),
+        # map_filter: keep entries with value >= 50 — presence is the bool
+        (F.expr("size(map_filter(m, (k, v) -> v >= 50))") == 1).alias(
+            "kept_big"
+        ),
+        # map_zip_with: merge m with a same-keyed map of user_id
+        F.expr(
+            "map_values(map_zip_with("
+            "  m,"
+            "  transform_values(m, (k, v) -> user_id),"
+            "  (k, v1, v2) -> v1 + v2))[0]"
+        ).alias("zipped_sum"),
+    )
+
+
+_FW_SPEC = [  # (name, start (1-based), width)
+    ("o_orderkey", 1, 12),
+    ("o_orderstatus", 13, 2),
+    ("o_totalprice", 15, 12),
+    ("o_orderpriority", 27, 16),
+]
+
+
+@query(
+    "q270_fixed_width_source",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def q270_fixed_width_source(spark, sf_dir) -> DataFrame:
+    """Fixed-width (COBOL/mainframe export) text ingestion — the legacy
+    format every migration eventually meets and Spark has no reader for:
+    rows are rendered to a fixed-layout line (rpad to column widths),
+    staged as plain text, read back with spark.read.text, and sliced by
+    (start, width) substring projections — all JVM expression work, no
+    UDF. The slice spec is data, not code (_FW_SPEC), which is how real
+    copybook layouts are wired in. Parsing is scan-stage: the text
+    source splits by line ranges exactly like CSV, so a 100 TB fixed-
+    width dump parallelizes by byte ranges with zero preprocessing.
+    Numeric columns re-cast from their padded text; the oracle recomputes
+    from the original table, so a one-column misalignment in EITHER
+    direction fails every downstream field's hash."""
+    out = _tmpdir(f"q270_fw_{os.path.basename(sf_dir)}")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    line = F.concat(
+        F.rpad(F.col("o_orderkey").cast("string"), 12, " "),
+        F.rpad(F.col("o_orderstatus"), 2, " "),
+        F.rpad(F.col("o_totalprice").cast("string"), 12, " "),
+        F.rpad(F.col("o_orderpriority"), 16, " "),
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    return raw.select(
+        F.trim(F.substring("value", 1, 12)).cast("long").alias("o_orderkey"),
+        F.trim(F.substring("value", 13, 2)).alias("o_orderstatus"),
+        F.trim(F.substring("value", 15, 12)).cast("double").alias("o_totalprice"),
+        F.trim(F.substring("value", 27, 16)).alias("o_orderpriority"),
     )

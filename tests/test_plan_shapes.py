@@ -556,3 +556,26 @@ def test_runtime_bloom_filter_injects_at_scale_thresholds(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_r4_query_plan_shapes(spark):
+    """Round-4 additions keep their docstring plan claims:
+    - q261 NFC / q260 PNG / q269 map HOFs / q266 str_to_map are
+      scan-stage — zero exchanges;
+    - q262 char coverage: ONE corpus-sized exchange (the char count's
+      partial-aggregated shuffle); the other exchanges (grand total,
+      global-order window) each move at most |alphabet| rows;
+    - q267's kept-vocab joins by BROADCAST (the corpus token stream
+      never shuffles to meet a 20-row table);
+    - q268 BPE: each round's winning merge re-enters by broadcast —
+      no corpus-side shuffle beyond the per-round pair counts."""
+    for name in ("q261_unicode_nfc", "q260_png_roundtrip",
+                 "q269_map_hofs", "q266_str_to_map"):
+        assert plans.shuffle_count(QUERIES[name](spark, SF_CHECK)) == 0, name
+    q262 = QUERIES["q262_char_coverage"](spark, SF_CHECK)
+    assert plans.shuffle_count(q262) <= 4
+    assert "partial_count" in plans.physical_plan(q262)  # map-side combine
+    q267 = QUERIES["q267_vocab_oov"](spark, SF_CHECK)
+    assert plans.has_broadcast_join(q267)
+    q268 = QUERIES["q268_bpe_merges"](spark, SF_CHECK)
+    assert plans.has_broadcast(q268)
