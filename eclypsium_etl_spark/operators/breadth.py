@@ -670,3 +670,92 @@ def q270_fixed_width_source(spark, sf_dir) -> DataFrame:
         F.trim(F.substring("value", 15, 12)).cast("double").alias("o_totalprice"),
         F.trim(F.substring("value", 27, 16)).alias("o_orderpriority"),
     )
+
+
+@query(
+    "q271_band_join_bnl",
+    oracle="""
+    SELECT e.event_id, e.value, b.band
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 50.0),
+                 ('mid', 50.0, 500.0),
+                 ('high', 500.0, 1e18)) b(band, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    """,
+)
+def q271_band_join_bnl(spark, sf_dir) -> DataFrame:
+    """Inequality-ONLY join against a tiny banding dimension — the one
+    legitimate home of BroadcastNestedLoopJoin: with no equi-key at all,
+    Spark's only non-cartesian strategy is broadcasting the 3-row band
+    table and evaluating the range predicate per row, which is exactly
+    right — O(n·k) with k=3, scan-stage, no shuffle. The same query
+    against a LARGE band table is the q151 problem (bin the point side
+    to synthesize an equi key); the plan-shape discipline is choosing by
+    dimension size, and this exhibit pins the small-side case. Contrast
+    with q17 (theta join anchored on an equi key) and q84 (skew salting
+    of an equi join)."""
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 500.0), ("high", 500.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    e = table(spark, sf_dir, "events")
+    return e.join(
+        F.broadcast(bands),
+        (e.value >= bands.lo) & (e.value < bands.hi),
+    ).select("event_id", "value", "band")
+
+
+@query(
+    "q272_json_permissive",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS n_chars,
+           CASE WHEN doc_id % 7 = 0
+                THEN '{"doc_id": ' || CAST(doc_id AS VARCHAR) || ', "lang": '
+                ELSE NULL END AS bad_record
+    FROM documents
+    """,
+)
+def q272_json_permissive(spark, sf_dir) -> DataFrame:
+    """PERMISSIVE JSON ingestion with corrupt-record capture — q234's CSV
+    triage applied to the other wire format ingestion actually meets:
+    every 7th line is staged deliberately TRUNCATED mid-object, and the
+    reader must (a) parse the good lines to typed columns, (b) surrender
+    the broken ones VERBATIM into columnNameOfCorruptRecord with NULLs
+    elsewhere, and (c) never drop a row — the triage contract that lets
+    a 100 TB ingest quarantine garbage into a dead-letter column instead
+    of failing the job (FAILFAST) or silently losing data (DROPMALFORMED).
+    The oracle reconstructs both the parsed values and the exact corrupt
+    string from the source table. doc_id survives on corrupt rows only
+    because the harness re-derives it from the captured raw string —
+    real pipelines key the dead-letter table the same way."""
+    out = _tmpdir(f"q272_pjson_{os.path.basename(sf_dir)}")
+    d = table(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+            F.lit(', "lang": '),
+        ),
+    ).otherwise(
+        F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    )
+    d.select(line.alias("value")).write.mode("overwrite").text(out)
+    parsed = (
+        spark.read.schema(
+            "doc_id BIGINT, lang STRING, n_chars BIGINT, bad_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "bad_record")
+        .json(out)
+    )
+    return parsed.select(
+        F.coalesce(
+            "doc_id",
+            F.regexp_extract("bad_record", r'"doc_id": (\d+)', 1).cast("long"),
+        ).alias("doc_id"),
+        "lang",
+        "n_chars",
+        "bad_record",
+    )

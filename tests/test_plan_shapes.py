@@ -579,3 +579,8 @@ def test_r4_query_plan_shapes(spark):
     assert plans.has_broadcast_join(q267)
     q268 = QUERIES["q268_bpe_merges"](spark, SF_CHECK)
     assert plans.has_broadcast(q268)
+    # q271: inequality-only join against a 3-row dim — the one place
+    # BroadcastNestedLoopJoin is the RIGHT plan (O(n*3), zero shuffle)
+    q271 = QUERIES["q271_band_join_bnl"](spark, SF_CHECK)
+    assert "BroadcastNestedLoopJoin" in plans.physical_plan(q271)
+    assert plans.shuffle_count(q271) == 0
