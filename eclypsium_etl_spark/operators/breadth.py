@@ -759,3 +759,94 @@ def q272_json_permissive(spark, sf_dir) -> DataFrame:
         "n_chars",
         "bad_record",
     )
+
+
+@query(
+    "q273_mask_functions",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, c_name,
+               printf('%02d-%03d-%04d', c_nationkey, c_custkey % 1000,
+                      (c_custkey * 7) % 10000) AS phone
+        FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+               c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g') AS name_masked,
+           regexp_replace(phone, '[0-9]', '*', 'g') AS phone_masked,
+           substr(phone, 1, 2) || regexp_replace(
+               substr(phone, 3), '[0-9]', 'n', 'g') AS phone_prefix_kept
+    FROM c
+    """,
+)
+def q273_mask_functions(spark, sf_dir) -> DataFrame:
+    """Data masking (Spark 3.4's mask()) — the PII-redaction expression
+    for structured identifiers, complementing q119's regex scrubbing of
+    free text: mask() rewrites character CLASSES (upper → X, lower → x,
+    digit → n, punctuation preserved) so masked values keep their shape
+    — a masked phone still looks like a phone, which is what test-data
+    generation and partner exports need. Variants: default classes on
+    the name, digits-to-'*' on the phone, and a prefix-preserving mask
+    (country code kept, rest masked) built by composition — the realistic
+    policy shape. The oracle reproduces each with regexp_replace chains.
+    Scan-stage, zero shuffle, codegen."""
+    c = table(spark, sf_dir, "customer").withColumn(
+        "phone",
+        F.format_string(
+            "%02d-%03d-%04d",
+            F.col("c_nationkey"),
+            F.col("c_custkey") % 1000,
+            (F.col("c_custkey") * 7) % 10000,
+        ),
+    )
+    return c.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("name_masked"),
+        F.expr("mask(phone, NULL, NULL, '*', NULL)").alias("phone_masked"),
+        F.concat(
+            F.substring("phone", 1, 2),
+            F.expr("mask(substring(phone, 3), NULL, NULL, 'n', NULL)"),
+        ).alias("phone_prefix_kept"),
+    )
+
+
+@query(
+    "q275_array_fns_modern",
+    oracle="""
+    SELECT event_id,
+           list_filter([event_type, NULL, 'tail'], x -> x IS NOT NULL)
+               AS compacted,
+           list_prepend('head', [event_type]) AS prepended,
+           list_append([event_type], 'appended') AS appended,
+           ['a', 'b', 'd'][1:2] || ['c'] || ['a', 'b', 'd'][3:3]
+               AS inserted,
+           [event_type, 'z'][1] AS got
+    FROM events
+    """,
+)
+def q275_array_fns_modern(spark, sf_dir) -> DataFrame:
+    """The Spark 3.4+ array-function additions a migration from 3.3
+    gains: array_compact (drop nulls), array_prepend / array_append,
+    array_insert (positional, 1-based), and get() (0-based safe index —
+    returns NULL instead of erroring past the end). DuckDB spells each
+    differently (list_filter / list_prepend / slicing concat), which is
+    exactly why they're oracled: the semantics, not the names, must
+    agree. Scan-stage, zero shuffle."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.array_compact(
+            F.array(F.col("event_type"), F.lit(None), F.lit("tail"))
+        ).alias("compacted"),
+        F.array_prepend(F.array(F.col("event_type")), F.lit("head")).alias(
+            "prepended"
+        ),
+        F.array_append(F.array(F.col("event_type")), F.lit("appended")).alias(
+            "appended"
+        ),
+        F.array_insert(
+            F.array(F.lit("a"), F.lit("b"), F.lit("d")), 3, F.lit("c")
+        ).alias("inserted"),
+        F.get(F.array(F.col("event_type"), F.lit("z")), 0).alias("got"),
+    )

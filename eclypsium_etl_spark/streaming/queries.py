@@ -581,3 +581,68 @@ def q259_stream_append_final(spark, sf_dir) -> DataFrame:
         .trigger(availableNow=True)
     )
     return spark.table(qname)
+
+
+@query(
+    "q274_stream_outer_join",
+    oracle="""
+    WITH wm AS (
+        SELECT least(
+            (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+        ) - INTERVAL 1 HOUR AS w
+    )
+    SELECT a.event_id AS eid_a, b.event_id AS eid_b, a.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE b.event_id IS NOT NULL
+       OR a.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+    """,
+)
+def q274_stream_outer_join(spark, sf_dir) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join — q101's interval join
+    upgraded to the harder contract: unmatched left rows must ALSO emit
+    (with a NULL right side), but only once the join state can prove no
+    future match exists — i.e. when the global watermark (min over both
+    inputs of max event time − delay) passes the row's match-window end.
+    That makes the drained availableNow result stateable in CLOSED FORM,
+    the q259 discipline applied to joins: matched pairs emit always;
+    null-extended rows are exactly the unmatched views whose
+    ts + 30 min < final watermark. Views still inside the join window at
+    end-of-stream must NOT leak a premature NULL row — a late purchase
+    could still match them. This eviction-before-emission rule is what
+    bounds outer-join state on an unbounded stream; without the
+    watermark Spark rejects the query outright
+    (UnsupportedOperationChecker)."""
+    from ..operators.queries_stream_helpers import run_stream_to_memory
+
+    a = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("eid_a"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "1 hour")
+    )
+    b = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("eid_b"),
+            F.col("user_id").alias("user_id_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "1 hour")
+    )
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("user_id_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("eid_a", "eid_b", "user_id")
+    return run_stream_to_memory(spark, joined)
