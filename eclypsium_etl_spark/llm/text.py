@@ -2438,3 +2438,128 @@ def q268_bpe_merges(spark, sf_dir) -> DataFrame:
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---- sparse TF-IDF cosine pairs (q276) ---------------------------------
+_SPARSE_TAU = 0.85     # cosine threshold for reported pairs
+_SPARSE_DF_FRAC = 0.9  # terms in more than this fraction of docs are pruned
+
+
+def sparse_cosine_weights(d: DataFrame, df_cap_frac: float = _SPARSE_DF_FRAC):
+    """TF-IDF weights with common-term pruning — the shared kernel of
+    q276. Terms whose document frequency exceeds df_cap_frac * N are
+    DEFINED out of the similarity space (stop-term removal): they carry
+    near-zero IDF signal but quadratic join cost (a term in every doc
+    pairs every doc with every doc). Returned weights are rounded to 6dp
+    so products and decimal-folded sums are bit-identical cross-engine."""
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(df, "token")
+        .crossJoin(n)
+        .filter(F.col("df") <= df_cap_frac * F.col("n_docs"))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("w"),
+        )
+    )
+
+
+@query(
+    "q276_sparse_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+           WHERE token <> '' GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+           WHERE token <> '' GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS w
+        FROM tf JOIN df USING (token) CROSS JOIN n
+        WHERE df.df <= {_SPARSE_DF_FRAC} * n.n_docs
+    ),
+    nrm AS (
+        SELECT doc_id,
+               sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        FROM w GROUP BY 1
+    ),
+    dot AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(CAST(a.w * b.w AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(dot / (x.nrm * y.nrm), 6) AS sim
+    FROM dot JOIN nrm x ON x.doc_id = doc_a JOIN nrm y ON y.doc_id = doc_b
+    WHERE round(dot / (x.nrm * y.nrm), 6) >= {_SPARSE_TAU}
+    """,
+)
+def q276_sparse_cosine_pairs(spark, sf_dir) -> DataFrame:
+    """Sparse TF-IDF cosine all-pairs via INVERTED-INDEX join — the
+    classic sparse-similarity algorithm (Broder/Elsayed-Lin shape) and
+    the textual complement to q65's dense GEMM: instead of shipping
+    vectors into grid cells, weights join ON TOKEN (an inverted index),
+    partial products fold per document pair, and cosine falls out of
+    decimal-folded dot / norms — no embedding needed, exact, and the
+    candidate set is automatically restricted to pairs that SHARE a
+    term. The scale control is the df cap in sparse_cosine_weights:
+    a term in f docs contributes C(f,2) join rows, so stop-terms are
+    pruned by DEFINITION of the similarity space (this fixture's
+    synthetic vocabulary is nearly uniform, so the relative cap keeps
+    all terms here; the absolute-cap pruning behavior is pinned by a
+    unit test on a corpus with a genuine stop word). All sums fold in
+    DECIMAL(28,12) on both engines — partitioning order cannot move a
+    bit. Shuffles: tf, df, the token join, the pair fold, two broadcast
+    norm joins — each keyed on tokens/digest-sized rows, never raw
+    documents."""
+    d = table(spark, sf_dir, "documents")
+    w = sparse_cosine_weights(d)
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(28,12)")).cast(
+                "double"
+            )
+        ).alias("nrm")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "token", F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), F.col("token").alias("token_b"),
+        F.col("w").alias("wb"),
+    )
+    dot = (
+        a.join(b, (a.token == b.token_b) & (a.doc_a < b.doc_b))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    sim = F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    return (
+        dot.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", sim.alias("sim"))
+        .filter(F.col("sim") >= _SPARSE_TAU)
+    )

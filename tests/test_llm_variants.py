@@ -136,3 +136,35 @@ def test_q268_bpe_semantics_hand_computed(spark, tmp_path):
     assert rows[1] == ("<a> <b>", "<ab>", 8)
     assert rows[2] == ("<ab> <ab>", "<abab>", 3)
     assert rows[3] == ("<c> <d>", "<cd>", 1)
+
+
+def test_q276_sparse_df_cap_prunes_stop_terms(spark, tmp_path):
+    """q276's scale control: a term present in EVERY doc must be pruned
+    from the similarity space (it contributes C(N,2) join rows and ~zero
+    IDF), while docs sharing a rare term still pair. Corpus: all docs
+    share 'the'; only docs 1 and 2 share 'rare'."""
+    from eclypsium_etl_spark.llm.text import sparse_cosine_weights
+
+    docs = [
+        (1, "the rare alpha", "en", "t", 14),
+        (2, "the rare beta", "en", "t", 13),
+        (3, "the gamma delta", "en", "t", 15),
+        (4, "the epsilon zeta", "en", "t", 16),
+    ]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    w = sparse_cosine_weights(d, df_cap_frac=0.8)
+    toks = {r.token for r in w.select("token").distinct().collect()}
+    assert "the" not in toks  # df = 4 > 0.8 * 4
+    assert "rare" in toks     # df = 2 <= 3.2
+    # docs 1-2 share a surviving term; 3 and 4 share none with anyone
+    shared = (
+        w.alias("a")
+        .join(w.alias("b"), "token")
+        .filter("a.doc_id < b.doc_id")
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .collect()
+    )
+    assert {(r[0], r[1]) for r in shared} == {(1, 2)}
