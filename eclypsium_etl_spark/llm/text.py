@@ -2563,3 +2563,181 @@ def q276_sparse_cosine_pairs(spark, sf_dir) -> DataFrame:
         .select("doc_a", "doc_b", sim.alias("sim"))
         .filter(F.col("sim") >= _SPARSE_TAU)
     )
+
+
+# ---- GPT-style concat-and-chunk token blocks (q277) --------------------
+_CHUNK_L = 256  # training block length (tokens)
+
+
+@query(
+    "q277_token_stream_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    off AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tok AS tok_start
+        FROM t
+    )
+    SELECT doc_id, b AS block_id,
+           CAST(greatest(tok_start, b * {_CHUNK_L}) - b * {_CHUNK_L}
+                AS BIGINT) AS pos_in_block,
+           CAST(least(tok_start + n_tok, (b + 1) * {_CHUNK_L})
+                - greatest(tok_start, b * {_CHUNK_L}) AS BIGINT) AS n_frag
+    FROM off, UNNEST(generate_series(
+        CAST(floor(tok_start / {_CHUNK_L}) AS BIGINT),
+        CAST(floor((tok_start + n_tok - 1) / {_CHUNK_L}) AS BIGINT))) u(b)
+    WHERE n_tok > 0
+    """,
+)
+def q277_token_stream_chunks(spark, sf_dir) -> DataFrame:
+    """GPT-style concat-and-chunk — the OTHER packing discipline (q117
+    packs whole documents into bins; pretraining pipelines for decoder
+    LMs instead concatenate the token stream in a fixed order and cut it
+    into exact L-token blocks, letting documents CROSS block
+    boundaries): each doc's global token span [start, start+n) maps onto
+    every block it overlaps, emitting (block_id, fragment offset,
+    fragment length) — the manifest a shard writer consumes to emit
+    fixed-shape training examples with zero padding. Global offsets come
+    from ops.global_running_sum (two-phase scan/prefix-sum, no
+    single-partition window — q117's kernel); the block fan-out is a
+    per-row explode of ceil(n/L) ≤ 2-ish entries, scan-stage. Exact
+    integer arithmetic end-to-end, so the oracle states the same spans
+    with a plain window."""
+    from .. import ops
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    off = ops.global_running_sum(t, ["doc_id"], "n_tok", "__end").withColumn(
+        "tok_start", F.col("__end") - F.col("n_tok")
+    )
+    L = _CHUNK_L
+    return off.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"sequence(CAST(floor(tok_start / {L}) AS BIGINT),"
+                f" CAST(floor((tok_start + n_tok - 1) / {L}) AS BIGINT))"
+            )
+        ).alias("block_id"),
+        "tok_start",
+        "n_tok",
+    ).select(
+        "doc_id",
+        "block_id",
+        (
+            F.greatest(F.col("tok_start"), F.col("block_id") * L)
+            - F.col("block_id") * L
+        ).alias("pos_in_block"),
+        (
+            F.least(F.col("tok_start") + F.col("n_tok"), (F.col("block_id") + 1) * L)
+            - F.greatest(F.col("tok_start"), F.col("block_id") * L)
+        ).alias("n_frag"),
+    )
+
+
+# ---- soft dedup: duplicate-aware sampling weights (q278) ---------------
+@query(
+    "q278_soft_dedup_weights",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, md5(text) AS h,
+               COUNT(*) OVER (PARTITION BY md5(text)) AS k
+        FROM documents
+    )
+    SELECT doc_id, h AS content_hash, CAST(k AS BIGINT) AS n_copies,
+           round(1.0 / k, 6) AS sample_weight,
+           (k = 1) AS is_unique
+    FROM g
+    """,
+)
+def q278_soft_dedup_weights(spark, sf_dir) -> DataFrame:
+    """Soft deduplication — instead of DROPPING duplicates (q62), keep
+    every copy but weight it 1/k where k is its duplicate-group size, so
+    the EXPECTED contribution of each distinct content to training is
+    exactly one copy (the downweighting scheme used when hard dedup is
+    too aggressive — e.g. templated-but-informative pages). The group
+    size is one window over the 16-byte content digest — raw text never
+    shuffles (q102's discipline); downstream samplers consume
+    sample_weight directly (q125's weighted draw composes: accept if
+    u(doc) < sample_weight). Emitted per-doc so both hard (is_unique or
+    min-id) and soft policies read from one table."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    g = d.select("doc_id", F.md5("text").alias("content_hash"))
+    k = F.count("*").over(W.partitionBy("content_hash"))
+    return g.select(
+        "doc_id",
+        "content_hash",
+        k.cast("long").alias("n_copies"),
+        F.round(1.0 / k, 6).alias("sample_weight"),
+        (k == 1).alias("is_unique"),
+    )
+
+
+# ---- CCNet-style quality buckets (q279) --------------------------------
+@query(
+    "q279_ccnet_buckets",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+    ),
+    cnt AS (SELECT t, COUNT(*) AS n_t FROM tok GROUP BY t),
+    tt AS (
+        SELECT CAST(SUM(n_t) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM cnt
+    ),
+    sc AS (
+        SELECT tok.doc_id,
+               round(CAST(SUM(CAST(-ln((cnt.n_t + 1.0) / (tt.tot + tt.vocab))
+                                  AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_surprisal
+        FROM tok JOIN cnt ON cnt.t = tok.t CROSS JOIN tt
+        GROUP BY tok.doc_id
+    )
+    SELECT d.doc_id, d.lang, sc.mean_surprisal,
+           CASE ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY sc.mean_surprisal, d.doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM sc JOIN documents d USING (doc_id)
+    """,
+)
+def q279_ccnet_buckets(spark, sf_dir) -> DataFrame:
+    """The CCNet head/middle/tail split (Wenzek et al. 2020) — the
+    composition that made CommonCrawl usable as LM training data:
+    per-language, rank documents by LM perplexity (q133's unigram
+    surprisal proxy, reused verbatim) and cut into tertiles. 'head' is
+    the fluent third that trains the next model, 'tail' is noise,
+    'middle' is policy. Deterministic tiebreak (surprisal, doc_id) keeps
+    ntile stable cross-engine. The per-language window shuffles only
+    (doc_id, lang, score) rows — text stays in the scan stage of the
+    scoring pass; at 100 TB the exact ntile becomes approx_percentile
+    thresholds (q80's note) with the same output contract."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sc = q133_perplexity_unigram(spark, sf_dir).select(
+        "doc_id", "mean_surprisal"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy("mean_surprisal", "doc_id")
+    nt = F.ntile(3).over(w)
+    return (
+        sc.join(d, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "mean_surprisal",
+            F.when(nt == 1, "head")
+            .when(nt == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

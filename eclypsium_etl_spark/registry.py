@@ -97,6 +97,7 @@ _CHEAP_FIRST = [
     "q269_map_hofs", "q270_fixed_width_source", "q271_band_join_bnl",
     "q272_json_permissive", "q273_mask_functions", "q275_array_fns_modern",
     "q274_stream_outer_join", "q276_sparse_cosine_pairs",
+    "q277_token_stream_chunks", "q278_soft_dedup_weights", "q279_ccnet_buckets",
     # --- tier 1: never driver-sampled through r3 (111), cheapest-first ---
     "q251_gzip_jsonl_source", "q252_binary_file_source", "q253_tar_packed_assets",
     "q254_multiline_json", "q255_csv_quoting", "q256_from_csv_expr",
