@@ -87,17 +87,20 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # CORRECTNESS row in r1-r3 (all local-parity green; the driver's 50-query
 # budget must be spent entirely on them), ordered cheapest-first from the
 # sf0.01 profile so the budget greens the maximum number. Queries new in
-# round 4 belong at the FRONT of tier 1 (they also have no driver row).
-# Tier 2 re-proves already-green ids only if budget remains.
+# round 4 form tier 0 (they also have no driver row) — 20 ids, all
+# cheap except the closers. Tier 2 re-proves already-green ids only if
+# budget remains.
 _CHEAP_FIRST = [
-    # --- tier 0: new in round 4 (no prior driver row possible) ---
-    "q260_png_roundtrip", "q261_unicode_nfc", "q262_char_coverage",
-    "q263_perplexity_bigram", "q267_vocab_oov", "q264_group_order_by_all",
-    "q265_stack_inline", "q266_str_to_map", "q268_bpe_merges",
-    "q269_map_hofs", "q270_fixed_width_source", "q271_band_join_bnl",
-    "q272_json_permissive", "q273_mask_functions", "q275_array_fns_modern",
-    "q274_stream_outer_join", "q276_sparse_cosine_pairs",
-    "q277_token_stream_chunks", "q278_soft_dedup_weights", "q279_ccnet_buckets",
+    # --- tier 0: new in round 4 (no prior driver row possible),
+    # cheapest-first; the one streaming entry (q274, micro-batch floor)
+    # and the iterative q268 close the tier ---
+    "q264_group_order_by_all", "q265_stack_inline", "q266_str_to_map",
+    "q269_map_hofs", "q273_mask_functions", "q275_array_fns_modern",
+    "q271_band_join_bnl", "q261_unicode_nfc", "q260_png_roundtrip",
+    "q262_char_coverage", "q267_vocab_oov", "q278_soft_dedup_weights",
+    "q277_token_stream_chunks", "q270_fixed_width_source",
+    "q272_json_permissive", "q263_perplexity_bigram", "q279_ccnet_buckets",
+    "q276_sparse_cosine_pairs", "q268_bpe_merges", "q274_stream_outer_join",
     # --- tier 1: never driver-sampled through r3 (111), cheapest-first ---
     "q251_gzip_jsonl_source", "q252_binary_file_source", "q253_tar_packed_assets",
     "q254_multiline_json", "q255_csv_quoting", "q256_from_csv_expr",
