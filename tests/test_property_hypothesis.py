@@ -117,3 +117,88 @@ def test_global_running_sum_matches_sequential(spark, rows):
     for i, _, c in data:
         acc += c
         assert got[i] == acc
+
+
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=12, unique=True))
+@SETTINGS
+def test_png_codec_roundtrip_arbitrary_ids(ids):
+    """PNG encode→decode (q260) is the identity on channel sums for
+    ARBITRARY doc ids — the codec (chunk CRCs, split IDAT, inflate,
+    Sub/Up unfiltering) must not depend on fixture-range ids. Pure
+    in-process check, no Spark round trip."""
+    import pandas as pd
+
+    from eclypsium_etl_spark.llm.multimodal import (
+        _png_pixel,
+        decode_png_batches,
+        encode_png_batches,
+    )
+
+    pdf = pd.DataFrame({"doc_id": ids})
+    enc = next(encode_png_batches(iter([pdf])))
+    dec = next(decode_png_batches(iter([enc])))
+    for _, row in dec.iterrows():
+        d = int(row.doc_id)
+        w, h = 8 + d % 8, 6
+        assert (row.width, row.height) == (w, h)
+        for ch, col in enumerate(("r_sum", "g_sum", "b_sum")):
+            assert row[col] == sum(
+                _png_pixel(d, i)[ch] for i in range(w * h)
+            ), (d, col)
+
+
+@given(
+    lens=st.lists(st.integers(1, 700), min_size=1, max_size=25),
+    L=st.sampled_from([16, 64, 256]),
+)
+@SETTINGS
+def test_token_chunks_partition_exactly(spark, lens, L):
+    """q277's manifest invariants on arbitrary doc lengths and block
+    sizes: (1) each doc's fragments sum to its token count and tile its
+    span contiguously; (2) every interior block is filled to EXACTLY L
+    (zero padding — the point of concat-and-chunk); (3) fragment offsets
+    never escape [0, L)."""
+    from eclypsium_etl_spark import ops
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id long, n_tok long"
+    )
+    off = ops.global_running_sum(t, ["doc_id"], "n_tok", "__end").withColumn(
+        "tok_start", F.col("__end") - F.col("n_tok")
+    )
+    frags = off.select(
+        "doc_id",
+        "n_tok",
+        F.explode(
+            F.expr(
+                f"sequence(CAST(floor(tok_start / {L}) AS BIGINT),"
+                f" CAST(floor((tok_start + n_tok - 1) / {L}) AS BIGINT))"
+            )
+        ).alias("block_id"),
+        "tok_start",
+    ).select(
+        "doc_id",
+        "n_tok",
+        "block_id",
+        (
+            F.greatest(F.col("tok_start"), F.col("block_id") * L)
+            - F.col("block_id") * L
+        ).alias("pos_in_block"),
+        (
+            F.least(F.col("tok_start") + F.col("n_tok"), (F.col("block_id") + 1) * L)
+            - F.greatest(F.col("tok_start"), F.col("block_id") * L)
+        ).alias("n_frag"),
+    ).collect()
+
+    total = sum(lens)
+    per_doc: dict[int, int] = {}
+    per_block: dict[int, int] = {}
+    for r in frags:
+        assert 0 <= r.pos_in_block < L and 1 <= r.n_frag <= L
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_frag
+        per_block[r.block_id] = per_block.get(r.block_id, 0) + r.n_frag
+    assert per_doc == {i: n for i, n in enumerate(lens)}
+    last_block = max(per_block)
+    for b, filled in per_block.items():
+        assert filled == (L if b < last_block else total - last_block * L)
