@@ -678,8 +678,8 @@ def q270_fixed_width_source(spark, sf_dir) -> DataFrame:
     SELECT e.event_id, e.value, b.band
     FROM events e
     JOIN (VALUES ('low', 0.0, 50.0),
-                 ('mid', 50.0, 500.0),
-                 ('high', 500.0, 1e18)) b(band, lo, hi)
+                 ('mid', 50.0, 200.0),
+                 ('high', 200.0, 1e18)) b(band, lo, hi)
       ON e.value >= b.lo AND e.value < b.hi
     """,
 )
@@ -695,7 +695,7 @@ def q271_band_join_bnl(spark, sf_dir) -> DataFrame:
     with q17 (theta join anchored on an equi key) and q84 (skew salting
     of an equi join)."""
     bands = spark.createDataFrame(
-        [("low", 0.0, 50.0), ("mid", 50.0, 500.0), ("high", 500.0, 1e18)],
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e18)],
         "band string, lo double, hi double",
     )
     e = table(spark, sf_dir, "events")

@@ -168,3 +168,32 @@ def test_q276_sparse_df_cap_prunes_stop_terms(spark, tmp_path):
         .collect()
     )
     assert {(r[0], r[1]) for r in shared} == {(1, 2)}
+
+
+def test_q278_soft_dedup_downweights_groups(spark, tmp_path):
+    """The fixture has zero exact duplicates (driver parity only proves
+    the k=1 path), so exercise k>1: a 3-copy group weights 1/3 each, a
+    2-copy group 1/2, and expected total contribution (sum of weights)
+    equals the number of DISTINCT contents."""
+    from eclypsium_etl_spark.registry import load_all
+
+    docs = [
+        (1, "same text here", "en", "t", 14),
+        (2, "same text here", "en", "t", 14),
+        (3, "same text here", "en", "t", 14),
+        (4, "another body", "en", "t", 12),
+        (5, "another body", "en", "t", 12),
+        (6, "unique snowflake", "en", "t", 16),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    q, _ = load_all()
+    rows = {r.doc_id: r for r in
+            q["q278_soft_dedup_weights"](spark, str(tmp_path)).collect()}
+    assert [rows[i].n_copies for i in (1, 2, 3)] == [3, 3, 3]
+    assert rows[1].sample_weight == round(1 / 3, 6)
+    assert rows[4].n_copies == 2 and rows[4].sample_weight == 0.5
+    assert rows[6].is_unique is True and rows[6].sample_weight == 1.0
+    assert round(sum(r.sample_weight for r in rows.values()), 4) == 3.0
