@@ -2155,7 +2155,8 @@ def q262_char_coverage(spark, sf_dir) -> DataFrame:
                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
         FROM t WHERE len(toks) >= 2
     ),
-    bgc AS (SELECT bigram, COUNT(*) AS n_bg FROM bg GROUP BY bigram),
+    bgd AS (SELECT doc_id, bigram, COUNT(*) AS m FROM bg GROUP BY 1, 2),
+    bgc AS (SELECT bigram, SUM(m) AS n_bg FROM bgd GROUP BY bigram),
     ctx AS (
         SELECT string_split(bigram, ' ')[1] AS w1, SUM(n_bg) AS n_ctx
         FROM bgc GROUP BY 1
@@ -2165,16 +2166,16 @@ def q262_char_coverage(spark, sf_dir) -> DataFrame:
             SELECT UNNEST(toks) AS tok FROM t
         )
     )
-    SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+    SELECT bgd.doc_id, CAST(SUM(bgd.m) AS BIGINT) AS n_bigrams,
            round(CAST(SUM(CAST(-ln((bgc.n_bg + 1.0)
-                                   / (ctx.n_ctx + vocab.v))
-                              AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+                                   / (ctx.n_ctx + vocab.v)) * bgd.m
+                              AS DECIMAL(28,12))) AS DOUBLE) / SUM(bgd.m), 6)
                AS mean_surprisal
-    FROM bg
+    FROM bgd
     JOIN bgc USING (bigram)
-    JOIN ctx ON ctx.w1 = string_split(bg.bigram, ' ')[1]
+    JOIN ctx ON ctx.w1 = string_split(bgd.bigram, ' ')[1]
     CROSS JOIN vocab
-    GROUP BY bg.doc_id
+    GROUP BY bgd.doc_id
     """,
 )
 def q263_perplexity_bigram(spark, sf_dir) -> DataFrame:
@@ -2201,7 +2202,11 @@ def q263_perplexity_bigram(spark, sf_dir) -> DataFrame:
             )
         ).alias("bigram"),
     )
-    bgc = bg.groupBy("bigram").agg(F.count("*").alias("n_bg"))
+    # score DISTINCT (doc, bigram) pairs with their multiplicity instead of
+    # every instance: Zipf repetition makes |bg_doc| << |bg|, shrinking the
+    # join probe side before the corpus-wide count tables attach
+    bg_doc = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("m"))
+    bgc = bg_doc.groupBy("bigram").agg(F.sum("m").alias("n_bg"))
     ctx = bgc.groupBy(
         F.split("bigram", " ").getItem(0).alias("w1")
     ).agg(F.sum("n_bg").alias("n_ctx"))
@@ -2212,15 +2217,15 @@ def q263_perplexity_bigram(spark, sf_dir) -> DataFrame:
         (F.col("n_bg") + 1.0) / (F.col("n_ctx") + F.col("v"))
     )
     return (
-        bg.join(bgc, "bigram")
+        bg_doc.join(bgc, "bigram")
         .join(ctx, F.split(F.col("bigram"), " ").getItem(0) == F.col("w1"))
         .crossJoin(vocab)
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("m").cast("long").alias("n_bigrams"),
             F.round(
-                F.sum(surprisal.cast("decimal(28,12)")).cast("double")
-                / F.count("*"),
+                F.sum((surprisal * F.col("m")).cast("decimal(28,12)")).cast("double")
+                / F.sum("m"),
                 6,
             ).alias("mean_surprisal"),
         )
