@@ -157,3 +157,36 @@ def q175_limit_offset(spark, sf_dir) -> DataFrame:
         LIMIT 20 OFFSET 40
         """
     )
+
+
+@query(
+    "q280_union_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           o_orderpriority, CAST(NULL AS VARCHAR) AS o_channel
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority, 'web' AS o_channel
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def q280_union_schema_evolution(spark, sf_dir) -> DataFrame:
+    """Schema-evolution union — unionByName(allowMissingColumns=True),
+    the operator every multi-vintage data lake needs: an old extract
+    (has o_orderpriority, predates o_channel) unions with a new one
+    (dropped o_orderpriority, added o_channel), columns align BY NAME,
+    and each side's missing columns fill with typed NULLs. Positional
+    UNION would silently zip mismatched columns — the classic silent-
+    corruption bug this operator exists to prevent (and the reason
+    unionByName is the only union spelled out in this repo's USAGE
+    guidance for heterogeneous sources). The oracle states the aligned
+    result with explicit NULL casts. Pure scan-stage, no shuffle."""
+    o = table(spark, sf_dir, "orders")
+    old_vintage = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    new_vintage = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", F.lit("web").alias("o_channel")
+    )
+    return old_vintage.unionByName(new_vintage, allowMissingColumns=True)
