@@ -101,6 +101,7 @@ _CHEAP_FIRST = [
     "q277_token_stream_chunks", "q270_fixed_width_source",
     "q272_json_permissive", "q263_perplexity_bigram", "q279_ccnet_buckets",
     "q276_sparse_cosine_pairs", "q268_bpe_merges", "q274_stream_outer_join",
+    "q281_stream_chained_windows",
     # --- tier 1: never driver-sampled through r3 (111), cheapest-first ---
     "q251_gzip_jsonl_source", "q252_binary_file_source", "q253_tar_packed_assets",
     "q254_multiline_json", "q255_csv_quoting", "q256_from_csv_expr",

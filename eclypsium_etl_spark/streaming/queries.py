@@ -646,3 +646,58 @@ def q274_stream_outer_join(spark, sf_dir) -> DataFrame:
         "left_outer",
     ).select("eid_a", "eid_b", "user_id")
     return run_stream_to_memory(spark, joined)
+
+
+@query(
+    "q281_stream_chained_windows",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    inner_w AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS w5, COUNT(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT time_bucket(INTERVAL '15 minutes', w5) AS w15_start,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM inner_w
+    GROUP BY 1
+    HAVING w15_start + INTERVAL 15 MINUTE
+           <= (SELECT m FROM mx) - INTERVAL 10 MINUTE
+    """,
+)
+def q281_stream_chained_windows(spark, sf_dir) -> DataFrame:
+    """CHAINED stateful streaming aggregations — two windowed aggregates
+    in ONE streaming query (5-minute counts rolling up into 15-minute
+    super-windows), the multiple-stateful-operator capability Spark
+    gained in 3.4 (before that, this required two queries glued by an
+    intermediate sink, doubling checkpoint + latency). Event time
+    propagates through the first window into the second via the window
+    struct, and watermark finalization composes: a 15-minute window
+    closes only after the watermark passes its end, by which point every
+    5-minute window inside it has already finalized — so the drained
+    APPEND-mode output is, in closed form, exactly the super-windows
+    with end ≤ final watermark (q259's discipline through TWO stateful
+    stages). The pre-aggregation is also the scale pattern: the second
+    stage's state is per-5-minute-window rows, not raw events."""
+    e = stream_events(spark, sf_dir)
+    inner = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w5"))
+        .agg(F.count("*").alias("n"))
+    )
+    outer = (
+        inner.groupBy(F.window(F.col("w5"), "15 minutes").alias("w15"))
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .select(F.col("w15.start").alias("w15_start"), "n_windows", "n_events")
+    )
+    qname, _ = run_available_now(
+        lambda name, ckpt: outer.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    return spark.table(qname)
