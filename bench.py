@@ -105,7 +105,6 @@ HEADLINE = [
     "q263_perplexity_bigram",
     "q267_vocab_oov",
     "q268_bpe_merges",
-    "q276_sparse_cosine_pairs",
     "q281_stream_chained_windows",
 ]
 
