@@ -2765,3 +2765,111 @@ def q279_ccnet_buckets(spark, sf_dir) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+# ---- DSIR importance resampling (q282) ---------------------------------
+_DSIR_KEEP = 100  # documents selected into the target-matched subset
+
+
+@query(
+    "q282_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+    ),
+    tgt_docs AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    tgt AS (
+        SELECT t, COUNT(*) AS n_t FROM tok
+        WHERE doc_id IN (SELECT doc_id FROM tgt_docs) GROUP BY t
+    ),
+    tgt_tot AS (
+        SELECT CAST(SUM(n_t) AS BIGINT) AS tot,
+               (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) FROM tok) AS vocab
+        FROM tgt
+    ),
+    src AS (SELECT t, COUNT(*) AS n_t FROM tok GROUP BY t),
+    src_tot AS (
+        SELECT CAST(SUM(n_t) AS BIGINT) AS tot,
+               (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) FROM tok) AS vocab
+        FROM src
+    ),
+    scored AS (
+        SELECT tok.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               round(CAST(SUM(CAST(
+                   ln((COALESCE(tgt.n_t, 0) + 1.0)
+                      / (tgt_tot.tot + tgt_tot.vocab))
+                   - ln((src.n_t + 1.0) / (src_tot.tot + src_tot.vocab))
+                   AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+                   AS log_importance
+        FROM tok
+        JOIN src USING (t) LEFT JOIN tgt USING (t)
+        CROSS JOIN tgt_tot CROSS JOIN src_tot
+        GROUP BY tok.doc_id
+    )
+    SELECT doc_id, n_tok, log_importance,
+           row_number() OVER (ORDER BY log_importance DESC, doc_id)
+               <= {_DSIR_KEEP} AS selected
+    FROM scored
+    """,
+)
+def q282_dsir_weights(spark, sf_dir) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169), the published method for picking
+    pretraining data that MATCHES A TARGET DISTRIBUTION: fit cheap bag-
+    of-words models to the target (here: the English slice, standing in
+    for 'high-quality domain') and to the raw source (the full corpus),
+    score every document by mean per-token log importance
+    ln p_target(t) − ln p_source(t), and keep the top-K (the paper
+    resamples by Gumbel-perturbed weights; the deterministic rank is
+    the differential-testable variant — swap in q125's md5 draw for the
+    stochastic form). Both models use add-1 smoothing over the SHARED
+    corpus vocabulary, so target-unseen tokens get a finite penalty
+    rather than −inf — and every per-doc sum folds in DECIMAL, the
+    q133 discipline. Plan: two vocabulary-sized count tables join the
+    token stream (Zipf map-side combine), one per-doc rollup, one
+    |docs|-row ranking window — the corpus text itself never shuffles.
+    At 100 TB the paper's hashed-ngram trick replaces tokens with
+    'hash(t) % 2^20' in the SAME plan (bounded count tables)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("t")
+    )
+    vocab = tok.agg(F.countDistinct("t").cast("long").alias("vocab"))
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("t")
+        .agg(F.count("*").alias("tgt_n"))
+    )
+    tgt_tot = tgt.agg(F.sum("tgt_n").cast("long").alias("tgt_tot")).crossJoin(
+        vocab
+    )
+    src = tok.groupBy("t").agg(F.count("*").alias("src_n"))
+    src_tot = src.agg(F.sum("src_n").cast("long").alias("src_tot"))
+    term = F.log(
+        (F.coalesce(F.col("tgt_n"), F.lit(0)) + 1.0)
+        / (F.col("tgt_tot") + F.col("vocab"))
+    ) - F.log((F.col("src_n") + 1.0) / (F.col("src_tot") + F.col("vocab")))
+    scored = (
+        tok.join(src, "t")
+        .join(tgt, "t", "left")
+        .crossJoin(tgt_tot)
+        .crossJoin(src_tot)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.round(
+                F.sum(term.cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("log_importance"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.orderBy(F.desc("log_importance"), F.asc("doc_id"))
+    )
+    return scored.select(
+        "doc_id", "n_tok", "log_importance", (rk <= _DSIR_KEEP).alias("selected")
+    )
