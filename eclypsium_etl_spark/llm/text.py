@@ -2399,6 +2399,18 @@ def q268_bpe_merges(spark, sf_dir) -> DataFrame:
     weighted vocabulary, which is the same reason SentencePiece trains
     on counts, not tokens. Rounds unroll statically into one lazy plan:
     the driver never sees a pair count."""
+    results, _ = bpe_learn_chain(spark, sf_dir)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def bpe_learn_chain(spark, sf_dir, rounds: int = _BPE_ROUNDS):
+    """The q268 learning loop as a reusable chain: returns (per-round
+    winner DataFrames, final word->segmentation table). Both q268 (the
+    merge table) and q283 (applying the segmentation per document)
+    consume it — one lazy plan, no driver-side state."""
     d = table(spark, sf_dir, "documents")
     w = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -2413,7 +2425,7 @@ def q268_bpe_merges(spark, sf_dir) -> DataFrame:
         " i -> concat(element_at(sym, i), ' ', element_at(sym, i + 1)))"
     )
     results = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         pairs = (
             seq.select("n", F.split("seq", " ").alias("sym"))
             .filter(F.size("sym") >= 2)
@@ -2439,10 +2451,7 @@ def q268_bpe_merges(spark, sf_dir) -> DataFrame:
             "n",
             F.expr("replace(seq, __bp, __bm)").alias("seq"),
         )
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out
+    return results, seq
 
 
 # ---- sparse TF-IDF cosine pairs (q276) ---------------------------------
@@ -2872,4 +2881,128 @@ def q282_dsir_weights(spark, sf_dir) -> DataFrame:
     )
     return scored.select(
         "doc_id", "n_tok", "log_importance", (rk <= _DSIR_KEEP).alias("selected")
+    )
+
+
+@query(
+    "q283_bpe_apply",
+    oracle=f"""
+    WITH w AS (
+        SELECT t AS word, COUNT(*) AS n FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS t FROM documents
+        ) WHERE t <> '' GROUP BY t
+    ),
+    s0 AS (
+        SELECT word, n,
+               array_to_string(list_transform(
+                   list_filter(string_split_regex(word, ''), c -> c <> ''),
+                   c -> '<' || c || '>'), ' ') AS seq
+        FROM w
+    ),
+    p1 AS (
+        SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+            SELECT n, UNNEST(list_transform(
+                generate_series(1, len(sym) - 1),
+                i -> sym[i] || ' ' || sym[i + 1])) AS pair
+            FROM (SELECT n, string_split(seq, ' ') AS sym FROM s0)
+            WHERE len(sym) >= 2
+        ) GROUP BY pair
+    ),
+    b1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+    s1 AS (
+        SELECT word, n,
+               replace(seq, b1.pair, {_BPE_MERGED.format(p='b1.pair')}) AS seq
+        FROM s0 CROSS JOIN b1
+    ),
+    p2 AS (
+        SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+            SELECT n, UNNEST(list_transform(
+                generate_series(1, len(sym) - 1),
+                i -> sym[i] || ' ' || sym[i + 1])) AS pair
+            FROM (SELECT n, string_split(seq, ' ') AS sym FROM s1)
+            WHERE len(sym) >= 2
+        ) GROUP BY pair
+    ),
+    b2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+    s2 AS (
+        SELECT word, n,
+               replace(seq, b2.pair, {_BPE_MERGED.format(p='b2.pair')}) AS seq
+        FROM s1 CROSS JOIN b2
+    ),
+    p3 AS (
+        SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+            SELECT n, UNNEST(list_transform(
+                generate_series(1, len(sym) - 1),
+                i -> sym[i] || ' ' || sym[i + 1])) AS pair
+            FROM (SELECT n, string_split(seq, ' ') AS sym FROM s2)
+            WHERE len(sym) >= 2
+        ) GROUP BY pair
+    ),
+    b3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair ASC LIMIT 1),
+    s3 AS (
+        SELECT word, n,
+               replace(seq, b3.pair, {_BPE_MERGED.format(p='b3.pair')}) AS seq
+        FROM s2 CROSS JOIN b3
+    ),
+    vocab AS (
+        SELECT word, len(string_split(seq, ' ')) AS n_sym,
+               len(string_split(seq, ' ')) <
+                   len(list_filter(string_split_regex(word, ''), c -> c <> ''))
+                   AS merged_any
+        FROM s3
+    ),
+    dt AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT dt.doc_id,
+           CAST(SUM(strlen(dt.word)) AS BIGINT) AS n_tok_char,
+           CAST(SUM(vocab.n_sym) AS BIGINT) AS n_tok_bpe,
+           round(CAST(SUM(strlen(dt.word)) AS DOUBLE)
+                 / SUM(vocab.n_sym), 6) AS compression,
+           CAST(SUM(CASE WHEN vocab.merged_any THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_words_merged
+    FROM dt JOIN vocab USING (word)
+    WHERE dt.word <> ''
+    GROUP BY dt.doc_id
+    """,
+)
+def q283_bpe_apply(spark, sf_dir) -> DataFrame:
+    """Applying the learned tokenizer — the second half of the BPE loop
+    (q268 learns the merges; production then RE-TOKENIZES the corpus
+    with them): the final word→segmentation table from bpe_learn_chain
+    joins back onto the token stream, and each document reports its
+    character-level token count, its post-merge BPE token count, the
+    compression ratio (the metric tokenizer training optimizes), and
+    how many of its words were touched by any merge. The vocabulary
+    table is tiny (distinct words) and broadcasts onto the corpus —
+    exactly how a trained tokenizer ships at 100 TB: the merge table is
+    a broadcast artifact, application is scan-stage. One oracled plan
+    covers learn AND apply, so a subtly-wrong merge application (the
+    q268 overlap pitfalls) would shift every count downstream."""
+    _, seq = bpe_learn_chain(spark, sf_dir)
+    vocab = seq.select(
+        "word",
+        F.size(F.split("seq", " ")).alias("n_sym"),
+        (
+            F.size(F.split("seq", " "))
+            < F.size(F.expr("filter(split(word, ''), c -> c <> '')"))
+        ).alias("merged_any"),
+    )
+    d = table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        dt.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.length("word")).cast("long").alias("n_tok_char"),
+            F.sum("n_sym").cast("long").alias("n_tok_bpe"),
+            F.round(
+                F.sum(F.length("word")).cast("double") / F.sum("n_sym"), 6
+            ).alias("compression"),
+            F.sum(F.when(F.col("merged_any"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_words_merged"),
+        )
     )
