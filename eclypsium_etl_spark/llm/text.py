@@ -3006,3 +3006,149 @@ def q283_bpe_apply(spark, sf_dir) -> DataFrame:
             .alias("n_words_merged"),
         )
     )
+
+
+# ---- round-4 capstone: curated corpus -> shard manifest (q284) ---------
+@query(
+    "q284_corpus_manifest",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+    ),
+    tgt AS (
+        SELECT t, COUNT(*) AS n_t FROM tok
+        WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+        GROUP BY t
+    ),
+    tgt_tot AS (
+        SELECT CAST(SUM(n_t) AS BIGINT) AS tot,
+               (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) FROM tok) AS vocab
+        FROM tgt
+    ),
+    src AS (SELECT t, COUNT(*) AS n_t FROM tok GROUP BY t),
+    src_tot AS (
+        SELECT CAST(SUM(n_t) AS BIGINT) AS tot,
+               (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) FROM tok) AS vocab
+        FROM src
+    ),
+    dsir AS (
+        SELECT tok.doc_id,
+               row_number() OVER (
+                   ORDER BY round(CAST(SUM(CAST(
+                       ln((COALESCE(tgt.n_t, 0) + 1.0)
+                          / (tgt_tot.tot + tgt_tot.vocab))
+                       - ln((src.n_t + 1.0) / (src_tot.tot + src_tot.vocab))
+                       AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) DESC,
+                   tok.doc_id) <= {_DSIR_KEEP} AS selected
+        FROM tok
+        JOIN src USING (t) LEFT JOIN tgt USING (t)
+        CROSS JOIN tgt_tot CROSS JOIN src_tot
+        GROUP BY tok.doc_id
+    ),
+    cnt AS (SELECT t, COUNT(*) AS n_t FROM tok GROUP BY t),
+    tt AS (
+        SELECT CAST(SUM(n_t) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS vocab FROM cnt
+    ),
+    sc AS (
+        SELECT tok.doc_id,
+               round(CAST(SUM(CAST(-ln((cnt.n_t + 1.0) / (tt.tot + tt.vocab))
+                                  AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_surprisal
+        FROM tok JOIN cnt ON cnt.t = tok.t CROSS JOIN tt
+        GROUP BY tok.doc_id
+    ),
+    bucketed AS (
+        SELECT d.doc_id,
+               CASE ntile(3) OVER (PARTITION BY d.lang
+                                   ORDER BY sc.mean_surprisal, d.doc_id)
+                    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+               END AS bucket
+        FROM sc JOIN documents d USING (doc_id)
+    ),
+    kept AS (
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+        FROM documents d
+        JOIN dsir USING (doc_id) JOIN bucketed USING (doc_id)
+        WHERE dsir.selected AND bucketed.bucket <> 'tail'
+    ),
+    off AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tok AS tok_start
+        FROM kept
+    ),
+    frags AS (
+        SELECT doc_id, b AS block_id,
+               least(tok_start + n_tok, (b + 1) * {_CHUNK_L})
+                   - greatest(tok_start, b * {_CHUNK_L}) AS n_frag
+        FROM off, UNNEST(generate_series(
+            CAST(floor(tok_start / {_CHUNK_L}) AS BIGINT),
+            CAST(floor((tok_start + n_tok - 1) / {_CHUNK_L}) AS BIGINT))) u(b)
+        WHERE n_tok > 0
+    )
+    SELECT block_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_frag) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM frags GROUP BY block_id
+    """,
+)
+def q284_corpus_manifest(spark, sf_dir) -> DataFrame:
+    """Round-4 capstone: DATA SELECTION -> TRAINING SHARDS as one lazy
+    plan, composing three round-4 operators end-to-end — DSIR keeps the
+    target-matched top-K (q282), the CCNet gate drops the per-language
+    perplexity tail (q279), and the surviving corpus lays out as exact
+    {_CHUNK_L}-token blocks (q277's concat-and-chunk), reported as the
+    per-block shard manifest (docs per block, fill level, doc-id span)
+    a training loader consumes. Every stage is the already-oracled
+    kernel reused verbatim, and the composed oracle replays all three —
+    so a drift anywhere in the selection or layout chain moves block
+    boundaries and fails the hash (interior blocks must land EXACTLY
+    full: n_tokens = {_CHUNK_L}). The q200 discipline, upgraded to the
+    round-4 curation stack."""
+    sel = q282_dsir_weights(spark, sf_dir).select("doc_id", "selected")
+    buck = q279_ccnet_buckets(spark, sf_dir).select("doc_id", "bucket")
+    d = table(spark, sf_dir, "documents")
+    kept = (
+        d.join(sel, "doc_id")
+        .join(buck, "doc_id")
+        .filter(F.col("selected") & (F.col("bucket") != "tail"))
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+    )
+    from .. import ops
+
+    off = ops.global_running_sum(kept, ["doc_id"], "n_tok", "__end").withColumn(
+        "tok_start", F.col("__end") - F.col("n_tok")
+    )
+    L = _CHUNK_L
+    frags = off.select(
+        "doc_id",
+        "tok_start",
+        "n_tok",
+        F.explode(
+            F.expr(
+                f"sequence(CAST(floor(tok_start / {L}) AS BIGINT),"
+                f" CAST(floor((tok_start + n_tok - 1) / {L}) AS BIGINT))"
+            )
+        ).alias("block_id"),
+    ).select(
+        "doc_id",
+        "block_id",
+        (
+            F.least(F.col("tok_start") + F.col("n_tok"), (F.col("block_id") + 1) * L)
+            - F.greatest(F.col("tok_start"), F.col("block_id") * L)
+        ).alias("n_frag"),
+    )
+    return frags.groupBy("block_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_frag").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
