@@ -3152,3 +3152,128 @@ def q284_corpus_manifest(spark, sf_dir) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---- Gopher quality rules (q285) ---------------------------------------
+# Rae et al. 2021 (Gopher, arXiv:2112.11446) Appendix A1.1 — the rule set
+# Dolma/FineWeb/RefinedWeb descend from. Thresholds below are the paper's
+# where the fixture can express them; rules needing markup (bullet/ellipsis
+# lines) are stated on this corpus's word-soup equivalent.
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MEAN_WLEN = 3.0
+_GOPHER_MAX_MEAN_WLEN = 10.0
+_GOPHER_MAX_SYMBOL_RATIO = 0.10   # '#' or '...' to words
+_GOPHER_MIN_ALPHA_WORD_RATIO = 0.80  # words containing >=1 alphabetic char
+_GOPHER_STOP_HITS = 2  # docs must contain >= 2 distinct common words
+
+
+@query(
+    "q285_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               round(CAST(list_sum(list_transform(toks, w -> strlen(w)))
+                     AS DOUBLE) / len(toks), 6) AS mean_wlen,
+               round(CAST(len(list_filter(toks,
+                     w -> w LIKE '%#%' OR w LIKE '%...%')) AS DOUBLE)
+                     / len(toks), 6) AS symbol_ratio,
+               round(CAST(len(list_filter(toks,
+                     w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                     / len(toks), 6) AS alpha_ratio,
+               len(list_distinct(list_filter(toks,
+                     w -> w IN ('the', 'a', 'of', 'to', 'and', 'in'))))
+                   AS stop_hits
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_words, mean_wlen, symbol_ratio, alpha_ratio,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+               AS ok_n_words,
+           (mean_wlen BETWEEN {_GOPHER_MIN_MEAN_WLEN}
+                          AND {_GOPHER_MAX_MEAN_WLEN}) AS ok_mean_wlen,
+           (symbol_ratio <= {_GOPHER_MAX_SYMBOL_RATIO}) AS ok_symbols,
+           (alpha_ratio >= {_GOPHER_MIN_ALPHA_WORD_RATIO}) AS ok_alpha,
+           (stop_hits >= {_GOPHER_STOP_HITS}) AS ok_stop,
+           ((n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+            AND (mean_wlen BETWEEN {_GOPHER_MIN_MEAN_WLEN}
+                               AND {_GOPHER_MAX_MEAN_WLEN})
+            AND symbol_ratio <= {_GOPHER_MAX_SYMBOL_RATIO}
+            AND alpha_ratio >= {_GOPHER_MIN_ALPHA_WORD_RATIO}
+            AND stop_hits >= {_GOPHER_STOP_HITS}) AS keep
+    FROM m
+    """,
+)
+def q285_gopher_rules(spark, sf_dir) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021, arXiv:2112.11446,
+    A1.1) — the heuristic filter battery Dolma / RefinedWeb / FineWeb
+    all descend from, emitted as PER-RULE verdicts plus the combined
+    keep flag (pipelines audit rule-level rejection rates before
+    tightening thresholds; a single boolean hides which rule fired):
+    word-count window, mean-word-length window, symbol-to-word ratio,
+    alphabetic-word ratio, and the required-stopword rule (>= 2
+    distinct common words — the cheap English-fluency proxy). Every
+    rule is one array HOF over a single split of the text — the whole
+    battery is ONE scan-stage projection, zero shuffles, zero UDFs,
+    which is what makes running it over 100 TB on ingest a non-event.
+    Thresholds are the paper's; the markup-dependent rules (bullet /
+    ellipsis LINE ratios) are expressed on this corpus's tokens."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), w -> w <> '')")
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_words = F.size("toks")
+    mean_wlen = F.round(
+        F.expr(
+            "aggregate(toks, 0L, (a, w) -> a + length(w))"
+        ).cast("double")
+        / n_words,
+        6,
+    )
+    symbol_ratio = F.round(
+        F.expr(
+            "size(filter(toks, w -> w LIKE '%#%' OR w LIKE '%...%'))"
+        ).cast("double")
+        / n_words,
+        6,
+    )
+    alpha_ratio = F.round(
+        F.expr(
+            "size(filter(toks, w -> w RLIKE '[a-zA-Z]'))"
+        ).cast("double")
+        / n_words,
+        6,
+    )
+    stop_hits = F.expr(
+        "size(array_distinct(filter(toks,"
+        " w -> w IN ('the', 'a', 'of', 'to', 'and', 'in'))))"
+    ).cast("long")
+    m = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+    ok_n = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    ok_wl = F.col("mean_wlen").between(
+        _GOPHER_MIN_MEAN_WLEN, _GOPHER_MAX_MEAN_WLEN
+    )
+    ok_sym = F.col("symbol_ratio") <= _GOPHER_MAX_SYMBOL_RATIO
+    ok_alpha = F.col("alpha_ratio") >= _GOPHER_MIN_ALPHA_WORD_RATIO
+    ok_stop = F.col("stop_hits") >= _GOPHER_STOP_HITS
+    return m.select(
+        "*",
+        ok_n.alias("ok_n_words"),
+        ok_wl.alias("ok_mean_wlen"),
+        ok_sym.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        (ok_n & ok_wl & ok_sym & ok_alpha & ok_stop).alias("keep"),
+    )
