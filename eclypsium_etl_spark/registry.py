@@ -83,13 +83,14 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
 # The driver's correctness harness walks queries() in dict order under a
 # time budget. Round-4 order (VERDICT r3 "Next round" #1): evidence
-# conversion — tier 1 is EXACTLY the 111 registered queries with no driver
-# CORRECTNESS row in r1-r3 (all local-parity green; the driver's 50-query
-# budget must be spent entirely on them), ordered cheapest-first from the
-# sf0.01 profile so the budget greens the maximum number. Queries new in
-# round 4 form tier 0 (they also have no driver row) — 20 ids, all
-# cheap except the closers. Tier 2 re-proves already-green ids only if
-# budget remains.
+# conversion — tier 0 is the queries ADDED in round 4 (q260-q285, no
+# prior driver row possible), tier 1 is exactly the 111 queries
+# registered through r3 that never received a driver CORRECTNESS row
+# (all local-parity green), both cheapest-first from the sf0.01 profile
+# so the budget greens the maximum number. Tier 2 re-proves
+# already-green ids only if budget remains. Round-4 ids added after the
+# initial tier-0 block (q280+) append at the end of tier 0 via the
+# registration-order fallback in ordered_queries().
 _CHEAP_FIRST = [
     # --- tier 0: new in round 4 (no prior driver row possible),
     # cheapest-first; the one streaming entry (q274, micro-batch floor)
@@ -100,6 +101,8 @@ _CHEAP_FIRST = [
     "q262_char_coverage", "q267_vocab_oov", "q278_soft_dedup_weights",
     "q277_token_stream_chunks", "q270_fixed_width_source",
     "q272_json_permissive", "q263_perplexity_bigram", "q279_ccnet_buckets",
+    "q280_union_schema_evolution", "q285_gopher_rules",
+    "q282_dsir_weights", "q283_bpe_apply", "q284_corpus_manifest",
     "q276_sparse_cosine_pairs", "q268_bpe_merges", "q274_stream_outer_join",
     "q281_stream_chained_windows",
     # --- tier 1: never driver-sampled through r3 (111), cheapest-first ---
