@@ -873,3 +873,64 @@ def q213_user_profile(spark, sf_dir) -> DataFrame:
         .cast("long")
         .alias("n_purchases"),
     )
+
+
+_DECAY_HALF_LIFE_H = 24.0  # exponential half-life, hours
+
+
+@query(
+    "q286_time_decay_agg",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS now FROM events),
+    w AS (
+        SELECT user_id,
+               round(CAST(value * exp(
+                   -ln(2) * CAST(epoch_us(mx.now) - epoch_us(ts) AS DOUBLE)
+                   / ({_DECAY_HALF_LIFE_H} * 3600.0 * 1e6)
+               ) AS DECIMAL(28,10)) , 10) AS wv
+        FROM events CROSS JOIN mx
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(wv) AS DOUBLE), 6) AS decayed_value
+    FROM w GROUP BY user_id
+    """,
+)
+def q286_time_decay_agg(spark, sf_dir) -> DataFrame:
+    """Exponentially time-decayed aggregation — the recency-weighted
+    score behind feature stores and trending rankers: each event's value
+    is discounted by 2^(-age/half_life) relative to the corpus 'now'
+    (MAX ts — deterministic, so the oracle can restate it; production
+    passes a literal as-of timestamp), then summed per user. Float
+    discipline: the per-event weighted value is computed in double
+    (exp on identical inputs agrees cross-engine, the q67 ln precedent),
+    immediately quantized to DECIMAL(28,10), and SUMMED IN DECIMAL — so
+    the per-user fold is order-independent despite every addend being
+    irrational. One shuffle (the user rollup, map-side combined); the
+    'now' scalar rides in as a broadcast 1-row aggregate. The decay
+    trick at 100 TB: because exp factors multiply, yesterday's decayed
+    totals re-age by ONE multiplication — store (total, as_of) and fold
+    increments, never rescan history."""
+    e = table(spark, sf_dir, "events")
+    now = e.agg(F.max("ts").alias("now"))
+    age_us = (
+        F.unix_micros("now") - F.unix_micros("ts")
+    ).cast("double")
+    wv = F.round(
+        (
+            F.col("value")
+            * F.exp(
+                -F.log(F.lit(2.0)) * age_us / (_DECAY_HALF_LIFE_H * 3600.0 * 1e6)
+            )
+        ).cast("decimal(28,10)"),
+        10,
+    )
+    return (
+        e.crossJoin(F.broadcast(now))
+        .select("user_id", wv.alias("wv"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("wv").cast("double"), 6).alias("decayed_value"),
+        )
+    )

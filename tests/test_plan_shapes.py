@@ -584,3 +584,20 @@ def test_r4_query_plan_shapes(spark):
     q271 = QUERIES["q271_band_join_bnl"](spark, SF_CHECK)
     assert "BroadcastNestedLoopJoin" in plans.physical_plan(q271)
     assert plans.shuffle_count(q271) == 0
+
+
+def test_r4b_query_plan_shapes(spark):
+    """Late-round-4 additions hold their plan claims:
+    - q285 Gopher rules are ONE scan-stage projection — zero exchanges;
+    - q283's segmentation vocabulary attaches by BROADCAST (the corpus
+      token stream never shuffles to meet a vocab-sized table);
+    - q282 DSIR: count-table + rollup + ranking exchanges only, no
+      cartesian anywhere;
+    - q284 capstone composes three oracled stages into one lazy plan
+      with no CartesianProduct / nested-loop blowup."""
+    assert plans.shuffle_count(QUERIES["q285_gopher_rules"](spark, SF_CHECK)) == 0
+    q283 = QUERIES["q283_bpe_apply"](spark, SF_CHECK)
+    assert plans.has_broadcast(q283)
+    for name in ("q282_dsir_weights", "q284_corpus_manifest"):
+        plan = plans.physical_plan(QUERIES[name](spark, SF_CHECK))
+        assert "CartesianProduct" not in plan, name
