@@ -1167,3 +1167,109 @@ def q214_substring_spans(spark, sf_dir) -> DataFrame:
         .where(F.col("span_len") >= _SPAN_MIN)
         .select("doc_id", "span_start", "span_len", "n_grams")
     )
+
+
+@query(
+    "q287_dedup_eval",
+    oracle=f"""
+    WITH {_SH_CTE},
+    dfc AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {_MAX_SHINGLE_DF}),
+    rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc USING (s)),
+    cand_e AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    exact AS (
+        SELECT c0.doc_a, c0.doc_b FROM cand_e c0
+        JOIN inter i ON i.da = c0.doc_a AND i.db = c0.doc_b
+        JOIN sz x ON x.doc_id = c0.doc_a
+        JOIN sz y ON y.doc_id = c0.doc_b
+        WHERE round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6)
+              >= {_JACCARD_TAU}
+    ),
+    sig AS (SELECT doc_id, {_SIG_COLS_DUCK} FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 1 AS band, md5(h1 || h2) AS key FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h3 || h4) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(h5 || h6) FROM sig
+        UNION ALL SELECT doc_id, 4, md5(h7 || h8) FROM sig
+    ),
+    big AS (
+        SELECT band, key FROM bands
+        GROUP BY band, key HAVING COUNT(*) > {_MAX_BAND_BUCKET}
+    ),
+    safe AS (
+        SELECT b.* FROM bands b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM big g WHERE g.band = b.band AND g.key = b.key
+        )
+    ),
+    cand_l AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM safe a JOIN safe b ON a.band = b.band AND a.key = b.key
+                                AND a.doc_id < b.doc_id
+    ),
+    lsh AS (
+        SELECT c0.doc_a, c0.doc_b FROM cand_l c0
+        JOIN inter i ON i.da = c0.doc_a AND i.db = c0.doc_b
+        JOIN sz x ON x.doc_id = c0.doc_a
+        JOIN sz y ON y.doc_id = c0.doc_b
+        WHERE round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6)
+              >= {_JACCARD_TAU}
+    ),
+    m AS (
+        SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+               (SELECT COUNT(*) FROM lsh) AS n_lsh,
+               (SELECT COUNT(*) FROM exact e
+                JOIN lsh l ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b)
+                   AS tp
+    )
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_lsh AS BIGINT) AS n_lsh,
+           CAST(tp AS BIGINT) AS tp,
+           round(CAST(tp AS DOUBLE) / n_lsh, 6) AS precision,
+           round(CAST(tp AS DOUBLE) / n_exact, 6) AS recall
+    FROM m
+    """,
+)
+def q287_dedup_eval(spark, sf_dir) -> DataFrame:
+    """Dedup pipeline META-EVALUATION in-engine: precision/recall of the
+    MinHash-LSH detector (q71) against the exact-Jaccard truth set
+    (q63), as one row of metrics — the drift monitor a production
+    pipeline runs when it changes banding parameters, bucket caps, or
+    shingle width (a silent recall regression here is silently
+    duplicated training data downstream). Both pair sets are the
+    ALREADY-ORACLED queries reused verbatim; the metric layer is two
+    tiny joins and one 1-row aggregate, and the composed oracle replays
+    both detectors end-to-end. Note the asymmetry this measures: both
+    sides exact-verify at τ, but their CANDIDATE generators differ
+    (df-capped shingle join vs banded signatures + bucket cap), so
+    precision < 1 is possible when banding surfaces a pair whose every
+    shared shingle was df-pruned — exactly the blind-spot interaction
+    worth monitoring."""
+    exact = q63_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = q71_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    ex_n = exact.agg(F.count("*").alias("n_exact"))
+    lsh_n = lsh.agg(F.count("*").alias("n_lsh"))
+    tp_n = exact.join(lsh, ["doc_a", "doc_b"]).agg(F.count("*").alias("tp"))
+    return (
+        ex_n.crossJoin(lsh_n)
+        .crossJoin(tp_n)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "tp",
+            F.round(F.col("tp").cast("double") / F.col("n_lsh"), 6).alias(
+                "precision"
+            ),
+            F.round(F.col("tp").cast("double") / F.col("n_exact"), 6).alias(
+                "recall"
+            ),
+        )
+    )
