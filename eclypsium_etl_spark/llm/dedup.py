@@ -1273,3 +1273,94 @@ def q287_dedup_eval(spark, sf_dir) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q289_minhash_estimate",
+    oracle=f"""
+    WITH {_SH_CTE},
+    dfc AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {_MAX_SHINGLE_DF}),
+    rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc USING (s)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c0.doc_a AS da, c0.doc_b AS db, COUNT(*) AS c
+        FROM cand c0
+        JOIN sh a ON a.doc_id = c0.doc_a
+        JOIN sh b ON b.doc_id = c0.doc_b AND b.s = a.s
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_SIG_COLS_DUCK} FROM sh GROUP BY doc_id),
+    agree AS (
+        SELECT c.doc_a, c.doc_b,
+               (CASE WHEN x.h1 = y.h1 THEN 1 ELSE 0 END
+              + CASE WHEN x.h2 = y.h2 THEN 1 ELSE 0 END
+              + CASE WHEN x.h3 = y.h3 THEN 1 ELSE 0 END
+              + CASE WHEN x.h4 = y.h4 THEN 1 ELSE 0 END
+              + CASE WHEN x.h5 = y.h5 THEN 1 ELSE 0 END
+              + CASE WHEN x.h6 = y.h6 THEN 1 ELSE 0 END
+              + CASE WHEN x.h7 = y.h7 THEN 1 ELSE 0 END
+              + CASE WHEN x.h8 = y.h8 THEN 1 ELSE 0 END) AS k
+        FROM cand c JOIN sig x ON x.doc_id = c.doc_a
+                    JOIN sig y ON y.doc_id = c.doc_b
+    )
+    SELECT a.doc_a, a.doc_b,
+           round(CAST(a.k AS DOUBLE) / 8, 6) AS j_est,
+           round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) AS j_exact,
+           round(abs(CAST(a.k AS DOUBLE) / 8
+                 - CAST(i.c AS DOUBLE) / (x.n + y.n - i.c)), 6) AS abs_err
+    FROM agree a
+    JOIN inter i ON i.da = a.doc_a AND i.db = a.doc_b
+    JOIN sz x ON x.doc_id = a.doc_a
+    JOIN sz y ON y.doc_id = a.doc_b
+    WHERE round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) >= 0.2
+    """,
+)
+def q289_minhash_estimate(spark, sf_dir) -> DataFrame:
+    """MinHash as a Jaccard ESTIMATOR, accuracy measured in-engine: for
+    every candidate pair with exact Jaccard >= 0.2, the signature
+    agreement fraction k/8 (the textbook unbiased estimate — each
+    hash's minimum agrees with probability J) lands beside the exact
+    value and the absolute error. This is the calibration table behind
+    q71's banding math (P[band collision] = J^rows_per_band) — run it
+    before changing signature width to see the estimator variance you
+    are buying. Because the hash family is md5 on both engines (the
+    repo's engine-portable-hashing discipline), the 'estimate' is
+    DETERMINISTIC and the oracle checks it exactly — sketch accuracy
+    as checkable data, the q23/q245 pattern. Plan: signature build is
+    one groupBy over shingles; pairs join two 8-column signature rows;
+    nothing quadratic (candidates come from the df-capped join)."""
+    sh = shingles(spark, sf_dir)
+    pairs = jaccard_pairs(sh, tau=0.2)  # df-capped candidates, exact scores
+    sh.createOrReplaceTempView("sh_q289")
+    sig = spark.sql(
+        f"SELECT doc_id, {_SIG_COLS_SPARK} FROM sh_q289 GROUP BY doc_id"
+    )
+    x = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{j}").alias(f"xa{j}") for j in range(1, 9)],
+    )
+    y = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{j}").alias(f"yb{j}") for j in range(1, 9)],
+    )
+    k = sum(
+        F.when(F.col(f"xa{j}") == F.col(f"yb{j}"), 1).otherwise(0)
+        for j in range(1, 9)
+    )
+    return (
+        pairs.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(k.cast("double") / 8, 6).alias("j_est"),
+            F.col("jaccard").alias("j_exact"),
+            F.round(
+                F.abs(k.cast("double") / 8 - F.col("jaccard")), 6
+            ).alias("abs_err"),
+        )
+    )

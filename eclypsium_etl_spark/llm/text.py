@@ -3277,3 +3277,105 @@ def q285_gopher_rules(spark, sf_dir) -> DataFrame:
         ok_stop.alias("ok_stop"),
         (ok_n & ok_wl & ok_sym & ok_alpha & ok_stop).alias("keep"),
     )
+
+
+# ---- Unicode script detection (q288) -----------------------------------
+# Deterministic script-divergent tails keyed by the lang label: the
+# fixture corpus is pure ASCII, so each doc gets a synthetic tail in its
+# language's native script (identically on both engines) and the
+# detector must recover the mix — same discipline as q119's synthetic
+# PII and q261's NFC-divergent rows.
+_SCRIPT_TAILS = {
+    "zh": "数据处理引擎",   # CJK ideographs
+    "fr": "café élève noël",     # accented Latin
+    "de": "größe über straße",
+    "es": "niño macaón acción",
+    "en": "plain ascii tail",
+}
+_SCRIPT_CASE_SQL = (
+    "CASE lang WHEN 'zh' THEN '" + _SCRIPT_TAILS["zh"] + "'"
+    " WHEN 'fr' THEN '" + _SCRIPT_TAILS["fr"] + "'"
+    " WHEN 'de' THEN '" + _SCRIPT_TAILS["de"] + "'"
+    " WHEN 'es' THEN '" + _SCRIPT_TAILS["es"] + "'"
+    " ELSE '" + _SCRIPT_TAILS["en"] + "' END"
+)
+
+
+@query(
+    "q288_script_detect",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, lang,
+               substr(text, 1, 32) || ' ' || ({_SCRIPT_CASE_SQL}) AS t
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, lang,
+               list_transform(
+                   list_filter(string_split_regex(t, ''),
+                               c -> c <> '' AND c <> ' '),
+                   c -> ord(c)) AS cps
+        FROM aug
+    )
+    SELECT doc_id, lang,
+           CAST(len(cps) AS BIGINT) AS n_chars,
+           round(CAST(len(list_filter(cps, p -> p < 128)) AS DOUBLE)
+                 / len(cps), 6) AS frac_ascii,
+           round(CAST(len(list_filter(cps,
+                 p -> p >= 128 AND p < 592)) AS DOUBLE)
+                 / len(cps), 6) AS frac_latin_ext,
+           round(CAST(len(list_filter(cps,
+                 p -> p >= 19968 AND p <= 40959)) AS DOUBLE)
+                 / len(cps), 6) AS frac_cjk,
+           (len(list_filter(cps, p -> p >= 19968 AND p <= 40959)) * 2
+                > len(cps) / 5) AS likely_cjk
+    FROM ch
+    """,
+)
+def q288_script_detect(spark, sf_dir) -> DataFrame:
+    """Unicode SCRIPT detection by codepoint ranges — the routing step
+    that runs BEFORE language ID in multilingual pipelines (script is
+    decidable per-character with zero models; CJK text should never
+    reach a Latin-trained lang-ID path): per-document fractions of
+    ASCII, extended-Latin (accents, 0x80-0x24F), and CJK-ideograph
+    (0x4E00-0x9FFF) characters, plus a likely-CJK flag. The fixture is
+    pure ASCII, so script-divergent tails are synthesized per lang
+    label on BOTH engines (the q119/q261 discipline) and the detector
+    must recover them: zh docs show nonzero frac_cjk, European langs
+    nonzero frac_latin_ext, en stays pure ASCII. Entirely expression-
+    level (split → codepoint → range tests) — zero shuffle, no UDF, and
+    codepoint arithmetic is engine-neutral by construction."""
+    d = table(spark, sf_dir, "documents")
+    tail = (
+        F.when(F.col("lang") == "zh", F.lit(_SCRIPT_TAILS["zh"]))
+        .when(F.col("lang") == "fr", F.lit(_SCRIPT_TAILS["fr"]))
+        .when(F.col("lang") == "de", F.lit(_SCRIPT_TAILS["de"]))
+        .when(F.col("lang") == "es", F.lit(_SCRIPT_TAILS["es"]))
+        .otherwise(F.lit(_SCRIPT_TAILS["en"]))
+    )
+    aug = d.select(
+        "doc_id",
+        "lang",
+        F.concat(F.substring("text", 1, 32), F.lit(" "), tail).alias("t"),
+    )
+    cps = F.expr(
+        "transform(filter(split(t, ''), c -> c <> '' AND c <> ' '),"
+        " c -> ascii(c))"
+    )
+    ch = aug.select("doc_id", "lang", cps.alias("cps"))
+    n = F.size("cps")
+    frac = lambda cond: F.round(
+        F.expr(f"size(filter(cps, p -> {cond}))").cast("double") / n, 6
+    )
+    return ch.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_chars"),
+        frac("p < 128").alias("frac_ascii"),
+        frac("p >= 128 AND p < 592").alias("frac_latin_ext"),
+        frac("p >= 19968 AND p <= 40959").alias("frac_cjk"),
+        (
+            F.expr("size(filter(cps, p -> p >= 19968 AND p <= 40959))") * 2
+            > n / 5
+        ).alias("likely_cjk"),
+    )
