@@ -3379,3 +3379,112 @@ def q288_script_detect(spark, sf_dir) -> DataFrame:
             > n / 5
         ).alias("likely_cjk"),
     )
+
+
+# ---- Gopher repetition rules: top n-gram coverage (q290) ---------------
+# Rae et al. 2021 A1.2: drop docs where the single most frequent n-gram
+# covers too much of the text (templated/generated content). Paper
+# thresholds: top-2gram > 0.20, top-3gram > 0.18, top-4gram > 0.16.
+_REP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+
+
+def _topgram_duck(n: int) -> str:
+    return f"""
+    SELECT doc_id, MAX(cnt * {n}) AS covered FROM (
+        SELECT doc_id, g, COUNT(*) AS cnt FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       generate_series(1, len(toks) - {n - 1}),
+                       i -> array_to_string(list_slice(toks, i, i + {n - 1}),
+                                            ' '))) AS g
+            FROM t WHERE len(toks) >= {n}
+        ) GROUP BY doc_id, g
+    ) GROUP BY doc_id"""
+
+
+@query(
+    "q290_gopher_repetition",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    ),
+    g2 AS ({_topgram_duck(2)}),
+    g3 AS ({_topgram_duck(3)}),
+    g4 AS ({_topgram_duck(4)})
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_words,
+           round(CAST(COALESCE(g2.covered, 0) AS DOUBLE) / len(t.toks), 6)
+               AS top2_cov,
+           round(CAST(COALESCE(g3.covered, 0) AS DOUBLE) / len(t.toks), 6)
+               AS top3_cov,
+           round(CAST(COALESCE(g4.covered, 0) AS DOUBLE) / len(t.toks), 6)
+               AS top4_cov,
+           (COALESCE(g2.covered, 0) <= {_REP_THRESHOLDS[2]} * len(t.toks)
+            AND COALESCE(g3.covered, 0) <= {_REP_THRESHOLDS[3]} * len(t.toks)
+            AND COALESCE(g4.covered, 0) <= {_REP_THRESHOLDS[4]} * len(t.toks))
+               AS keep
+    FROM t LEFT JOIN g2 USING (doc_id)
+           LEFT JOIN g3 USING (doc_id)
+           LEFT JOIN g4 USING (doc_id)
+    WHERE len(t.toks) > 0
+    """,
+)
+def q290_gopher_repetition(spark, sf_dir) -> DataFrame:
+    """The Gopher REPETITION rules (Rae et al. 2021 A1.2 — the
+    complement to q285's quality battery): per document, the fraction
+    of tokens covered by the single most frequent 2-/3-/4-gram
+    (count x n / n_words), with the paper's drop thresholds combined
+    into `keep`. Templated and model-generated text concentrates mass
+    on one repeated phrase; fluent text doesn't — this family plus
+    q123's bigram-repetition score and q149's cross-doc boilerplate df
+    is the full repetition axis. (The paper's duplicate-LINE rules need
+    line structure this word-soup fixture lacks; their block analog is
+    q120.) Plan: per n, one explode -> (doc, gram) count -> per-doc max
+    — grams hash-partition with map-side combine, the doc join keys are
+    longs, and nothing driver-side; the three n-gram passes unroll in
+    one lazy plan."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), w -> w <> '')").alias("toks"),
+    ).filter(F.size("toks") > 0)
+
+    def topgram(n: int) -> DataFrame:
+        return (
+            t.filter(F.size("toks") >= n)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(toks) - {n - 1}),"
+                        f" i -> concat_ws(' ', slice(toks, i, {n})))"
+                    )
+                ).alias("g"),
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("doc_id")
+            .agg(F.max(F.col("cnt") * n).alias(f"covered{n}"))
+        )
+
+    out = t.select("doc_id", F.size("toks").cast("long").alias("n_words"))
+    for n in (2, 3, 4):
+        out = out.join(topgram(n), "doc_id", "left")
+    cov = {
+        n: F.coalesce(F.col(f"covered{n}"), F.lit(0)) for n in (2, 3, 4)
+    }
+    keep = (
+        (cov[2] <= _REP_THRESHOLDS[2] * F.col("n_words"))
+        & (cov[3] <= _REP_THRESHOLDS[3] * F.col("n_words"))
+        & (cov[4] <= _REP_THRESHOLDS[4] * F.col("n_words"))
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round(cov[2].cast("double") / F.col("n_words"), 6).alias("top2_cov"),
+        F.round(cov[3].cast("double") / F.col("n_words"), 6).alias("top3_cov"),
+        F.round(cov[4].cast("double") / F.col("n_words"), 6).alias("top4_cov"),
+        keep.alias("keep"),
+    )
