@@ -936,3 +936,89 @@ def q255_csv_quoting(spark, sf_dir) -> DataFrame:
         .option("multiLine", True)
         .csv(out)
     )
+
+
+def _unzip_batches(batches):
+    """mapInPandas: expand each ZIP shard's members into rows (q253's
+    untar twin) — the central directory is parsed executor-side, and
+    per-member CRC32s are verified on read (ZipFile.read checks them),
+    so shard corruption surfaces as an error, not silent truncation."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_bytes": [], "content": []}
+        for blob in pdf["content"]:
+            with zipfile.ZipFile(io.BytesIO(bytes(blob))) as zf:
+                for name in zf.namelist():
+                    data = zf.read(name)
+                    out["doc_id"].append(
+                        int(name.rsplit("_", 1)[1].split(".")[0])
+                    )
+                    out["n_bytes"].append(len(data))
+                    out["content"].append(data)
+        yield pd.DataFrame(out)
+
+
+@query(
+    "q291_zip_packed_assets",
+    oracle="""
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def q291_zip_packed_assets(spark, sf_dir) -> DataFrame:
+    """ZIP-shard ingestion — q253's tar path for the OTHER archive
+    format scraped corpora arrive in. ZIP differs from tar in ways that
+    matter operationally and are exercised here: members are DEFLATE-
+    compressed individually (a member is seekable without inflating the
+    whole shard — tar.gz can't do that), the CENTRAL DIRECTORY at the
+    shard's tail is the member index (listing needs the tail, not a
+    full scan), and every member carries a CRC32 the stdlib verifies on
+    read — so corruption fails loudly. Same scale story as q253: 8
+    shards = 8 listing entries, executor-side unpack via mapInPandas,
+    byte fidelity proven by the same md5 oracle. Shards are staged
+    write-once under the full-path + source-stamp key (the q252
+    staleness discipline)."""
+    import io
+    import shutil
+    import zipfile
+
+    out = _tmpdir(f"q291_zips_{_staging_key(sf_dir)}")
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        rows = (
+            table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        )
+        n_shards = 8
+        bufs = [io.BytesIO() for _ in range(n_shards)]
+        zips = [
+            zipfile.ZipFile(b, "w", compression=zipfile.ZIP_DEFLATED)
+            for b in bufs
+        ]
+        for r in rows:
+            zips[r.doc_id % n_shards].writestr(
+                f"doc_{r.doc_id}.txt", r.text.encode("utf-8")
+            )
+        for i, (z, b) in enumerate(zip(zips, bufs)):
+            z.close()
+            with open(os.path.join(out, f"shard_{i:02d}.zip"), "wb") as f:
+                f.write(b.getvalue())
+        open(marker, "w").close()
+    shard_rows = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.zip")
+        .load(out)
+        .select("content")
+    )
+    unpacked = shard_rows.mapInPandas(
+        _unzip_batches, "doc_id long, n_bytes long, content binary"
+    )
+    return unpacked.select(
+        "doc_id", "n_bytes", F.md5("content").alias("content_md5")
+    )
