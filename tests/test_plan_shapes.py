@@ -601,3 +601,18 @@ def test_r4b_query_plan_shapes(spark):
     for name in ("q282_dsir_weights", "q284_corpus_manifest"):
         plan = plans.physical_plan(QUERIES[name](spark, SF_CHECK))
         assert "CartesianProduct" not in plan, name
+
+
+def test_r4c_query_plan_shapes(spark):
+    """Latest round-4 additions hold their plan claims:
+    - q288 script detection is pure expression work — zero exchanges;
+    - q290's n-gram passes keep map-side partial aggregation and never
+      cartesian;
+    - q287 / q289 compose the dedup kernels without any
+      CartesianProduct or nested-loop blowup."""
+    assert plans.shuffle_count(QUERIES["q288_script_detect"](spark, SF_CHECK)) == 0
+    q290 = plans.physical_plan(QUERIES["q290_gopher_repetition"](spark, SF_CHECK))
+    assert "partial_" in q290 and "CartesianProduct" not in q290
+    for name in ("q287_dedup_eval", "q289_minhash_estimate"):
+        plan = plans.physical_plan(QUERIES[name](spark, SF_CHECK))
+        assert "CartesianProduct" not in plan, name
