@@ -1364,3 +1364,107 @@ def q289_minhash_estimate(spark, sf_dir) -> DataFrame:
             ).alias("abs_err"),
         )
     )
+
+
+@query(
+    "q292_banding_curve",
+    oracle=f"""
+    WITH {_SH_CTE},
+    dfc AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {_MAX_SHINGLE_DF}),
+    rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc USING (s)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c0.doc_a AS da, c0.doc_b AS db, COUNT(*) AS c
+        FROM cand c0
+        JOIN sh a ON a.doc_id = c0.doc_a
+        JOIN sh b ON b.doc_id = c0.doc_b AND b.s = a.s
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_SIG_COLS_DUCK} FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) AS j,
+               (CASE WHEN p.h1 = q.h1 AND p.h2 = q.h2 THEN 1 ELSE 0 END
+              + CASE WHEN p.h3 = q.h3 AND p.h4 = q.h4 THEN 1 ELSE 0 END
+              + CASE WHEN p.h5 = q.h5 AND p.h6 = q.h6 THEN 1 ELSE 0 END
+              + CASE WHEN p.h7 = q.h7 AND p.h8 = q.h8 THEN 1 ELSE 0 END)
+                   AS bands_hit
+        FROM cand c
+        JOIN inter i ON i.da = c.doc_a AND i.db = c.doc_b
+        JOIN sz x ON x.doc_id = c.doc_a
+        JOIN sz y ON y.doc_id = c.doc_b
+        JOIN sig p ON p.doc_id = c.doc_a
+        JOIN sig q ON q.doc_id = c.doc_b
+    )
+    SELECT CAST(floor(j * 10) AS INTEGER) AS j_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CASE WHEN bands_hit > 0 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS emp_collision_rate,
+           round(CAST(SUM(CAST(1 - pow(1 - j * j, 4)
+                 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+               AS theory_collision_rate
+    FROM pairs GROUP BY 1
+    """,
+)
+def q292_banding_curve(spark, sf_dir) -> DataFrame:
+    """The LSH S-CURVE, measured against theory in-engine: for b=4
+    bands of r=2 rows, textbook banding collides a pair with
+    probability 1 − (1 − J^r)^b — the curve that justifies every
+    banding parameter choice. Per exact-Jaccard decile of the candidate
+    pairs, this emits the EMPIRICAL fraction of pairs sharing at least
+    one band key beside the MEAN THEORETICAL probability — the
+    calibration a pipeline checks before trusting q71's recall at a new
+    tau (and the continuation of q289's per-hash calibration up to the
+    band level). Determinism discipline: the md5 hash family makes the
+    empirical side reproducible and exactly oracle-checkable, and the
+    theoretical mean folds in DECIMAL so decile averages are
+    order-independent. Plan: the q63 candidate set joins two 8-column
+    signature rows, then one decile rollup — nothing quadratic, nothing
+    driver-side."""
+    sh = shingles(spark, sf_dir)
+    pairs = jaccard_pairs(sh, tau=0.0)  # all candidates with exact j
+    sh.createOrReplaceTempView("sh_q292")
+    sig = spark.sql(
+        f"SELECT doc_id, {_SIG_COLS_SPARK} FROM sh_q292 GROUP BY doc_id"
+    )
+    p = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{j}").alias(f"pa{j}") for j in range(1, 9)],
+    )
+    qq = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{j}").alias(f"qb{j}") for j in range(1, 9)],
+    )
+    bands_hit = sum(
+        F.when(
+            (F.col(f"pa{2 * i - 1}") == F.col(f"qb{2 * i - 1}"))
+            & (F.col(f"pa{2 * i}") == F.col(f"qb{2 * i}")),
+            1,
+        ).otherwise(0)
+        for i in range(1, 5)
+    )
+    j = F.col("jaccard")
+    joined = (
+        pairs.join(p, "doc_a")
+        .join(qq, "doc_b")
+        .select(
+            F.floor(j * 10).cast("int").alias("j_decile"),
+            (bands_hit > 0).cast("int").alias("collided"),
+            (1 - F.pow(1 - j * j, 4)).alias("theory"),
+        )
+    )
+    return joined.groupBy("j_decile").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            F.sum("collided").cast("double") / F.count("*"), 6
+        ).alias("emp_collision_rate"),
+        F.round(
+            F.sum(F.col("theory").cast("decimal(28,12)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("theory_collision_rate"),
+    )
