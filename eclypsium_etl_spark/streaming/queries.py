@@ -701,3 +701,69 @@ def q281_stream_chained_windows(spark, sf_dir) -> DataFrame:
         .trigger(availableNow=True)
     )
     return spark.table(qname)
+
+
+@query(
+    "q293_stream_session_final",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    gapped AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 15 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS sid
+        FROM gapped
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 15 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n, {dsum_sql('value')} AS val
+    FROM sessions
+    GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 15 MINUTE
+           <= (SELECT m FROM mx) - INTERVAL 10 MINUTE
+    """,
+)
+def q293_stream_session_final(spark, sf_dir) -> DataFrame:
+    """APPEND-mode streaming SESSION windows with the finalization set
+    stated in closed form — the hardest member of the streaming window
+    family (q259 covered fixed windows, q281 chained them): session
+    windows MERGE, so a session may only finalize when the watermark
+    proves no future event can extend it — i.e. when it passes the
+    session's end (last event + gap). On a drained availableNow replay
+    the emitted set is therefore exactly the sessions whose
+    (max ts + gap) <= final watermark; sessions still extendable at
+    end-of-stream must NOT leak. The oracle rebuilds the identical
+    sessions with the batch islands construction (q55/q126's lag ->
+    flag -> running-sum) and applies that closed form as a HAVING.
+    State discipline at 100 TB: session state is per-OPEN-session per
+    key, bounded by the watermark; gap choice trades state size against
+    session fragmentation."""
+    e = stream_events(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "15 minutes"), "user_id")
+        .agg(F.count("*").cast("long").alias("n"), dsum("value").alias("val"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n",
+            "val",
+        )
+    )
+    qname, _ = run_available_now(
+        lambda name, ckpt: agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    return spark.table(qname)
