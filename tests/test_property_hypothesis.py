@@ -202,3 +202,72 @@ def test_token_chunks_partition_exactly(spark, lens, L):
     last_block = max(per_block)
     for b, filled in per_block.items():
         assert filled == (L if b < last_block else total - last_block * L)
+
+
+def _ref_bpe(word_counts: dict[str, int], rounds: int):
+    """Reference BPE (pure Python, textbook formulation): symbol lists,
+    weighted adjacent-pair counts, greedy left-to-right merge of the
+    (count desc, pair asc) argmax. Tie order matches the engine's
+    bracket-encoded pairs because '<' < alphanumerics in ASCII and the
+    bracket encoding is order-preserving on the underlying symbols."""
+    seqs = {w: [f"<{c}>" for c in w] for w in word_counts}
+    merges = []
+    for _ in range(rounds):
+        counts: dict[tuple, int] = {}
+        for w, syms in seqs.items():
+            n = word_counts[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        (a, b), cnt = best
+        merged = a[:-1] + b[1:]  # '<x>' + '<y>' -> '<xy>'
+        merges.append((f"{a} {b}", merged, cnt))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=10
+    )
+)
+@SETTINGS
+def test_bpe_chain_matches_reference(spark, tmp_path, words):
+    """The distributed BPE (q268's bracket-encoded string-replace merge)
+    must equal a textbook pure-Python BPE — greedy left-to-right merge
+    application, weighted counts, deterministic tie-break — on ARBITRARY
+    tiny corpora, where adjacent/overlapping pair runs ('aaaa') exercise
+    exactly the replace-semantics pitfalls."""
+    import collections
+    import uuid
+
+    from eclypsium_etl_spark.llm.text import bpe_learn_chain
+
+    doc = " ".join(words)
+    out = tmp_path / f"bpe_{uuid.uuid4().hex[:8]}"
+    out.mkdir()
+    spark.createDataFrame(
+        [(0, doc, "en", "t", len(doc))],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    results, _ = bpe_learn_chain(spark, str(out), rounds=3)
+    got = []
+    for r in results:
+        row = r.collect()
+        if row and row[0].cnt is not None:
+            got.append((row[0].pair, row[0].merged, row[0].cnt))
+    expect = _ref_bpe(dict(collections.Counter(words)), 3)
+    assert got[: len(expect)] == expect, (got, expect, words)
