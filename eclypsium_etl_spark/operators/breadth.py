@@ -850,3 +850,156 @@ def q275_array_fns_modern(spark, sf_dir) -> DataFrame:
         ).alias("inserted"),
         F.get(F.array(F.col("event_type"), F.lit("z")), 0).alias("got"),
     )
+
+
+# Deterministic synthetic geography (the fixture has no coordinates):
+# event points spread over a ~2x2 degree box around (40, -74), store
+# locations on a coarse grid — identical arithmetic on both engines.
+_GEO_RADIUS_KM = 25.0
+_GEO_LAT_SQL = "40.0 + (user_id % 200) / 100.0"       # 40.00 .. 41.99
+_GEO_LON_SQL = "-74.0 + ((user_id * 7) % 200) / 100.0"
+_STORE_LAT_SQL = "40.0 + (store_id % 5) * 0.5"        # 5x4 grid
+_STORE_LON_SQL = "-74.0 + (store_id // 5) * 0.5"
+_HAV_SQL = (  # haversine distance in km between (la1,lo1) and (la2,lo2)
+    "2 * 6371.0 * asin(sqrt("
+    " pow(sin(radians(({la2}) - ({la1})) / 2), 2)"
+    " + cos(radians({la1})) * cos(radians({la2}))"
+    "   * pow(sin(radians(({lo2}) - ({lo1})) / 2), 2)))"
+)
+
+
+@query(
+    "q294_haversine_join",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_id, user_id,
+               {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon
+        FROM events WHERE event_id % 20 = 0
+    ),
+    stores AS (
+        SELECT store_id, {_STORE_LAT_SQL} AS s_lat, {_STORE_LON_SQL} AS s_lon
+        FROM (SELECT UNNEST(range(0, 20)) AS store_id)
+    ),
+    hits AS (
+        SELECT p.event_id, s.store_id,
+               round({_HAV_SQL.format(la1='p.lat', lo1='p.lon',
+                                      la2='s.s_lat', lo2='s.s_lon')}, 4)
+                   AS dist_km
+        FROM pts p JOIN stores s
+          ON abs(p.lat - s.s_lat) <= 0.3
+         AND abs(p.lon - s.s_lon) <= 0.4
+    )
+    SELECT event_id, store_id, dist_km FROM hits
+    WHERE dist_km <= {_GEO_RADIUS_KM}
+    """,
+)
+def q294_haversine_join(spark, sf_dir) -> DataFrame:
+    """Geospatial radius join — points to stores within 25 km — done the
+    way a warehouse without a geo extension does it: a cheap BOUNDING-BOX
+    prefilter provides the join predicate (0.3 deg lat / 0.4 deg lon
+    comfortably contains 25 km at this latitude, so no true hit is
+    lost), and the exact great-circle haversine distance then filters
+    the small candidate set. The box join against a 20-row store table
+    broadcasts (q271's small-dim discipline); at scale the box becomes
+    a GEOHASH-CELL equi join — exactly the q151 binning trick in two
+    dimensions — so the plan never degenerates to all-pairs trig.
+    Cross-engine float care: sin/cos/asin on identical doubles agree
+    (the ln/exp precedent), distances round to 4dp, and the radius
+    threshold sits far from any achievable rounded value. Coordinates
+    are synthesized deterministically from ids (the q119 discipline) —
+    the fixture has no geography."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    pts = e.select(
+        "event_id",
+        "user_id",
+        F.expr(_GEO_LAT_SQL).alias("lat"),
+        F.expr(_GEO_LON_SQL.replace("%", "%")).alias("lon"),
+    )
+    stores = spark.range(0, 20).select(
+        F.col("id").alias("store_id"),
+        F.expr("40.0 + (id % 5) * 0.5").alias("s_lat"),
+        F.expr("-74.0 + CAST(id / 5 AS INT) * 0.5").alias("s_lon"),
+    )
+    hav = F.expr(
+        _HAV_SQL.format(la1="lat", lo1="lon", la2="s_lat", lo2="s_lon")
+    )
+    return (
+        pts.join(
+            F.broadcast(stores),
+            (F.abs(F.col("lat") - F.col("s_lat")) <= 0.3)
+            & (F.abs(F.col("lon") - F.col("s_lon")) <= 0.4),
+        )
+        .select("event_id", "store_id", F.round(hav, 4).alias("dist_km"))
+        .filter(F.col("dist_km") <= _GEO_RADIUS_KM)
+    )
+
+
+@query(
+    "q295_gdpr_purge",
+    oracle="""
+    WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    o_purged AS (
+        SELECT o.o_orderkey FROM orders o
+        JOIN del ON del.c_custkey = o.o_custkey
+    )
+    SELECT 'customer' AS tbl,
+           CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS purged,
+           CAST((SELECT COUNT(*) FROM customer) -
+                (SELECT COUNT(*) FROM del) AS BIGINT) AS retained
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM o_purged) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) -
+                (SELECT COUNT(*) FROM o_purged) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 JOIN o_purged p ON p.o_orderkey = l.l_orderkey) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) -
+                (SELECT COUNT(*) FROM lineitem l
+                 JOIN o_purged p ON p.o_orderkey = l.l_orderkey) AS BIGINT)
+    """,
+)
+def q295_gdpr_purge(spark, sf_dir) -> DataFrame:
+    """Right-to-erasure CASCADE audit — the compliance job every
+    PII-bearing warehouse runs: given a deletion list (synthesized here
+    as custkey % 97 = 0 — the q119 determinism discipline), propagate
+    through the foreign-key chain customer -> orders -> lineitem with
+    ANTI joins (retained) / SEMI joins (purged) and emit the per-table
+    purge-vs-retain counts the auditor signs off on BEFORE the
+    destructive write runs. The deletion list and the purged-order key
+    set both broadcast (small by nature); the facts are only ever the
+    probe side — at 100 TB the actual rewrite is a partition-level
+    anti-join overwrite (q04's idempotent sink per partition), and this
+    audit is its dry-run plan. The cascade's second hop keys on
+    o_orderkey, NOT custkey — lineitem has no customer column, which is
+    exactly why erasure must walk the FK graph rather than filter by
+    the deleted id."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    dele = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    o_purged = o.join(
+        F.broadcast(dele), o.o_custkey == dele.c_custkey, "semi"
+    ).select("o_orderkey")
+    l_purged = l.join(
+        F.broadcast(o_purged), l.l_orderkey == o_purged.o_orderkey, "semi"
+    )
+
+    def counts(tbl: str, total_df, purged_df):
+        t = total_df.agg(F.count("*").alias("t"))
+        p = purged_df.agg(F.count("*").alias("p"))
+        return (
+            p.crossJoin(t)
+            .select(
+                F.lit(tbl).alias("tbl"),
+                F.col("p").cast("long").alias("purged"),
+                (F.col("t") - F.col("p")).cast("long").alias("retained"),
+            )
+        )
+
+    return (
+        counts("customer", c, dele)
+        .unionByName(counts("orders", o, o_purged))
+        .unionByName(counts("lineitem", l, l_purged))
+    )
