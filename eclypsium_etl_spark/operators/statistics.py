@@ -800,3 +800,91 @@ def q207_percent_of_total(spark, sf_dir) -> DataFrame:
         ).alias("pct_of_status"),
         F.round(F.col("revenue") / F.col("grand"), 6).alias("pct_of_total"),
     )
+
+
+@query(
+    "q296_constraint_audit",
+    oracle="""
+    SELECT 'customer.pk_unique' AS rule,
+           CAST((SELECT COUNT(*) FROM (
+               SELECT c_custkey FROM customer
+               GROUP BY c_custkey HAVING COUNT(*) > 1)) AS BIGINT)
+               AS violations
+    UNION ALL
+    SELECT 'orders.fk_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.fk_orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders.not_null_status',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NULL)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders.positive_totalprice',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer.non_negative_acctbal',
+           CAST((SELECT COUNT(*) FROM customer WHERE c_acctbal < 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.discount_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 0.5) AS BIGINT)
+    """,
+)
+def q296_constraint_audit(spark, sf_dir) -> DataFrame:
+    """Declarative data-quality constraint battery — the dbt-test /
+    Great-Expectations layer run IN the engine as one audit query:
+    primary-key uniqueness, two foreign-key integrity walks (LEFT ANTI
+    joins — the dims broadcast, the facts never shuffle), NOT NULL, and
+    domain-range rules, each emitting its VIOLATION COUNT (a CI gate
+    asserts the zeros; the non-zero row is real — TPC-H balances go
+    negative by design, so the audit demonstrably counts rather than
+    assumes). At 100 TB this exact plan runs post-load before
+    publishing a partition; rules are data (one row each), so adding a
+    rule never changes the plan shape — just one more 1-row aggregate
+    unioned in. Every count folds map-side; nothing driver-side."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+
+    def one(rule: str, df) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("violations")).select(
+            F.lit(rule).alias("rule"), "violations"
+        )
+
+    pk_dupes = (
+        c.groupBy("c_custkey").count().filter(F.col("count") > 1)
+    )
+    fk_orders = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    fk_line = l.join(
+        o.select("o_orderkey"), l.l_orderkey == F.col("o_orderkey"), "left_anti"
+    )
+    rules = [
+        one("customer.pk_unique", pk_dupes),
+        one("orders.fk_customer", fk_orders),
+        one("lineitem.fk_orders", fk_line),
+        one("orders.not_null_status", o.filter(F.col("o_orderstatus").isNull())),
+        one("orders.positive_totalprice", o.filter(F.col("o_totalprice") <= 0)),
+        one("customer.non_negative_acctbal", c.filter(F.col("c_acctbal") < 0)),
+        one(
+            "lineitem.discount_range",
+            l.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)),
+        ),
+    ]
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out
