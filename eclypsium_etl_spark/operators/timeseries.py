@@ -934,3 +934,63 @@ def q286_time_decay_agg(spark, sf_dir) -> DataFrame:
             F.round(F.sum("wv").cast("double"), 6).alias("decayed_value"),
         )
     )
+
+
+@query(
+    "q297_rolling_distinct",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+    ),
+    contrib AS (
+        SELECT DISTINCT
+               CAST(date_trunc('day', ts) AS DATE)
+                   + to_days(CAST(UNNEST(range(0, 7)) AS INTEGER)) AS d,
+               user_id
+        FROM events
+    )
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS users_7d
+    FROM days JOIN contrib c ON c.d = days.d
+    GROUP BY days.d
+    """,
+)
+def q297_rolling_distinct(spark, sf_dir) -> DataFrame:
+    """Rolling 7-day DISTINCT users per day — the metric window frames
+    cannot express (COUNT(DISTINCT) over a RANGE frame is unsupported,
+    and a self-join per day rescans the fact 7x): each event instead
+    EXPLODES into the 7 trailing windows it contributes to, distinct
+    (day, user) pairs collapse BEFORE the fan-out is aggregated, and
+    one count-distinct per day finishes the job. Emitted days are the
+    observed activity days (the dense-axis zero-fill variant is q89's
+    gap-fill composed on top). Scale math: the fan-out is x7 on
+    (date, user_id) PAIRS — 12-byte rows, deduplicated map-side —
+    not x7 on raw events; the alternative sliding-sketch path is q222's
+    mergeable HLL per day, OR-ed over 7 days, when exactness can yield
+    to state size. This completes the window family with the one shape
+    that genuinely needs explode-based windowing."""
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    contrib = (
+        e.select(
+            F.to_date(F.date_trunc("day", "ts")).alias("d0"), "user_id"
+        )
+        .distinct()
+        .select(
+            F.explode(
+                F.expr("sequence(d0, date_add(d0, 6))")
+            ).alias("d"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return (
+        days.join(contrib, days.day == contrib.d)
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("users_7d"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "users_7d"
+        )
+    )
