@@ -1003,3 +1003,205 @@ def q295_gdpr_purge(spark, sf_dir) -> DataFrame:
         .unionByName(counts("orders", o, o_purged))
         .unionByName(counts("lineitem", l, l_purged))
     )
+
+
+@query(
+    "q298_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(epoch_us(o_orderdate) AS BIGINT) AS odate_us
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    ranked AS (
+        SELECT *,
+               MAX(odate_us) OVER (
+                   ORDER BY o_totalprice ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_date_cheaper
+        FROM pts
+    )
+    SELECT o_orderkey, o_totalprice,
+           CAST(odate_us AS BIGINT) AS odate_us
+    FROM ranked
+    WHERE best_date_cheaper IS NULL OR odate_us > best_date_cheaper
+    """,
+)
+def q298_pareto_frontier(spark, sf_dir) -> DataFrame:
+    """2-D Pareto frontier (skyline): orders not dominated on
+    (cheaper, more recent) — the shape analysts write as a quadratic
+    NOT EXISTS self-join, computed instead with ONE window pass: sort
+    by price, keep a row iff its date beats the running max date of
+    everything cheaper (strictly — ties on price resolved by orderkey
+    so the frontier is deterministic). O(n log n) via the sort the
+    window needs anyway, versus O(n^2) for the naive dominator join —
+    at 100 TB that's the difference between a query and an outage. The
+    global-order window is the documented q127 trade: for frontier
+    candidates a pre-filter (per-partition local frontier, then global
+    over survivors — frontier-of-frontiers is exact because domination
+    is transitive) keeps the final window's input tiny. Dates compare
+    as integer epoch micros (the q286 cross-engine discipline)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    pts = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.unix_micros("o_orderdate").alias("odate_us"),
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = pts.withColumn("best_date_cheaper", F.max("odate_us").over(w))
+    return ranked.filter(
+        F.col("best_date_cheaper").isNull()
+        | (F.col("odate_us") > F.col("best_date_cheaper"))
+    ).select("o_orderkey", "o_totalprice", "odate_us")
+
+
+@query(
+    "q299_clamped_balance",
+    oracle="""
+    WITH deltas AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN -floor(value)
+                    ELSE floor(value) END AS delta
+        FROM events
+    ),
+    folded AS (
+        SELECT user_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           list_sort(list({'ts': ts, 'eid': event_id,
+                                           'delta': delta})),
+                           r -> CAST(r.delta AS BIGINT))),
+                   (acc, d) -> greatest(CAST(0 AS BIGINT), acc + d)
+               ) AS final_balance,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM deltas GROUP BY user_id
+    )
+    SELECT user_id, final_balance, n_events FROM folded
+    """,
+)
+def q299_clamped_balance(spark, sf_dir) -> DataFrame:
+    """Clamped running balance — inventory/credit ledgers where the
+    balance FLOORS AT ZERO: fold deltas in event order with
+    acc = max(0, acc + delta). The clamp makes the fold NON-ASSOCIATIVE,
+    so no window frame, no two-phase prefix sum, and no partial
+    aggregation can express it — the whole per-key history must fold
+    IN ORDER. Batch shape: collect each user's (ts, id, delta) into an
+    array, sort it, and run the fold as an expression-level aggregate()
+    HOF — executor-local, JVM-side, no UDF; DuckDB mirrors it with
+    list_reduce, making a genuinely sequential computation exactly
+    differential-testable. At scale the per-key array is bounded by key
+    history (fine for ledgers); unbounded histories move to
+    applyInPandasWithState (q113's surface) where the clamp folds
+    incrementally per micro-batch with the SAME per-key ordering
+    contract. Integer deltas (floor) keep the fold exact."""
+    e = table(spark, sf_dir, "events")
+    deltas = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase", -F.floor("value")
+        )
+        .otherwise(F.floor("value"))
+        .cast("long")
+        .alias("delta"),
+    )
+    return (
+        deltas.groupBy("user_id")
+        .agg(
+            F.expr(
+                "aggregate("
+                " transform(array_sort(collect_list(struct(ts, event_id, delta))),"
+                "           r -> r.delta),"
+                " CAST(0 AS BIGINT),"
+                " (acc, d) -> greatest(CAST(0 AS BIGINT), acc + d))"
+            ).alias("final_balance"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select("user_id", "final_balance", "n_events")
+    )
+
+
+@query(
+    "q300_warehouse_build",
+    oracle="""
+    WITH gate AS (
+        SELECT ((SELECT COUNT(*) FROM (
+                    SELECT c_custkey FROM customer
+                    GROUP BY c_custkey HAVING COUNT(*) > 1))
+              + (SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+              + (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+               ) = 0 AS publish
+    )
+    SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+           c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,4)))
+                 AS DOUBLE), 4) AS revenue,
+           gate.publish
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    CROSS JOIN gate
+    GROUP BY 1, 2, gate.publish
+    """,
+)
+def q300_warehouse_build(spark, sf_dir) -> DataFrame:
+    """The reference's DAG shape (extract -> load -> query -> gate ->
+    report, mercadolibre_pipeline_dag.py's five tasks) at warehouse
+    scale, as ONE lazy plan: the publish GATE is the q296 constraint
+    audit's critical rules folded to a single boolean (PK unique, FK
+    intact, prices positive — the known-nonzero balance rule is
+    monitoring, not gating), and the MART is the month x segment
+    revenue rollup (broadcast dim join, decimal-exact money). The gate
+    rides every output row the way the reference's ShortCircuitOperator
+    gated its report — but here a failed gate still MATERIALIZES the
+    mart with publish=false (auditable), rather than silently skipping
+    downstream. Composition discipline: each piece is an
+    already-oracled kernel (q296's rules, q21's rollup, q06's report
+    gate), and the composed oracle replays all of them, so q300 is a
+    regression tripwire across the whole stack."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    pk_dupes = c.groupBy("c_custkey").count().filter(F.col("count") > 1)
+    fk_bad = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    bad_price = o.filter(F.col("o_totalprice") <= 0)
+    gate = (
+        pk_dupes.agg(F.count("*").alias("a"))
+        .crossJoin(fk_bad.agg(F.count("*").alias("b")))
+        .crossJoin(bad_price.agg(F.count("*").alias("cnt")))
+        .select(
+            ((F.col("a") + F.col("b") + F.col("cnt")) == 0).alias("publish")
+        )
+    )
+    mart = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+            .alias("month"),
+            "c_mktsegment",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+                .cast("double"),
+                4,
+            ).alias("revenue"),
+        )
+    )
+    return mart.crossJoin(F.broadcast(gate)).select(
+        "month", "c_mktsegment", "n_orders", "revenue", "publish"
+    )
