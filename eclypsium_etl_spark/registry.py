@@ -92,6 +92,12 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # initial tier-0 block (q280+) append at the end of tier 0 via the
 # registration-order fallback in ordered_queries().
 _CHEAP_FIRST = [
+    # --- tier 0a: the 12 cheapest of the r1-r3 backlog (VERDICT r3 #1's
+    # explicit ask — evidence conversion for ids registered rounds ago) ---
+    "q251_gzip_jsonl_source", "q252_binary_file_source", "q253_tar_packed_assets",
+    "q254_multiline_json", "q255_csv_quoting", "q256_from_csv_expr",
+    "q257_xpath_functions", "q258_hash_functions", "q208_gap_audit",
+    "q191_corpus_fingerprint", "q205_collapse_adjacent", "q145_histogram",
     # --- tier 0: new in round 4 (no prior driver row possible),
     # cheapest-first; the one streaming entry (q274, micro-batch floor)
     # and the iterative q268 close the tier ---
@@ -107,10 +113,7 @@ _CHEAP_FIRST = [
     "q276_sparse_cosine_pairs", "q268_bpe_merges", "q274_stream_outer_join",
     "q281_stream_chained_windows",
     # --- tier 1: never driver-sampled through r3 (111), cheapest-first ---
-    "q251_gzip_jsonl_source", "q252_binary_file_source", "q253_tar_packed_assets",
-    "q254_multiline_json", "q255_csv_quoting", "q256_from_csv_expr",
-    "q257_xpath_functions", "q258_hash_functions", "q208_gap_audit",
-    "q191_corpus_fingerprint", "q205_collapse_adjacent", "q145_histogram",
+
     "q146_string_agg", "q173_sql_udf", "q201_url_canonical_dedup", "q223_udf_iterator",
     "q189_win_first_last_nth", "q166_length_buckets", "q227_distribute_sort_by",
     "q218_sql_pipe", "q237_collated_group", "q194_pack_boundaries", "q176_values_join",
