@@ -38,7 +38,8 @@ SF01 = "/root/testdata/sf0.1"
 N_SHARDS = 10  # 1 real + 9 remapped/rotated
 QUERIES = ["q63_dedup_near", "q71_dedup_minhash_lsh", "q129_semdedup",
            "q263_perplexity_bigram", "q268_bpe_merges",
-           "q277_token_stream_chunks"]
+           "q277_token_stream_chunks", "q282_dsir_weights",
+           "q284_corpus_manifest"]
 # linear = 10x. Bound at 25x: generous for constant overheads + shared-box
 # noise, far below the ~100x an uncapped quadratic path would pay.
 MAX_RATIO = 25.0
