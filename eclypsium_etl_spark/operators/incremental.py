@@ -128,3 +128,64 @@ def q106_partial_reagg(spark, sf_dir) -> DataFrame:
             F.sum(F.col("total").cast("decimal(28,4)")).cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "q301_partition_reprocess",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4)
+               AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q301_partition_reprocess(spark, sf_dir) -> DataFrame:
+    """Late-data PARTITION REPROCESS — the incremental-mart maintenance
+    pattern that replaces full rebuilds at scale: yesterday's mart was
+    built from the on-time slice (here: all but the last 10% of
+    event_ids, a deterministic stand-in for 'rows that had arrived by
+    the cutoff'); when the late batch lands, ONLY the days it touches
+    are recomputed from the full source and swapped into the mart —
+    untouched days are carried over verbatim. The checked output is the
+    maintained mart, and the ORACLE IS THE FULL RECOMPUTE — so the
+    query proves the central invariant of incremental processing:
+    carry-over + affected-day recompute == rebuild-from-scratch,
+    bit-for-bit (decimal money discipline). At 100 TB this is a
+    partition-overwrite write (dynamic partition overwrite on day) of
+    just the affected days; the anti-join here is its plan-level
+    dry-run. Late rows landing on NEW days (no prior partition) are the
+    classic edge — covered, since affected days come from the late
+    batch itself."""
+    e = table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+
+    def mart(src) -> DataFrame:
+        return src.groupBy(day, "event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,4)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+
+    cutoff = e.agg(
+        F.expr("percentile(event_id, 0.9)").alias("c")
+    )
+    on_time = e.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("event_id") <= F.col("c")
+    ).drop("c")
+    late = e.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("event_id") > F.col("c")
+    ).drop("c")
+
+    stale_mart = mart(on_time)
+    affected_days = late.select(day).distinct()
+    carried = stale_mart.join(
+        F.broadcast(affected_days), "day", "left_anti"
+    )
+    affected_rows = e.withColumn("day", day).join(
+        F.broadcast(affected_days), "day", "semi"
+    ).drop("day")
+    return carried.unionByName(mart(affected_rows))
