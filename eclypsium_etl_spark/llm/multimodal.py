@@ -653,3 +653,97 @@ def q260_png_roundtrip(spark, sf_dir) -> DataFrame:
         decode_png_batches,
         "doc_id long, width int, height int, r_sum long, g_sum long, b_sum long",
     )
+
+
+# -------------------------------- real image resize (q302)
+
+
+def resize_ppm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: decode PPM, 2x2 BOX-DOWNSAMPLE (integer mean, floor)
+    in numpy, emit resized dims + channel sums. Odd trailing columns are
+    cropped (floor(w/2) output cols) — the deterministic convention."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {
+            "doc_id": [], "out_w": [], "out_h": [],
+            "r_sum": [], "g_sum": [], "b_sum": [],
+        }
+        for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
+            raw = bytes(blob)
+            magic, dims, rest = raw.split(b"\n", 2)
+            assert magic == b"P6"
+            w, h = (int(x) for x in dims.split())
+            px = np.frombuffer(
+                rest.split(b"\n", 1)[1], dtype=np.uint8
+            ).reshape(h, w, 3).astype(np.int64)
+            ow, oh = w // 2, h // 2
+            crop = px[: oh * 2, : ow * 2]
+            # 2x2 box mean, floored — exact integer arithmetic
+            small = (
+                crop[0::2, 0::2] + crop[1::2, 0::2]
+                + crop[0::2, 1::2] + crop[1::2, 1::2]
+            ) // 4
+            out["doc_id"].append(doc_id)
+            out["out_w"].append(ow)
+            out["out_h"].append(oh)
+            out["r_sum"].append(int(small[:, :, 0].sum()))
+            out["g_sum"].append(int(small[:, :, 1].sum()))
+            out["b_sum"].append(int(small[:, :, 2].sum()))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "q302_image_resize",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 8 + doc_id % 8 AS w, 6 AS h FROM documents
+    ),
+    grid AS (
+        SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh FROM dims
+    )
+    SELECT doc_id, CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+           CAST(list_sum(list_transform(range(0, ow * oh), o ->
+               ( ((2*(o % ow)   + (o // ow)*2*w)     * 7 + doc_id) % 256
+               + ((2*(o % ow)+1 + (o // ow)*2*w)     * 7 + doc_id) % 256
+               + ((2*(o % ow)   + ((o // ow)*2+1)*w) * 7 + doc_id) % 256
+               + ((2*(o % ow)+1 + ((o // ow)*2+1)*w) * 7 + doc_id) % 256
+               ) // 4)) AS BIGINT) AS r_sum,
+           CAST(list_sum(list_transform(range(0, ow * oh), o ->
+               ( ((2*(o % ow)   + (o // ow)*2*w)     * 13 + doc_id*3) % 256
+               + ((2*(o % ow)+1 + (o // ow)*2*w)     * 13 + doc_id*3) % 256
+               + ((2*(o % ow)   + ((o // ow)*2+1)*w) * 13 + doc_id*3) % 256
+               + ((2*(o % ow)+1 + ((o // ow)*2+1)*w) * 13 + doc_id*3) % 256
+               ) // 4)) AS BIGINT) AS g_sum,
+           CAST(list_sum(list_transform(range(0, ow * oh), o ->
+               ( ((2*(o % ow)   + (o // ow)*2*w)     * 31) % 256
+               + ((2*(o % ow)+1 + (o // ow)*2*w)     * 31) % 256
+               + ((2*(o % ow)   + ((o // ow)*2+1)*w) * 31) % 256
+               + ((2*(o % ow)+1 + ((o // ow)*2+1)*w) * 31) % 256
+               ) // 4)) AS BIGINT) AS b_sum
+    FROM grid
+    """,
+)
+def q302_image_resize(spark, sf_dir) -> DataFrame:
+    """REAL image RESIZE on executors — the remaining verb of the
+    multimodal contract (decode q249/q260, feature-extract q248,
+    frame-sample q250/q112, and now resize): genuine PPM containers are
+    decoded to numpy pixel grids and 2x2 BOX-DOWNSAMPLED with integer
+    mean arithmetic (floor; odd trailing columns cropped by the
+    floor(w/2) convention) — exactly a torchvision Resize(antialias-box)
+    at half scale, minus the float filter kernels that would break
+    cross-engine exactness. The oracle recomputes every output pixel
+    from the generator formula: each output (ox, oy) averages the four
+    input pixels (2ox(+1), 2oy(+1)), with the input index i = y*w + x
+    driving the per-channel congruences — so a single mis-strided row
+    or off-by-one crop shifts the sums and fails the hash. Variable
+    widths (8-15, half of them odd) make the crop convention
+    load-bearing. Blobs never shuffle; encode and resize are back-to-
+    back scan-stage mapInPandas, the exact plumbing a PIL/torchvision
+    batch transform drops into."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    encoded = d.mapInPandas(encode_ppm_batches, "doc_id long, image binary")
+    return encoded.mapInPandas(
+        resize_ppm_batches,
+        "doc_id long, out_w int, out_h int, r_sum long, g_sum long, b_sum long",
+    )
