@@ -747,3 +747,91 @@ def q302_image_resize(spark, sf_dir) -> DataFrame:
         resize_ppm_batches,
         "doc_id long, out_w int, out_h int, r_sum long, g_sum long, b_sum long",
     )
+
+
+# ------------------------- single-bin DFT tone detection on WAV (q303)
+
+_GOERTZEL_BINS = (1, 5, 20)  # DFT bins probed per clip
+
+
+def goertzel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: decode the WAV container and compute single-bin DFT
+    power (the quantity Goertzel's recurrence evaluates) per probe bin:
+    P = (sum x_i cos(w i))^2 + (sum x_i sin(w i))^2, normalized by n^2.
+    Plain sequential double arithmetic, term expressions written in the
+    exact shape the oracle uses so the fold is IEEE-identical."""
+    import io
+    import math
+    import struct as st
+    import wave
+
+    for pdf in batches:
+        out = {"doc_id": [], "bin": [], "norm_power": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
+            with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                n = w.getnframes()
+                xs = st.unpack(f"<{n}h", w.readframes(n))
+            for k in _GOERTZEL_BINS:
+                c = 0.0
+                s = 0.0
+                for i, x in enumerate(xs):
+                    ang = 2.0 * math.pi * k / n * i
+                    c = c + x * math.cos(ang)
+                    s = s + x * math.sin(ang)
+                out["doc_id"].append(doc_id)
+                out["bin"].append(k)
+                out["norm_power"].append(round((c * c + s * s) / (n * n), 6))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "q303_goertzel_tones",
+    oracle=f"""
+    WITH clips AS (
+        SELECT doc_id, 400 + doc_id % 100 AS n, doc_id % 7 + 1 AS step
+        FROM documents
+    ),
+    probes AS (
+        SELECT doc_id, n, step, UNNEST([{", ".join(str(k) for k in _GOERTZEL_BINS)}]) AS bin
+        FROM clips
+    ),
+    folded AS (
+        SELECT doc_id, bin, n,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(0, n),
+                           i -> CAST((i * step) % 200 - 100 AS DOUBLE)
+                                * cos(CAST(2.0 AS DOUBLE) * pi() * bin / n * i))),
+                   (a, b) -> a + b) AS c,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(0, n),
+                           i -> CAST((i * step) % 200 - 100 AS DOUBLE)
+                                * sin(CAST(2.0 AS DOUBLE) * pi() * bin / n * i))),
+                   (a, b) -> a + b) AS s
+        FROM probes
+    )
+    SELECT doc_id, CAST(bin AS INTEGER) AS bin,
+           round((c * c + s * s) / (n * n), 6) AS norm_power
+    FROM folded
+    """,
+)
+def q303_goertzel_tones(spark, sf_dir) -> DataFrame:
+    """Single-bin DFT tone power over REAL WAV clips — audio feature
+    extraction beyond energy (q248): three probe bins per clip, the
+    quantity tone/DTMF detectors evaluate (classically via Goertzel's
+    recurrence; computed here as the direct correlation sums, because
+    the differential harness demands IEEE-identical folds and DuckDB's
+    list_reduce cannot carry two-variable struct state — a measured
+    limitation: the struct accumulator aliases, yielding s1 == s2).
+    Both engines evaluate the SAME textual arithmetic — term angle
+    2.0*pi*bin/n*i left-associated, per-term products, one sequential
+    scalar fold per sum — so a 400-500-term trigonometric reduction
+    parities exactly at 6dp after n^2 normalization. The clip decode is
+    the real container path (stdlib wave); everything is scan-stage
+    mapInPandas, O(n) per probed bin, zero shuffle."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    encoded = d.mapInPandas(encode_wav_batches, "doc_id long, audio binary")
+    return encoded.mapInPandas(
+        goertzel_batches, "doc_id long, bin int, norm_power double"
+    )
