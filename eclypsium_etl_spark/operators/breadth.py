@@ -1205,3 +1205,96 @@ def q300_warehouse_build(spark, sf_dir) -> DataFrame:
     return mart.crossJoin(F.broadcast(gate)).select(
         "month", "c_mktsegment", "n_orders", "revenue", "publish"
     )
+
+
+# Deterministic typo generator for entity resolution (the fixture has no
+# dirty duplicates): every third customer gets a "registration" whose name
+# drops one character — the classic fat-finger variant. Same arithmetic
+# both engines (q119 discipline).
+_ER_TYPO_SQL = (  # drop the character at position (custkey % 5) + 3
+    "substr({name}, 1, ({key} % 5) + 2) || substr({name}, ({key} % 5) + 4)"
+)
+
+
+@query(
+    "q304_entity_resolution",
+    oracle=f"""
+    WITH clean AS (
+        SELECT c_custkey AS id, c_name AS name FROM customer
+    ),
+    dirty AS (
+        SELECT c_custkey + 1000000 AS id,
+               {_ER_TYPO_SQL.format(name='c_name', key='c_custkey')} AS name,
+               c_custkey AS true_id
+        FROM customer WHERE c_custkey % 3 = 0
+    ),
+    cand AS (
+        SELECT d.id AS dirty_id, d.true_id, c.id AS clean_id,
+               levenshtein(d.name, c.name) AS dist
+        FROM dirty d JOIN clean c
+          ON substr(d.name, 1, 3) = substr(c.name, 1, 3)
+         AND abs(strlen(d.name) - strlen(c.name)) <= 2
+    ),
+    best AS (
+        SELECT dirty_id, true_id, clean_id, dist,
+               row_number() OVER (PARTITION BY dirty_id
+                                  ORDER BY dist, clean_id) AS rn
+        FROM cand WHERE dist <= 2
+    )
+    SELECT dirty_id, clean_id, CAST(dist AS INTEGER) AS dist,
+           (clean_id = true_id) AS correct
+    FROM best WHERE rn = 1
+    """,
+)
+def q304_entity_resolution(spark, sf_dir) -> DataFrame:
+    """ENTITY RESOLUTION — typo-tolerant record matching, the warehouse
+    family (MDM / customer-360) the exact-key dedup operators can't
+    touch: dirty registrations (deterministic one-character-dropped
+    variants of every third customer name) match back to the clean
+    master by BLOCKING (shared 3-char prefix + length band — the
+    standard trick that turns the O(n*m) fuzzy join into
+    per-block candidates) followed by exact LEVENSHTEIN distance <= 2
+    and a deterministic best-match rank. The `correct` flag scores the
+    resolver against planted truth IN the result — match quality as
+    checkable data (q287's meta-evaluation discipline). At 100 TB the
+    prefix block is the join key (hash-shuffle on 3-char prefixes;
+    salt hot prefixes via q84), candidates stay per-block quadratic
+    only, and the surviving pair set feeds q111's connected components
+    for transitive consolidation. Both engines implement levenshtein
+    natively — the oracle is exact."""
+    c = table(spark, sf_dir, "customer")
+    clean = c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    typo = F.expr(
+        _ER_TYPO_SQL.format(name="c_name", key="c_custkey")
+        .replace("substr", "substring")
+        .replace("strlen", "length")
+    )
+    dirty = c.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("dirty_id"),
+        typo.alias("dname"),
+        F.col("c_custkey").alias("true_id"),
+    )
+    cand = dirty.join(
+        clean,
+        (F.substring("dname", 1, 3) == F.substring("name", 1, 3))
+        & (F.abs(F.length("dname") - F.length("name")) <= 2),
+    ).select(
+        "dirty_id",
+        "true_id",
+        F.col("id").alias("clean_id"),
+        F.levenshtein("dname", "name").alias("dist"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("dirty_id").orderBy("dist", "clean_id")
+    return (
+        cand.filter(F.col("dist") <= 2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dirty_id",
+            "clean_id",
+            F.col("dist").cast("int").alias("dist"),
+            (F.col("clean_id") == F.col("true_id")).alias("correct"),
+        )
+    )
