@@ -189,3 +189,81 @@ def q301_partition_reprocess(spark, sf_dir) -> DataFrame:
         F.broadcast(affected_days), "day", "semi"
     ).drop("day")
     return carried.unionByName(mart(affected_rows))
+
+
+@query(
+    "q305_cdc_apply",
+    oracle="""
+    WITH log AS (
+        -- synthesized changelog over customer: op I for all, then U for
+        -- custkey%4=0 (balance bump, later seq), then D for custkey%10=0
+        -- (later still) — deterministic ops with a total order
+        SELECT c_custkey AS k, 1 AS seq, 'I' AS op,
+               c_name AS name, c_acctbal AS bal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 2, 'U', c_name,
+               round(c_acctbal + 100.0, 2)
+        FROM customer WHERE c_custkey % 4 = 0
+        UNION ALL
+        SELECT c_custkey, 3, 'D', NULL, NULL
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    latest AS (
+        SELECT k, op, name, bal,
+               row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM log
+    )
+    SELECT k AS c_custkey, name, round(bal, 2) AS bal
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q305_cdc_apply(spark, sf_dir) -> DataFrame:
+    """CDC CHANGELOG APPLY with tombstones — materializing current
+    state from a Debezium-style I/U/D log, the op q104's upsert merge
+    doesn't cover (deletes must REMOVE rows, not just lose to newer
+    versions): latest op per key wins (seq-ordered window with the
+    q85/q134 keep-one discipline), and a winning tombstone drops the
+    key entirely. The changelog is synthesized deterministically over
+    customer so every path is exercised — plain inserts survive,
+    updates supersede (balance bump visible), deletes erase keys that
+    were inserted AND updated (custkey % 20 = 0 hits both). One
+    key-hash shuffle for the window; at 100 TB this is exactly the
+    foreachBatch merge a streaming CDC sink runs per micro-batch
+    (q58), partition-pruned to the keys the batch touches (q301's
+    affected-partition discipline)."""
+    c = table(spark, sf_dir, "customer")
+    ins = c.select(
+        F.col("c_custkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    upd = c.filter(F.col("c_custkey") % 4 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("bal"),
+    )
+    dele = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("double").alias("bal"),
+    )
+    log = ins.unionByName(upd).unionByName(dele)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("k").orderBy(F.desc("seq"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            F.col("k").alias("c_custkey"),
+            "name",
+            F.round("bal", 2).alias("bal"),
+        )
+    )

@@ -767,3 +767,75 @@ def q293_stream_session_final(spark, sf_dir) -> DataFrame:
         .trigger(availableNow=True)
     )
     return spark.table(qname)
+
+
+@query(
+    "q306_stream_full_outer_join",
+    oracle="""
+    WITH wm AS (
+        SELECT least(
+            (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+        ) - INTERVAL 1 HOUR AS w
+    )
+    SELECT a.event_id AS eid_a, b.event_id AS eid_b,
+           COALESCE(a.user_id, b.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') a
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE (a.event_id IS NOT NULL AND b.event_id IS NOT NULL)
+       OR (b.event_id IS NULL
+           AND a.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm))
+       OR (a.event_id IS NULL
+           AND b.ts < (SELECT w FROM wm))
+    """,
+)
+def q306_stream_full_outer_join(spark, sf_dir) -> DataFrame:
+    """Watermarked FULL OUTER stream-stream join — completing the join-
+    mode family (inner q101, left q274) with BOTH null-extension sets
+    in closed form, and they are ASYMMETRIC, which is the instructive
+    part: an unmatched VIEW emits once no future purchase can land in
+    its forward window (ts + 30 min < final watermark — the q274
+    condition), but an unmatched PURCHASE's candidate views all lie in
+    its PAST, so it emits as soon as the watermark passes its own
+    timestamp (ts < final watermark) — earlier rows are either already
+    in state or provably never coming. Two interval bounds, two
+    different eviction horizons, both derivable from the join
+    predicate; getting either wrong leaks premature NULLs or drops
+    matches, and the hash catches both. State on an unbounded stream
+    stays bounded by exactly these horizons."""
+    from ..operators.queries_stream_helpers import run_stream_to_memory
+
+    a = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("eid_a"),
+            F.col("user_id").alias("user_a"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "1 hour")
+    )
+    b = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("eid_b"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "1 hour")
+    )
+    joined = a.join(
+        b,
+        (F.col("user_a") == F.col("user_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        "eid_a",
+        "eid_b",
+        F.coalesce("user_a", "user_b").alias("user_id"),
+    )
+    return run_stream_to_memory(spark, joined)
