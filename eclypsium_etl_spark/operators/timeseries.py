@@ -994,3 +994,60 @@ def q297_rolling_distinct(spark, sf_dir) -> DataFrame:
             F.date_format("day", "yyyy-MM-dd").alias("day"), "users_7d"
         )
     )
+
+
+@query(
+    "q307_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id, value,
+               CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS DOUBLE)
+                   / 1e6 AS dt_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           round(CAST(SUM(CAST(value * dt_s AS DECIMAL(28,8)))
+                 AS DOUBLE)
+                 / CAST(SUM(CAST(dt_s AS DECIMAL(28,8))) AS DOUBLE), 6)
+               AS twap
+    FROM seg WHERE dt_s IS NOT NULL AND dt_s > 0
+    GROUP BY user_id
+    """,
+)
+def q307_time_weighted_avg(spark, sf_dir) -> DataFrame:
+    """TIME-WEIGHTED average (TWAP) — the aggregate monitoring and
+    finance actually need where plain AVG lies: each observation holds
+    until the next one, so its weight is the DURATION it was in force
+    (lead(ts) − ts per user), and the mean is Σ value·Δt / Σ Δt. Rows
+    with no successor (each user's last) carry no duration and drop
+    out — the standard right-open convention; zero-length segments
+    (duplicate timestamps) drop with them. Float discipline: value·Δt
+    is a double product quantized to DECIMAL(28,8) before the fold
+    (the q286 pattern), and Δt itself derives from integer microsecond
+    arithmetic so both engines weigh identical doubles. One window
+    shuffle on user_id + the rollup on the same key — AQE coalesces
+    them; at 100 TB this is a single exchange."""
+    e = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dt_s = (
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).cast(
+            "double"
+        )
+        / 1e6
+    )
+    seg = e.select("user_id", "value", dt_s.alias("dt_s")).filter(
+        F.col("dt_s").isNotNull() & (F.col("dt_s") > 0)
+    )
+    return seg.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.round(
+            F.sum((F.col("value") * F.col("dt_s")).cast("decimal(28,8)"))
+            .cast("double")
+            / F.sum(F.col("dt_s").cast("decimal(28,8)")).cast("double"),
+            6,
+        ).alias("twap"),
+    )
