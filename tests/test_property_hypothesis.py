@@ -271,3 +271,37 @@ def test_bpe_chain_matches_reference(spark, tmp_path, words):
             got.append((row[0].pair, row[0].merged, row[0].cnt))
     expect = _ref_bpe(dict(collections.Counter(words)), 3)
     assert got[: len(expect)] == expect, (got, expect, words)
+
+
+@given(
+    deltas=st.lists(st.integers(-50, 50), min_size=1, max_size=30),
+)
+@SETTINGS
+def test_clamped_fold_matches_reference(spark, deltas):
+    """q299's floor-at-zero ledger fold (expression-level aggregate()
+    over a sorted struct array) must equal the obvious sequential Python
+    fold on arbitrary delta sequences — including runs that bounce off
+    the zero floor repeatedly, where associativity violations would
+    show."""
+    from pyspark.sql import functions as F
+
+    rows = [(0, i, d) for i, d in enumerate(deltas)]
+    df = spark.createDataFrame(rows, "user_id long, seq long, delta long")
+    got = (
+        df.groupBy("user_id")
+        .agg(
+            F.expr(
+                "aggregate("
+                " transform(array_sort(collect_list(struct(seq, delta))),"
+                "           r -> r.delta),"
+                " CAST(0 AS BIGINT),"
+                " (acc, d) -> greatest(CAST(0 AS BIGINT), acc + d))"
+            ).alias("bal")
+        )
+        .collect()[0]
+        .bal
+    )
+    ref = 0
+    for d in deltas:
+        ref = max(0, ref + d)
+    assert got == ref, (deltas, got, ref)
