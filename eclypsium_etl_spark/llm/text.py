@@ -3488,3 +3488,90 @@ def q290_gopher_repetition(spark, sf_dir) -> DataFrame:
         F.round(cov[4].cast("double") / F.col("n_words"), 6).alias("top4_cov"),
         keep.alias("keep"),
     )
+
+
+# ---- largest-remainder quota apportionment (q309) ----------------------
+_APPORTION_BUDGET = 1000  # documents to allocate across sources
+
+
+@query(
+    "q309_quota_apportion",
+    oracle=f"""
+    WITH w AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM w),
+    exact_q AS (
+        SELECT source, n,
+               {_APPORTION_BUDGET} * n / CAST(t AS DOUBLE) AS exact_quota,
+               CAST(floor({_APPORTION_BUDGET} * n / CAST(t AS DOUBLE))
+                    AS BIGINT) AS base_quota,
+               {_APPORTION_BUDGET} * n / CAST(t AS DOUBLE)
+                   - floor({_APPORTION_BUDGET} * n / CAST(t AS DOUBLE))
+                   AS remainder
+        FROM w CROSS JOIN tot
+    ),
+    short AS (
+        SELECT CAST({_APPORTION_BUDGET} - SUM(base_quota) AS BIGINT) AS k
+        FROM exact_q
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY remainder DESC, source ASC)
+                      AS rr
+        FROM exact_q
+    )
+    SELECT source, n, round(exact_quota, 6) AS exact_quota,
+           CAST(base_quota + CASE WHEN rr <= short.k THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked CROSS JOIN short
+    """,
+)
+def q309_quota_apportion(spark, sf_dir) -> DataFrame:
+    """Largest-remainder (Hare) quota APPORTIONMENT — the integer
+    allocation problem every fixed-budget data mix hits: proportional
+    shares of a {_APPORTION_BUDGET}-doc budget are fractional, naive
+    rounding over- or under-spends the budget, and largest-remainder is
+    the standard fix — floor every share, then hand the leftover K
+    units to the K largest remainders (deterministic remainder-desc,
+    source-asc tiebreak). The emitted quotas provably sum to the budget
+    exactly (asserted in the unit test) while staying within one unit
+    of exact proportionality — the property the method exists for.
+    Downstream, q122's per-source quota taker consumes these numbers.
+    Plan: one source-count aggregate (|sources| rows), everything after
+    is window work on that tiny frame."""
+    d = table(spark, sf_dir, "documents")
+    w = d.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    tot = w.agg(F.sum("n").cast("long").alias("t"))
+    exact = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "exact_quota",
+            F.lit(_APPORTION_BUDGET) * F.col("n") / F.col("t").cast("double"),
+        )
+        .withColumn(
+            "base_quota", F.floor("exact_quota").cast("long")
+        )
+        .withColumn("remainder", F.col("exact_quota") - F.floor("exact_quota"))
+    )
+    short = exact.agg(
+        (F.lit(_APPORTION_BUDGET) - F.sum("base_quota")).cast("long").alias("k")
+    )
+    from pyspark.sql import Window as W
+
+    rr = F.row_number().over(W.orderBy(F.desc("remainder"), F.asc("source")))
+    return (
+        exact.withColumn("rr", rr)
+        .crossJoin(F.broadcast(short))
+        .select(
+            "source",
+            "n",
+            F.round("exact_quota", 6).alias("exact_quota"),
+            (
+                F.col("base_quota")
+                + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )

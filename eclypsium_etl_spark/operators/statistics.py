@@ -888,3 +888,64 @@ def q296_constraint_audit(spark, sf_dir) -> DataFrame:
     for r in rules[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "q308_seasonal_residual",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, value, dayofweek(ts) + 1 AS dow FROM events
+    ),
+    g AS (SELECT CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*) AS gmean FROM base),
+    d AS (
+        SELECT dow,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS dmean
+        FROM base GROUP BY dow
+    )
+    SELECT b.event_id, b.dow,
+           round(d.dmean - g.gmean, 6) AS dow_effect,
+           round(b.value - d.dmean, 6) AS residual
+    FROM base b JOIN d USING (dow) CROSS JOIN g
+    """,
+)
+def q308_seasonal_residual(spark, sf_dir) -> DataFrame:
+    """Seasonal decomposition, weekday granularity — the adjustment
+    layer q147's z-score anomaly detector needs before it stops paging
+    on every Monday: value = grand mean + day-of-week effect +
+    residual. The per-event residual (value minus its weekday mean) is
+    what downstream thresholds should score; the dow_effect column is
+    the seasonality profile itself. Means fold in DECIMAL on both
+    engines (order-independent), weekday numbering is pinned through
+    dayofweek (one of the documented cross-engine gotchas — both
+    engines differ: Spark 1=Sunday, DuckDB 0=Sunday — the oracle
+    shifts by one). Plan: one weekday aggregate (7 rows,
+    broadcast back), one 1-row grand mean, the fact scanned once —
+    scan + two broadcast joins at any scale."""
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id", "value", F.dayofweek("ts").alias("dow")
+    )
+    g = base.agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count("*")
+        ).alias("gmean")
+    )
+    d = base.groupBy("dow").agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count("*")
+        ).alias("dmean")
+    )
+    return (
+        base.join(F.broadcast(d), "dow")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_id",
+            "dow",
+            F.round(F.col("dmean") - F.col("gmean"), 6).alias("dow_effect"),
+            F.round(F.col("value") - F.col("dmean"), 6).alias("residual"),
+        )
+    )

@@ -290,3 +290,18 @@ def test_q136_validates_fixture_corpus(spark):
     rows = QUERIES["q136_embedding_validate"](spark, SF_CHECK).collect()
     assert len({r.dim for r in rows}) == 1
     assert all(not r.has_nan and not r.is_zero and r.is_unit for r in rows)
+
+
+def test_q309_quotas_sum_to_budget(spark):
+    """The apportionment invariant: integer quotas sum EXACTLY to the
+    budget, and each quota is within one unit of its exact share."""
+    from eclypsium_etl_spark.llm.text import _APPORTION_BUDGET
+    from eclypsium_etl_spark.registry import load_all
+
+    from .conftest import SF_CHECK
+
+    q, _ = load_all()
+    rows = q["q309_quota_apportion"](spark, SF_CHECK).collect()
+    assert sum(r.quota for r in rows) == _APPORTION_BUDGET
+    for r in rows:
+        assert abs(r.quota - r.exact_quota) < 1.0, r
