@@ -949,3 +949,123 @@ def q308_seasonal_residual(spark, sf_dir) -> DataFrame:
             F.round(F.col("value") - F.col("dmean"), 6).alias("residual"),
         )
     )
+
+
+# SPRT hypotheses and boundaries (Wald 1945): H0 p=0.10 vs H1 p=0.15,
+# alpha = beta = 0.05 -> accept/reject log-boundaries ln(19), -ln(19).
+_SPRT_P0, _SPRT_P1 = 0.10, 0.15
+_SPRT_B = 2.9444389791664403  # ln(19), literal so both engines share it
+
+
+@query(
+    "q310_sprt",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT user_id % 2 AS variant, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events
+    ),
+    walked AS (
+        SELECT variant, ts, event_id, conv,
+               SUM(CAST(CASE WHEN conv = 1
+                        THEN ln({_SPRT_P1} / {_SPRT_P0})
+                        ELSE ln((1 - {_SPRT_P1}) / (1 - {_SPRT_P0})) END
+                   AS DECIMAL(28,12))) OVER (
+                   PARTITION BY variant ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS llr,
+               row_number() OVER (PARTITION BY variant
+                                  ORDER BY ts, event_id) AS n
+        FROM assigned
+    ),
+    crossings AS (
+        SELECT variant, n, llr,
+               row_number() OVER (PARTITION BY variant ORDER BY n)
+                   AS cross_rank
+        FROM walked
+        WHERE llr >= {_SPRT_B} OR llr <= -{_SPRT_B}
+    )
+    SELECT w.variant,
+           CAST(MAX(w.n) AS BIGINT) AS n_total,
+           round(CAST(MAX_BY(w.llr, w.n) AS DOUBLE), 6) AS llr_final,
+           CAST(MIN(c.n) AS BIGINT) AS n_at_decision,
+           CASE WHEN MIN(c.n) IS NULL THEN 'continue'
+                WHEN MAX_BY(c.llr, -c.n) >= {_SPRT_B} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision
+    FROM walked w LEFT JOIN crossings c
+      ON c.variant = w.variant AND c.cross_rank = 1
+    GROUP BY w.variant
+    """,
+)
+def q310_sprt(spark, sf_dir) -> DataFrame:
+    """Wald's SEQUENTIAL probability ratio test over the event stream —
+    the always-valid alternative to q183's fixed-horizon A/B lift
+    (peeking at a fixed-horizon test inflates false positives; SPRT is
+    built to be read continuously): per variant, the cumulative
+    log-likelihood ratio of H1 (p=15%) vs H0 (p=10%) conversion walks
+    one step per event in time order, and the FIRST boundary crossing
+    (+/- ln 19 for 5% error rates) decides — the decision row carries
+    how many observations it took, the test's whole selling point. The
+    per-event LLR increments are two constants, so the cumulative walk
+    folds them in DECIMAL — order-stable across engines — and the
+    first crossing is a deterministic min over the crossing set.
+    Per-variant ordered windows are the q127 scale note: range-
+    partition by (variant, time) and prefix-sum when one variant
+    outgrows a partition."""
+    import math
+
+    e = table(spark, sf_dir, "events")
+    assigned = e.select(
+        (F.col("user_id") % 2).alias("variant"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    up = math.log(_SPRT_P1 / _SPRT_P0)
+    down = math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("variant").orderBy("ts", "event_id")
+    walked = assigned.select(
+        "variant",
+        F.sum(
+            F.when(F.col("conv") == 1, F.lit(up))
+            .otherwise(F.lit(down))
+            .cast("decimal(28,12)")
+        )
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("llr"),
+        F.row_number().over(w).alias("n"),
+    )
+    crossings = (
+        walked.filter(
+            (F.col("llr") >= _SPRT_B) | (F.col("llr") <= -_SPRT_B)
+        )
+        .withColumn(
+            "cross_rank",
+            F.row_number().over(W.partitionBy("variant").orderBy("n")),
+        )
+        .filter(F.col("cross_rank") == 1)
+        .select(
+            "variant",
+            F.col("n").alias("cn"),
+            F.col("llr").alias("cllr"),
+        )
+    )
+    totals = walked.groupBy("variant").agg(
+        F.max("n").cast("long").alias("n_total"),
+        F.round(F.max_by("llr", "n").cast("double"), 6).alias("llr_final"),
+    )
+    return (
+        totals.join(F.broadcast(crossings), "variant", "left")
+        .select(
+            "variant",
+            "n_total",
+            "llr_final",
+            F.col("cn").cast("long").alias("n_at_decision"),
+            F.when(F.col("cn").isNull(), "continue")
+            .when(F.col("cllr") >= _SPRT_B, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("decision"),
+        )
+    )
