@@ -1069,3 +1069,97 @@ def q310_sprt(spark, sf_dir) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+@query(
+    "q311_event_pmi",
+    oracle="""
+    WITH peru AS (
+        SELECT DISTINCT user_id, event_type FROM events
+        WHERE event_type IS NOT NULL
+    ),
+    n_users AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM peru
+    ),
+    singles AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n1 FROM peru
+        GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n2
+        FROM peru a JOIN peru b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n2,
+           round(ln(CAST(p.n2 AS DOUBLE) * nu.nu
+                    / (sa.n1 * CAST(sb.n1 AS DOUBLE))), 6) AS pmi,
+           (CAST(p.n2 AS DOUBLE) * nu.nu > sa.n1 * CAST(sb.n1 AS DOUBLE))
+               AS positively_associated
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN n_users nu
+    """,
+)
+def q311_event_pmi(spark, sf_dir) -> DataFrame:
+    """Pointwise mutual information between event types at the USER
+    level — the association-mining primitive behind 'users who do A
+    also do B' (market-basket lift is exp(PMI)): presence sets
+    deduplicate per user FIRST (frequency inside a user shouldn't
+    inflate association), the pair table self-joins on user with an
+    ordered type condition, and PMI = ln(P(a,b) / (P(a)P(b))) with all
+    probabilities over the user universe. The boolean flag marks
+    positive association via the exact integer cross-product comparison
+    (no float boundary). Scale: the self-join is per-user over the
+    DISTINCT type set — bounded by (types-per-user choose 2), not
+    events squared — and at 100 TB the heavy hitters in n2 map-side
+    combine; with a large type vocabulary the q71-style banding of the
+    pair space applies."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    peru = e.select("user_id", "event_type").distinct()
+    nu = peru.agg(F.countDistinct("user_id").cast("long").alias("nu"))
+    singles = peru.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n1")
+    )
+    a = peru.select("user_id", F.col("event_type").alias("type_a"))
+    b = peru.select(
+        F.col("user_id").alias("uid_b"), F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.user_id == b.uid_b) & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n2"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n1").alias("n1a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n1").alias("n1b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            "n2",
+            F.round(
+                F.log(
+                    F.col("n2").cast("double")
+                    * F.col("nu")
+                    / (F.col("n1a") * F.col("n1b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+            (
+                F.col("n2").cast("double") * F.col("nu")
+                > F.col("n1a") * F.col("n1b").cast("double")
+            ).alias("positively_associated"),
+        )
+    )
