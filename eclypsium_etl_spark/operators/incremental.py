@@ -267,3 +267,68 @@ def q305_cdc_apply(spark, sf_dir) -> DataFrame:
             F.round("bal", 2).alias("bal"),
         )
     )
+
+
+@query(
+    "q312_surrogate_keys",
+    oracle="""
+    WITH existing AS (
+        SELECT c_custkey, c_name,
+               c_custkey * 10 AS sk   -- the dimension's current keys
+        FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    mx AS (SELECT MAX(sk) AS base FROM existing),
+    incoming AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0
+    ),
+    assigned AS (
+        SELECT c_custkey, c_name,
+               (SELECT base FROM mx)
+               + row_number() OVER (ORDER BY c_custkey) AS sk
+        FROM incoming
+    )
+    SELECT c_custkey, c_name, CAST(sk AS BIGINT) AS sk, FALSE AS is_new
+    FROM existing
+    UNION ALL
+    SELECT c_custkey, c_name, CAST(sk AS BIGINT), TRUE FROM assigned
+    """,
+)
+def q312_surrogate_keys(spark, sf_dir) -> DataFrame:
+    """SURROGATE KEY assignment — the dimension-load step every star
+    schema performs and Spark famously has no safe builtin for
+    (monotonically_increasing_id leaves gaps and renumbers on retry;
+    this needs DENSE, DETERMINISTIC, COLLISION-FREE keys continuing
+    from the dimension's current maximum): new members get
+    max(existing sk) + their rank in a total business-key order. The
+    rank comes from ops.global_running_sum over a constant-1 column —
+    the two-phase scan/prefix-sum — so no single-partition window
+    bottleneck at scale; the max is a 1-row broadcast. Determinism is
+    the contract that makes retries idempotent: the same incoming set
+    always produces the same keys (the q114/q125 rerun-stability
+    discipline applied to key generation)."""
+    from .. import ops
+
+    c = table(spark, sf_dir, "customer")
+    existing = c.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_custkey") * 10).cast("long").alias("sk"),
+        F.lit(False).alias("is_new"),
+    )
+    base = existing.agg(F.max("sk").alias("base"))
+    incoming = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_name", F.lit(1).cast("long").alias("__one")
+    )
+    ranked = ops.global_running_sum(
+        incoming, ["c_custkey"], "__one", "rank"
+    )
+    assigned = (
+        ranked.crossJoin(F.broadcast(base))
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("base") + F.col("rank")).cast("long").alias("sk"),
+            F.lit(True).alias("is_new"),
+        )
+    )
+    return existing.unionByName(assigned)
