@@ -702,3 +702,76 @@ def q239_triangle_count(spark, sf_dir) -> DataFrame:
             6,
         ).alias("clustering_coeff"),
     )
+
+
+@query(
+    "q313_embedding_standardize",
+    oracle="""
+    WITH comp AS (
+        SELECT vec_id, i,
+               CAST(floor(embedding[i + 1] * 1e6 + 0.5) AS BIGINT) AS xq
+        FROM embeddings, UNNEST(range(0, len(embedding))) u(i)
+    ),
+    stats AS (
+        SELECT i,
+               SUM(xq) / CAST(COUNT(*) AS DOUBLE) / 1e6 AS mu,
+               sqrt(SUM(xq * xq) / CAST(COUNT(*) AS DOUBLE) / 1e12
+                    - (SUM(xq) / CAST(COUNT(*) AS DOUBLE) / 1e6)
+                      * (SUM(xq) / CAST(COUNT(*) AS DOUBLE) / 1e6)) AS sigma
+        FROM comp GROUP BY i
+    )
+    SELECT c.vec_id,
+           CAST(COUNT(*) AS BIGINT) AS dim,
+           round(SUM(CAST(floor((c.xq / 1e6 - s.mu) / s.sigma * 1e9 + 0.5)
+                          AS BIGINT)) / 1e9, 6) AS z_sum,
+           round(SUM(CAST(floor(((c.xq / 1e6 - s.mu) / s.sigma)
+                                * ((c.xq / 1e6 - s.mu) / s.sigma) * 1e9 + 0.5)
+                          AS BIGINT)) / 1e9, 6) AS z_norm_sq
+    FROM comp c JOIN stats s USING (i)
+    GROUP BY c.vec_id
+    """,
+)
+def q313_embedding_standardize(spark, sf_dir) -> DataFrame:
+    """Per-DIMENSION embedding standardization (whitening-lite): center
+    and scale every coordinate by its corpus mean and population std —
+    the preprocessing that stops a few high-variance dimensions from
+    dominating cosine/L2 retrieval (full ZCA adds the rotation; the
+    diagonal version is the production default because it needs only
+    64 scalars). Plan: ONE posexplode pass folds per-dimension sums and
+    sum-of-squares in DECIMAL (exact moments, the q90 discipline); the
+    64-row stats table broadcasts back onto the components and each
+    vector re-aggregates its standardized coordinates. The checked
+    output is per-vector z-sum and z-norm' — the standardized vectors'
+    invariants (corpus-wide, z_sum ~ 0 per dim and mean z_norm_sq ~ dim
+    by construction; asserted in the unit test) — because emitting the
+    raw arrays would just hash the same arithmetic with more bytes.
+    At 100 TB: stats are one tree-aggregated pass; application is
+    scan-stage."""
+    em = table(spark, sf_dir, "embeddings")
+    comp = em.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("x") * 1e6 + 0.5).cast("long").alias("xq"),
+    )
+    mu = F.sum("xq") / F.count("*").cast("double") / 1e6
+    ex2 = F.sum(F.col("xq") * F.col("xq")) / F.count("*").cast("double") / 1e12
+    stats = comp.groupBy("i").agg(
+        mu.alias("mu"), F.sqrt(ex2 - mu * mu).alias("sigma")
+    )
+    z = (F.col("xq") / 1e6 - F.col("mu")) / F.col("sigma")
+    # deterministic half-up integer quantization at 1e-9: identical
+    # doubles -> identical integers on both engines (decimal-cast
+    # rounding modes differ at exact boundaries; floor(+0.5) doesn't)
+    zq = F.floor(z * 1e9 + 0.5).cast("long")
+    z2q = F.floor(z * z * 1e9 + 0.5).cast("long")
+    return (
+        comp.join(F.broadcast(stats), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("long").alias("dim"),
+            F.round(F.sum(zq) / 1e9, 6).alias("z_sum"),
+            F.round(F.sum(z2q) / 1e9, 6).alias("z_norm_sq"),
+        )
+    )
