@@ -1468,3 +1468,66 @@ def q292_banding_curve(spark, sf_dir) -> DataFrame:
             6,
         ).alias("theory_collision_rate"),
     )
+
+
+# ----------------------- char-n-gram Jaccard (q314): the CJK-ready path
+
+_CHAR_N = 8  # character n-gram width (whitespace-free shingling)
+
+# Char 8-grams per doc (set semantics), on the SCRIPT-AUGMENTED text the
+# q288 discipline synthesizes — so the operator is exercised on content
+# where word splitting would genuinely fail (CJK has no spaces).
+_CHAR_SH_CTE = f"""
+aug AS (
+    SELECT doc_id,
+           substr(text, 1, 48) ||
+           CASE lang WHEN 'zh' THEN '数据处理引擎数据处理引擎流水线'
+                ELSE ' ' || lang || ' tail words here' END AS t
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, substr(t, i, {_CHAR_N}) AS s
+    FROM aug, UNNEST(generate_series(1, length(t) - {_CHAR_N - 1})) AS u(i)
+)
+"""
+
+
+@query(
+    "q314_char_ngram_jaccard",
+    oracle=f"WITH {_CHAR_SH_CTE},\n{_JACCARD_TAIL}",
+)
+def q314_char_ngram_jaccard(spark, sf_dir) -> DataFrame:
+    """Near-duplicate pairs by CHARACTER-n-gram Jaccard — the
+    whitespace-free shingling CJK and code corpora require (word
+    shingles, q63, silently degenerate when there are no word
+    boundaries: an unsegmented Chinese document is ONE token). Each doc
+    contributes its distinct 8-char windows over script-augmented text
+    (the q288 synthesis, so Chinese-labeled docs actually carry CJK
+    characters and the operator is exercised where it matters), and the
+    ENTIRE downstream machinery is q63's, reused verbatim via
+    jaccard_pairs: df-capped candidate generation, broadcast hot-set
+    completion, exact Jaccard over full sets. That reuse is the design
+    point — shingling strategy is a pluggable first stage, scale
+    controls and verification are shared. Unicode note: substr counts
+    CHARACTERS on both engines, so multi-byte CJK windows align."""
+    d = table(spark, sf_dir, "documents")
+    tail = F.when(
+        F.col("lang") == "zh",
+        F.lit("数据处理引擎数据处理引擎流水线"),
+    ).otherwise(F.concat(F.lit(" "), F.col("lang"), F.lit(" tail words here")))
+    aug = d.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 48), tail).alias("t"),
+    )
+    n = _CHAR_N
+    sh = aug.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(t) < {n} THEN cast(array() AS array<string>)"
+                f" ELSE transform(sequence(1, length(t) - {n - 1}),"
+                f" i -> substring(t, i, {n})) END"
+            )
+        ).alias("s"),
+    ).distinct()
+    return jaccard_pairs(sh)
