@@ -1232,7 +1232,8 @@ _ER_TYPO_SQL = (  # drop the character at position (custkey % 5) + 3
         SELECT d.id AS dirty_id, d.true_id, c.id AS clean_id,
                levenshtein(d.name, c.name) AS dist
         FROM dirty d JOIN clean c
-          ON substr(d.name, 1, 3) = substr(c.name, 1, 3)
+          ON substr(d.name, strlen(d.name) - 2, 3)
+             = substr(c.name, strlen(c.name) - 2, 3)
          AND abs(strlen(d.name) - strlen(c.name)) <= 2
     ),
     best AS (
@@ -1276,7 +1277,10 @@ def q304_entity_resolution(spark, sf_dir) -> DataFrame:
     )
     cand = dirty.join(
         clean,
-        (F.substring("dname", 1, 3) == F.substring("name", 1, 3))
+        (
+            F.substring(F.col("dname"), -3, 3)
+            == F.substring(F.col("name"), -3, 3)
+        )
         & (F.abs(F.length("dname") - F.length("name")) <= 2),
     ).select(
         "dirty_id",
