@@ -1163,3 +1163,119 @@ def q311_event_pmi(spark, sf_dir) -> DataFrame:
             ).alias("positively_associated"),
         )
     )
+
+
+@query(
+    "q315_mad_robust_z",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               median(value) AS med_v
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value,
+               abs(e.value - m.med_v) AS adev, m.med_v
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, median(adev) AS mad_v FROM dev
+        GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           round(d.med_v, 6) AS group_median,
+           round(mad.mad_v, 6) AS group_mad,
+           round((d.value - d.med_v) / (1.4826 * mad.mad_v), 6)
+               AS robust_z,
+           (abs((d.value - d.med_v) / (1.4826 * mad.mad_v)) > 3.5)
+               AS is_outlier
+    FROM dev d JOIN mad USING (event_type)
+    """,
+)
+def q315_mad_robust_z(spark, sf_dir) -> DataFrame:
+    """ROBUST z-scores via median absolute deviation — the outlier
+    detector that survives what breaks q147's mean/std z-score: one
+    giant outlier inflates the std enough to mask itself (masking), and
+    the Hampel identifier (|x − median| / (1.4826·MAD) > 3.5) doesn't
+    care because both location and scale are medians. Two exact-median
+    passes per group (Spark median() == DuckDB median(): both
+    interpolate at even counts, one of the verified cross-engine
+    agreements), with the group medians broadcast back between them.
+    At 100 TB exact medians become approx_percentile sketches (q80's
+    note) — same two-pass shape, mergeable state."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med_v"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med_v",
+        F.abs(F.col("value") - F.col("med_v")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad_v"))
+    rz = (F.col("value") - F.col("med_v")) / (1.4826 * F.col("mad_v"))
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("med_v", 6).alias("group_median"),
+        F.round("mad_v", 6).alias("group_mad"),
+        F.round(rz, 6).alias("robust_z"),
+        (F.abs(rz) > 3.5).alias("is_outlier"),
+    )
+
+
+@query(
+    "q316_benford_audit",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INTEGER) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs)
+    SELECT d, n,
+           round(CAST(n AS DOUBLE) / t, 6) AS observed_freq,
+           round(log10(1.0 + 1.0 / d), 6) AS benford_freq,
+           round(CAST(n AS DOUBLE) / t - log10(1.0 + 1.0 / d), 6)
+               AS deviation
+    FROM obs CROSS JOIN tot
+    """,
+)
+def q316_benford_audit(spark, sf_dir) -> DataFrame:
+    """BENFORD'S LAW first-digit audit — the forensic data-quality check
+    for 'does this monetary column look organically generated':
+    naturally occurring multi-scale amounts put digit d first with
+    probability log10(1 + 1/d) (30.1% ones, 4.6% nines); fabricated or
+    truncated data doesn't. Emitted per digit: observed frequency,
+    Benford expectation, and the deviation an auditor thresholds (this
+    synthetic fixture deviates by construction — the point is the
+    measurement, and the driver hashes the exact deviations). The first
+    digit comes from integer string arithmetic (truncate to BIGINT,
+    first character), identical on both engines — no float log-based
+    digit extraction, which would wobble at powers of ten. One tiny
+    aggregate (9 rows); scan-stage at any scale."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").cast("long").alias("t"))
+    freq = F.col("n").cast("double") / F.col("t")
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            F.round(freq, 6).alias("observed_freq"),
+            F.round(benford, 6).alias("benford_freq"),
+            F.round(freq - benford, 6).alias("deviation"),
+        )
+    )

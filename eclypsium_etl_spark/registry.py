@@ -110,7 +110,7 @@ _CHEAP_FIRST = [
     "q280_union_schema_evolution", "q285_gopher_rules",
     "q282_dsir_weights", "q283_bpe_apply", "q284_corpus_manifest", "q286_time_decay_agg", "q287_dedup_eval", "q288_script_detect", "q289_minhash_estimate", "q290_gopher_repetition", "q291_zip_packed_assets", "q292_banding_curve", "q293_stream_session_final", "q294_haversine_join", "q295_gdpr_purge", "q296_constraint_audit", "q297_rolling_distinct", "q298_pareto_frontier",
     "q299_clamped_balance", "q300_warehouse_build", "q301_partition_reprocess", "q302_image_resize", "q303_goertzel_tones",
-    "q304_entity_resolution", "q305_cdc_apply", "q306_stream_full_outer_join", "q307_time_weighted_avg", "q308_seasonal_residual", "q309_quota_apportion", "q310_sprt", "q311_event_pmi", "q312_surrogate_keys", "q313_embedding_standardize", "q314_char_ngram_jaccard",
+    "q304_entity_resolution", "q305_cdc_apply", "q306_stream_full_outer_join", "q307_time_weighted_avg", "q308_seasonal_residual", "q309_quota_apportion", "q310_sprt", "q311_event_pmi", "q312_surrogate_keys", "q313_embedding_standardize", "q314_char_ngram_jaccard", "q315_mad_robust_z", "q316_benford_audit",
     "q276_sparse_cosine_pairs", "q268_bpe_merges", "q274_stream_outer_join",
     "q281_stream_chained_windows",
     # --- tier 1: never driver-sampled through r3 (111), cheapest-first ---
