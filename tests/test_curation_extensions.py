@@ -305,3 +305,21 @@ def test_q309_quotas_sum_to_budget(spark):
     assert sum(r.quota for r in rows) == _APPORTION_BUDGET
     for r in rows:
         assert abs(r.quota - r.exact_quota) < 1.0, r
+
+
+def test_q304_resolver_accuracy_on_planted_truth(spark):
+    """Entity resolution must actually resolve: every planted typo
+    matches back, and to the RIGHT master record (the suffix blocking
+    key must not have cost recall)."""
+    from eclypsium_etl_spark.registry import load_all
+
+    from .conftest import SF_CHECK
+
+    q, _ = load_all()
+    rows = q["q304_entity_resolution"](spark, SF_CHECK).collect()
+    n_dirty_expected = sum(
+        1 for r in range(0, 1500) if r % 3 == 0
+    )  # custkeys 0..1499 at sf0.01
+    assert len(rows) == n_dirty_expected
+    assert all(r.correct for r in rows), [r for r in rows if not r.correct][:3]
+    assert all(r.dist == 1 for r in rows)  # one dropped char
