@@ -312,10 +312,11 @@ _QARR_EXPR = (
     )
     SELECT vec_id,
            round(scale, 9) AS scale,
-           CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
-           ELSE list_transform(embedding,
-                x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
-           END AS q,
+           array_to_string(
+               CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
+               ELSE list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
+               END, ',') AS q,
            round(list_sum(list_transform(embedding, x ->
                CASE WHEN scale = 0.0 THEN CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                ELSE (CAST(x AS DOUBLE)
@@ -356,7 +357,11 @@ def q121_embed_quantize(spark, sf_dir) -> DataFrame:
     return s.select(
         "vec_id",
         F.round("scale", 9).alias("scale"),
-        F.expr(qexpr).alias("q"),
+        # serialized int8 codes: scalar result columns only (driver
+        # canonicalizers hash scalars, not lists — VERDICT r4 #1)
+        F.expr(
+            f"array_join(transform({qexpr}, v -> cast(v AS string)), ',')"
+        ).alias("q"),
         F.expr(mse).alias("mse"),
     )
 
@@ -515,7 +520,8 @@ _POOL_DEC = "DECIMAL(38,20)"
         GROUP BY c.doc, j.j
     )
     SELECT doc, MAX(n) AS n_chunks,
-           list(round(s / n, 9) ORDER BY j) AS pooled
+           array_to_string(list(printf('%.9f', round(s / n, 9))
+                                ORDER BY j), ',') AS pooled
     FROM t GROUP BY doc
     """,
 )
@@ -542,11 +548,14 @@ def q178_embedding_pool(spark, sf_dir) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+    # pooled vector serialized via fixed %.9f: identical doubles format
+    # identically on both engines, and the result column stays scalar
+    # (driver canonicalizers hash scalars, not lists — VERDICT r4 #1)
     return t.groupBy("doc").agg(
         F.max("n").alias("n_chunks"),
         F.expr(
-            "transform(array_sort(collect_list(struct(j, s, n))),"
-            " st -> round(st.s / st.n, 9))"
+            "array_join(transform(array_sort(collect_list(struct(j, s, n))),"
+            " st -> printf('%.9f', round(st.s / st.n, 9))), ',')"
         ).alias("pooled"),
     )
 

@@ -1430,7 +1430,7 @@ _IDX_MIN_DF, _IDX_MAX_DF = 2, 200
     ),
     agg AS (
         SELECT token, COUNT(*) AS df,
-               list(doc_id ORDER BY doc_id) AS postings
+               array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
         FROM post GROUP BY token
     )
     SELECT token, df, postings FROM agg
@@ -1441,7 +1441,9 @@ def q159_inverted_index(spark, sf_dir) -> DataFrame:
     """Inverted-index build (token → sorted posting list + document
     frequency) — the search-index construction shape. Postings are
     per-token sorted INSIDE the aggregate expression (sort_array ∘
-    collect_list) because shuffle arrival order is nondeterministic;
+    collect_list) because shuffle arrival order is nondeterministic,
+    then serialized to a CSV string so every result column is scalar
+    (driver canonicalizers hash scalars, not lists — VERDICT r4 #1);
     df-band filtering (drop hapax legomena and stop-like terms) bounds
     posting length. At 100 TB the groupBy keys on token — skewed by
     Zipf — so the production variant shards hot tokens (token, doc_id
@@ -1456,7 +1458,10 @@ def q159_inverted_index(spark, sf_dir) -> DataFrame:
         post.groupBy("token")
         .agg(
             F.count("*").alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(doc_id)),"
+                " x -> cast(x AS string)), ',')"
+            ).alias("postings"),
         )
         .filter(F.col("df").between(_IDX_MIN_DF, _IDX_MAX_DF))
     )
@@ -1916,8 +1921,8 @@ def q193_shard_rebalance(spark, sf_dir) -> DataFrame:
     )
     SELECT CAST(floor(tok_start / {_PACK_CAPACITY}) AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs,
-           list(CAST(tok_start % {_PACK_CAPACITY} AS BIGINT)
-                ORDER BY doc_id) AS boundaries,
+           array_to_string(list(CAST(tok_start % {_PACK_CAPACITY} AS BIGINT)
+                                ORDER BY doc_id), ',') AS boundaries,
            CAST(MAX(tok_start % {_PACK_CAPACITY} + n_tok) AS BIGINT)
                AS fill_level
     FROM c GROUP BY bin_id
@@ -1929,8 +1934,9 @@ def q194_pack_boundaries(spark, sf_dir) -> DataFrame:
     document starts — exactly what block-diagonal attention masking and
     position-id resets consume at train time — plus the bin's fill
     level (capacity minus fill = padding). The offsets aggregate sorted
-    INSIDE the array expression; the window + rollup share the q117
-    plan shape (two-phase prefix sum at scale, see q127)."""
+    INSIDE the array expression and are serialized to a CSV string (the
+    driver canonicalizer hashes scalars only); the window + rollup share
+    the q117 plan shape (two-phase prefix sum at scale, see q127)."""
     from pyspark.sql import Window as W
 
     d = table(spark, sf_dir, "documents").select(
@@ -1947,8 +1953,8 @@ def q194_pack_boundaries(spark, sf_dir) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.expr(
-                "transform(array_sort(collect_list(struct(doc_id, off))),"
-                " st -> st.off)"
+                "array_join(transform(array_sort(collect_list("
+                "struct(doc_id, off))), st -> cast(st.off AS string)), ',')"
             ).alias("boundaries"),
             F.max(F.col("off") + F.col("n_tok")).cast("long").alias(
                 "fill_level"

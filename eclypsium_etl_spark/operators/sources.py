@@ -965,7 +965,7 @@ def _unzip_batches(batches):
 @query(
     "q291_zip_packed_assets",
     oracle="""
-    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
     FROM documents
     """,
@@ -980,7 +980,10 @@ def q291_zip_packed_assets(spark, sf_dir) -> DataFrame:
     full scan), and every member carries a CRC32 the stdlib verifies on
     read — so corruption fails loudly. Same scale story as q253: 8
     shards = 8 listing entries, executor-side unpack via mapInPandas,
-    byte fidelity proven by the same md5 oracle. Shards are staged
+    byte fidelity proven by the same md5 oracle. n_bytes counts UTF-8
+    OCTETS on both sides (len of the encoded member here,
+    octet_length(encode(..)) in the oracle) — strlen would count
+    characters and diverge on any non-ASCII text (ADVICE r4). Shards are staged
     write-once under the full-path + source-stamp key (the q252
     staleness discipline)."""
     import io

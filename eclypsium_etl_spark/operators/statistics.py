@@ -1185,9 +1185,9 @@ def q311_event_pmi(spark, sf_dir) -> DataFrame:
     SELECT d.event_id, d.event_type,
            round(d.med_v, 6) AS group_median,
            round(mad.mad_v, 6) AS group_mad,
-           round((d.value - d.med_v) / (1.4826 * mad.mad_v), 6)
+           round((d.value - d.med_v) / (1.4826 * nullif(mad.mad_v, 0)), 6)
                AS robust_z,
-           (abs((d.value - d.med_v) / (1.4826 * mad.mad_v)) > 3.5)
+           (abs((d.value - d.med_v) / (1.4826 * nullif(mad.mad_v, 0))) > 3.5)
                AS is_outlier
     FROM dev d JOIN mad USING (event_type)
     """,
@@ -1202,7 +1202,11 @@ def q315_mad_robust_z(spark, sf_dir) -> DataFrame:
     interpolate at even counts, one of the verified cross-engine
     agreements), with the group medians broadcast back between them.
     At 100 TB exact medians become approx_percentile sketches (q80's
-    note) — same two-pass shape, mergeable state."""
+    note) — same two-pass shape, mergeable state. MAD = 0 (a group
+    where a majority shares the median value) is guarded with
+    nullif on BOTH engines: division-by-zero semantics differ
+    cross-engine (Spark non-ANSI NULL vs DuckDB inf), so degenerate
+    groups must produce NULL robust_z identically (ADVICE r4)."""
     e = table(spark, sf_dir, "events")
     med = e.groupBy("event_type").agg(F.median("value").alias("med_v"))
     dev = e.join(F.broadcast(med), "event_type").select(
@@ -1213,7 +1217,9 @@ def q315_mad_robust_z(spark, sf_dir) -> DataFrame:
         F.abs(F.col("value") - F.col("med_v")).alias("adev"),
     )
     mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad_v"))
-    rz = (F.col("value") - F.col("med_v")) / (1.4826 * F.col("mad_v"))
+    rz = (F.col("value") - F.col("med_v")) / (
+        1.4826 * F.nullif(F.col("mad_v"), F.lit(0.0))
+    )
     return dev.join(F.broadcast(mad), "event_type").select(
         "event_id",
         "event_type",

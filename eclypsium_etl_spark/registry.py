@@ -92,100 +92,127 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # initial tier-0 block (q280+) append at the end of tier 0 via the
 # registration-order fallback in ordered_queries().
 _CHEAP_FIRST = [
-    # --- tier 0a: the 12 cheapest of the r1-r3 backlog (VERDICT r3 #1's
-    # explicit ask — evidence conversion for ids registered rounds ago) ---
-    "q251_gzip_jsonl_source", "q252_binary_file_source", "q253_tar_packed_assets",
-    "q254_multiline_json", "q255_csv_quoting", "q256_from_csv_expr",
-    "q257_xpath_functions", "q258_hash_functions", "q208_gap_audit",
-    "q191_corpus_fingerprint", "q205_collapse_adjacent", "q145_histogram",
-    # --- tier 0: new in round 4 (no prior driver row possible),
-    # cheapest-first; the one streaming entry (q274, micro-batch floor)
-    # and the iterative q268 close the tier ---
-    "q264_group_order_by_all", "q265_stack_inline", "q266_str_to_map",
-    "q269_map_hofs", "q273_mask_functions", "q275_array_fns_modern",
-    "q271_band_join_bnl", "q261_unicode_nfc", "q260_png_roundtrip",
-    "q262_char_coverage", "q267_vocab_oov", "q278_soft_dedup_weights",
-    "q277_token_stream_chunks", "q270_fixed_width_source",
-    "q272_json_permissive", "q263_perplexity_bigram", "q279_ccnet_buckets",
-    "q280_union_schema_evolution", "q285_gopher_rules",
-    "q282_dsir_weights", "q283_bpe_apply", "q284_corpus_manifest", "q286_time_decay_agg", "q287_dedup_eval", "q288_script_detect", "q289_minhash_estimate", "q290_gopher_repetition", "q291_zip_packed_assets", "q292_banding_curve", "q293_stream_session_final", "q294_haversine_join", "q295_gdpr_purge", "q296_constraint_audit", "q297_rolling_distinct", "q298_pareto_frontier",
-    "q299_clamped_balance", "q300_warehouse_build", "q301_partition_reprocess", "q302_image_resize", "q303_goertzel_tones",
-    "q304_entity_resolution", "q305_cdc_apply", "q306_stream_full_outer_join", "q307_time_weighted_avg", "q308_seasonal_residual", "q309_quota_apportion", "q310_sprt", "q311_event_pmi", "q312_surrogate_keys", "q313_embedding_standardize", "q314_char_ngram_jaccard", "q315_mad_robust_z", "q316_benford_audit",
+    # --- tier 0: the 118 ids with NO driver CORRECTNESS row through
+    # r4 (VERDICT r4 "Next round" #3: spend the whole r5 budget here).
+    # Order within the tier: round-4 additions first (q302-q316 +
+    # q276/q268/q274/q281 — ADVICE r4: zero driver evidence, highest
+    # transport risk), then the r1-r3 leftovers cheapest-first from the
+    # sf0.01 profile so the 50-query budget greens the maximum. ---
+    # q275 leads: the one RED r4 row (array transport, now fixed via
+    # array_join both sides) — re-sample it first so r5 records the
+    # green conversion.
+    "q275_array_fns_modern",
+    "q302_image_resize", "q303_goertzel_tones", "q304_entity_resolution",
+    "q305_cdc_apply", "q306_stream_full_outer_join", "q307_time_weighted_avg",
+    "q308_seasonal_residual", "q309_quota_apportion", "q310_sprt",
+    "q311_event_pmi", "q312_surrogate_keys", "q313_embedding_standardize",
+    "q314_char_ngram_jaccard", "q315_mad_robust_z", "q316_benford_audit",
     "q276_sparse_cosine_pairs", "q268_bpe_merges", "q274_stream_outer_join",
-    "q281_stream_chained_windows",
-    # --- tier 1: never driver-sampled through r3 (111), cheapest-first ---
-
-    "q146_string_agg", "q173_sql_udf", "q201_url_canonical_dedup", "q223_udf_iterator",
-    "q189_win_first_last_nth", "q166_length_buckets", "q227_distribute_sort_by",
-    "q218_sql_pipe", "q237_collated_group", "q194_pack_boundaries", "q176_values_join",
-    "q172_pattern_detect", "q185_histogram_equidepth", "q121_embed_quantize",
-    "q203_quantile_sketch", "q217_scan_file_metadata", "q168_variant_json",
-    "q141_bigram_vocab", "q169_map_in_arrow", "q180_curriculum_order",
-    "q233_udf_arrow_optimized", "q144_join_lateral", "q165_mlm_mask",
-    "q225_sql_pivot_unpivot", "q153_rollup_multigrain", "q211_try_expressions",
-    "q195_zorder_layout", "q196_outlier_iqr", "q230_sql_variables", "q216_observe_metrics",
-    "q213_user_profile", "q224_udtf_table_arg", "q192_pit_join", "q150_zipf_fit",
-    "q152_asof_tolerance", "q126_sessionize", "q179_hard_negatives", "q183_ab_lift",
-    "q209_nested_output", "q154_nucleus_topp", "q215_apply_in_arrow",
-    "q131_mixture_temperature", "q188_pct_change", "q151_interval_bin_join",
-    "q197_first_touch_attribution", "q134_dedup_keep_best", "q159_inverted_index",
-    "q234_csv_permissive", "q222_hll_sketch_union", "q193_shard_rebalance",
-    "q204_rolling_multi_horizon", "q207_percent_of_total", "q133_perplexity_unigram",
-    "q184_token_entropy", "q147_anomaly_zscore", "q206_time_to_convert",
-    "q181_split_leakage", "q167_source_xml", "q198_decile_lift", "q164_source_text",
+    "q281_stream_chained_windows", "q146_string_agg", "q173_sql_udf",
+    "q201_url_canonical_dedup", "q223_udf_iterator",
+    "q189_win_first_last_nth", "q166_length_buckets",
+    "q227_distribute_sort_by", "q218_sql_pipe", "q237_collated_group",
+    "q194_pack_boundaries", "q176_values_join", "q172_pattern_detect",
+    "q185_histogram_equidepth", "q121_embed_quantize", "q203_quantile_sketch",
+    "q217_scan_file_metadata", "q168_variant_json", "q141_bigram_vocab",
+    "q169_map_in_arrow", "q180_curriculum_order", "q233_udf_arrow_optimized",
+    "q144_join_lateral", "q165_mlm_mask", "q225_sql_pivot_unpivot",
+    "q153_rollup_multigrain", "q211_try_expressions", "q195_zorder_layout",
+    "q196_outlier_iqr", "q230_sql_variables", "q216_observe_metrics",
+    "q213_user_profile", "q224_udtf_table_arg", "q192_pit_join",
+    "q150_zipf_fit", "q152_asof_tolerance", "q126_sessionize",
+    "q179_hard_negatives", "q183_ab_lift", "q209_nested_output",
+    "q154_nucleus_topp", "q215_apply_in_arrow", "q131_mixture_temperature",
+    "q188_pct_change", "q151_interval_bin_join",
+    "q197_first_touch_attribution", "q134_dedup_keep_best",
+    "q159_inverted_index", "q234_csv_permissive", "q222_hll_sketch_union",
+    "q193_shard_rebalance", "q204_rolling_multi_horizon",
+    "q207_percent_of_total", "q133_perplexity_unigram", "q184_token_entropy",
+    "q147_anomaly_zscore", "q206_time_to_convert", "q181_split_leakage",
+    "q167_source_xml", "q198_decile_lift", "q164_source_text",
     "q139_scd2_history", "q186_source_overlap", "q171_retention_cohorts",
-    "q128_heavy_hitters_cms", "q178_embedding_pool", "q174_setops_all", "q182_drift_psi",
-    "q157_profile_columns", "q232_cached_scan", "q143_regression_agg",
-    "q123_quality_repetition", "q120_dedup_blocks", "q190_sink_jsonl",
-    "q202_minhash_merge", "q160_funnel", "q200_corpus_build", "q130_sim_quantized_topk",
-    "q214_substring_spans", "q163_stream_update_counts", "q149_boilerplate_grams",
-    "q140_ngram_decontaminate", "q187_stream_complete_topk", "q127_running_total",
-    "q129_semdedup", "q124_bloom_decontaminate", "q170_recursive_hierarchy",
-    "q142_knn_graph", "q148_schema_evolution", "q161_bucketed_join", "q156_textrank",
-    "q235_compact_small_files", "q137_stream_curation", "q155_sink_dynamic_partition",
-    "q162_pca_power", "q239_triangle_count", "q243_state_reader",
-    "q259_stream_append_final", "q229_python_stream_source", "q221_python_datasource",
-    # --- tier 2: driver-green in r1-r3 (148), cheapest-first ---
-    "q59_udf_scalar", "q81_subquery", "q106_partial_reagg", "q86_partition_pruning",
-    "q67_text_tfidf", "q72_sim_ivf", "q92_cogroup", "q78_dedup_embedding",
-    "q63_dedup_near", "q115_decontaminate", "q71_dedup_minhash_lsh", "q111_dedup_groups",
-    "q118_stream_static_join", "q56_stream_watermark", "q57_stream_dedup_state",
-    "q87_stream_stateful", "q101_stream_stream_join", "q23_agg_approx_distinct",
-    "q52_shortcircuit_gate", "q113_stream_transform_state", "q135_text_normalize",
-    "q199_calendar_dim", "q136_embedding_validate", "q132_split_assign",
-    "q175_limit_offset", "q138_doc_chunking", "q125_sample_weighted", "q238_approx_top_k",
-    "q122_domain_rebalance", "q228_script_transform", "q177_null_ordering",
-    "q236_lateral_alias", "q119_pii_redact", "q158_weighted_reservoir",
-    "q210_struct_array_explode", "q219_sql_named_params", "q212_dayparting",
-    "q231_execute_immediate", "q220_transpose", "q226_lateral_view",
-    "q240_bitmap_distinct", "q241_timezone_convert", "q242_calendar_arithmetic",
-    "q244_ddl_defaults", "q245_analyze_stats", "q246_sql_scripting", "q247_join_hints",
-    "q248_wav_roundtrip", "q249_ppm_roundtrip", "q250_y4m_framesample", "q96_unpivot",
-    "q61_udtf", "q109_pad_trim", "q99_bitwise", "q98_string_distance",
-    "q75_text_token_count", "q76_text_fingerprint", "q97_array_setops", "q74_text_quality",
-    "q50_case_when", "q107_null_safe_eq", "q114_stratified_sample",
-    "q116_curation_pipeline", "q117_sequence_pack", "q102_dedup_hash", "q49_map_fns",
-    "q62_dedup_exact", "q95_explode_outer", "q108_conditional_agg", "q68_text_lang_stats",
-    "q48_array_fns", "q85_window_dedup", "q73_text_langid", "q104_merge_upsert",
-    "q100_argmax", "q83_exists_in", "q79_pivot", "q91_mode", "q77_multimodal_decode",
-    "q112_multimodal_framesample", "q80_percentiles", "q82_cte", "q54_stream_sliding",
-    "q69_multimodal_cols", "q53_stream_tumbling", "q110_greatest_least", "q88_python_udtf",
-    "q51_cast_coalesce", "q105_snapshot_diff", "q66_text_tokenize", "q70_dedup_simhash",
-    "q64_sim_knn", "q55_stream_session", "q84_skew_salted_join", "q60_udaf_grouped",
-    "q103_kmeans_assign", "q89_gapfill", "q90_stats_agg", "q65_sim_pairs",
-    "q58_stream_foreachbatch", "q36_limit", "q38_union_all", "q47_json_serialize",
-    "q37_topk_per_group", "q27_agg_having", "q41_except", "q43_date_parts",
-    "q34_win_ntile_pct", "q35_orderby", "q25_agg_cube", "q30_win_rank",
-    "q39_union_distinct", "q19_join_selfdedup", "q26_agg_groupingsets", "q10_constant_col",
-    "q33_win_range_frame", "q40_intersect", "q24_agg_rollup", "q29_win_rownumber",
-    "q46_json_get", "q22_agg_distinct", "q31_win_lag_lead", "q20_agg_global",
-    "q42_date_format", "q28_agg_collect", "q14_join_semi", "q32_win_running",
-    "q08_filter_arith", "q15_join_anti", "q93_source_csv", "q44_math_expr",
-    "q09_filter_compound", "q21_agg_groupby", "q18_join_asof", "q17_join_theta_range",
-    "q11_join_inner_hash", "q94_source_orc", "q06_sink_report", "q05_sink_jdbc",
-    "q13_join_left_outer", "q45_string_fns", "q12_join_broadcast", "q07_project",
-    "q16_join_multiway", "q04_sink_overwrite", "q02_source_json",
-    "q03_source_fanout_union", "q01_scan_parquet",
+    "q128_heavy_hitters_cms", "q178_embedding_pool", "q174_setops_all",
+    "q182_drift_psi", "q157_profile_columns", "q232_cached_scan",
+    "q143_regression_agg", "q123_quality_repetition", "q120_dedup_blocks",
+    "q190_sink_jsonl", "q202_minhash_merge", "q160_funnel",
+    "q200_corpus_build", "q130_sim_quantized_topk", "q214_substring_spans",
+    "q163_stream_update_counts", "q149_boilerplate_grams",
+    "q140_ngram_decontaminate", "q187_stream_complete_topk",
+    "q127_running_total", "q129_semdedup", "q124_bloom_decontaminate",
+    "q170_recursive_hierarchy", "q142_knn_graph", "q148_schema_evolution",
+    "q161_bucketed_join", "q156_textrank", "q235_compact_small_files",
+    "q137_stream_curation", "q155_sink_dynamic_partition", "q162_pca_power",
+    "q239_triangle_count", "q243_state_reader", "q259_stream_append_final",
+    "q229_python_stream_source", "q221_python_datasource",
+    # --- tier 1: driver-green in r1-r4 (198), cheapest-first; the
+    # budget only reaches these after every tier-0 id has a row ---
+    "q251_gzip_jsonl_source", "q252_binary_file_source",
+    "q253_tar_packed_assets", "q254_multiline_json", "q255_csv_quoting",
+    "q256_from_csv_expr", "q257_xpath_functions", "q258_hash_functions",
+    "q208_gap_audit", "q191_corpus_fingerprint", "q205_collapse_adjacent",
+    "q145_histogram", "q264_group_order_by_all", "q265_stack_inline",
+    "q266_str_to_map", "q269_map_hofs", "q273_mask_functions",
+    "q271_band_join_bnl", "q261_unicode_nfc",
+    "q260_png_roundtrip", "q262_char_coverage", "q267_vocab_oov",
+    "q278_soft_dedup_weights", "q277_token_stream_chunks",
+    "q270_fixed_width_source", "q272_json_permissive",
+    "q263_perplexity_bigram", "q279_ccnet_buckets",
+    "q280_union_schema_evolution", "q285_gopher_rules", "q282_dsir_weights",
+    "q283_bpe_apply", "q284_corpus_manifest", "q286_time_decay_agg",
+    "q287_dedup_eval", "q288_script_detect", "q289_minhash_estimate",
+    "q290_gopher_repetition", "q291_zip_packed_assets", "q292_banding_curve",
+    "q293_stream_session_final", "q294_haversine_join", "q295_gdpr_purge",
+    "q296_constraint_audit", "q297_rolling_distinct", "q298_pareto_frontier",
+    "q299_clamped_balance", "q300_warehouse_build",
+    "q301_partition_reprocess", "q59_udf_scalar", "q81_subquery",
+    "q106_partial_reagg", "q86_partition_pruning", "q67_text_tfidf",
+    "q72_sim_ivf", "q92_cogroup", "q78_dedup_embedding", "q63_dedup_near",
+    "q115_decontaminate", "q71_dedup_minhash_lsh", "q111_dedup_groups",
+    "q118_stream_static_join", "q56_stream_watermark",
+    "q57_stream_dedup_state", "q87_stream_stateful",
+    "q101_stream_stream_join", "q23_agg_approx_distinct",
+    "q52_shortcircuit_gate", "q113_stream_transform_state",
+    "q135_text_normalize", "q199_calendar_dim", "q136_embedding_validate",
+    "q132_split_assign", "q175_limit_offset", "q138_doc_chunking",
+    "q125_sample_weighted", "q238_approx_top_k", "q122_domain_rebalance",
+    "q228_script_transform", "q177_null_ordering", "q236_lateral_alias",
+    "q119_pii_redact", "q158_weighted_reservoir", "q210_struct_array_explode",
+    "q219_sql_named_params", "q212_dayparting", "q231_execute_immediate",
+    "q220_transpose", "q226_lateral_view", "q240_bitmap_distinct",
+    "q241_timezone_convert", "q242_calendar_arithmetic", "q244_ddl_defaults",
+    "q245_analyze_stats", "q246_sql_scripting", "q247_join_hints",
+    "q248_wav_roundtrip", "q249_ppm_roundtrip", "q250_y4m_framesample",
+    "q96_unpivot", "q61_udtf", "q109_pad_trim", "q99_bitwise",
+    "q98_string_distance", "q75_text_token_count", "q76_text_fingerprint",
+    "q97_array_setops", "q74_text_quality", "q50_case_when",
+    "q107_null_safe_eq", "q114_stratified_sample", "q116_curation_pipeline",
+    "q117_sequence_pack", "q102_dedup_hash", "q49_map_fns", "q62_dedup_exact",
+    "q95_explode_outer", "q108_conditional_agg", "q68_text_lang_stats",
+    "q48_array_fns", "q85_window_dedup", "q73_text_langid",
+    "q104_merge_upsert", "q100_argmax", "q83_exists_in", "q79_pivot",
+    "q91_mode", "q77_multimodal_decode", "q112_multimodal_framesample",
+    "q80_percentiles", "q82_cte", "q54_stream_sliding", "q69_multimodal_cols",
+    "q53_stream_tumbling", "q110_greatest_least", "q88_python_udtf",
+    "q51_cast_coalesce", "q105_snapshot_diff", "q66_text_tokenize",
+    "q70_dedup_simhash", "q64_sim_knn", "q55_stream_session",
+    "q84_skew_salted_join", "q60_udaf_grouped", "q103_kmeans_assign",
+    "q89_gapfill", "q90_stats_agg", "q65_sim_pairs",
+    "q58_stream_foreachbatch", "q36_limit", "q38_union_all",
+    "q47_json_serialize", "q37_topk_per_group", "q27_agg_having",
+    "q41_except", "q43_date_parts", "q34_win_ntile_pct", "q35_orderby",
+    "q25_agg_cube", "q30_win_rank", "q39_union_distinct",
+    "q19_join_selfdedup", "q26_agg_groupingsets", "q10_constant_col",
+    "q33_win_range_frame", "q40_intersect", "q24_agg_rollup",
+    "q29_win_rownumber", "q46_json_get", "q22_agg_distinct",
+    "q31_win_lag_lead", "q20_agg_global", "q42_date_format",
+    "q28_agg_collect", "q14_join_semi", "q32_win_running", "q08_filter_arith",
+    "q15_join_anti", "q93_source_csv", "q44_math_expr", "q09_filter_compound",
+    "q21_agg_groupby", "q18_join_asof", "q17_join_theta_range",
+    "q11_join_inner_hash", "q94_source_orc", "q06_sink_report",
+    "q05_sink_jdbc", "q13_join_left_outer", "q45_string_fns",
+    "q12_join_broadcast", "q07_project", "q16_join_multiway",
+    "q04_sink_overwrite", "q02_source_json", "q03_source_fanout_union",
+    "q01_scan_parquet",
 ]
 
 

@@ -42,3 +42,37 @@ def test_ordered_queries_is_a_permutation():
     assert not stale, f"stale _CHEAP_FIRST entries: {stale}"
     order = list(ordered)
     assert order.index("q63_dedup_near") < order.index("q71_dedup_minhash_lsh")
+
+
+def test_oracled_results_are_driver_hashable(spark):
+    """Every ORACLED query must return only scalar top-level columns.
+
+    Root cause of the one red driver row in four rounds (q275,
+    CORRECTNESS_r04): the driver's canonicalizer sorts raw result cells
+    and crashes on unhashable list/dict values, while the local harness
+    stringifies them (tests/parity.py) — so local green did not imply
+    driver green. This lint closes the gap: any array/map/struct-typed
+    top-level column in an oracled result is a failure here, BEFORE the
+    driver ever sees it. Queries that logically produce collections must
+    serialize them (array_join / to_json, mirrored in the oracle) the
+    way q159/q178/q194/q121/q275 now do. Plan construction only — no
+    execution — so this covers all ~315 oracled queries in about a
+    minute. No exceptions are whitelisted on purpose."""
+    from pyspark.sql import types as T
+
+    queries, oracle = registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name in sorted(oracle):
+        df = queries[name](spark, sf)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if complex_cols:
+            offenders.append((name, complex_cols))
+    assert not offenders, (
+        "oracled queries returning non-scalar top-level columns (driver "
+        f"canonicalizer would crash on these): {offenders}"
+    )
