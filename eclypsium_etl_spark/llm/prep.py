@@ -386,7 +386,14 @@ def q162_pca_power(spark, sf_dir) -> DataFrame:
     posexplode + 64-key aggregate for u = Σ s_i·x_i — the corpus never
     shuffles, only (dim, partial-sum) rows do. The eigenvalue estimate is
     ‖u‖ of the last iteration. Nothing touches the driver; v re-enters
-    the plan as a 1-row cross join, not a collect."""
+    the plan as a 1-row cross join, not a collect.
+
+    Plan-shape note: each iteration reduces u in ONE aggregate row
+    carrying BOTH the sorted loadings array and ‖u‖ — with norm and
+    loadings as two separate aggregates (the original shape), every
+    level had two consumers of its sub-lineage and the unrolled lazy
+    plan re-evaluated iteration 1's corpus scan 2^ITERS times; fused,
+    the final plan scans the corpus exactly ITERS times."""
     from ..functions import dot
 
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -396,7 +403,7 @@ def q162_pca_power(spark, sf_dir) -> DataFrame:
             "transform(sequence(1, d), i -> 1.0 / sqrt(CAST(d AS DOUBLE)))"
         ).alias("v")
     )
-    norm = None
+    red = None
     for _ in range(_PCA_ITERS):
         s = em.crossJoin(F.broadcast(v)).select(
             "embedding", dot(F.col("embedding"), F.col("v")).alias("s")
@@ -410,21 +417,20 @@ def q162_pca_power(spark, sf_dir) -> DataFrame:
         u = terms.groupBy("j").agg(
             F.sum(F.col("t").cast(_PCA_DEC)).cast("double").alias("u")
         )
-        norm = u.agg(
+        red = u.agg(
+            F.array_sort(F.collect_list(F.struct("j", "u"))).alias("a"),
             F.sqrt(
                 F.sum((F.col("u") * F.col("u")).cast(_PCA_DEC)).cast("double")
-            ).alias("nrm")
+            ).alias("nrm"),
         )
-        arr = u.agg(
-            F.array_sort(F.collect_list(F.struct("j", "u"))).alias("a")
-        )
-        v = arr.crossJoin(F.broadcast(norm)).select(
-            F.expr("transform(a, st -> st.u / nrm)").alias("v")
-        )
+        v = red.select(F.expr("transform(a, st -> st.u / nrm)").alias("v"))
     return (
-        v.crossJoin(F.broadcast(norm))
-        .select(F.posexplode("v").alias("pos", "x"), "nrm")
-        .select(
+        red.select(
+            F.posexplode(F.expr("transform(a, st -> st.u / nrm)")).alias(
+                "pos", "x"
+            ),
+            "nrm",
+        ).select(
             (F.col("pos") + 1).alias("j"),
             F.round("x", 9).alias("loading"),
             F.round("nrm", 6).alias("eigenvalue"),

@@ -191,9 +191,38 @@ def run_available_now(
         try:
             q = writer_builder(qname, ckpt).start()
             q.awaitTermination()
+            _record_state_metrics(qname, q)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return qname, ckpt
+
+
+# Most recent drained stream's state-store telemetry, keyed by query
+# name — read by scripts/scale_proof.py to measure state GROWTH (peak
+# rows/bytes across micro-batches) at 1x vs 10x input, the empirical
+# "watermark bounds state" evidence the batch family already has.
+LAST_STATE_METRICS: dict[str, dict] = {}
+
+
+def _record_state_metrics(qname: str, q) -> None:
+    peak_rows = peak_bytes = 0
+    n_batches = 0
+    try:
+        for p in q.recentProgress:
+            n_batches += 1
+            ops = p.get("stateOperators") or []
+            rows = sum(int(op.get("numRowsTotal", 0)) for op in ops)
+            byts = sum(int(op.get("memoryUsedBytes", 0)) for op in ops)
+            peak_rows = max(peak_rows, rows)
+            peak_bytes = max(peak_bytes, byts)
+    except Exception:
+        return  # telemetry only — never fail the query over it
+    LAST_STATE_METRICS.clear()  # keep one entry: the latest drained stream
+    LAST_STATE_METRICS[qname] = {
+        "peak_state_rows": peak_rows,
+        "peak_state_bytes": peak_bytes,
+        "n_batches": n_batches,
+    }
 
 
 @query(

@@ -40,6 +40,13 @@ QUERIES = ["q63_dedup_near", "q71_dedup_minhash_lsh", "q129_semdedup",
            "q263_perplexity_bigram", "q268_bpe_merges",
            "q277_token_stream_chunks", "q282_dsir_weights",
            "q284_corpus_manifest"]
+# Streaming family (VERDICT r4 #6): 10x decorrelated event/document
+# shards (disjoint user ranges / disjoint vocabularies), so per-shard
+# state is the sf0.1 state — bounded state must grow ~10x in peak rows,
+# never more, and wall time ~linearly. Recorded per run from the
+# stream's own progress telemetry (streaming.queries.LAST_STATE_METRICS).
+STREAM_QUERIES = ["q101_stream_stream_join", "q137_stream_curation",
+                  "q281_stream_chained_windows"]
 # linear = 10x. Bound at 25x: generous for constant overheads + shared-box
 # noise, far below the ~100x an uncapped quadratic path would pay.
 MAX_RATIO = 25.0
@@ -51,7 +58,8 @@ def fixture_dir() -> str:
     from eclypsium_etl_spark.io import source_stamp
 
     stamp = source_stamp(f"{SF01}/documents.parquet")
-    return f"/tmp/eclypsium_etl_spark/scale10_{stamp}"
+    # v2: adds the 10x events shards for the streaming family
+    return f"/tmp/eclypsium_etl_spark/scale10v2_{stamp}"
 
 
 def build_fixture(out: str) -> None:
@@ -111,6 +119,24 @@ def build_fixture(out: str) -> None:
             {"vec_id": ids + id_off, "embedding": list(vecs)}
         )
 
+    # events: shard k gets a DISJOINT user-id range (and fresh event ids)
+    # with the ORIGINAL timestamps — per-user join/session/dedup state is
+    # isomorphic to sf0.1 per shard, the watermark timeline is identical,
+    # so bounded-state streaming must scale peak state rows ~10x and an
+    # unbounded-state plan would blow past it.
+    ev = pd.read_parquet(f"{SF01}/events.parquet")
+    user_span = int(ev["user_id"].max()) + 1
+    event_span = int(ev["event_id"].max()) + 1
+    evparts = [ev]
+    for k in range(1, N_SHARDS):
+        e = ev.copy()
+        e["user_id"] = e["user_id"] + user_span * k
+        e["event_id"] = e["event_id"] + event_span * k
+        evparts.append(e)
+    pd.concat(evparts, ignore_index=True).to_parquet(
+        f"{out}/events.parquet", index=False
+    )
+
     shard_n = len(mat) + N_PLANTED
     planted_shard(mat, 0, seed=1000).to_parquet(
         f"{out}/emb_planted_1x.parquet", index=False
@@ -138,6 +164,30 @@ def run_suite(spark, sf_dir: str) -> dict[str, dict]:
         df.write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
         res[name] = {"sec": round(wall, 2), "rows": q[name](spark, sf_dir).count()}
+    return res
+
+
+def run_streaming(spark, sf_dir: str) -> dict[str, dict]:
+    """Run the streaming family end-to-end (the query fn drains the
+    availableNow replay internally); record wall time, result rows, and
+    the stream's own state-store telemetry (peak rows/bytes across
+    micro-batches) captured by run_available_now."""
+    from eclypsium_etl_spark.registry import load_all
+    from eclypsium_etl_spark.streaming import queries as sq
+
+    q, _ = load_all()
+    res = {}
+    for name in STREAM_QUERIES:
+        t0 = time.perf_counter()
+        n = q[name](spark, sf_dir).count()
+        wall = time.perf_counter() - t0
+        state = next(iter(sq.LAST_STATE_METRICS.values()), {})
+        res[name] = {
+            "sec": round(wall, 2),
+            "rows": n,
+            "state_rows": state.get("peak_state_rows", 0),
+            "state_bytes": state.get("peak_state_bytes", 0),
+        }
     return res
 
 
@@ -188,6 +238,8 @@ def main() -> int:
     big["emb_pairs_kernel@0.9"] = planted_pairs(
         spark, f"{out}/emb_planted_10x.parquet"
     )
+    sbase = run_streaming(spark, SF01)
+    sbig = run_streaming(spark, out)
 
     report, ok = {}, True
     for name in QUERIES + ["emb_pairs_kernel@0.9"]:
@@ -201,8 +253,30 @@ def main() -> int:
             "sf01_rows": base[name]["rows"], "x10_rows": big[name]["rows"],
             "rows_ratio": r_ratio, "subquadratic": passed,
         }
+    stream_report = {}
+    for name in STREAM_QUERIES:
+        t_ratio = round(sbig[name]["sec"] / max(sbase[name]["sec"], 0.05), 1)
+        s_ratio = round(
+            sbig[name]["state_rows"] / max(sbase[name]["state_rows"], 1), 1
+        )
+        # bounded state: peak rows must grow ~linearly (10x) with 10x
+        # decorrelated input — same MAX_RATIO bound as the batch family
+        passed = t_ratio <= MAX_RATIO and s_ratio <= MAX_RATIO
+        ok &= passed
+        stream_report[name] = {
+            "sf01_sec": sbase[name]["sec"], "x10_sec": sbig[name]["sec"],
+            "time_ratio": t_ratio,
+            "sf01_state_rows": sbase[name]["state_rows"],
+            "x10_state_rows": sbig[name]["state_rows"],
+            "state_rows_ratio": s_ratio,
+            "sf01_state_bytes": sbase[name]["state_bytes"],
+            "x10_state_bytes": sbig[name]["state_bytes"],
+            "sf01_rows": sbase[name]["rows"], "x10_rows": sbig[name]["rows"],
+            "bounded_state": passed,
+        }
     print(json.dumps({"fixture": out, "max_ratio": MAX_RATIO,
-                      "all_subquadratic": ok, "queries": report}, indent=1))
+                      "all_subquadratic": ok, "queries": report,
+                      "streaming": stream_report}, indent=1))
     return 0 if ok else 1
 
 

@@ -54,8 +54,14 @@ def test_embed_quantize_error_bound(spark):
     out = QUERIES["q121_embed_quantize"](spark, SF_CHECK)
     viol = out.filter(F.col("mse") > (F.col("scale") / 2) * (F.col("scale") / 2) + 1e-15)
     assert viol.count() == 0
-    # int8 range: |q| ≤ 127 + rounding slack of half a step (i.e. ≤ 128)
-    oob = out.select(F.explode("q").alias("qi")).filter(F.abs("qi") > 128)
+    # int8 range: |q| ≤ 127 + rounding slack of half a step (i.e. ≤ 128).
+    # q is transported as a CSV string (scalar result columns only, the
+    # driver-hashable discipline) — split it back to ints to check.
+    oob = (
+        out.select(
+            F.explode(F.split("q", ",").cast("array<int>")).alias("qi")
+        ).filter(F.abs("qi") > 128)
+    )
     assert oob.count() == 0
 
 

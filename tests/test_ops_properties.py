@@ -351,3 +351,86 @@ def test_compaction_collapses_file_count(spark):
     n_comp = sum(1 for e in os.scandir(comp) if e.name.endswith(".parquet"))
     assert n_frag == 64 and n_comp == 1
     assert out.count() == 15000
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_bitmap_bucket_algebra_across_buckets(spark, seed):
+    """Pin the q240 cross-bucket merge algebra (the round-4 ADVICE bug
+    class): Spark bitmaps span one 32768-bit bucket, so keys above 32768
+    land in bucket 2+ and a naive OR-across-buckets collides distinct
+    keys onto the same bit positions and undercounts. The fixture's
+    o_custkey never crosses a bucket boundary, so the oracle alone can't
+    catch a regression — this synthesizes keys spread over ~6 buckets
+    (including exact boundary values 32768/32769 and bit-position
+    aliases k and k+32768 in the same group) and asserts the per-bucket
+    count-then-sum equals exact COUNT(DISTINCT) per group."""
+    rng = random.Random(seed)
+    rows = [
+        (rng.choice(["a", "b", "c"]), rng.randrange(1, 200_000))
+        for _ in range(3000)
+    ]
+    # adversarial: same group, keys 32768 apart (same bit position in
+    # adjacent buckets — exactly the collision a cross-bucket OR makes)
+    rows += [("a", 5), ("a", 5 + 32768), ("a", 5 + 65536)]
+    rows += [("b", 32768), ("b", 32769)]  # boundary straddle
+    df = spark.createDataFrame(rows, "grp string, key long")
+    got = {
+        r["grp"]: r["n_distinct"]
+        for r in df.groupBy(
+            "grp", F.expr("bitmap_bucket_number(key + 1)").alias("bkt")
+        )
+        .agg(
+            F.expr(
+                "bitmap_count(bitmap_construct_agg("
+                "bitmap_bit_position(key + 1)))"
+            ).alias("bucket_distinct")
+        )
+        .groupBy("grp")
+        .agg(F.sum("bucket_distinct").cast("long").alias("n_distinct"))
+        .collect()
+    }
+    want = {
+        r["grp"]: r["n"]
+        for r in df.groupBy("grp")
+        .agg(F.countDistinct("key").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_mad_zero_guard_yields_null_robust_z(spark, duck_check):
+    """q315's nullif(mad, 0) guard (round-4 ADVICE): a group where a
+    majority shares the median value has MAD = 0, and bare division
+    diverges cross-engine (Spark non-ANSI NULL vs DuckDB inf). The
+    fixture never produces such a group, so pin the degenerate case
+    directly: both engines must emit NULL robust_z (and NULL is_outlier)
+    for every member of a constant-majority group."""
+    rows = [(i, "flat", 7.0 if i < 8 else 100.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    med = df.groupBy("event_type").agg(F.median("value").alias("med_v"))
+    dev = df.join(F.broadcast(med), "event_type").select(
+        "event_id", "value", "med_v",
+        F.abs(F.col("value") - F.col("med_v")).alias("adev"),
+    )
+    mad = dev.groupBy().agg(F.median("adev").alias("mad_v"))
+    rz = (F.col("value") - F.col("med_v")) / (
+        1.4826 * F.nullif(F.col("mad_v"), F.lit(0.0))
+    )
+    out = dev.crossJoin(F.broadcast(mad)).select(
+        "event_id", F.round(rz, 6).alias("robust_z"),
+        (F.abs(rz) > 3.5).alias("is_outlier"),
+    ).collect()
+    assert all(r["robust_z"] is None and r["is_outlier"] is None for r in out)
+    # DuckDB mirror of the guarded expression on the same degenerate data
+    duck_rows = duck_check.execute(
+        """
+        WITH t AS (SELECT UNNEST(range(0, 10)) AS i),
+        v AS (SELECT i, CASE WHEN i < 8 THEN 7.0 ELSE 100.0 END AS value FROM t),
+        m AS (SELECT median(value) AS med_v FROM v),
+        d AS (SELECT i, value, med_v, abs(value - med_v) AS adev FROM v, m),
+        md AS (SELECT median(adev) AS mad_v FROM d)
+        SELECT round((value - med_v) / (1.4826 * nullif(mad_v, 0)), 6) AS rz
+        FROM d, md
+        """
+    ).fetchall()
+    assert all(r[0] is None for r in duck_rows)

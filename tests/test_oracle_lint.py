@@ -72,6 +72,9 @@ def test_oracled_results_are_driver_hashable(spark):
         ]
         if complex_cols:
             offenders.append((name, complex_cols))
+        # duplicate names break any sort-columns-by-name canonicalizer
+        if len(set(df.columns)) != len(df.columns):
+            offenders.append((name, f"duplicate columns: {df.columns}"))
     assert not offenders, (
         "oracled queries returning non-scalar top-level columns (driver "
         f"canonicalizer would crash on these): {offenders}"
