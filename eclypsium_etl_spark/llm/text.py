@@ -2815,7 +2815,7 @@ _DSIR_KEEP = 100  # documents selected into the target-matched subset
                    ln((COALESCE(tgt.n_t, 0) + 1.0)
                       / (tgt_tot.tot + tgt_tot.vocab))
                    - ln((src.n_t + 1.0) / (src_tot.tot + src_tot.vocab))
-                   AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+                   AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) + 0.0
                    AS log_importance
         FROM tok
         JOIN src USING (t) LEFT JOIN tgt USING (t)
@@ -2873,10 +2873,16 @@ def q282_dsir_weights(spark, sf_dir) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tok"),
-            F.round(
-                F.sum(term.cast("decimal(28,12)")).cast("double")
-                / F.count("*"),
-                6,
+            # + 0.0 normalizes IEEE negative zero: a doc whose decimal
+            # sum rounds to zero from below prints -0.0 on one engine
+            # and 0.0 on the other (found by the sf0.1 cross-scale walk)
+            (
+                F.round(
+                    F.sum(term.cast("decimal(28,12)")).cast("double")
+                    / F.count("*"),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("log_importance"),
         )
     )

@@ -11,7 +11,16 @@ Float-parity discipline (SURVEY.md §5.2) lives next to the queries that
 need it; the one global trick worth naming: sums of doubles are computed
 as ``SUM(CAST(x AS DECIMAL(18,4)))`` cast back to double on BOTH engines —
 decimal addition is exact and order-independent, so the result is
-bit-identical regardless of partitioning/summation order.
+bit-identical regardless of partitioning/summation order. Corollary
+(q282, found by the sf0.1 cross-scale walk): a ``round()`` whose input
+can be a tiny negative may print IEEE −0.0 on one engine and 0.0 on the
+other — normalize with ``+ 0.0`` on BOTH sides when zero is reachable
+from below.
+
+Result-schema discipline: oracled queries return ONLY scalar top-level
+columns (arrays/maps/structs serialize in-plan via array_join/to_json,
+mirrored in the oracle) — enforced by
+tests/test_oracle_lint.py::test_oracled_results_are_driver_hashable.
 """
 
 from __future__ import annotations

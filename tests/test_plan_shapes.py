@@ -616,3 +616,20 @@ def test_r4c_query_plan_shapes(spark):
     for name in ("q287_dedup_eval", "q289_minhash_estimate"):
         plan = plans.physical_plan(QUERIES[name](spark, SF_CHECK))
         assert "CartesianProduct" not in plan, name
+
+
+def test_q162_linear_scan_count(spark):
+    """The power-iteration plan must scan the embeddings relation exactly
+    once per iteration (3), not 2^iterations: with per-iteration norm and
+    loadings as SEPARATE aggregates, every level had two consumers and
+    the unrolled lazy plan re-evaluated iteration 1's corpus scan 8
+    times (the round-5 fusion fix). Counting 'Scan parquet' occurrences
+    in the final physical plan pins the fused shape."""
+    from eclypsium_etl_spark.llm.prep import _PCA_ITERS
+
+    df = QUERIES["q162_pca_power"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    n_scans = plan.count("Scan parquet")
+    # ITERS corpus scans + 1 for the dimension probe; anything near
+    # 2^ITERS means the multi-consumer lineage blow-up is back
+    assert n_scans <= _PCA_ITERS + 1, f"{n_scans} scans:\n{plan[:2000]}"
