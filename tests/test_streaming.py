@@ -221,3 +221,21 @@ def test_state_metadata_reader(spark, tmp_path):
     m = meta[0]
     assert m.operatorName == "stateStoreSave"
     assert m.numPartitions >= 1 and m.maxBatchId >= m.minBatchId
+
+
+def test_state_metrics_recorded_on_drain(spark):
+    """run_available_now must capture the drained stream's state-store
+    telemetry (peak numRowsTotal/memoryUsedBytes across micro-batches)
+    into LAST_STATE_METRICS — scripts/scale_proof.py's streaming
+    bounded-state measurement reads it, so a silent telemetry regression
+    would turn the state-growth assertions into 0/0 no-ops."""
+    from eclypsium_etl_spark import registry
+    from eclypsium_etl_spark.streaming import queries as sq
+
+    Q, _ = registry.load_all()
+    Q["q57_stream_dedup_state"](spark, "/root/testdata/sf0.001").count()
+    assert sq.LAST_STATE_METRICS, "no telemetry recorded"
+    m = next(iter(sq.LAST_STATE_METRICS.values()))
+    assert m["n_batches"] >= 1
+    assert m["peak_state_rows"] > 0  # dedup state holds the seen keys
+    assert m["peak_state_bytes"] > 0
