@@ -434,3 +434,21 @@ def test_mad_zero_guard_yields_null_robust_z(spark, duck_check):
         """
     ).fetchall()
     assert all(r[0] is None for r in duck_rows)
+
+
+def test_band_key_concat_is_injective(spark):
+    """The two-hash MinHash family emits BIGINT signature halves, so the
+    band key md5(h_a || h_b) must concatenate with a separator: without
+    one, (h1=1, h2=23) and (h1=12, h2=3) produce the same '123' and
+    band-collide docs that share no min-hash. Pin it end-to-end: two
+    single-shingle docs engineered to have different signatures must
+    yield zero candidate pairs, while true duplicates still collide."""
+    from eclypsium_etl_spark.llm.dedup import minhash_band_candidates
+
+    rows = [
+        (1, "alpha"), (2, "alpha"),       # true duplicates -> 1 pair
+        (3, "bravo"), (4, "charlie"),     # distinct -> no pair
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, s string")
+    got = {(r.doc_a, r.doc_b) for r in minhash_band_candidates(sh).collect()}
+    assert got == {(1, 2)}
