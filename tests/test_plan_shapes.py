@@ -633,3 +633,29 @@ def test_q162_linear_scan_count(spark):
     # ITERS corpus scans + 1 for the dimension probe; anything near
     # 2^ITERS means the multi-consumer lineage blow-up is back
     assert n_scans <= _PCA_ITERS + 1, f"{n_scans} scans:\n{plan[:2000]}"
+
+
+def test_r4d_query_plan_shapes(spark):
+    """The q302-q316 batch holds its plan claims (none of these had a
+    plan-shape pin before round 5): no CartesianProduct anywhere; the
+    single-exchange kernels (q304 blocked entity resolution, q305 CDC
+    window-apply, q307 TWAP, q312 surrogate-key prefix sum) stay at one
+    shuffle; q313's corpus-wide moments come back as a broadcast, not a
+    second corpus shuffle."""
+    single_exchange = (
+        "q304_entity_resolution",
+        "q305_cdc_apply",
+        "q307_time_weighted_avg",
+        "q312_surrogate_keys",
+    )
+    for name in single_exchange + (
+        "q311_event_pmi",
+        "q313_embedding_standardize",
+        "q314_char_ngram_jaccard",
+        "q316_benford_audit",
+    ):
+        df = QUERIES[name](spark, SF_CHECK)
+        assert "CartesianProduct" not in plans.physical_plan(df), name
+        if name in single_exchange:
+            assert plans.shuffle_count(df) <= 1, name
+    assert plans.has_broadcast(QUERIES["q313_embedding_standardize"](spark, SF_CHECK))
