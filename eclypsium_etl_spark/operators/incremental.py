@@ -255,17 +255,12 @@ def q305_cdc_apply(spark, sf_dir) -> DataFrame:
         F.lit(None).cast("double").alias("bal"),
     )
     log = ins.unionByName(upd).unionByName(dele)
-    from pyspark.sql import Window as W
+    from .. import ops
 
-    w = W.partitionBy("k").orderBy(F.desc("seq"))
-    return (
-        log.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
-        .select(
-            F.col("k").alias("c_custkey"),
-            "name",
-            F.round("bal", 2).alias("bal"),
-        )
+    return ops.cdc_apply(log, ["k"], seq_col="seq", op_col="op").select(
+        F.col("k").alias("c_custkey"),
+        "name",
+        F.round("bal", 2).alias("bal"),
     )
 
 

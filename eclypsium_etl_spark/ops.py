@@ -296,6 +296,35 @@ def dedup_keep_first(
     )
 
 
+def cdc_apply(
+    log: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Materialize current state from a Debezium-style I/U/D changelog
+    (q305's kernel): the latest op per key wins under the total order
+    `seq_col` DESC, and a winning tombstone (`op_col == delete_op`)
+    removes the key entirely — the delete semantics a plain upsert merge
+    (q104) cannot express. One key-hash shuffle for the window; at
+    100 TB this is the per-micro-batch foreachBatch merge of a
+    streaming CDC sink, partition-pruned to the touched keys. Ties on
+    `seq_col` are broken by preferring the tombstone (deterministic:
+    a delete and a concurrent update at the same sequence resolve to
+    delete on every rerun), then by `op_col` descending."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(seq_col),
+        F.desc(F.col(op_col) == delete_op),
+        F.desc(op_col),
+    )
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rn")
+    )
+
+
 def similarity_candidates(
     em: DataFrame, tau: float, n_blocks: int | None = None
 ) -> DataFrame:

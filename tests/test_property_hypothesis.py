@@ -305,3 +305,44 @@ def test_clamped_fold_matches_reference(spark, deltas):
     for d in deltas:
         ref = max(0, ref + d)
     assert got == ref, (deltas, got, ref)
+
+
+# CDC changelog: (key, seq, op-index) with ops I/U/D; seqs may collide
+cdc_strategy = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 8), st.integers(0, 2)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=cdc_strategy)
+@SETTINGS
+def test_cdc_apply_matches_sequential_replay(spark, rows):
+    """ops.cdc_apply (q305's kernel) must equal a per-key sequential
+    replay of the changelog in (seq, tombstone-first, op-desc) order:
+    the surviving rows are exactly the keys whose LAST op isn't a
+    delete, carrying that op's payload. Ties on seq resolve
+    delete-first then op-desc — deterministic on every rerun."""
+    ops_names = ["I", "U", "D"]
+    # one payload per (k, seq, op): the kernel's order is total only in
+    # those columns, so duplicate coordinates with distinct payloads
+    # would make the surviving payload legitimately arbitrary
+    log = list(
+        {
+            (k, seq, ops_names[op]): (k, seq, ops_names[op], f"v{i}")
+            for i, (k, seq, op) in enumerate(rows)
+        }.values()
+    )
+    df = spark.createDataFrame(log, "k long, seq long, op string, payload string")
+    got = {
+        (r.k, r.seq, r.op, r.payload)
+        for r in ops.cdc_apply(df, ["k"], seq_col="seq", op_col="op").collect()
+    }
+    # brute force: winner per key under the same total order
+    want = {}
+    for k, seq, op, payload in log:
+        rank = (seq, op == "D", op)  # mirror of the kernel's DESC order
+        if k not in want or rank > want[k][0]:
+            want[k] = (rank, (k, seq, op, payload))
+    expected = {row for rank, row in want.values() if row[2] != "D"}
+    assert got == expected
