@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
     process. Best-effort: a warm-up failure must not fail the smoke check.
     """
     try:
+        from eclypsium_etl_spark.llm.clustering import semdedup_assignments
         from eclypsium_etl_spark.llm.dedup import shingles
         from eclypsium_etl_spark.operators.advanced import (
             bucketed_orders_customer,
@@ -46,6 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
         shingles(spark, CHECK_SF_DIR)
         partitioned_orders(spark, CHECK_SF_DIR)
         bucketed_orders_customer(spark, CHECK_SF_DIR)
+        semdedup_assignments(spark, CHECK_SF_DIR)
     except Exception:
         pass
     return flagship(spark, SMOKE_SF_DIR)

@@ -415,6 +415,35 @@ _SEM_TAU = 0.30  # within-cluster cosine above this ⇒ semantic duplicate
 _SEM_CLUSTER_CAP = 4096  # max rows per GEMM sub-block; giants split
 
 
+def semdedup_assignments(spark, sf_dir: str) -> DataFrame:
+    """The memoized (vec_id, embedding, cent_id) k-means assignment table
+    q129 materializes before its three consumers (write-once parquet,
+    io.materialize_once, keyed on the embeddings source stamp).
+    Exposed as a helper so __spark_entry__'s warm-up can build it
+    before the driver's correctness walk reaches q129 — the same
+    pre-warm contract the shingle memo has."""
+    import os
+    import tempfile
+
+    from ..io import materialize_once, source_stamp
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = em.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "eclypsium_etl_spark",
+        f"semdedup_asg_{sf_dir.strip('/').replace('/', '_')}"
+        f"_{source_stamp(f'{sf_dir}/embeddings.parquet')}",
+    )
+    return materialize_once(
+        spark,
+        out,
+        lambda path: assign_to_centroids(em, cents).write.parquet(path),
+    )
+
+
 def cluster_scoped_pairs(
     asg: DataFrame, tau: float, cap: int = _SEM_CLUSTER_CAP
 ) -> DataFrame:
@@ -570,26 +599,8 @@ def q129_semdedup(spark, sf_dir) -> DataFrame:
     (0.89→1.29 s; VERDICT r4 #4). This is also the honest production
     shape — a SemDeDup run persists assignments anyway for dedup,
     reporting, and cluster audits."""
-    import os
-    import tempfile
-
-    from ..io import materialize_once, source_stamp
-
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = em.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
-    )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "eclypsium_etl_spark",
-        f"semdedup_asg_{sf_dir.strip('/').replace('/', '_')}"
-        f"_{source_stamp(f'{sf_dir}/embeddings.parquet')}",
-    )
-    asg = materialize_once(
-        spark,
-        out,
-        lambda path: assign_to_centroids(em, cents).write.parquet(path),
-    )
+    asg = semdedup_assignments(spark, sf_dir)
     cand = cluster_scoped_pairs(asg, _SEM_TAU)
     a = em.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = em.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
