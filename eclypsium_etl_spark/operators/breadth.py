@@ -1277,6 +1277,8 @@ def q304_entity_resolution(spark, sf_dir) -> DataFrame:
     only, and the surviving pair set feeds q111's connected components
     for transitive consolidation. Both engines implement levenshtein
     natively — the oracle is exact."""
+    from .. import ops
+
     c = table(spark, sf_dir, "customer")
     clean = c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
     typo = F.expr(
@@ -1285,34 +1287,16 @@ def q304_entity_resolution(spark, sf_dir) -> DataFrame:
         .replace("strlen", "length")
     )
     dirty = c.filter(F.col("c_custkey") % 3 == 0).select(
-        (F.col("c_custkey") + 1000000).alias("dirty_id"),
-        typo.alias("dname"),
-        F.col("c_custkey").alias("true_id"),
+        (F.col("c_custkey") + 1000000).alias("id"),
+        typo.alias("name"),
     )
-    cand = dirty.join(
-        clean,
-        (
-            F.substring(F.col("dname"), -3, 3)
-            == F.substring(F.col("name"), -3, 3)
-        )
-        & (F.abs(F.length("dname") - F.length("name")) <= 2),
-    ).select(
+    matched = ops.blocked_levenshtein_match(
+        dirty, clean, max_len_diff=2, max_dist=2, block_chars=3
+    )
+    return matched.select(
         "dirty_id",
-        "true_id",
-        F.col("id").alias("clean_id"),
-        F.levenshtein("dname", "name").alias("dist"),
-    )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("dirty_id").orderBy("dist", "clean_id")
-    return (
-        cand.filter(F.col("dist") <= 2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "dirty_id",
-            "clean_id",
-            F.col("dist").cast("int").alias("dist"),
-            (F.col("clean_id") == F.col("true_id")).alias("correct"),
-        )
+        F.col("master_id").alias("clean_id"),
+        F.col("dist").cast("int").alias("dist"),
+        # planted truth: dirty ids are true_id + 1000000 by construction
+        (F.col("master_id") == F.col("dirty_id") - 1000000).alias("correct"),
     )

@@ -413,3 +413,53 @@ def interval_bin_join(
         & (pt[point_us] < iv[end_us])
     )
     return pt.join(iv, cond, how).drop("__bucket")
+
+
+def blocked_levenshtein_match(
+    dirty: DataFrame,
+    master: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_len_diff: int = 2,
+    max_dist: int = 2,
+    block_chars: int = 3,
+) -> DataFrame:
+    """Typo-tolerant record matching (q304's kernel): resolve each dirty
+    row to its best master match by exact Levenshtein distance, with the
+    O(n·m) fuzzy join bounded by BLOCKING — candidates must share the
+    last ``block_chars`` characters of the name and sit within
+    ``max_len_diff`` of its length. Returns one row per resolvable dirty
+    id: (dirty_id, master_id, dist), best = lowest (dist, master_id) —
+    a deterministic keeper election, rerun-identical.
+
+    Contract: complete WITHIN the blocking scheme — a pair whose typo
+    falls inside the block key is invisible by design (the standard ER
+    recall trade; run multiple block passes — prefix, suffix, phonetic —
+    and union candidates to tighten it). At scale the block key is the
+    shuffle key; salt hot blocks (salted_join) when one suffix
+    dominates."""
+    d = dirty.select(
+        F.col(id_col).alias("dirty_id"), F.col(name_col).alias("__dn")
+    )
+    m = master.select(
+        F.col(id_col).alias("master_id"), F.col(name_col).alias("__mn")
+    )
+    cand = d.join(
+        m,
+        (
+            F.substring(F.col("__dn"), -block_chars, block_chars)
+            == F.substring(F.col("__mn"), -block_chars, block_chars)
+        )
+        & (F.abs(F.length("__dn") - F.length("__mn")) <= max_len_diff),
+    ).select(
+        "dirty_id",
+        "master_id",
+        F.levenshtein("__dn", "__mn").alias("dist"),
+    )
+    w = Window.partitionBy("dirty_id").orderBy("dist", "master_id")
+    return (
+        cand.filter(F.col("dist") <= max_dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

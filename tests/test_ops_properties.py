@@ -452,3 +452,50 @@ def test_band_key_concat_is_injective(spark):
     sh = spark.createDataFrame(rows, "doc_id long, s string")
     got = {(r.doc_a, r.doc_b) for r in minhash_band_candidates(sh).collect()}
     assert got == {(1, 2)}
+
+
+@pytest.mark.parametrize("seed", [2, 13])
+def test_blocked_levenshtein_match_bruteforce(spark, seed):
+    """ops.blocked_levenshtein_match (q304's ER kernel) against a python
+    brute force: for every dirty name, the winner among master names
+    sharing its block key (last 3 chars) within the length band, by
+    (levenshtein, master_id) — and nothing for dirty names with no
+    candidate under the distance cap. Random names over a tiny alphabet
+    so blocks genuinely collide and distances spread across the cap."""
+    rng = random.Random(seed)
+
+    def levenshtein(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def name():
+        return "".join(rng.choice("abc") for _ in range(rng.randrange(4, 9)))
+
+    master = [(i, name()) for i in range(40)]
+    dirty = [(100 + i, name()) for i in range(25)]
+    md = spark.createDataFrame(master, "id long, name string")
+    dd = spark.createDataFrame(dirty, "id long, name string")
+    got = {
+        r.dirty_id: (r.master_id, r.dist)
+        for r in ops.blocked_levenshtein_match(
+            dd, md, max_len_diff=2, max_dist=2, block_chars=3
+        ).collect()
+    }
+    want = {}
+    for did, dn in dirty:
+        best = None
+        for mid, mn in master:
+            if dn[-3:] != mn[-3:] or abs(len(dn) - len(mn)) > 2:
+                continue  # outside the blocking scheme by contract
+            d = levenshtein(dn, mn)
+            if d <= 2 and (best is None or (d, mid) < best):
+                best = (d, mid)
+        if best is not None:
+            want[did] = (best[1], best[0])
+    assert got == want
