@@ -79,3 +79,27 @@ def test_oracled_results_are_driver_hashable(spark):
         "oracled queries returning non-scalar top-level columns (driver "
         f"canonicalizer would crash on these): {offenders}"
     )
+
+
+def test_hashability_lint_detects_offenders(spark):
+    """Meta-test of the gate itself: the lint's detection predicate must
+    flag array / map / struct top-level columns and duplicate column
+    names on a constructed frame — q275 was fixed before the lint
+    landed, so without this the lint has never been SEEN red and a
+    silently-weakened predicate would pass everything."""
+    from pyspark.sql import functions as F, types as T
+
+    df = spark.range(1).select(
+        F.array(F.lit("a")).alias("arr"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("mp"),
+        F.struct(F.lit(1).alias("x")).alias("st"),
+        F.lit(1).alias("ok"),
+    )
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert complex_cols == ["arr", "mp", "st"]
+    dup = spark.range(1).select(F.lit(1).alias("a"), F.lit(2).alias("a"))
+    assert len(set(dup.columns)) != len(dup.columns)
