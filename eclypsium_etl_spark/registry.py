@@ -91,69 +91,66 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
 
 # The driver's correctness harness walks queries() in dict order under a
-# time budget. Round-4 order (VERDICT r3 "Next round" #1): evidence
-# conversion — tier 0 is the queries ADDED in round 4 (q260-q285, no
-# prior driver row possible), tier 1 is exactly the 111 queries
-# registered through r3 that never received a driver CORRECTNESS row
-# (all local-parity green), both cheapest-first from the sf0.01 profile
-# so the budget greens the maximum number. Tier 2 re-proves
-# already-green ids only if budget remains. Round-4 ids added after the
-# initial tier-0 block (q280+) append at the end of tier 0 via the
-# registration-order fallback in ordered_queries().
+# time budget (~50 ids/round observed). Round-5 order (VERDICT r4
+# "Next round" #3): pure evidence conversion — tier 0 is every id with
+# no driver CORRECTNESS row through r4, tier 1 the already-green rest.
+# The whole tier 0 walks in ~99 s at sf0.01 under the driver config
+# (profiled this round), so any time budget that reached 50 ids before
+# reaches at least as many here.
 _CHEAP_FIRST = [
-    # --- tier 0: the 118 ids with NO driver CORRECTNESS row through
+    # --- tier 0: the 119 ids with NO driver CORRECTNESS row through
     # r4 (VERDICT r4 "Next round" #3: spend the whole r5 budget here).
-    # Order within the tier: round-4 additions first (q302-q316 +
-    # q276/q268/q274/q281 — ADVICE r4: zero driver evidence, highest
-    # transport risk), then the r1-r3 leftovers cheapest-first from the
-    # sf0.01 profile so the 50-query budget greens the maximum. ---
-    # q275 leads: the one RED r4 row (array transport, now fixed via
-    # array_join both sides) — re-sample it first so r5 records the
-    # green conversion.
-    "q275_array_fns_modern",
-    "q302_image_resize", "q303_goertzel_tones", "q304_entity_resolution",
-    "q305_cdc_apply", "q306_stream_full_outer_join", "q307_time_weighted_avg",
-    "q308_seasonal_residual", "q309_quota_apportion", "q310_sprt",
-    "q311_event_pmi", "q312_surrogate_keys", "q313_embedding_standardize",
+    # Front: q275 (the one RED r4 row — array transport, fixed, re-
+    # sample first) then the round-4 additions q302-q316 +
+    # q276/q268/q274/q281 (ADVICE r4: zero driver evidence, highest
+    # transport risk). The r1-r3 leftovers follow cheapest-first from a
+    # FRESH sf0.01 walk profile (this round, driver-config session) so
+    # a time-boxed budget greens the maximum number of ids. ---
+    "q275_array_fns_modern", "q302_image_resize", "q303_goertzel_tones",
+    "q304_entity_resolution", "q305_cdc_apply", "q306_stream_full_outer_join",
+    "q307_time_weighted_avg", "q308_seasonal_residual",
+    "q309_quota_apportion", "q310_sprt", "q311_event_pmi",
+    "q312_surrogate_keys", "q313_embedding_standardize",
     "q314_char_ngram_jaccard", "q315_mad_robust_z", "q316_benford_audit",
     "q276_sparse_cosine_pairs", "q268_bpe_merges", "q274_stream_outer_join",
-    "q281_stream_chained_windows", "q146_string_agg", "q173_sql_udf",
-    "q201_url_canonical_dedup", "q223_udf_iterator",
-    "q189_win_first_last_nth", "q166_length_buckets",
-    "q227_distribute_sort_by", "q218_sql_pipe", "q237_collated_group",
-    "q194_pack_boundaries", "q176_values_join", "q172_pattern_detect",
-    "q185_histogram_equidepth", "q121_embed_quantize", "q203_quantile_sketch",
-    "q217_scan_file_metadata", "q168_variant_json", "q141_bigram_vocab",
-    "q169_map_in_arrow", "q180_curriculum_order", "q233_udf_arrow_optimized",
-    "q144_join_lateral", "q165_mlm_mask", "q225_sql_pivot_unpivot",
-    "q153_rollup_multigrain", "q211_try_expressions", "q195_zorder_layout",
-    "q196_outlier_iqr", "q230_sql_variables", "q216_observe_metrics",
-    "q213_user_profile", "q224_udtf_table_arg", "q192_pit_join",
-    "q150_zipf_fit", "q152_asof_tolerance", "q126_sessionize",
-    "q179_hard_negatives", "q183_ab_lift", "q209_nested_output",
-    "q154_nucleus_topp", "q215_apply_in_arrow", "q131_mixture_temperature",
-    "q188_pct_change", "q151_interval_bin_join",
-    "q197_first_touch_attribution", "q134_dedup_keep_best",
-    "q159_inverted_index", "q234_csv_permissive", "q222_hll_sketch_union",
-    "q193_shard_rebalance", "q204_rolling_multi_horizon",
-    "q207_percent_of_total", "q133_perplexity_unigram", "q184_token_entropy",
-    "q147_anomaly_zscore", "q206_time_to_convert", "q181_split_leakage",
-    "q167_source_xml", "q198_decile_lift", "q164_source_text",
-    "q139_scd2_history", "q186_source_overlap", "q171_retention_cohorts",
-    "q128_heavy_hitters_cms", "q178_embedding_pool", "q174_setops_all",
-    "q182_drift_psi", "q157_profile_columns", "q232_cached_scan",
-    "q143_regression_agg", "q123_quality_repetition", "q120_dedup_blocks",
-    "q190_sink_jsonl", "q202_minhash_merge", "q160_funnel",
-    "q200_corpus_build", "q130_sim_quantized_topk", "q214_substring_spans",
-    "q163_stream_update_counts", "q149_boilerplate_grams",
-    "q140_ngram_decontaminate", "q187_stream_complete_topk",
-    "q127_running_total", "q129_semdedup", "q124_bloom_decontaminate",
-    "q170_recursive_hierarchy", "q142_knn_graph", "q148_schema_evolution",
-    "q161_bucketed_join", "q156_textrank", "q235_compact_small_files",
-    "q137_stream_curation", "q155_sink_dynamic_partition", "q162_pca_power",
-    "q239_triangle_count", "q243_state_reader", "q259_stream_append_final",
-    "q229_python_stream_source", "q221_python_datasource",
-    # --- tier 1: driver-green in r1-r4 (198), cheapest-first; the
+    "q281_stream_chained_windows",
+    "q169_map_in_arrow", "q209_nested_output", "q223_udf_iterator",
+    "q166_length_buckets", "q172_pattern_detect", "q121_embed_quantize",
+    "q164_source_text", "q146_string_agg", "q237_collated_group",
+    "q185_histogram_equidepth", "q230_sql_variables", "q216_observe_metrics",
+    "q189_win_first_last_nth", "q153_rollup_multigrain", "q161_bucketed_join",
+    "q218_sql_pipe", "q222_hll_sketch_union", "q176_values_join",
+    "q194_pack_boundaries", "q141_bigram_vocab", "q165_mlm_mask",
+    "q180_curriculum_order", "q233_udf_arrow_optimized", "q188_pct_change",
+    "q181_split_leakage", "q203_quantile_sketch", "q196_outlier_iqr",
+    "q134_dedup_keep_best", "q217_scan_file_metadata", "q168_variant_json",
+    "q195_zorder_layout", "q213_user_profile", "q224_udtf_table_arg",
+    "q234_csv_permissive", "q154_nucleus_topp", "q193_shard_rebalance",
+    "q204_rolling_multi_horizon", "q167_source_xml", "q225_sql_pivot_unpivot",
+    "q144_join_lateral", "q131_mixture_temperature", "q152_asof_tolerance",
+    "q159_inverted_index", "q207_percent_of_total", "q183_ab_lift",
+    "q184_token_entropy", "q179_hard_negatives", "q206_time_to_convert",
+    "q151_interval_bin_join", "q211_try_expressions",
+    "q197_first_touch_attribution", "q133_perplexity_unigram",
+    "q147_anomaly_zscore", "q150_zipf_fit", "q174_setops_all",
+    "q198_decile_lift", "q173_sql_udf", "q126_sessionize",
+    "q215_apply_in_arrow", "q192_pit_join", "q186_source_overlap",
+    "q182_drift_psi", "q232_cached_scan", "q200_corpus_build",
+    "q214_substring_spans", "q120_dedup_blocks", "q160_funnel",
+    "q227_distribute_sort_by", "q163_stream_update_counts",
+    "q157_profile_columns", "q130_sim_quantized_topk",
+    "q187_stream_complete_topk", "q190_sink_jsonl", "q178_embedding_pool",
+    "q202_minhash_merge", "q143_regression_agg", "q128_heavy_hitters_cms",
+    "q140_ngram_decontaminate", "q139_scd2_history", "q171_retention_cohorts",
+    "q123_quality_repetition", "q148_schema_evolution", "q243_state_reader",
+    "q149_boilerplate_grams", "q155_sink_dynamic_partition",
+    "q124_bloom_decontaminate", "q221_python_datasource",
+    "q170_recursive_hierarchy", "q259_stream_append_final",
+    "q235_compact_small_files", "q129_semdedup", "q137_stream_curation",
+    "q201_url_canonical_dedup", "q142_knn_graph", "q156_textrank",
+    "q162_pca_power", "q127_running_total", "q239_triangle_count",
+    "q229_python_stream_source",
+    # --- tier 1: driver-green in r1-r4 (197), cheapest-first; the
     # budget only reaches these after every tier-0 id has a row ---
     "q251_gzip_jsonl_source", "q252_binary_file_source",
     "q253_tar_packed_assets", "q254_multiline_json", "q255_csv_quoting",
@@ -161,11 +158,10 @@ _CHEAP_FIRST = [
     "q208_gap_audit", "q191_corpus_fingerprint", "q205_collapse_adjacent",
     "q145_histogram", "q264_group_order_by_all", "q265_stack_inline",
     "q266_str_to_map", "q269_map_hofs", "q273_mask_functions",
-    "q271_band_join_bnl", "q261_unicode_nfc",
-    "q260_png_roundtrip", "q262_char_coverage", "q267_vocab_oov",
-    "q278_soft_dedup_weights", "q277_token_stream_chunks",
-    "q270_fixed_width_source", "q272_json_permissive",
-    "q263_perplexity_bigram", "q279_ccnet_buckets",
+    "q271_band_join_bnl", "q261_unicode_nfc", "q260_png_roundtrip",
+    "q262_char_coverage", "q267_vocab_oov", "q278_soft_dedup_weights",
+    "q277_token_stream_chunks", "q270_fixed_width_source",
+    "q272_json_permissive", "q263_perplexity_bigram", "q279_ccnet_buckets",
     "q280_union_schema_evolution", "q285_gopher_rules", "q282_dsir_weights",
     "q283_bpe_apply", "q284_corpus_manifest", "q286_time_decay_agg",
     "q287_dedup_eval", "q288_script_detect", "q289_minhash_estimate",
