@@ -9,7 +9,7 @@ registered and parity-green.
 
 Float-parity discipline (SURVEY.md §5.2) lives next to the queries that
 need it; the one global trick worth naming: sums of doubles are computed
-as ``SUM(CAST(x AS DECIMAL(18,4)))`` cast back to double on BOTH engines —
+as ``SUM(CAST(x AS DECIMAL(28,4)))`` cast back to double on BOTH engines —
 decimal addition is exact and order-independent, so the result is
 bit-identical regardless of partitioning/summation order. Corollary
 (q282, found by the sf0.1 cross-scale walk): a ``round()`` whose input
