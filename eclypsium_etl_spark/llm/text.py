@@ -2196,7 +2196,12 @@ def q263_perplexity_bigram(spark, sf_dir) -> DataFrame:
     a bit, rounded once at the end. Shuffles: bigram count, context
     roll-up (tiny), per-doc aggregate — the corpus text never shuffles,
     only bigram strings do, and at 100 TB those are Zipf-concentrated so
-    map-side combine absorbs most of the volume."""
+    map-side combine absorbs most of the volume. The lazy plan evaluates
+    the bigram rollup for both the count table and the probe side (AQE
+    reuses one exchange at runtime); a production run persists the count
+    table — it IS the language model, trained once and scored against
+    many times — which removes the residual recompute the way q129
+    persists its assignments."""
     d = table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     bg = t.filter(F.size("toks") >= 2).select(
