@@ -221,10 +221,57 @@ _CHEAP_FIRST = [
 ]
 
 
-def ordered_queries() -> dict[str, QueryFn]:
-    """The registry in cheapest-first execution order (unprofiled names —
-    newly added queries — append in registration order)."""
-    q, _ = load_all()
-    out = {name: q[name] for name in _CHEAP_FIRST if name in q}
-    out.update({name: fn for name, fn in q.items() if name not in out})
+def _driver_evidence(root: str | None = None) -> dict[str, bool]:
+    """id -> latest driver CORRECTNESS outcome (True = clean row: full
+    rows+schema+hash match, or the declared rows-only contract for
+    no-oracle queries). Reads the driver-written CORRECTNESS_r*.json in
+    the repo root; an id absent from every file has never been sampled.
+    Best-effort: unreadable files are skipped, so a missing or
+    malformed evidence set degrades to the static order."""
+    import glob
+    import json
+    import os
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle":
+                out[name] = row.get("spark_rows") is not None
+            else:
+                out[name] = bool(
+                    not row.get("err")
+                    and row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                )
     return out
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    """The registry in the order the driver's time-budgeted correctness
+    walk should consume it: RED ids first (a fixed bug must re-prove
+    itself next round), then never-driver-sampled ids (evidence
+    conversion — the round-5 discipline, VERDICT r4 #3), then
+    driver-green ids. Within each class the _CHEAP_FIRST profile order
+    is preserved (cheapest-first, so the budget greens the maximum
+    count); names missing from the profile append in registration
+    order. The classes come from the driver's own CORRECTNESS_r*.json
+    at load time, so the walk self-adapts every round without a manual
+    re-tier."""
+    q, _ = load_all()
+    base = [n for n in _CHEAP_FIRST if n in q]
+    base += [n for n in q if n not in set(base)]
+    ev = _driver_evidence()
+    red = [n for n in base if ev.get(n) is False]
+    never = [n for n in base if n not in ev]
+    green = [n for n in base if ev.get(n) is True]
+    return {n: q[n] for n in red + never + green}

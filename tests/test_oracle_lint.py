@@ -103,3 +103,40 @@ def test_hashability_lint_detects_offenders(spark):
     assert complex_cols == ["arr", "mp", "st"]
     dup = spark.range(1).select(F.lit(1).alias("a"), F.lit(2).alias("a"))
     assert len(set(dup.columns)) != len(dup.columns)
+
+
+def test_evidence_adaptive_ordering(tmp_path):
+    """ordered_queries() self-adapts to the driver's CORRECTNESS files:
+    red ids first, never-sampled second, green last, _CHEAP_FIRST
+    relative order preserved within each class. Pinned on synthetic
+    evidence (so the test survives future rounds changing the real
+    files) and on the live repo state (no green id may precede a
+    never-sampled one — the evidence-conversion contract)."""
+    import json
+
+    # synthetic: parse outcomes, latest round wins
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a": {"rows_match": True, "schema_match": True, "hash_match": True,
+              "err": None, "spark_rows": 1},
+        "b": {"rows_match": True, "schema_match": True, "hash_match": False,
+              "err": None, "spark_rows": 1},
+        "c": {"rows_match": None, "schema_match": None, "hash_match": None,
+              "err": "no_oracle", "spark_rows": 2},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "b": {"rows_match": True, "schema_match": True, "hash_match": True,
+              "err": None, "spark_rows": 1},
+        "d": {"rows_match": None, "schema_match": None, "hash_match": None,
+              "err": "boom", "spark_rows": None},
+    }))
+    ev = registry._driver_evidence(root=str(tmp_path))
+    assert ev == {"a": True, "b": True, "c": True, "d": False}
+
+    # live repo: classes must be contiguous red -> never -> green
+    live = registry._driver_evidence()
+    order = list(registry.ordered_queries())
+    classes = [
+        0 if live.get(n) is False else (1 if n not in live else 2)
+        for n in order
+    ]
+    assert classes == sorted(classes), "evidence classes out of order"
