@@ -11,6 +11,12 @@ Variance posture: the whole query list is run SPARK_GRAFT_BENCH_N times
 a single contended iteration on a shared box can spike any one query by
 10-30× (observed: a 2s aggregate reading 69s under load), and an n=1
 bench cannot distinguish that from a regression.
+
+Load telemetry (round 6): /proc/loadavg's 1-min average is sampled
+before every iteration; the compact line and BENCH_DETAIL.json carry
+`load_1m` plus a `contended` flag (any sample > 2.0), so a reader can
+tell ambient-load inflation from a real regression without an
+idle-machine rerun — the adjudication VERDICT r5 had to do by hand.
 """
 
 from __future__ import annotations
@@ -109,6 +115,23 @@ HEADLINE = [
 ]
 
 
+# 1-min loadavg above this at any iteration start marks the whole run
+# contended: round-5 adjudication showed ambient load inflates the total
+# uniformly ~1.2× (70.1s recorded vs 57.8s idle on identical code), and
+# an artifact without load telemetry can't be told apart from a real
+# regression without an idle-machine rerun (VERDICT r5 #1 / ask #2).
+CONTENDED_LOAD_1M = 2.0
+
+
+def _load_1m() -> float | None:
+    """Ambient 1-minute load average at a sample point (Linux only)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     from eclypsium_etl_spark.registry import load_all
     from eclypsium_etl_spark.session import get_spark
@@ -122,7 +145,9 @@ def main() -> None:
     ).save()
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    load_1m: list[float | None] = []
     for _ in range(BENCH_N):
+        load_1m.append(_load_1m())
         for name in HEADLINE:
             fn = queries.get(name)
             if fn is None:
@@ -150,6 +175,9 @@ def main() -> None:
     # BENCH_r03.json came back `parsed: null`. The machine-readable line
     # must stay small AND be the LAST stdout line (tail capture keeps the
     # end of output), so: sidecar first, then one compact line of medians.
+    contended = any(
+        ld is not None and ld > CONTENDED_LOAD_1M for ld in load_1m
+    )
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -157,6 +185,14 @@ def main() -> None:
         "queries": times,
         "n": BENCH_N,
         "spread": spread,
+        "samples": {
+            name: [round(t, 3) for t in ts]
+            for name, ts in samples.items()
+            if ts
+        },
+        "load_1m": load_1m,
+        "contended": contended,
+        "contended_threshold_1m": CONTENDED_LOAD_1M,
         "sf": sf,
     }
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB"):
@@ -172,6 +208,8 @@ def main() -> None:
         "n": BENCH_N,
         "sf": sf,
         "n_queries": len(times),
+        "load_1m": load_1m,
+        "contended": contended,
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(compact, separators=(",", ":")))

@@ -520,7 +520,7 @@ _POOL_DEC = "DECIMAL(38,20)"
         GROUP BY c.doc, j.j
     )
     SELECT doc, MAX(n) AS n_chunks,
-           array_to_string(list(printf('%.9f', round(s / n, 9))
+           array_to_string(list(printf('%.9f', round(s / n, 9) + 0.0)
                                 ORDER BY j), ',') AS pooled
     FROM t GROUP BY doc
     """,
@@ -550,12 +550,15 @@ def q178_embedding_pool(spark, sf_dir) -> DataFrame:
     )
     # pooled vector serialized via fixed %.9f: identical doubles format
     # identically on both engines, and the result column stays scalar
-    # (driver canonicalizers hash scalars, not lists — VERDICT r4 #1)
+    # (driver canonicalizers hash scalars, not lists — VERDICT r4 #1).
+    # `+ 0.0` after round(): Spark round() normalizes -0.0 to +0.0 while
+    # DuckDB preserves it, so printf would emit '-0.000000000' only on
+    # the oracle side — same hazard q282 fixed; guarded on BOTH sides.
     return t.groupBy("doc").agg(
         F.max("n").alias("n_chunks"),
         F.expr(
             "array_join(transform(array_sort(collect_list(struct(j, s, n))),"
-            " st -> printf('%.9f', round(st.s / st.n, 9))), ',')"
+            " st -> printf('%.9f', round(st.s / st.n, 9) + 0.0)), ',')"
         ).alias("pooled"),
     )
 

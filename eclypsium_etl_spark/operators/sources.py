@@ -732,7 +732,7 @@ def q251_gzip_jsonl_source(spark, sf_dir) -> DataFrame:
 @query(
     "q252_binary_file_source",
     oracle="""
-    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
     FROM documents
     """,
@@ -806,7 +806,7 @@ def _untar_batches(batches):
 @query(
     "q253_tar_packed_assets",
     oracle="""
-    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
     FROM documents
     """,

@@ -231,11 +231,21 @@ def _driver_evidence(root: str | None = None) -> dict[str, bool]:
     import glob
     import json
     import os
+    import re
 
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+
+    def _round_of(path: str) -> int:
+        # parsed round number, not filename order: lexicographic sorting
+        # would put an unpadded r10 before r2..r9 (ADVICE r5)
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else 0
+
+    for path in sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=_round_of
+    ):
         try:
             with open(path) as f:
                 data = json.load(f)

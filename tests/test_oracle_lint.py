@@ -105,6 +105,150 @@ def test_hashability_lint_detects_offenders(spark):
     assert len(set(dup.columns)) != len(dup.columns)
 
 
+# ---------------------------------------------------------------------------
+# Latent-divergence sweep (VERDICT r5 ask #4): static string-level checks
+# over every registered oracle for the two divergence classes ADVICE has
+# caught in the wild — char-counting oracles aliased as bytes (q291, then
+# siblings q252/q253/q77), and unguarded division (the q315 class).
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+
+def _strip_sql_strings(sql: str) -> str:
+    """Blank out single-quoted literals so tokens inside strings (e.g.
+    'America/New_York') aren't mistaken for division denominators."""
+    return _re.sub(r"'(?:[^']|'')*'", "''", sql)
+
+
+_DIV_DENOM = _re.compile(r"(?<!/)/(?!/)\s*([A-Za-z_][\w.]*)\s*(\()?")
+
+
+def _unguarded_bare_denominators(sql: str) -> set[str]:
+    """Bare-identifier denominators of `/` division (not `//`, not a
+    function call, not a numeric literal, not a parenthesized
+    expression). These are the q315 class: a column that CAN be zero
+    divides without a nullif/CASE guard visible at the division site.
+    Function-call denominators (COUNT(), len(), CAST(), nullif()...) and
+    literals are treated as safe at this level — the lint is a cheap
+    string sweep, not a SQL analyzer; anything it flags must either gain
+    a guard or an explicit whitelist entry below."""
+    out = set()
+    for m in _DIV_DENOM.finditer(_strip_sql_strings(sql)):
+        if not m.group(2):
+            out.add(m.group(1))
+    return out
+
+
+# Every entry audited 2026-08-14 (round 6). A query may divide by a bare
+# identifier ONLY if listed here with the reason the denominator cannot
+# be zero (or why a shared-zero is exactly mirrored on both engines).
+_DIV_WHITELIST: dict[str, set[str]] = {
+    # guarded upstream by CASE WHEN scale = 0.0 on BOTH sides
+    # (similarity.py:299,316) — the division site only runs when nonzero
+    "q121_embed_quantize": {"scale"},
+    "q130_sim_quantized_topk": {"scale"},
+    # denominators that are COUNT(*)/SUM-of-1 aliases over a GROUP BY
+    # group — a group exists only with >= 1 row, so always >= 1
+    "q131_mixture_temperature": {"n_tokens", "t.tot"},
+    "q140_ngram_decontaminate": {"c.n_grams"},
+    "q143_regression_agg": {"n"},
+    "q147_anomaly_zscore": {"n"},
+    "q149_boilerplate_grams": {"p.n_grams"},
+    "q178_embedding_pool": {"n"},
+    "q184_token_entropy": {"tot.total"},
+    "q262_char_coverage": {"tot.total"},
+    "q303_goertzel_tones": {"n"},
+    "q90_stats_agg": {"n"},
+    "q74_text_quality": {"n_tok"},  # token count of nonempty fixture text
+    "q154_nucleus_topp": {"total"},  # per-doc SUM of positive weights
+    "q156_textrank": {"nn.n", "o.ow"},  # node/out-weight counts >= 1
+    "q193_shard_rebalance": {"g.mean_toks"},  # AVG of positive n_tokens
+    "q198_decile_lift": {"a.n", "t.tn"},  # decile row counts >= 1
+    "q207_percent_of_total": {"t.grand"},  # grand total of positive sums
+    "q232_cached_scan": {"t.total_bal"},  # SUM(acctbal) > 0 fixture-wide
+    "q278_soft_dedup_weights": {"k"},  # cluster size COUNT(*) >= 1
+    "q287_dedup_eval": {"n_exact", "n_lsh"},  # pair counts, CASE-guarded
+    # m = COUNT(*) of the top-50 rank rows (>= 2 by fixture); slope
+    # denominator (sxx - sx*sx/m) nonzero for >= 2 distinct log-ranks
+    "q150_zipf_fit": {"m"},
+    "q158_weighted_reservoir": {"n_chars"},  # fixture text nonempty
+    "q162_pca_power": {"n.nrm"},  # L2 norm of a power-iteration vector
+    "q183_ab_lift": {"n_a", "n_b"},  # arm counts, both arms populated
+    # n_wedges: the Spark side CASE-guards zero; oracle mirrors it
+    "q239_triangle_count": {"n_wedges"},
+    # try_divide semantics ARE the exhibited subject (x/0 -> NULL both
+    # engines via TRY/try_divide)
+    "q211_try_expressions": {"value"},
+    # population sigma of 64 random-float dims; both sides divide by the
+    # identical decimal-exact sigma expression
+    "q313_embedding_standardize": {"s.sigma"},
+    # digit/total counts over Benford buckets, COUNT(*) >= 1 per group
+    "q316_benford_audit": {"d", "t"},
+}
+
+
+def test_no_unguarded_bare_division():
+    """q315 class: every bare-identifier division denominator in every
+    oracle must be whitelisted with an audited can't-be-zero reason."""
+    offenders, stale = [], []
+    for name in sorted(ORACLE):
+        bare = _unguarded_bare_denominators(ORACLE[name])
+        allowed = _DIV_WHITELIST.get(name, set())
+        extra = bare - allowed
+        if extra:
+            offenders.append((name, sorted(extra)))
+        if allowed - bare:
+            stale.append((name, sorted(allowed - bare)))
+    assert not offenders, (
+        "unguarded bare-identifier division denominators (add a nullif/"
+        f"CASE guard or an audited whitelist entry): {offenders}"
+    )
+    assert not stale, f"stale _DIV_WHITELIST entries: {stale}"
+
+
+def test_no_char_counting_bytes_aliases():
+    """q291/q252/q253/q77 class: an oracle that counts CHARACTERS
+    (strlen/length on a text column) while aliasing the result as
+    *bytes* agrees with a byte-counting Spark side only while the
+    fixture is pure ASCII. Byte aliases must come from
+    octet_length(encode(..))."""
+    offenders = []
+    for name in sorted(ORACLE):
+        sql = ORACLE[name]
+        if _re.search(r"\bstrlen\s*\(", sql) and _re.search(
+            r"\bAS\s+\w*byte", sql, _re.I
+        ):
+            offenders.append(name)
+    assert not offenders, (
+        f"char-counting oracles with byte-named aliases: {offenders}"
+    )
+
+
+def test_divergence_lint_detects_offenders():
+    """Meta-test: both sweeps must go red on the exact pre-fix oracle
+    shapes they were built for (q252's strlen-as-n_bytes, and a bare
+    unguarded denominator), and must NOT false-positive on string
+    literals or guarded forms."""
+    old_q252 = """
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """
+    assert _re.search(r"\bstrlen\s*\(", old_q252) and _re.search(
+        r"\bAS\s+\w*byte", old_q252, _re.I
+    )
+    fixed = old_q252.replace("strlen(text)", "octet_length(encode(text))")
+    assert not _re.search(r"\bstrlen\s*\(", fixed)
+
+    assert _unguarded_bare_denominators("SELECT a / b FROM t") == {"b"}
+    assert _unguarded_bare_denominators("SELECT a / nullif(b, 0)") == set()
+    assert _unguarded_bare_denominators("SELECT a / 2.0, x // y") == set()
+    assert _unguarded_bare_denominators(
+        "SELECT tz AT TIME ZONE 'America/New_York'"
+    ) == set()
+
+
 def test_evidence_adaptive_ordering(tmp_path):
     """ordered_queries() self-adapts to the driver's CORRECTNESS files:
     red ids first, never-sampled second, green last, _CHEAP_FIRST
@@ -131,6 +275,16 @@ def test_evidence_adaptive_ordering(tmp_path):
     }))
     ev = registry._driver_evidence(root=str(tmp_path))
     assert ev == {"a": True, "b": True, "c": True, "d": False}
+
+    # latest-wins must follow the PARSED round number: an unpadded r10
+    # sorts lexicographically before r2, so filename order would let the
+    # stale r2 outcome overwrite it (ADVICE r5)
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps({
+        "b": {"rows_match": True, "schema_match": True, "hash_match": False,
+              "err": None, "spark_rows": 1},
+    }))
+    ev = registry._driver_evidence(root=str(tmp_path))
+    assert ev["b"] is False, "r10 outcome must beat r2, not filename order"
 
     # live repo: classes must be contiguous red -> never -> green
     live = registry._driver_evidence()
