@@ -185,9 +185,9 @@ def q112_multimodal_framesample(spark, sf_dir) -> DataFrame:
     "q77_multimodal_decode",
     oracle="""
     SELECT doc_id,
-           CAST(strlen(text) AS BIGINT) AS n_bytes,
-           lower(hex(substring(text, 1, 1))) AS head_hex,
-           (strlen(text) % 97) / 97.0 AS stub_feature
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           lower(substring(hex(encode(text)), 1, 2)) AS head_hex,
+           (octet_length(encode(text)) % 97) / 97.0 AS stub_feature
     FROM documents
     """,
 )
@@ -195,7 +195,10 @@ def q77_multimodal_decode(spark, sf_dir) -> DataFrame:
     """Asset-decode plumbing: text bytes stand in for a media blob
     (BinaryType column), mapInPandas runs the (stubbed) decoder over Arrow
     batches, output is a typed feature frame keyed by doc_id. The oracle
-    recomputes the fake's arithmetic straight from the source column."""
+    recomputes the fake's arithmetic straight from the source column — in
+    BYTE units (octet_length(encode(..)) / first-byte hex), matching the
+    Spark side's len(raw bytes): strlen/first-char would agree only while
+    the fixture stays pure ASCII (the q291/q252/q253 latent class)."""
     d = table(spark, sf_dir, "documents")
     assets = d.select("doc_id", F.encode("text", "utf-8").alias("asset"))
     return assets.mapInPandas(
@@ -758,26 +761,38 @@ def goertzel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas: decode the WAV container and compute single-bin DFT
     power (the quantity Goertzel's recurrence evaluates) per probe bin:
     P = (sum x_i cos(w i))^2 + (sum x_i sin(w i))^2, normalized by n^2.
-    Plain sequential double arithmetic, term expressions written in the
-    exact shape the oracle uses so the fold is IEEE-identical."""
+
+    Vectorized (VERDICT r5 #7) with the IEEE fold preserved: terms are
+    built as numpy elementwise x*cos(w*i) — each double op left-
+    associated exactly as the oracle writes it (w = ((2.0*pi)*k)/n, then
+    w*i), and np.cos/np.sin proved bitwise-identical to libm on every
+    angle this clip matrix produces — then summed with np.cumsum, whose
+    last partial IS the sequential left fold the oracle's list_reduce
+    computes (a pairwise np.sum would re-associate and drift). Verified
+    bitwise against the per-sample Python loop over the full clip space
+    (all n in 400..499 x step in 1..7 x 3 bins, raw sums AND 6dp
+    powers; pinned by tests/test_llm_variants.py). ~100x less Python
+    per clip at real audio scale than the loop it replaces."""
     import io
     import math
-    import struct as st
     import wave
+
+    import numpy as np
 
     for pdf in batches:
         out = {"doc_id": [], "bin": [], "norm_power": []}
         for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
             with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
                 n = w.getnframes()
-                xs = st.unpack(f"<{n}h", w.readframes(n))
+                xs = np.frombuffer(
+                    w.readframes(n), dtype="<i2"
+                ).astype(np.float64)
+            idx = np.arange(n, dtype=np.float64)
             for k in _GOERTZEL_BINS:
-                c = 0.0
-                s = 0.0
-                for i, x in enumerate(xs):
-                    ang = 2.0 * math.pi * k / n * i
-                    c = c + x * math.cos(ang)
-                    s = s + x * math.sin(ang)
+                w_ang = 2.0 * math.pi * k / n
+                ang = w_ang * idx
+                c = float(np.cumsum(xs * np.cos(ang))[-1])
+                s = float(np.cumsum(xs * np.sin(ang))[-1])
                 out["doc_id"].append(doc_id)
                 out["bin"].append(k)
                 out["norm_power"].append(round((c * c + s * s) / (n * n), 6))

@@ -312,11 +312,21 @@ def cdc_apply(
     streaming CDC sink, partition-pruned to the touched keys. Ties on
     `seq_col` are broken by preferring the tombstone (deterministic:
     a delete and a concurrent update at the same sequence resolve to
-    delete on every rerun), then by `op_col` descending."""
+    delete on every rerun), then by `op_col` descending, then by every
+    remaining payload column descending — a TOTAL order over whole
+    rows, so even two rows with identical (key, seq, op) but different
+    payloads resolve identically on every rerun (ADVICE r5: without
+    the payload tie-break that case was arbitrary per run)."""
+    payload_cols = [
+        c
+        for c in log.columns
+        if c not in set(key_cols) | {seq_col, op_col}
+    ]
     w = Window.partitionBy(*key_cols).orderBy(
         F.desc(seq_col),
         F.desc(F.col(op_col) == delete_op),
         F.desc(op_col),
+        *[F.desc_nulls_last(c) for c in payload_cols],
     )
     return (
         log.withColumn("__rn", F.row_number().over(w))

@@ -324,15 +324,14 @@ def test_cdc_apply_matches_sequential_replay(spark, rows):
     delete, carrying that op's payload. Ties on seq resolve
     delete-first then op-desc — deterministic on every rerun."""
     ops_names = ["I", "U", "D"]
-    # one payload per (k, seq, op): the kernel's order is total only in
-    # those columns, so duplicate coordinates with distinct payloads
-    # would make the surviving payload legitimately arbitrary
-    log = list(
-        {
-            (k, seq, ops_names[op]): (k, seq, ops_names[op], f"v{i}")
-            for i, (k, seq, op) in enumerate(rows)
-        }.values()
-    )
+    # duplicate (k, seq, op) coordinates with DISTINCT payloads are kept
+    # on purpose: the kernel's order is total over whole rows (payload
+    # columns are the final tie-break, ADVICE r5), so even those resolve
+    # to the max-payload row on every rerun
+    log = [
+        (k, seq, ops_names[op], f"v{i % 3}")
+        for i, (k, seq, op) in enumerate(rows)
+    ]
     df = spark.createDataFrame(log, "k long, seq long, op string, payload string")
     got = {
         (r.k, r.seq, r.op, r.payload)
@@ -341,7 +340,8 @@ def test_cdc_apply_matches_sequential_replay(spark, rows):
     # brute force: winner per key under the same total order
     want = {}
     for k, seq, op, payload in log:
-        rank = (seq, op == "D", op)  # mirror of the kernel's DESC order
+        # mirror of the kernel's DESC order incl. the payload tie-break
+        rank = (seq, op == "D", op, payload)
         if k not in want or rank > want[k][0]:
             want[k] = (rank, (k, seq, op, payload))
     expected = {row for rank, row in want.values() if row[2] != "D"}
