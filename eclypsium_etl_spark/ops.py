@@ -433,6 +433,7 @@ def blocked_levenshtein_match(
     max_len_diff: int = 2,
     max_dist: int = 2,
     block_chars: int = 3,
+    block_passes: tuple[str, ...] = ("suffix",),
 ) -> DataFrame:
     """Typo-tolerant record matching (q304's kernel): resolve each dirty
     row to its best master match by exact Levenshtein distance, with the
@@ -444,24 +445,50 @@ def blocked_levenshtein_match(
 
     Contract: complete WITHIN the blocking scheme — a pair whose typo
     falls inside the block key is invisible by design (the standard ER
-    recall trade; run multiple block passes — prefix, suffix, phonetic —
-    and union candidates to tighten it). At scale the block key is the
-    shuffle key; salt hot blocks (salted_join) when one suffix
+    recall trade). ``block_passes`` tightens it: each named pass
+    ("suffix", "prefix") contributes an equality-blocked candidate set
+    and the union is resolved once. The two-pass union is provably
+    COMPLETE for any SINGLE character edit on names longer than
+    ``2*block_chars``: one edit cannot sit inside both the first and the
+    last ``block_chars`` window at once, so at least one pass sees an
+    unperturbed block key (pinned by the completeness property test).
+    Each pass stays an equi-join Catalyst hash-shuffles on the block
+    key — no BNL; at scale salt hot blocks (salted_join) when one key
     dominates."""
+    from functools import reduce
+
     d = dirty.select(
         F.col(id_col).alias("dirty_id"), F.col(name_col).alias("__dn")
     )
     m = master.select(
         F.col(id_col).alias("master_id"), F.col(name_col).alias("__mn")
     )
-    cand = d.join(
-        m,
-        (
-            F.substring(F.col("__dn"), -block_chars, block_chars)
-            == F.substring(F.col("__mn"), -block_chars, block_chars)
+
+    def block_key(col: str, mode: str):
+        if mode == "suffix":
+            return F.substring(F.col(col), -block_chars, block_chars)
+        if mode == "prefix":
+            return F.substring(F.col(col), 1, block_chars)
+        raise ValueError(f"unknown block pass: {mode!r}")
+
+    cands = [
+        d.join(
+            m,
+            (block_key("__dn", p) == block_key("__mn", p))
+            & (F.abs(F.length("__dn") - F.length("__mn")) <= max_len_diff),
+        ).select("dirty_id", "master_id", "__dn", "__mn")
+        for p in block_passes
+    ]
+    # single pass keeps the shuffle-free candidate plan; multi-pass
+    # unions dedup pairs found by several passes before scoring
+    merged = (
+        cands[0]
+        if len(cands) == 1
+        else reduce(DataFrame.unionByName, cands).dropDuplicates(
+            ["dirty_id", "master_id"]
         )
-        & (F.abs(F.length("__dn") - F.length("__mn")) <= max_len_diff),
-    ).select(
+    )
+    cand = merged.select(
         "dirty_id",
         "master_id",
         F.levenshtein("__dn", "__mn").alias("dist"),

@@ -58,8 +58,9 @@ def fixture_dir() -> str:
     from eclypsium_etl_spark.io import source_stamp
 
     stamp = source_stamp(f"{SF01}/documents.parquet")
-    # v2: adds the 10x events shards for the streaming family
-    return f"/tmp/eclypsium_etl_spark/scale10v2_{stamp}"
+    # v3: adds the 10x customer shards for the warehouse kernels
+    # (q304 blocked Levenshtein / q305 cdc_apply — VERDICT r5 #6)
+    return f"/tmp/eclypsium_etl_spark/scale10v3_{stamp}"
 
 
 def build_fixture(out: str) -> None:
@@ -137,6 +138,30 @@ def build_fixture(out: str) -> None:
         f"{out}/events.parquet", index=False
     )
 
+    # customer: shard k translates every DIGIT of c_name into a
+    # per-shard DISJOINT alphabet (Latin Extended-A slice — a character
+    # bijection). q304's blocking key is the name's 3-char suffix, which
+    # lives in the digit region, so per-shard block-size distribution is
+    # IDENTICAL to the real shard while cross-shard blocks never collide:
+    # candidates and matches must grow exactly 10x, block sizes not at
+    # all. The key span is a multiple of 30 so every %3/%5/%10 residue
+    # class (dirty selection, typo position, delete wave) is preserved
+    # per shard.
+    cust = pd.read_parquet(f"{SF01}/customer.parquet")
+    span = (int(cust["c_custkey"].max()) // 30 + 1) * 30
+    cparts = [cust]
+    for k in range(1, N_SHARDS):
+        c = cust.copy()
+        trans = str.maketrans(
+            {str(d): chr(0x100 + (k - 1) * 10 + d) for d in range(10)}
+        )
+        c["c_name"] = c["c_name"].str.translate(trans)
+        c["c_custkey"] = c["c_custkey"] + span * k
+        cparts.append(c)
+    pd.concat(cparts, ignore_index=True).to_parquet(
+        f"{out}/customer.parquet", index=False
+    )
+
     shard_n = len(mat) + N_PLANTED
     planted_shard(mat, 0, seed=1000).to_parquet(
         f"{out}/emb_planted_1x.parquet", index=False
@@ -171,24 +196,146 @@ def run_streaming(spark, sf_dir: str) -> dict[str, dict]:
     """Run the streaming family end-to-end (the query fn drains the
     availableNow replay internally); record wall time, result rows, and
     the stream's own state-store telemetry (peak rows/bytes across
-    micro-batches) captured by run_available_now."""
+    micro-batches) captured by run_available_now.
+
+    Telemetry attribution (ADVICE r5): LAST_STATE_METRICS is cleared
+    BEFORE each query, so a previous query's entry can never be
+    misattributed when _record_state_metrics bails; a query that drains
+    with no telemetry reports state_rows=None and FAILS the bounded-state
+    check in main() instead of passing vacuously."""
     from eclypsium_etl_spark.registry import load_all
     from eclypsium_etl_spark.streaming import queries as sq
 
     q, _ = load_all()
     res = {}
     for name in STREAM_QUERIES:
+        sq.LAST_STATE_METRICS.clear()
         t0 = time.perf_counter()
         n = q[name](spark, sf_dir).count()
         wall = time.perf_counter() - t0
-        state = next(iter(sq.LAST_STATE_METRICS.values()), {})
+        vals = list(sq.LAST_STATE_METRICS.values())
+        state = vals[-1] if vals else None
         res[name] = {
             "sec": round(wall, 2),
             "rows": n,
-            "state_rows": state.get("peak_state_rows", 0),
-            "state_bytes": state.get("peak_state_bytes", 0),
+            "state_rows": state.get("peak_state_rows") if state else None,
+            "state_bytes": state.get("peak_state_bytes") if state else None,
         }
     return res
+
+
+def run_er(spark, customer_path: str) -> dict:
+    """q304's blocked-Levenshtein kernel at scale (VERDICT r5 #6):
+    rebuild the q304 shape (clean master = all customers, dirty = every
+    third with one prefix char dropped) over an arbitrary customer
+    parquet and measure what the blocking actually does — block-size
+    distribution of the master side, candidate-pair count produced by
+    the block join, matches, wall time. With the 10x decorrelated
+    shards the expected outcome is: blocks 10x MORE but none BIGGER
+    (max_block ratio ~1), candidates and matches exactly 10x, time
+    ~linear — a quadratic fuzzy join would pay 100x in candidates."""
+    from pyspark.sql import functions as F
+
+    from eclypsium_etl_spark import ops
+    from eclypsium_etl_spark.operators.breadth import _ER_TYPO_SQL
+
+    c = spark.read.parquet(customer_path).select("c_custkey", "c_name")
+    clean = c.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    typo = F.expr(
+        _ER_TYPO_SQL.format(name="c_name", key="c_custkey")
+        .replace("substr", "substring")
+        .replace("strlen", "length")
+    )
+    dirty = c.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("id"), typo.alias("name")
+    )
+    # block = the kernel's key: 3-char name suffix (ops.py contract)
+    blocks = (
+        clean.groupBy(F.substring("name", -3, 3).alias("b"))
+        .count()
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.max("count").alias("max_block"),
+            F.round(F.avg("count"), 1).alias("mean_block"),
+        )
+        .collect()[0]
+    )
+    cand_n = dirty.alias("d").join(
+        clean.alias("m"),
+        (
+            F.substring(F.col("d.name"), -3, 3)
+            == F.substring(F.col("m.name"), -3, 3)
+        )
+        & (
+            F.abs(F.length(F.col("d.name")) - F.length(F.col("m.name"))) <= 2
+        ),
+    ).count()
+    t0 = time.perf_counter()
+    matches = ops.blocked_levenshtein_match(
+        dirty, clean, max_len_diff=2, max_dist=2, block_chars=3
+    ).count()
+    wall = time.perf_counter() - t0
+    return {
+        "sec": round(wall, 2),
+        "rows": matches,
+        "candidates": cand_n,
+        "n_blocks": int(blocks["n_blocks"]),
+        "max_block": int(blocks["max_block"]),
+        "mean_block": float(blocks["mean_block"]),
+    }
+
+
+def run_cdc(spark, n_waves: int) -> dict:
+    """q305's cdc_apply kernel with a changelog ``n_waves`` update waves
+    long over the SAME key space (VERDICT r5 #6): insert wave, then
+    n_waves full-table update waves at increasing seq, then the delete
+    wave. Current-state output must be IDENTICAL in row count at any
+    log length (same keys, same survivors — that's the invariant a
+    changelog-length-sensitive plan would break) and wall time ~linear
+    in log length; per-key window state is n_waves+2 versions, never
+    materialized beyond the key-hash shuffle."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as SDF
+    from pyspark.sql import functions as F
+
+    from eclypsium_etl_spark import ops
+
+    c = spark.read.parquet(f"{SF01}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    ins = c.select(
+        F.col("c_custkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    waves = [
+        c.select(
+            F.col("c_custkey").alias("k"),
+            F.lit(2 + j).alias("seq"),
+            F.lit("U").alias("op"),
+            F.col("c_name").alias("name"),
+            F.round(F.col("c_acctbal") + F.lit(float(j + 1)), 2).alias("bal"),
+        )
+        for j in range(n_waves)
+    ]
+    dele = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit(2 + n_waves).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("double").alias("bal"),
+    )
+    log = reduce(SDF.unionByName, [ins, *waves, dele])
+    log_rows = log.count()
+    t0 = time.perf_counter()
+    n = ops.cdc_apply(log, ["k"], seq_col="seq", op_col="op").count()
+    wall = time.perf_counter() - t0
+    return {"sec": round(wall, 2), "rows": n, "log_rows": log_rows}
 
 
 def planted_pairs(spark, emb_path: str) -> dict:
@@ -240,6 +387,10 @@ def main() -> int:
     )
     sbase = run_streaming(spark, SF01)
     sbig = run_streaming(spark, out)
+    er_base = run_er(spark, f"{SF01}/customer.parquet")
+    er_big = run_er(spark, f"{out}/customer.parquet")
+    cdc_base = run_cdc(spark, 1)
+    cdc_big = run_cdc(spark, 10)
 
     report, ok = {}, True
     for name in QUERIES + ["emb_pairs_kernel@0.9"]:
@@ -256,12 +407,18 @@ def main() -> int:
     stream_report = {}
     for name in STREAM_QUERIES:
         t_ratio = round(sbig[name]["sec"] / max(sbase[name]["sec"], 0.05), 1)
-        s_ratio = round(
-            sbig[name]["state_rows"] / max(sbase[name]["state_rows"], 1), 1
-        )
-        # bounded state: peak rows must grow ~linearly (10x) with 10x
-        # decorrelated input — same MAX_RATIO bound as the batch family
-        passed = t_ratio <= MAX_RATIO and s_ratio <= MAX_RATIO
+        # missing telemetry (or a zero baseline) must FAIL the bounded-
+        # state check, not pass it vacuously (ADVICE r5): a stream that
+        # records no stateOperators progress proves nothing about state
+        if not sbase[name]["state_rows"] or sbig[name]["state_rows"] is None:
+            s_ratio, passed = None, False
+        else:
+            s_ratio = round(
+                sbig[name]["state_rows"] / sbase[name]["state_rows"], 1
+            )
+            # bounded state: peak rows must grow ~linearly (10x) with 10x
+            # decorrelated input — same MAX_RATIO bound as the batch family
+            passed = t_ratio <= MAX_RATIO and s_ratio <= MAX_RATIO
         ok &= passed
         stream_report[name] = {
             "sf01_sec": sbase[name]["sec"], "x10_sec": sbig[name]["sec"],
@@ -274,9 +431,42 @@ def main() -> int:
             "sf01_rows": sbase[name]["rows"], "x10_rows": sbig[name]["rows"],
             "bounded_state": passed,
         }
+
+    # warehouse kernels (VERDICT r5 #6): blocked ER — candidates/matches
+    # ~10x, block sizes flat; CDC — same-keyspace output EXACTLY equal at
+    # any changelog length, time ~linear in log rows
+    er_t = round(er_big["sec"] / max(er_base["sec"], 0.05), 1)
+    er_cand = round(er_big["candidates"] / max(er_base["candidates"], 1), 1)
+    er_rows = round(er_big["rows"] / max(er_base["rows"], 1), 1)
+    er_block = round(er_big["max_block"] / max(er_base["max_block"], 1), 1)
+    er_ok = (
+        er_t <= MAX_RATIO
+        and er_cand <= MAX_RATIO
+        and er_rows <= MAX_RATIO
+        and er_block <= 2.0  # blocks multiply, they must not GROW
+    )
+    cdc_t = round(cdc_big["sec"] / max(cdc_base["sec"], 0.05), 1)
+    cdc_log = round(cdc_big["log_rows"] / max(cdc_base["log_rows"], 1), 1)
+    cdc_ok = cdc_t <= MAX_RATIO and cdc_big["rows"] == cdc_base["rows"]
+    ok &= er_ok and cdc_ok
+    warehouse_report = {
+        "q304_blocked_levenshtein": {
+            "sf01": er_base, "x10": er_big,
+            "time_ratio": er_t, "candidates_ratio": er_cand,
+            "rows_ratio": er_rows, "max_block_ratio": er_block,
+            "subquadratic": er_ok,
+        },
+        "q305_cdc_apply": {
+            "log1x": cdc_base, "log10x": cdc_big,
+            "time_ratio": cdc_t, "log_rows_ratio": cdc_log,
+            "state_rows_equal": cdc_big["rows"] == cdc_base["rows"],
+            "linear_in_log": cdc_ok,
+        },
+    }
     print(json.dumps({"fixture": out, "max_ratio": MAX_RATIO,
                       "all_subquadratic": ok, "queries": report,
-                      "streaming": stream_report}, indent=1))
+                      "streaming": stream_report,
+                      "warehouse": warehouse_report}, indent=1))
     return 0 if ok else 1
 
 

@@ -499,3 +499,77 @@ def test_blocked_levenshtein_match_bruteforce(spark, seed):
         if best is not None:
             want[did] = (best[1], best[0])
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [5, 29])
+def test_blocked_levenshtein_two_pass_union(spark, seed):
+    """block_passes=("suffix","prefix") — brute force over the UNION of
+    both blocking schemes, and the completeness class the union buys
+    (ops.py contract): a single character deletion cannot perturb both
+    the first-3 and last-3 windows of a name longer than 6 chars, so
+    every distance-1 dirty row MUST resolve; suffix-only provably
+    misses the deletions landing in the last 3 chars (recall lift
+    measured, not argued — q287's meta-evaluation discipline on ER)."""
+    rng = random.Random(seed)
+
+    def levenshtein(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    # masters long enough for the completeness guarantee (> 2*block_chars)
+    def name():
+        return "".join(rng.choice("abcd") for _ in range(rng.randrange(7, 12)))
+
+    master = [(i, name()) for i in range(30)]
+    # dirty: one char deleted per master; half the deletions forced into
+    # the last 3 chars — the suffix pass's blind spot
+    dirty = []
+    for i, (mid, mn) in enumerate(master):
+        pos = (
+            rng.randrange(len(mn) - 3, len(mn))
+            if i % 2
+            else rng.randrange(0, len(mn) - 3)
+        )
+        dirty.append((100 + mid, mn[:pos] + mn[pos + 1:]))
+    md = spark.createDataFrame(master, "id long, name string")
+    dd = spark.createDataFrame(dirty, "id long, name string")
+
+    two = {
+        r.dirty_id: (r.master_id, r.dist)
+        for r in ops.blocked_levenshtein_match(
+            dd, md, max_len_diff=2, max_dist=2, block_chars=3,
+            block_passes=("suffix", "prefix"),
+        ).collect()
+    }
+    one = {
+        r.dirty_id
+        for r in ops.blocked_levenshtein_match(
+            dd, md, max_len_diff=2, max_dist=2, block_chars=3,
+        ).collect()
+    }
+
+    # brute force over the union of both schemes
+    want = {}
+    for did, dn in dirty:
+        best = None
+        for mid, mn in master:
+            in_block = dn[-3:] == mn[-3:] or dn[:3] == mn[:3]
+            if not in_block or abs(len(dn) - len(mn)) > 2:
+                continue
+            d = levenshtein(dn, mn)
+            if d <= 2 and (best is None or (d, mid) < best):
+                best = (d, mid)
+        if best is not None:
+            want[did] = (best[1], best[0])
+    assert two == want
+
+    # completeness: every distance-1 dirty row resolves under the union
+    assert set(two) == {did for did, _ in dirty}
+    # recall lift is real: suffix-only misses some last-3-char deletions
+    assert one < set(two), "two-pass union should strictly widen recall"
