@@ -249,6 +249,39 @@ def test_divergence_lint_detects_offenders():
     ) == set()
 
 
+def test_no_negative_zero_oracle_cells(duck):
+    """Dynamic -0.0 sweep (round 6): Spark round() normalizes -0.0 to
+    +0.0 while DuckDB round() preserves it (verified on pyspark 4.1.2 /
+    duckdb 1.x), and both the local canonicalizer (repr) and the driver
+    hash distinguish the two — so ANY -0.0 cell a DuckDB oracle emits is
+    either a live parity failure or a fragile accidental pass. The q282/
+    q178 printf cases were caught one at a time; this sweep executes
+    every oracle at SF_CHECK and fails on the first negative-zero double
+    cell, naming the oracle that needs the `+ 0.0` guard. Static
+    linting can't decide sign-indefiniteness; running the oracles can."""
+    import math
+
+    offenders = []
+    for name in sorted(ORACLE):
+        pdf = duck.execute(ORACLE[name]).df()
+        for col in pdf.columns:
+            if pdf[col].dtype.kind != "f":
+                continue
+            n = sum(
+                1
+                for v in pdf[col]
+                if isinstance(v, float)
+                and v == 0.0
+                and math.copysign(1.0, v) < 0
+            )
+            if n:
+                offenders.append((name, col, n))
+    assert not offenders, (
+        "DuckDB oracles emitting -0.0 (add `+ 0.0` after the round() on "
+        f"BOTH sides, the q282 discipline): {offenders}"
+    )
+
+
 def test_evidence_adaptive_ordering(tmp_path):
     """ordered_queries() self-adapts to the driver's CORRECTNESS files:
     red ids first, never-sampled second, green last, _CHEAP_FIRST
