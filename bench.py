@@ -13,10 +13,12 @@ a single contended iteration on a shared box can spike any one query by
 bench cannot distinguish that from a regression.
 
 Load telemetry (round 6): /proc/loadavg's 1-min average is sampled
-before every iteration; the compact line and BENCH_DETAIL.json carry
-`load_1m` plus a `contended` flag (any sample > 2.0), so a reader can
-tell ambient-load inflation from a real regression without an
-idle-machine rerun — the adjudication VERDICT r5 had to do by hand.
+once BEFORE the bench's own Spark JVM starts (ambient_load_1m — this
+drives the `contended` flag at > 2.0) and again before every
+iteration (load_1m — context only, since later samples include the
+bench's own local[32] activity), so a reader can tell ambient-load
+inflation from a real regression without an idle-machine rerun — the
+adjudication VERDICT r5 had to do by hand.
 """
 
 from __future__ import annotations
@@ -115,11 +117,16 @@ HEADLINE = [
 ]
 
 
-# 1-min loadavg above this at any iteration start marks the whole run
-# contended: round-5 adjudication showed ambient load inflates the total
-# uniformly ~1.2× (70.1s recorded vs 57.8s idle on identical code), and
-# an artifact without load telemetry can't be told apart from a real
-# regression without an idle-machine rerun (VERDICT r5 #1 / ask #2).
+# Ambient 1-min loadavg above this marks the run contended: round-5
+# adjudication showed ambient load inflates the total uniformly ~1.2×
+# (70.1s recorded vs 57.8s idle on identical code), and an artifact
+# without load telemetry can't be told apart from a real regression
+# without an idle-machine rerun (VERDICT r5 #1 / ask #2). The flag keys
+# on the sample taken BEFORE this process starts its own Spark JVM:
+# iteration-start samples are recorded too but include the bench's own
+# local[32] activity from the previous iteration (measured: an idle box
+# reads 0.4 before the run and 2-5 at later iteration starts from
+# self-load alone), so they inform the reader without driving the flag.
 CONTENDED_LOAD_1M = 2.0
 
 
@@ -136,6 +143,7 @@ def main() -> None:
     from eclypsium_etl_spark.registry import load_all
     from eclypsium_etl_spark.session import get_spark
 
+    ambient_load = _load_1m()  # before our own JVM exists
     spark = get_spark(app_name="eclypsium-etl-spark-bench")
     queries, _ = load_all()
 
@@ -175,9 +183,7 @@ def main() -> None:
     # BENCH_r03.json came back `parsed: null`. The machine-readable line
     # must stay small AND be the LAST stdout line (tail capture keeps the
     # end of output), so: sidecar first, then one compact line of medians.
-    contended = any(
-        ld is not None and ld > CONTENDED_LOAD_1M for ld in load_1m
-    )
+    contended = ambient_load is not None and ambient_load > CONTENDED_LOAD_1M
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -190,6 +196,7 @@ def main() -> None:
             for name, ts in samples.items()
             if ts
         },
+        "ambient_load_1m": ambient_load,
         "load_1m": load_1m,
         "contended": contended,
         "contended_threshold_1m": CONTENDED_LOAD_1M,
@@ -208,6 +215,7 @@ def main() -> None:
         "n": BENCH_N,
         "sf": sf,
         "n_queries": len(times),
+        "ambient_load_1m": ambient_load,
         "load_1m": load_1m,
         "contended": contended,
         "detail": "BENCH_DETAIL.json",
