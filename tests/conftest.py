@@ -2,13 +2,18 @@
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
 from eclypsium_etl_spark.session import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_CHECK = "/root/testdata/sf0.01"
+# Overridable so the env-gated batteries (determinism sweep, parity) can
+# be pointed at another fixture scale — discovered in round 6 when a
+# "sf0.1 determinism run" silently re-ran at the hard-coded sf0.01.
+SF_CHECK = os.environ.get("SPARK_GRAFT_SF_CHECK", "/root/testdata/sf0.01")
 
 FIXTURE_TABLES = [
     "region", "nation", "customer", "supplier", "part",
