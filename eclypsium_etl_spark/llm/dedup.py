@@ -1163,14 +1163,22 @@ def q214_substring_spans(spark, sf_dir) -> DataFrame:
 
     Scale shape: grams are hashed to md5 BEFORE the explode leaves the
     scan stage, so the only bytes that ever shuffle are 16-byte digests +
-    a position — never text. One hash-aggregate for global gram
-    frequencies — computed as a COUNT window over the gram digest, so the
-    gram stream is scanned once and never self-joined — and a per-doc
-    window whose partitions are single documents (no global sort). Short
-    docs (< _SPAN_W tokens) produce no grams by construction. The
-    doc-frequency cap discipline of q63 is unnecessary here: a hot gram
-    inflates only its own frequency partition (linear, not a pairwise
-    self-join). Tokens are materialized ONCE as a projected array column
+    a position — never text. Global gram frequencies are a map-side-
+    combined hash aggregate whose survivors (digests seen > once)
+    SEMI-JOIN back onto the gram stream — not the tempting one-shuffle
+    COUNT window over the digest, which would buffer a viral
+    boilerplate gram's every occurrence in ONE unsplittable window
+    partition at 100 TB (the q149 analysis; the aggregate's partials
+    merge hierarchically and AQE skew-splits the join probe, so the hot
+    gram costs extra tasks, not one giant task). Measured price at
+    sf0.1: ~1.3 s → ~1.8 s (the gram stream is built once per consumer
+    — subtrees don't share) — accepted, like q149, as the cost of a
+    bounded worst case. The per-doc
+    gaps-and-islands window partitions are single documents (no global
+    sort). Short docs (< _SPAN_W tokens) produce no grams by
+    construction. The doc-frequency cap discipline of q63 is
+    unnecessary here: a hot gram costs linear rows, not a pairwise
+    self-join. Tokens are materialized ONCE as a projected array column
     before the gram lambda — referencing split(text) inside the lambda
     would re-tokenize per gram (no CSE inside higher-order functions).
     Spark's descending-sequence trap is guarded with an explicit
@@ -1189,9 +1197,13 @@ def q214_substring_spans(spark, sf_dir) -> DataFrame:
         .select("doc_id", F.explode(grams).alias("g"))
         .select("doc_id", F.col("g.p").cast("long").alias("p"), F.col("g.h").alias("h"))
     )
-    sh = g.withColumn(
-        "gf", F.count("*").over(Window.partitionBy("h"))
-    ).where(F.col("gf") > 1).select("doc_id", "p")
+    dup = (
+        g.groupBy("h")
+        .agg(F.count("*").alias("gf"))
+        .where(F.col("gf") > 1)
+        .select("h")
+    )
+    sh = g.join(dup, "h", "semi").select("doc_id", "p")
     run = F.col("p") - F.row_number().over(
         Window.partitionBy("doc_id").orderBy("p")
     )

@@ -448,15 +448,23 @@ def test_q204_two_horizons_one_exchange(spark):
     assert plans.shuffle_count(df) <= 2  # day rollup + shared window
 
 
-def test_q214_no_self_join_digests_only(spark):
-    """The gram-frequency screen is a count-window, not a join: the plan
-    must contain NO join operator, and the only shuffled payload is the
-    md5 digest + position (text never leaves the scan stage)."""
+def test_q214_frequency_screen_is_semi_join(spark):
+    """The gram-frequency screen is a map-side-combined aggregate whose
+    survivors SEMI-join back onto the gram stream (round 6: replaced
+    the count-window spelling, whose hot-gram partition would be one
+    unsplittable task at scale — the q149 analysis). The plan must show
+    exactly the LeftSemi join (broadcast here, AQE-skew-splittable when
+    shuffled at scale) and NO pairwise self-join of documents; the only
+    shuffled payload is the md5 digest + position (text never leaves
+    the scan stage)."""
     df = QUERIES["q214_substring_spans"](spark, SF_CHECK)
     plan = plans.physical_plan(df)
-    assert "Join" not in plan
-    # digest window + per-doc window + final (doc,grpid) aggregate
-    assert plans.shuffle_count(df) <= 3
+    assert "LeftSemi" in plan
+    # one semi join only — a pairwise gram self-join would add a second
+    assert plan.count("Join") == plan.count("LeftSemi")
+    # digest aggregate (+ possible probe exchange) + per-doc window;
+    # the final (doc, grpid) aggregate reuses the doc_id partitioning
+    assert plans.shuffle_count(df) <= 4
     # tokens are hashed inside the scan-stage project; the exchanges move
     # (doc_id, p, h) — text/t never appear downstream of the explode
     assert "md5" in plan
