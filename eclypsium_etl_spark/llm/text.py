@@ -1943,15 +1943,21 @@ def q194_pack_boundaries(spark, sf_dir) -> DataFrame:
     position-id resets consume at train time — plus the bin's fill
     level (capacity minus fill = padding). The offsets aggregate sorted
     INSIDE the array expression and are serialized to a CSV string (the
-    driver canonicalizer hashes scalars only); the window + rollup share
-    the q117 plan shape (two-phase prefix sum at scale, see q127)."""
-    from pyspark.sql import Window as W
+    driver canonicalizer hashes scalars only); the prefix sum IS
+    ops.global_running_sum — round 6 replaced a single-partition global
+    window that only CLAIMED the q117 plan shape with the actual
+    two-phase kernel (range partition → per-partition prefix →
+    broadcast base offsets), so no task ever sees the whole corpus;
+    integer token counts make the distributed sum bit-equal to the
+    oracle's one window."""
+    from .. import ops
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id", n_tok_col().cast("long").alias("n_tok")
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    c = d.withColumn("tok_start", F.sum("n_tok").over(w) - F.col("n_tok"))
+    c = ops.global_running_sum(d, ["doc_id"], "n_tok", "run_tok").withColumn(
+        "tok_start", F.col("run_tok") - F.col("n_tok")
+    )
     return (
         c.withColumn(
             "bin_id", F.floor(F.col("tok_start") / _PACK_CAPACITY).cast("long")
@@ -2713,23 +2719,27 @@ def q278_soft_dedup_weights(spark, sf_dir) -> DataFrame:
     every copy but weight it 1/k where k is its duplicate-group size, so
     the EXPECTED contribution of each distinct content to training is
     exactly one copy (the downweighting scheme used when hard dedup is
-    too aggressive — e.g. templated-but-informative pages). The group
-    size is one window over the 16-byte content digest — raw text never
-    shuffles (q102's discipline); downstream samplers consume
-    sample_weight directly (q125's weighted draw composes: accept if
-    u(doc) < sample_weight). Emitted per-doc so both hard (is_unique or
-    min-id) and soft policies read from one table."""
-    from pyspark.sql import Window as W
-
+    too aggressive — e.g. templated-but-informative pages). Group sizes
+    are a map-side-combined aggregate over the 16-byte content digest
+    joined back digest-keyed — raw text never shuffles (q102's
+    discipline), and NOT the one-shuffle count-window spelling: a
+    viral page's duplicate cluster would be one unsplittable window
+    partition at corpus scale, while the aggregate's partials merge
+    hierarchically and AQE skew-splits the join probe (the q149/q214
+    analysis — soft dedup exists precisely because k can be huge).
+    Downstream samplers consume sample_weight directly (q125's weighted
+    draw composes: accept if u(doc) < sample_weight). Emitted per-doc
+    so both hard (is_unique or min-id) and soft policies read from one
+    table."""
     d = table(spark, sf_dir, "documents")
     g = d.select("doc_id", F.md5("text").alias("content_hash"))
-    k = F.count("*").over(W.partitionBy("content_hash"))
-    return g.select(
+    cnt = g.groupBy("content_hash").agg(F.count("*").alias("k"))
+    return g.join(cnt, "content_hash").select(
         "doc_id",
         "content_hash",
-        k.cast("long").alias("n_copies"),
-        F.round(1.0 / k, 6).alias("sample_weight"),
-        (k == 1).alias("is_unique"),
+        F.col("k").cast("long").alias("n_copies"),
+        F.round(1.0 / F.col("k"), 6).alias("sample_weight"),
+        (F.col("k") == 1).alias("is_unique"),
     )
 
 

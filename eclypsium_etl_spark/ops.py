@@ -287,7 +287,16 @@ def dedup_keep_first(
 ) -> DataFrame:
     """Deterministic dedup: keep the first row per key under an explicit
     total order — what dropDuplicates should be when reruns must agree
-    (q62/q85)."""
+    (q62/q85).
+
+    Skew boundary (the q149/q214/q278 audit, round 6): the row_number
+    window buffers each duplicate cluster in one task. Clusters here
+    are duplicate GROUPS (bounded by how many copies of one content
+    exist), not token/gram frequencies, so the idiom holds far further —
+    but if a single content can realistically have ~10^8 copies, swap
+    to the aggregate form: min_by(struct(order_cols), ...) per key then
+    a semi/inner join back, which combines map-side and skew-splits
+    under AQE at the cost of a second pass."""
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return (
         df.withColumn("__rn", F.row_number().over(w))
