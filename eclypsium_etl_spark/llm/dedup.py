@@ -142,16 +142,21 @@ def jaccard_pairs(
     a = sh.alias("a")
     b = sh.alias("b")
     if candidates is not None:
-        # candidate set is tiny → broadcast it (and its shingle expansion)
-        # so the big shingle table is only ever the probe side of a
-        # broadcast hash join — zero shuffles of shingles for verification
+        # NO manual broadcast hint (round-6 broadcast audit): the banded
+        # candidate set grows LINEARLY with the corpus even under the
+        # bucket cap (buckets x cap^2/2), so a pinned broadcast becomes
+        # an executor-memory time bomb at 100 TB. AQE re-plans with
+        # ACTUAL runtime sizes — it still broadcasts the (tiny) set at
+        # fixture scale, giving the identical zero-shingle-shuffle plan,
+        # and degrades to a shuffled hash join with skew-split when
+        # candidates outgrow the threshold.
         cand_a = (
-            F.broadcast(candidates)
+            candidates
             .join(a, F.col("a.doc_id") == F.col("doc_a"))
             .select("doc_a", "doc_b", F.col("a.s").alias("s_a"))
         )
         inter = (
-            F.broadcast(cand_a)
+            cand_a
             .join(
                 b,
                 (F.col("b.doc_id") == F.col("doc_b")) & (F.col("s_a") == F.col("b.s")),

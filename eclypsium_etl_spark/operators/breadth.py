@@ -982,8 +982,12 @@ def q295_gdpr_purge(spark, sf_dir) -> DataFrame:
     ANTI joins (retained) / SEMI joins (purged) and emit the per-table
     purge-vs-retain counts the auditor signs off on BEFORE the
     destructive write runs. The deletion list and the purged-order key
-    set both broadcast (small by nature); the facts are only ever the
-    probe side — at 100 TB the actual rewrite is a partition-level
+    sets carry NO pinned broadcast hint (round-6 audit: both grow with
+    the data — ~1% of customers and their whole order fan-out — so a
+    pinned broadcast is an executor-memory assumption; AQE broadcasts
+    them at fixture scale from actual runtime sizes and falls back to
+    shuffled semi-joins beyond the threshold); the facts are only ever
+    the probe side — at 100 TB the actual rewrite is a partition-level
     anti-join overwrite (q04's idempotent sink per partition), and this
     audit is its dry-run plan. The cascade's second hop keys on
     o_orderkey, NOT custkey — lineitem has no customer column, which is
@@ -994,10 +998,10 @@ def q295_gdpr_purge(spark, sf_dir) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     dele = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
     o_purged = o.join(
-        F.broadcast(dele), o.o_custkey == dele.c_custkey, "semi"
+        dele, o.o_custkey == dele.c_custkey, "semi"
     ).select("o_orderkey")
     l_purged = l.join(
-        F.broadcast(o_purged), l.l_orderkey == o_purged.o_orderkey, "semi"
+        o_purged, l.l_orderkey == o_purged.o_orderkey, "semi"
     )
 
     def counts(tbl: str, total_df, purged_df):
@@ -1185,8 +1189,10 @@ def q300_warehouse_build(spark, sf_dir) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     pk_dupes = c.groupBy("c_custkey").count().filter(F.col("count") > 1)
+    # full custkey set: no pinned broadcast — the dim grows with the
+    # data; AQE broadcasts from runtime size or shuffles (round-6 audit)
     fk_bad = o.join(
-        F.broadcast(c.select("c_custkey")),
+        c.select("c_custkey"),
         o.o_custkey == F.col("c_custkey"),
         "left_anti",
     )

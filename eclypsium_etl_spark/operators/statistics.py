@@ -864,8 +864,11 @@ def q296_constraint_audit(spark, sf_dir) -> DataFrame:
     pk_dupes = (
         c.groupBy("c_custkey").count().filter(F.col("count") > 1)
     )
+    # full custkey set: no pinned broadcast — the dim grows with the
+    # data; AQE broadcasts from runtime size or shuffles (round-6 audit,
+    # matching fk_line's hint-free anti-join below)
     fk_orders = o.join(
-        F.broadcast(c.select("c_custkey")),
+        c.select("c_custkey"),
         o.o_custkey == F.col("c_custkey"),
         "left_anti",
     )

@@ -39,7 +39,11 @@ N_SHARDS = 10  # 1 real + 9 remapped/rotated
 QUERIES = ["q63_dedup_near", "q71_dedup_minhash_lsh", "q129_semdedup",
            "q263_perplexity_bigram", "q268_bpe_merges",
            "q277_token_stream_chunks", "q282_dsir_weights",
-           "q284_corpus_manifest"]
+           "q284_corpus_manifest",
+           # round 6: q214's gram-frequency screen moved to aggregate +
+           # semi-join (hot-gram safety); the decorrelated shards keep
+           # duplicated substrings per-shard, so spans must grow ~10x
+           "q214_substring_spans"]
 # Streaming family (VERDICT r4 #6): 10x decorrelated event/document
 # shards (disjoint user ranges / disjoint vocabularies), so per-shard
 # state is the sf0.1 state — bounded state must grow ~10x in peak rows,

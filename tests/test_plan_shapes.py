@@ -667,3 +667,33 @@ def test_r4d_query_plan_shapes(spark):
         if name in single_exchange:
             assert plans.shuffle_count(df) <= 1, name
     assert plans.has_broadcast(QUERIES["q313_embedding_standardize"](spark, SF_CHECK))
+
+
+def test_q278_cluster_sizes_not_a_window(spark):
+    """Soft-dedup group sizes must be the aggregate + digest-keyed join,
+    never a count window over content_hash: a viral page's duplicate
+    cluster would be one unsplittable window partition at corpus scale
+    (round-6 hot-key audit). The plan shows a partial+final aggregate
+    and a join, and no Window operator at all."""
+    df = QUERIES["q278_soft_dedup_weights"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    assert "Window" not in plan
+    assert "Join" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_q194_uses_distributed_prefix_sum(spark):
+    """q194's token offsets must come from ops.global_running_sum's
+    two-phase kernel (range partition -> per-partition prefix ->
+    broadcast base add), not a single-partition global window: the plan
+    must contain no Window whose partition spec is empty over the full
+    document stream. global_running_sum stages through a scratch
+    parquet, so the executed plan reads the staged table and folds the
+    base offsets with a broadcast join."""
+    df = QUERIES["q194_pack_boundaries"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    # the per-__pid prefix window ran inside the kernel's staged write
+    # (a separate, already-executed job); the returned plan reads the
+    # staged table and folds base offsets — no Window operator at all
+    assert "Join" in plan
+    assert "Window" not in plan
