@@ -1453,25 +1453,35 @@ def q159_inverted_index(spark, sf_dir) -> DataFrame:
     then serialized to a CSV string so every result column is scalar
     (driver canonicalizers hash scalars, not lists — VERDICT r4 #1);
     df-band filtering (drop hapax legomena and stop-like terms) bounds
-    posting length. At 100 TB the groupBy keys on token — skewed by
-    Zipf — so the production variant shards hot tokens (token, doc_id
-    div B) into postings segments; the df cap here keeps any single
-    posting list executor-sized by construction."""
+    posting length. The band screen runs BEFORE the collect (round-6
+    audit): a cheap map-side-combined df count filters tokens to the
+    band and joins back, so the collect_list buffer for a Zipf-hot
+    stop token is never built at all — filtering AFTER the aggregate
+    would have materialized a corpus-sized posting buffer first and
+    only then dropped it. At 100 TB the production variant further
+    shards the surviving hot tokens (token, doc_id div B) into
+    postings segments; the df cap keeps any single collected posting
+    list executor-sized."""
     d = table(spark, sf_dir, "documents")
     post = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .distinct()
     )
-    return (
+    banded = (
         post.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df").between(_IDX_MIN_DF, _IDX_MAX_DF))
+    )
+    return (
+        post.join(banded, "token")
+        .groupBy("token")
         .agg(
-            F.count("*").alias("df"),
+            F.max("df").alias("df"),
             F.expr(
                 "array_join(transform(sort_array(collect_list(doc_id)),"
                 " x -> cast(x AS string)), ',')"
             ).alias("postings"),
         )
-        .filter(F.col("df").between(_IDX_MIN_DF, _IDX_MAX_DF))
     )
 
 
