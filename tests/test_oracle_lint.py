@@ -327,3 +327,16 @@ def test_evidence_adaptive_ordering(tmp_path):
         for n in order
     ]
     assert classes == sorted(classes), "evidence classes out of order"
+
+
+def test_bench_headline_names_resolve():
+    """bench.py's loop uses queries.get(name) and silently skips misses —
+    a renamed/typo'd HEADLINE entry would quietly drop from the bench
+    and read as a total-time improvement. Every headline name must be a
+    registered query id (and stay unique)."""
+    import bench
+
+    q, _ = registry.load_all()
+    missing = [n for n in bench.HEADLINE if n not in q]
+    assert not missing, f"HEADLINE entries not in the registry: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
