@@ -139,11 +139,65 @@ def _load_1m() -> float | None:
         return None
 
 
+def compact_record(
+    total: float,
+    n_queries: int,
+    sf: float | None,
+    ambient_load_1m: list[float | None],
+    load_1m: list[float | None],
+    contended: bool,
+) -> dict:
+    """The ONE machine-readable stdout line. Deliberately small: the
+    driver's tail capture keeps only the last ~2,000 chars of output, and
+    twice now (r3, r6) a line that embedded the full per-query medians map
+    outgrew it and came back `parsed: null`. Per-query numbers live ONLY in
+    BENCH_DETAIL.json; this record carries the headline total plus the load
+    telemetry needed to adjudicate it. Size is pinned by
+    tests/test_bench_contract.py (< 1,500 chars with generous headroom)."""
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n": BENCH_N,
+        "sf": sf,
+        "n_queries": n_queries,
+        "ambient_load_1m": ambient_load_1m[-1] if ambient_load_1m else None,
+        "ambient_load_1m_samples": ambient_load_1m,
+        "load_1m": load_1m,
+        "contended": contended,
+        "detail": "BENCH_DETAIL.json",
+    }
+
+
+def _ambient_samples() -> list[float | None]:
+    """Sample ambient load before our own JVM exists; if the box looks
+    contended, sleep once and resample (VERDICT r6 stretch #7) — transient
+    neighbors (a finishing pytest run, a page-cache flush) otherwise stamp
+    `contended: true` on a run that would have been clean 2 minutes later.
+    Both samples are recorded; the LAST drives the flag."""
+    samples = [_load_1m()]
+    retry_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SLEEP", "120"))
+    if (
+        samples[0] is not None
+        and samples[0] > CONTENDED_LOAD_1M
+        and retry_sleep > 0
+    ):
+        print(
+            f"bench: ambient load {samples[0]} > {CONTENDED_LOAD_1M}, "
+            f"sleeping {retry_sleep:.0f}s and resampling once",
+            file=sys.stderr,
+        )
+        time.sleep(retry_sleep)
+        samples.append(_load_1m())
+    return samples
+
+
 def main() -> None:
     from eclypsium_etl_spark.registry import load_all
     from eclypsium_etl_spark.session import get_spark
 
-    ambient_load = _load_1m()  # before our own JVM exists
+    ambient_samples = _ambient_samples()  # before our own JVM exists
+    ambient_load = ambient_samples[-1]
     spark = get_spark(app_name="eclypsium-etl-spark-bench")
     queries, _ = load_all()
 
@@ -197,36 +251,34 @@ def main() -> None:
             if ts
         },
         "ambient_load_1m": ambient_load,
+        "ambient_load_1m_samples": ambient_samples,
         "load_1m": load_1m,
         "contended": contended,
         "contended_threshold_1m": CONTENDED_LOAD_1M,
         "sf": sf,
     }
-    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB"):
+    # DuckDB head-to-head on the shared oracles, recorded EVERY round into
+    # the sidecar (VERDICT r6 #5) so the Spark-vs-single-node claim stays
+    # continuously measured. One iteration (the Spark side medians over
+    # BENCH_N; DuckDB's in-process runs are far less noisy), and opt-out
+    # with SPARK_GRAFT_BENCH_DUCKDB=0 for quick iteration loops.
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
         detail["duckdb"] = _duckdb_times()
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(sidecar, "w") as f:
         json.dump(detail, f, indent=1)
-    compact = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in times.items()},
-        "n": BENCH_N,
-        "sf": sf,
-        "n_queries": len(times),
-        "ambient_load_1m": ambient_load,
-        "load_1m": load_1m,
-        "contended": contended,
-        "detail": "BENCH_DETAIL.json",
-    }
+    compact = compact_record(
+        total, len(times), sf, ambient_samples, load_1m, contended
+    )
     print(json.dumps(compact, separators=(",", ":")))
 
 
 def _duckdb_times() -> dict[str, float]:
-    """Optional apples-to-apples reference: run each headline query's
-    DuckDB oracle on the same parquet (median of BENCH_N); enabled with
-    SPARK_GRAFT_BENCH_DUCKDB=1. Queries without oracles are omitted."""
+    """Apples-to-apples single-node reference: run each headline query's
+    DuckDB oracle on the same parquet. On by default into the sidecar
+    (one pass — DuckDB's in-process runs have none of the JVM/shuffle
+    variance the Spark side medians over); SPARK_GRAFT_BENCH_DUCKDB=0
+    disables. Queries without oracles are omitted."""
     import duckdb
 
     from eclypsium_etl_spark.registry import load_all
@@ -245,15 +297,12 @@ def _duckdb_times() -> dict[str, float]:
         sql = oracles.get(name)
         if sql is None:
             continue
-        ts = []
-        for _ in range(BENCH_N):
-            t0 = time.perf_counter()
-            # aggregate-consume, not fetchall(): the Spark side is timed to
-            # a noop sink, so the reference must also skip per-row Python
-            # materialization or large-output queries bias the comparison
-            con.execute(f"SELECT count(*) FROM ({sql}) __t").fetchone()
-            ts.append(time.perf_counter() - t0)
-        times[name] = round(statistics.median(ts), 3)
+        t0 = time.perf_counter()
+        # aggregate-consume, not fetchall(): the Spark side is timed to
+        # a noop sink, so the reference must also skip per-row Python
+        # materialization or large-output queries bias the comparison
+        con.execute(f"SELECT count(*) FROM ({sql}) __t").fetchone()
+        times[name] = round(time.perf_counter() - t0, 3)
     return times
 
 

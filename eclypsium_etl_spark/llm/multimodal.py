@@ -197,8 +197,11 @@ def q77_multimodal_decode(spark, sf_dir) -> DataFrame:
     batches, output is a typed feature frame keyed by doc_id. The oracle
     recomputes the fake's arithmetic straight from the source column — in
     BYTE units (octet_length(encode(..)) / first-byte hex), matching the
-    Spark side's len(raw bytes): strlen/first-char would agree only while
-    the fixture stays pure ASCII (the q291/q252/q253 latent class)."""
+    Spark side's len(raw bytes). The r6 divergence here was head_hex:
+    hex of a one-CHARACTER substring vs hex of the first BYTE ('c3a9'
+    vs 'c3' on non-ASCII) — a char-vs-byte slice, which no length
+    function models (ADVICE r6 pins the taxonomy: DuckDB strlen() is
+    byte-based; the q291/q252/q253 rewrites were idiom clean-ups)."""
     d = table(spark, sf_dir, "documents")
     assets = d.select("doc_id", F.encode("text", "utf-8").alias("asset"))
     return assets.mapInPandas(
@@ -765,14 +768,17 @@ def goertzel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     Vectorized (VERDICT r5 #7) with the IEEE fold preserved: terms are
     built as numpy elementwise x*cos(w*i) — each double op left-
     associated exactly as the oracle writes it (w = ((2.0*pi)*k)/n, then
-    w*i), and np.cos/np.sin proved bitwise-identical to libm on every
-    angle this clip matrix produces — then summed with np.cumsum, whose
-    last partial IS the sequential left fold the oracle's list_reduce
-    computes (a pairwise np.sum would re-associate and drift). Verified
-    bitwise against the per-sample Python loop over the full clip space
-    (all n in 400..499 x step in 1..7 x 3 bins, raw sums AND 6dp
-    powers; pinned by tests/test_llm_variants.py). ~100x less Python
-    per clip at real audio scale than the loop it replaces."""
+    w*i) — then summed with np.cumsum, whose last partial IS the
+    sequential left fold the oracle's list_reduce computes (a pairwise
+    np.sum would re-associate and drift). np.cos/np.sin measured
+    bitwise-identical to libm on THIS host's numpy build over the full
+    clip space (all n in 400..499 x step in 1..7 x 3 bins), but that is
+    build/ISA specific (ADVICE r6: numpy's SIMD float64 trig can differ
+    from libm by a few ULP on e.g. AVX-512) — the guaranteed parity
+    surface is the 6dp-rounded normalized power, which absorbs ULP trig
+    drift and is what the DuckDB differential hashes; pinned at that
+    level (raw sums advisory) by tests/test_llm_variants.py. ~100x less
+    Python per clip at real audio scale than the loop it replaces."""
     import io
     import math
     import wave

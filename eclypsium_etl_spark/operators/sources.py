@@ -982,8 +982,10 @@ def q291_zip_packed_assets(spark, sf_dir) -> DataFrame:
     shards = 8 listing entries, executor-side unpack via mapInPandas,
     byte fidelity proven by the same md5 oracle. n_bytes counts UTF-8
     OCTETS on both sides (len of the encoded member here,
-    octet_length(encode(..)) in the oracle) — strlen would count
-    characters and diverge on any non-ASCII text (ADVICE r4). Shards are staged
+    octet_length(encode(..)) in the oracle — the explicit-bytes idiom;
+    note DuckDB strlen() is itself byte-based (ADVICE r6), the idiom
+    exists so the unit can't be misread, and the truly char-based
+    length() stays linted out of byte aliases). Shards are staged
     write-once under the full-path + source-stamp key (the q252
     staleness discipline)."""
     import io

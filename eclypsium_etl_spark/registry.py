@@ -221,12 +221,12 @@ _CHEAP_FIRST = [
 ]
 
 
-def _driver_evidence(root: str | None = None) -> dict[str, bool]:
-    """id -> latest driver CORRECTNESS outcome (True = clean row: full
-    rows+schema+hash match, or the declared rows-only contract for
-    no-oracle queries). Reads the driver-written CORRECTNESS_r*.json in
-    the repo root; an id absent from every file has never been sampled.
-    Best-effort: unreadable files are skipped, so a missing or
+def _driver_rows(root: str | None = None) -> dict[str, tuple[int, bool]]:
+    """id -> (latest sampled round, latest outcome). Outcome True = clean
+    row: full rows+schema+hash match, or the declared rows-only contract
+    for no-oracle queries. Reads the driver-written CORRECTNESS_r*.json
+    in the repo root; an id absent from every file has never been
+    sampled. Best-effort: unreadable files are skipped, so a missing or
     malformed evidence set degrades to the static order."""
     import glob
     import json
@@ -235,7 +235,7 @@ def _driver_evidence(root: str | None = None) -> dict[str, bool]:
 
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out: dict[str, bool] = {}
+    out: dict[str, tuple[int, bool]] = {}
 
     def _round_of(path: str) -> int:
         # parsed round number, not filename order: lexicographic sorting
@@ -246,6 +246,7 @@ def _driver_evidence(root: str | None = None) -> dict[str, bool]:
     for path in sorted(
         glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=_round_of
     ):
+        rnd = _round_of(path)
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -255,14 +256,44 @@ def _driver_evidence(root: str | None = None) -> dict[str, bool]:
             if not isinstance(row, dict):
                 continue
             if row.get("err") == "no_oracle":
-                out[name] = row.get("spark_rows") is not None
+                ok = row.get("spark_rows") is not None
             else:
-                out[name] = bool(
+                ok = bool(
                     not row.get("err")
                     and row.get("rows_match")
                     and row.get("schema_match")
                     and row.get("hash_match")
                 )
+            out[name] = (rnd, ok)
+    return out
+
+
+def _driver_evidence(root: str | None = None) -> dict[str, bool]:
+    """id -> latest driver CORRECTNESS outcome (see _driver_rows)."""
+    return {n: ok for n, (_, ok) in _driver_rows(root).items()}
+
+
+def _staleness(root: str | None = None) -> dict[str, int]:
+    """id -> round of last implementation change, from STALENESS.json
+    (written by scripts/gen_staleness.py: per-function `git log -L` over
+    the query's own source span plus a one-level pass over the shared
+    kernels it references, mapped to driver rounds via PROGRESS.jsonl).
+    Best-effort: a missing or malformed file degrades to 'nothing is
+    known stale'."""
+    import json
+    import os
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(os.path.join(root, "STALENESS.json")) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    out: dict[str, int] = {}
+    for name, row in data.items():
+        if isinstance(row, dict) and isinstance(row.get("impl_round"), int):
+            out[name] = row["impl_round"]
     return out
 
 
@@ -271,17 +302,27 @@ def ordered_queries() -> dict[str, QueryFn]:
     walk should consume it: RED ids first (a fixed bug must re-prove
     itself next round), then never-driver-sampled ids (evidence
     conversion — the round-5 discipline, VERDICT r4 #3), then
-    driver-green ids. Within each class the _CHEAP_FIRST profile order
-    is preserved (cheapest-first, so the budget greens the maximum
-    count); names missing from the profile append in registration
-    order. The classes come from the driver's own CORRECTNESS_r*.json
-    at load time, so the walk self-adapts every round without a manual
-    re-tier."""
+    driver-green ids. Within the green class, ids whose implementation
+    changed AFTER their latest driver row (STALENESS.json, VERDICT r6
+    #3: the driver has never executed the shipped spelling) come first,
+    most-recently-changed first and oldest-evidence first within a
+    change round — so leftover walk budget re-greens rewrites instead of
+    re-proving untouched queries. Within each remaining class the
+    _CHEAP_FIRST profile order is preserved (cheapest-first, so the
+    budget greens the maximum count); names missing from the profile
+    append in registration order. The classes come from the driver's own
+    CORRECTNESS_r*.json at load time, so the walk self-adapts every
+    round without a manual re-tier."""
     q, _ = load_all()
     base = [n for n in _CHEAP_FIRST if n in q]
     base += [n for n in q if n not in set(base)]
-    ev = _driver_evidence()
-    red = [n for n in base if ev.get(n) is False]
-    never = [n for n in base if n not in ev]
-    green = [n for n in base if ev.get(n) is True]
-    return {n: q[n] for n in red + never + green}
+    rows = _driver_rows()
+    stale_round = _staleness()
+    red = [n for n in base if n in rows and not rows[n][1]]
+    never = [n for n in base if n not in rows]
+    green = [n for n in base if n in rows and rows[n][1]]
+    pos = {n: i for i, n in enumerate(base)}
+    stale = [n for n in green if stale_round.get(n, 0) > rows[n][0]]
+    stale.sort(key=lambda n: (-stale_round[n], rows[n][0], pos[n]))
+    fresh = [n for n in green if n not in set(stale)]
+    return {n: q[n] for n in red + never + stale + fresh}

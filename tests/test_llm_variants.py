@@ -231,21 +231,28 @@ def test_q282_dsir_selects_target_like_docs(spark):
 
 
 def test_goertzel_vectorized_fold_is_ieee_identical():
-    """q303's vectorized kernel (numpy terms + cumsum left fold) must be
-    bitwise-identical to the per-sample sequential Python loop it
-    replaced (VERDICT r5 #7) — raw c/s sums AND the 6dp-rounded
+    """q303's vectorized kernel (numpy terms + cumsum left fold) must
+    agree with the per-sample sequential Python loop it replaced
+    (VERDICT r5 #7) at the actual parity surface — the 6dp-rounded
     normalized power — across a sample of the clip space (the full
-    n 400..499 x step 1..7 x 3-bin sweep was verified once when the
-    kernel landed; this pin keeps a representative slice green against
-    numpy trig/cumsum changes). cumsum is the load-bearing choice: a
-    pairwise np.sum would re-associate the fold and drift off the
-    oracle's sequential list_reduce."""
+    n 400..499 x step 1..7 x 3-bin sweep was verified when the kernel
+    landed). cumsum is the load-bearing choice: a pairwise np.sum would
+    re-associate the fold and drift off the oracle's sequential
+    list_reduce.
+
+    The RAW c/s sums were bitwise-identical to libm on this host, but
+    that property is numpy-build/ISA specific (ADVICE r6: numpy ships
+    SIMD float64 trig loops on some ISAs, e.g. AVX-512, documented to
+    differ from libm by a few ULP), so the raw check is ADVISORY — a
+    drift prints loudly for diagnosis but only a 6dp-power mismatch
+    (what DuckDB parity actually hashes) fails the test."""
     import math
 
     import numpy as np
 
     from eclypsium_etl_spark.llm.multimodal import _GOERTZEL_BINS
 
+    raw_drift = []
     for n in (400, 417, 450, 499):
         for step in (1, 3, 7):
             xs = [(i * step) % 200 - 100 for i in range(n)]
@@ -261,8 +268,14 @@ def test_goertzel_vectorized_fold_is_ieee_identical():
                     a = 2.0 * math.pi * k / n * i
                     c = c + x * math.cos(a)
                     s = s + x * math.sin(a)
-                assert vc == c or (vc == 0.0 == c), (n, step, k)
-                assert vs == s or (vs == 0.0 == s), (n, step, k)
+                if vc != c or vs != s:
+                    raw_drift.append((n, step, k, vc - c, vs - s))
+                # the parity surface: 6dp-rounded normalized power
                 assert round((vc * vc + vs * vs) / (n * n), 6) == round(
                     (c * c + s * s) / (n * n), 6
                 ), (n, step, k)
+    if raw_drift:  # advisory: ULP-level trig drift, expected on some ISAs
+        print(
+            "goertzel raw-sum drift vs libm (numpy SIMD trig; parity-"
+            f"harmless at 6dp): {raw_drift[:5]} (+{len(raw_drift) - 5 if len(raw_drift) > 5 else 0} more)"
+        )

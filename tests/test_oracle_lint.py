@@ -5,6 +5,8 @@ names — never file paths."""
 
 from __future__ import annotations
 
+import json
+
 import pytest
 
 from eclypsium_etl_spark import registry
@@ -107,9 +109,11 @@ def test_hashability_lint_detects_offenders(spark):
 
 # ---------------------------------------------------------------------------
 # Latent-divergence sweep (VERDICT r5 ask #4): static string-level checks
-# over every registered oracle for the two divergence classes ADVICE has
-# caught in the wild — char-counting oracles aliased as bytes (q291, then
-# siblings q252/q253/q77), and unguarded division (the q315 class).
+# over every registered oracle for two divergence classes — ambiguous
+# length idioms under byte-named aliases (q291/q252/q253 siblings; see
+# the char-vs-byte note on test_no_char_counting_bytes_aliases — the one
+# REAL divergence in that family was q77's head_hex, a char-substring-hex
+# vs byte-substring-hex), and unguarded division (the q315 class).
 # ---------------------------------------------------------------------------
 
 import re as _re
@@ -208,11 +212,17 @@ def test_no_unguarded_bare_division():
 
 
 def test_no_char_counting_bytes_aliases():
-    """q291/q252/q253/q77 class: an oracle that counts CHARACTERS
-    (strlen/length on a text column) while aliasing the result as
-    *bytes* agrees with a byte-counting Spark side only while the
-    fixture is pure ASCII. Byte aliases must come from
-    octet_length(encode(..))."""
+    """Byte-named aliases must come from the explicit-bytes idiom
+    octet_length(encode(..)), never strlen. Factual note (ADVICE r6):
+    DuckDB's strlen() already returns BYTES, not characters (verified:
+    strlen('héllo') = 6 vs length('héllo') = 5), so the r6
+    strlen->octet_length(encode()) rewrites were behavior-preserving —
+    this lint enforces a self-documenting idiom whose unit can't be
+    misread, not a unit fix. The REAL divergence in the q291/q252/q253/
+    q77 family was q77's head_hex: hex of a CHARACTER substring
+    (substr then encode) vs hex of a BYTE slice ('c3a9...' vs 'c3'),
+    which no length function models — that class is covered by the
+    dynamic value-level parity walks, not this static sweep."""
     offenders = []
     for name in sorted(ORACLE):
         sql = ORACLE[name]
@@ -226,10 +236,11 @@ def test_no_char_counting_bytes_aliases():
 
 
 def test_divergence_lint_detects_offenders():
-    """Meta-test: both sweeps must go red on the exact pre-fix oracle
-    shapes they were built for (q252's strlen-as-n_bytes, and a bare
-    unguarded denominator), and must NOT false-positive on string
-    literals or guarded forms."""
+    """Meta-test: both sweeps must go red on the exact pre-rewrite oracle
+    shapes they were built for (q252's strlen-as-n_bytes — byte-correct
+    in DuckDB but unit-ambiguous, see test_no_char_counting_bytes_aliases
+    — and a bare unguarded denominator), and must NOT false-positive on
+    string literals or guarded forms."""
     old_q252 = """
     SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
@@ -340,3 +351,60 @@ def test_bench_headline_names_resolve():
     missing = [n for n in bench.HEADLINE if n not in q]
     assert not missing, f"HEADLINE entries not in the registry: {missing}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+
+
+def test_bench_compact_line_stays_small():
+    """The driver's tail capture keeps only the last ~2,000 chars of
+    bench.py stdout; twice (BENCH_r03, BENCH_r06) a compact line carrying
+    the full per-query medians map outgrew it and the round's artifact
+    came back `parsed: null`. The compact record must stay parseable no
+    matter how the headline list grows: build it for an absurdly large
+    query count and long load vectors and pin the serialized size well
+    under the capture window."""
+    import bench
+
+    rec = bench.compact_record(
+        total=12345.678,
+        n_queries=5000,
+        sf=0.1,
+        ambient_load_1m=[31.97, 31.97],
+        load_1m=[31.97] * 10,
+        contended=True,
+    )
+    line = json.dumps(rec, separators=(",", ":"))
+    assert len(line) < 1500, f"compact bench line too long: {len(line)}"
+    # and it must still carry the fields the judge reads
+    parsed = json.loads(line)
+    assert parsed["value"] == 12345.678
+    assert parsed["contended"] is True
+    assert parsed["unit"] == "sec"
+    assert "queries" not in parsed, "per-query map belongs in the sidecar"
+
+
+def test_staleness_retier_orders_rewrites_first():
+    """VERDICT r6 #3: within the driver-green class, ids whose
+    implementation changed AFTER their latest driver CORRECTNESS row
+    (STALENESS.json) must precede stale-but-unchanged greens, newest
+    change round first — leftover walk budget re-samples rewrites the
+    driver has never executed. Pinned on the live repo state (skipped if
+    STALENESS.json is absent)."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.exists(os.path.join(root, "STALENESS.json")):
+        pytest.skip("STALENESS.json not generated")
+    rows = registry._driver_rows()
+    stale_round = registry._staleness()
+    order = list(registry.ordered_queries())
+    greens = [n for n in order if n in rows and rows[n][1]]
+    # greens must split into a contiguous stale block then fresh block,
+    # and the stale block must be sorted newest-change-round first
+    flags = [stale_round.get(n, 0) > rows[n][0] for n in greens]
+    assert flags == sorted(flags, reverse=True), (
+        "stale greens must be contiguous and precede fresh greens"
+    )
+    stale = [n for n in greens if stale_round.get(n, 0) > rows[n][0]]
+    impl = [stale_round[n] for n in stale]
+    assert impl == sorted(impl, reverse=True), (
+        "stale greens must be ordered newest implementation change first"
+    )
