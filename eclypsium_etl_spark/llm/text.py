@@ -1425,7 +1425,8 @@ def q158_weighted_reservoir(spark, sf_dir) -> DataFrame:
     )
 
 
-_IDX_MIN_DF, _IDX_MAX_DF = 2, 200
+_IDX_MIN_DF = 2          # drop hapax legomena (absolute)
+_IDX_MAX_DF_FRAC = 0.10  # stopword ceiling: df <= 10% of corpus docs
 
 
 @query(
@@ -1436,13 +1437,15 @@ _IDX_MIN_DF, _IDX_MAX_DF = 2, 200
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
               FROM documents)
     ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
     agg AS (
         SELECT token, COUNT(*) AS df,
                array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
         FROM post GROUP BY token
     )
-    SELECT token, df, postings FROM agg
-    WHERE df BETWEEN {_IDX_MIN_DF} AND {_IDX_MAX_DF}
+    SELECT token, df, postings FROM agg CROSS JOIN n
+    WHERE df >= {_IDX_MIN_DF}
+      AND df <= CAST(floor({_IDX_MAX_DF_FRAC} * n_docs) AS BIGINT)
     """,
 )
 def q159_inverted_index(spark, sf_dir) -> DataFrame:
@@ -1453,24 +1456,42 @@ def q159_inverted_index(spark, sf_dir) -> DataFrame:
     then serialized to a CSV string so every result column is scalar
     (driver canonicalizers hash scalars, not lists — VERDICT r4 #1);
     df-band filtering (drop hapax legomena and stop-like terms) bounds
-    posting length. The band screen runs BEFORE the collect (round-6
-    audit): a cheap map-side-combined df count filters tokens to the
-    band and joins back, so the collect_list buffer for a Zipf-hot
-    stop token is never built at all — filtering AFTER the aggregate
-    would have materialized a corpus-sized posting buffer first and
-    only then dropped it. At 100 TB the production variant further
-    shards the surviving hot tokens (token, doc_id div B) into
-    postings segments; the df cap keeps any single collected posting
-    list executor-sized."""
+    posting length. The stopword ceiling is CORPUS-RELATIVE since r7
+    (df <= 10% of the document count, a 1-row broadcast aggregate
+    attached in-plan): an absolute cap is meaningless across scales —
+    the old `df <= 200` emptied the index at sf0.1 where every fixture
+    token's df >= 250, which made the r7 scale-proof row vacuous (0
+    rows at both scales proves nothing) — and a relative cap is also
+    the realistic IR spelling. The band screen runs BEFORE the collect
+    (round-6 audit): a cheap map-side-combined df count filters tokens
+    to the band and joins back, so the collect_list buffer for a
+    Zipf-hot stop token is never built at all — filtering AFTER the
+    aggregate would have materialized a corpus-sized posting buffer
+    first and only then dropped it. At 100 TB the production variant
+    further shards the surviving hot tokens (token, doc_id div B) into
+    postings segments; the relative df cap keeps any single collected
+    posting list a bounded fraction of the corpus (segment-shard past
+    executor size)."""
     d = table(spark, sf_dir, "documents")
     post = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .distinct()
     )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
     banded = (
         post.groupBy("token")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df").between(_IDX_MIN_DF, _IDX_MAX_DF))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= _IDX_MIN_DF)
+            & (
+                F.col("df")
+                <= F.floor(F.lit(_IDX_MAX_DF_FRAC) * F.col("n_docs")).cast(
+                    "long"
+                )
+            )
+        )
+        .drop("n_docs")
     )
     return (
         post.join(banded, "token")
@@ -3000,9 +3021,12 @@ def q282_dsir_weights(spark, sf_dir) -> DataFrame:
         SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
     )
     SELECT dt.doc_id,
-           CAST(SUM(strlen(dt.word)) AS BIGINT) AS n_tok_char,
+           -- length(), not strlen(): the Spark side counts CHARACTERS
+           -- (F.length); DuckDB strlen is byte-based and would diverge
+           -- on a non-ASCII fixture (ADVICE r6 unit taxonomy)
+           CAST(SUM(length(dt.word)) AS BIGINT) AS n_tok_char,
            CAST(SUM(vocab.n_sym) AS BIGINT) AS n_tok_bpe,
-           round(CAST(SUM(strlen(dt.word)) AS DOUBLE)
+           round(CAST(SUM(length(dt.word)) AS DOUBLE)
                  / SUM(vocab.n_sym), 6) AS compression,
            CAST(SUM(CASE WHEN vocab.merged_any THEN 1 ELSE 0 END) AS BIGINT)
                AS n_words_merged
@@ -3224,7 +3248,8 @@ _GOPHER_STOP_HITS = 2  # docs must contain >= 2 distinct common words
     m AS (
         SELECT doc_id,
                len(toks) AS n_words,
-               round(CAST(list_sum(list_transform(toks, w -> strlen(w)))
+               -- length(), not strlen(): Spark counts chars (ADVICE r6)
+               round(CAST(list_sum(list_transform(toks, w -> length(w)))
                      AS DOUBLE) / len(toks), 6) AS mean_wlen,
                round(CAST(len(list_filter(toks,
                      w -> w LIKE '%#%' OR w LIKE '%...%')) AS DOUBLE)

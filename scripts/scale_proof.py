@@ -43,7 +43,17 @@ QUERIES = ["q63_dedup_near", "q71_dedup_minhash_lsh", "q129_semdedup",
            # round 6: q214's gram-frequency screen moved to aggregate +
            # semi-join (hot-gram safety); the decorrelated shards keep
            # duplicated substrings per-shard, so spans must grow ~10x
-           "q214_substring_spans"]
+           "q214_substring_spans",
+           # (q263 was already in the suite; its row below re-measures
+           # the r6 distinct-pair probe-shrink spelling. q159 gets a
+           # CUSTOM row — run_inverted_index — because the generic
+           # rows-ratio check mis-models an index under vocabulary-
+           # bijection sharding: 10 disjoint vocabularies make every
+           # token 10x rarer relative to the whole corpus, so the
+           # corpus-relative stopword ceiling correctly admits ALL
+           # shards' tokens and index rows grow with VOCABULARY (310x
+           # over a 1-token base), not quadratically with data.)
+           ]
 # Streaming family (VERDICT r4 #6): 10x decorrelated event/document
 # shards (disjoint user ranges / disjoint vocabularies), so per-shard
 # state is the sf0.1 state — bounded state must grow ~10x in peak rows,
@@ -233,11 +243,16 @@ def run_er(spark, customer_path: str) -> dict:
     rebuild the q304 shape (clean master = all customers, dirty = every
     third with one prefix char dropped) over an arbitrary customer
     parquet and measure what the blocking actually does — block-size
-    distribution of the master side, candidate-pair count produced by
-    the block join, matches, wall time. With the 10x decorrelated
+    distribution of the master side (suffix key), distinct candidate
+    pairs produced by the kernel's FULL default pass union (suffix +
+    the three suffix2 alignment joins since r7 — what the kernel
+    actually scores), matches, wall time. With the 10x decorrelated
     shards the expected outcome is: blocks 10x MORE but none BIGGER
     (max_block ratio ~1), candidates and matches exactly 10x, time
-    ~linear — a quadratic fuzzy join would pay 100x in candidates."""
+    ~linear — a quadratic fuzzy join would pay 100x in candidates (the
+    rejected suffix+prefix union measurably DID: the constant 'Cus'
+    prefix block alone is the full dirty x clean cross product, ~75M
+    pairs at sf0.1)."""
     from pyspark.sql import functions as F
 
     from eclypsium_etl_spark import ops
@@ -266,15 +281,10 @@ def run_er(spark, customer_path: str) -> dict:
         )
         .collect()[0]
     )
-    cand_n = dirty.alias("d").join(
-        clean.alias("m"),
-        (
-            F.substring(F.col("d.name"), -3, 3)
-            == F.substring(F.col("m.name"), -3, 3)
-        )
-        & (
-            F.abs(F.length(F.col("d.name")) - F.length(F.col("m.name"))) <= 2
-        ),
+    # the kernel's real candidate set: pair-deduped union over the
+    # default pass list (suffix + three suffix2 alignment joins)
+    cand_n = ops.blocked_candidate_pairs(
+        dirty, clean, max_len_diff=2, block_chars=3
     ).count()
     t0 = time.perf_counter()
     matches = ops.blocked_levenshtein_match(
@@ -288,6 +298,43 @@ def run_er(spark, customer_path: str) -> dict:
         "n_blocks": int(blocks["n_blocks"]),
         "max_block": int(blocks["max_block"]),
         "mean_block": float(blocks["mean_block"]),
+    }
+
+
+def run_inverted_index(spark, sf_dir: str) -> dict:
+    """q159's custom row (VERDICT r6 #6): the round-6 fix moved the
+    df-band screen BEFORE collect_list so a Zipf-hot token's
+    corpus-sized posting buffer is never built. The empirical claims
+    that fix makes are (a) wall time ~linear in corpus size with the
+    hot tokens present (every fixture token above the ceiling IS a hot
+    token, ~10x more instances at 10x), and (b) every posting list
+    actually collected is bounded by the stopword ceiling — max
+    surviving df <= ceiling — at BOTH scales. Index ROW count is
+    reported but not ratio-bounded: under vocabulary-bijection
+    sharding it grows with vocabulary by design (see QUERIES note)."""
+    from pyspark.sql import functions as F
+
+    from eclypsium_etl_spark.registry import load_all
+
+    q, _ = load_all()
+    fn = q["q159_inverted_index"]
+    df = fn(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    stats = (
+        fn(spark, sf_dir)
+        .agg(F.count("*").alias("rows"), F.max("df").alias("max_df"))
+        .collect()[0]
+    )
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    ceiling = int(0.10 * n_docs)
+    return {
+        "sec": round(wall, 2),
+        "rows": int(stats["rows"]),
+        "max_collected_df": int(stats["max_df"]) if stats["max_df"] is not None else 0,
+        "df_ceiling": ceiling,
+        "cap_ok": (stats["max_df"] or 0) <= ceiling,
     }
 
 
@@ -395,6 +442,8 @@ def main() -> int:
     er_big = run_er(spark, f"{out}/customer.parquet")
     cdc_base = run_cdc(spark, 1)
     cdc_big = run_cdc(spark, 10)
+    idx_base = run_inverted_index(spark, SF01)
+    idx_big = run_inverted_index(spark, out)
 
     report, ok = {}, True
     for name in QUERIES + ["emb_pairs_kernel@0.9"]:
@@ -452,7 +501,11 @@ def main() -> int:
     cdc_t = round(cdc_big["sec"] / max(cdc_base["sec"], 0.05), 1)
     cdc_log = round(cdc_big["log_rows"] / max(cdc_base["log_rows"], 1), 1)
     cdc_ok = cdc_t <= MAX_RATIO and cdc_big["rows"] == cdc_base["rows"]
-    ok &= er_ok and cdc_ok
+    idx_t = round(idx_big["sec"] / max(idx_base["sec"], 0.05), 1)
+    idx_ok = (
+        idx_t <= MAX_RATIO and idx_base["cap_ok"] and idx_big["cap_ok"]
+    )
+    ok &= er_ok and cdc_ok and idx_ok
     warehouse_report = {
         "q304_blocked_levenshtein": {
             "sf01": er_base, "x10": er_big,
@@ -465,6 +518,16 @@ def main() -> int:
             "time_ratio": cdc_t, "log_rows_ratio": cdc_log,
             "state_rows_equal": cdc_big["rows"] == cdc_base["rows"],
             "linear_in_log": cdc_ok,
+        },
+        "q159_inverted_index": {
+            "sf01": idx_base, "x10": idx_big,
+            "time_ratio": idx_t,
+            # rows grow with admitted VOCABULARY under decorrelated
+            # sharding (by design, see run_inverted_index) — the bounded
+            # quantities are wall time and max collected posting length
+            "postings_capped_both_scales": idx_base["cap_ok"]
+            and idx_big["cap_ok"],
+            "linear_time_capped_postings": idx_ok,
         },
     }
     print(json.dumps({"fixture": out, "max_ratio": MAX_RATIO,

@@ -456,9 +456,11 @@ def test_band_key_concat_is_injective(spark):
 
 @pytest.mark.parametrize("seed", [2, 13])
 def test_blocked_levenshtein_match_bruteforce(spark, seed):
-    """ops.blocked_levenshtein_match (q304's ER kernel) against a python
-    brute force: for every dirty name, the winner among master names
-    sharing its block key (last 3 chars) within the length band, by
+    """ops.blocked_levenshtein_match's SINGLE-PASS path (explicit
+    block_passes=("suffix",) — since r7 the kernel default is the
+    two-pass union, covered by the test below) against a python brute
+    force: for every dirty name, the winner among master names sharing
+    its block key (last 3 chars) within the length band, by
     (levenshtein, master_id) — and nothing for dirty names with no
     candidate under the distance cap. Random names over a tiny alphabet
     so blocks genuinely collide and distances spread across the cap."""
@@ -484,7 +486,8 @@ def test_blocked_levenshtein_match_bruteforce(spark, seed):
     got = {
         r.dirty_id: (r.master_id, r.dist)
         for r in ops.blocked_levenshtein_match(
-            dd, md, max_len_diff=2, max_dist=2, block_chars=3
+            dd, md, max_len_diff=2, max_dist=2, block_chars=3,
+            block_passes=("suffix",),
         ).collect()
     }
     want = {}
@@ -501,15 +504,34 @@ def test_blocked_levenshtein_match_bruteforce(spark, seed):
     assert got == want
 
 
+def _taildel_keys(s: str, k: int = 3) -> set[str]:
+    """Python mirror of the kernel's taildel key set: the last-k window
+    of s plus the last-k window of each variant deleting one of the
+    last k characters (1-based starts clamped to >= 1, like the SQL)."""
+
+    def sub(start1: int, ln: int) -> str:
+        st = max(start1, 1)
+        return s[st - 1 : st - 1 + ln]
+
+    length = len(s)
+    keys = {sub(length - (k - 1), k)}
+    for j in range(k):
+        keys.add(sub(length - k, k - j) + (sub(length - (j - 1), j) if j else ""))
+    return keys
+
+
 @pytest.mark.parametrize("seed", [5, 29])
 def test_blocked_levenshtein_two_pass_union(spark, seed):
-    """block_passes=("suffix","prefix") — brute force over the UNION of
-    both blocking schemes, and the completeness class the union buys
-    (ops.py contract): a single character deletion cannot perturb both
-    the first-3 and last-3 windows of a name longer than 6 chars, so
-    every distance-1 dirty row MUST resolve; suffix-only provably
-    misses the deletions landing in the last 3 chars (recall lift
-    measured, not argued — q287's meta-evaluation discipline on ER)."""
+    """The kernel DEFAULT block_passes=("suffix","taildel") (r7, VERDICT
+    r6 #8): brute force over the union of the blocking predicates —
+    suffix (last 3) plus a non-empty intersection of the two sides'
+    deletion-neighborhood tail key sets — and the completeness class
+    the union buys (ops.py contract): ANY single edit (substitution,
+    deletion, insertion) leaves at least one pass's keys equal on
+    names longer than 3*block_chars, so every distance-1 dirty row
+    MUST resolve. suffix-only provably misses edits landing in the
+    last 3 chars (recall lift measured, not argued — q287's
+    meta-evaluation discipline on ER)."""
     rng = random.Random(seed)
 
     def levenshtein(a, b):
@@ -522,35 +544,46 @@ def test_blocked_levenshtein_two_pass_union(spark, seed):
             prev = cur
         return prev[-1]
 
-    # masters long enough for the completeness guarantee (> 2*block_chars)
+    # masters long enough for the completeness guarantee (> 3*block_chars)
     def name():
-        return "".join(rng.choice("abcd") for _ in range(rng.randrange(7, 12)))
+        return "".join(rng.choice("abcd") for _ in range(rng.randrange(10, 15)))
 
     master = [(i, name()) for i in range(30)]
-    # dirty: one char deleted per master; half the deletions forced into
-    # the last 3 chars — the suffix pass's blind spot
+    # dirty: one single-character edit per master, cycling through all
+    # three edit types; half the edit positions forced into the last 3
+    # chars — the suffix pass's blind spot
     dirty = []
     for i, (mid, mn) in enumerate(master):
         pos = (
-            rng.randrange(len(mn) - 3, len(mn))
+            rng.randrange(len(mn) - 3, len(mn) + 1)
             if i % 2
             else rng.randrange(0, len(mn) - 3)
         )
-        dirty.append((100 + mid, mn[:pos] + mn[pos + 1:]))
+        kind = i % 3
+        if kind == 0:  # deletion (pos capped to a real index)
+            p = min(pos, len(mn) - 1)
+            dn = mn[:p] + mn[p + 1:]
+        elif kind == 1:  # substitution with a guaranteed-different char
+            p = min(pos, len(mn) - 1)
+            dn = mn[:p] + chr(ord("e") + (i % 4)) + mn[p + 1:]
+        else:  # insertion (pos == len(mn) appends)
+            dn = mn[:pos] + chr(ord("e") + (i % 4)) + mn[pos:]
+        dirty.append((100 + mid, dn))
     md = spark.createDataFrame(master, "id long, name string")
     dd = spark.createDataFrame(dirty, "id long, name string")
 
+    # the two-pass union IS the kernel default since r7
     two = {
         r.dirty_id: (r.master_id, r.dist)
         for r in ops.blocked_levenshtein_match(
             dd, md, max_len_diff=2, max_dist=2, block_chars=3,
-            block_passes=("suffix", "prefix"),
         ).collect()
     }
     one = {
         r.dirty_id
         for r in ops.blocked_levenshtein_match(
             dd, md, max_len_diff=2, max_dist=2, block_chars=3,
+            block_passes=("suffix",),
         ).collect()
     }
 
@@ -559,7 +592,9 @@ def test_blocked_levenshtein_two_pass_union(spark, seed):
     for did, dn in dirty:
         best = None
         for mid, mn in master:
-            in_block = dn[-3:] == mn[-3:] or dn[:3] == mn[:3]
+            in_block = dn[-3:] == mn[-3:] or bool(
+                _taildel_keys(dn) & _taildel_keys(mn)
+            )
             if not in_block or abs(len(dn) - len(mn)) > 2:
                 continue
             d = levenshtein(dn, mn)
@@ -569,7 +604,7 @@ def test_blocked_levenshtein_two_pass_union(spark, seed):
             want[did] = (best[1], best[0])
     assert two == want
 
-    # completeness: every distance-1 dirty row resolves under the union
+    # completeness: every single-edit dirty row resolves under the union
     assert set(two) == {did for did, _ in dirty}
-    # recall lift is real: suffix-only misses some last-3-char deletions
+    # recall lift is real: suffix-only misses some last-3-char edits
     assert one < set(two), "two-pass union should strictly widen recall"

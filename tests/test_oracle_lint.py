@@ -408,3 +408,52 @@ def test_staleness_retier_orders_rewrites_first():
     assert impl == sorted(impl, reverse=True), (
         "stale greens must be ordered newest implementation change first"
     )
+
+
+# strlen( occurrences allowed in oracles: DuckDB strlen is BYTE-based
+# (ADVICE r6), so it may only touch expressions that are ASCII by
+# construction (where bytes == chars on every possible input, not just
+# the current fixture). Everything else must use length() (chars,
+# mirroring F.length) or octet_length(encode()) (explicit bytes).
+_STRLEN_WHITELIST = {
+    "q258_hash_functions": ["strlen(sha256("],   # hex digest: ASCII
+    "q265_stack_inline": ["strlen(o_orderstatus)"],  # 1-char enum: ASCII
+}
+
+
+def test_strlen_only_on_ascii_safe_expressions():
+    """The char-vs-byte unit taxonomy, enforced in the inverse direction
+    of test_no_char_counting_bytes_aliases: byte-based strlen() under a
+    CHAR-meaning alias silently agrees with a char-counting Spark side
+    only while the fixture stays pure ASCII (q283's n_tok_char and
+    q285's mean_wlen were exactly this — found and fixed r7). Any
+    strlen( in an oracle must be an audited ASCII-by-construction
+    whitelist entry; new uses must justify themselves here."""
+    offenders, stale = [], []
+    for name in sorted(ORACLE):
+        sql = _strip_sql_comments(ORACLE[name])
+        hits = [
+            m.start() for m in _re.finditer(r"\bstrlen\s*\(", sql)
+        ]
+        if not hits:
+            continue
+        allowed = _STRLEN_WHITELIST.get(name, [])
+        # every hit must be explained by some whitelist substring
+        unexplained = len(hits) - sum(sql.count(a) for a in allowed)
+        if unexplained > 0:
+            offenders.append((name, len(hits)))
+    for name in _STRLEN_WHITELIST:
+        sql = _strip_sql_comments(ORACLE.get(name, ""))
+        if not any(a in sql for a in _STRLEN_WHITELIST[name]):
+            stale.append(name)
+    assert not offenders, (
+        "byte-based strlen() on non-whitelisted expressions (use "
+        f"length() for chars, octet_length(encode()) for bytes): {offenders}"
+    )
+    assert not stale, f"stale _STRLEN_WHITELIST entries: {stale}"
+
+
+def _strip_sql_comments(sql: str) -> str:
+    """Blank out -- line comments so prose mentioning strlen() (the
+    q283/q285 fix rationale) doesn't trip the sweep."""
+    return _re.sub(r"--[^\n]*", "", sql)
