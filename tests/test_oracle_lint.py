@@ -136,9 +136,11 @@ def _unguarded_bare_denominators(sql: str) -> set[str]:
     Function-call denominators (COUNT(), len(), CAST(), nullif()...) and
     literals are treated as safe at this level — the lint is a cheap
     string sweep, not a SQL analyzer; anything it flags must either gain
-    a guard or an explicit whitelist entry below."""
+    a guard or an explicit whitelist entry below. Comments are stripped
+    first — a prose slash ('deletion-neighborhood / FastSS') is not a
+    division."""
     out = set()
-    for m in _DIV_DENOM.finditer(_strip_sql_strings(sql)):
+    for m in _DIV_DENOM.finditer(_strip_sql_strings(_strip_sql_comments(sql))):
         if not m.group(2):
             out.add(m.group(1))
     return out
