@@ -654,17 +654,21 @@ def test_q162_linear_scan_count(spark):
 def test_r4d_query_plan_shapes(spark):
     """The q302-q316 batch holds its plan claims (none of these had a
     plan-shape pin before round 5): no CartesianProduct anywhere; the
-    single-exchange kernels (q304 blocked entity resolution, q305 CDC
-    window-apply, q307 TWAP, q312 surrogate-key prefix sum) stay at one
-    shuffle; q313's corpus-wide moments come back as a broadcast, not a
-    second corpus shuffle."""
+    single-exchange kernels (q305 CDC window-apply, q307 TWAP, q312
+    surrogate-key prefix sum) stay at one shuffle; q304's r7 default
+    (suffix + taildel two-pass blocking union) budgets THREE exchanges —
+    one equality-keyed hash join per block pass feeding the candidate
+    pair-dedup, plus the keeper-election repartition on dirty_id — and
+    every one is key-partitioned and AQE-skew-splittable, never a
+    cross product; q313's corpus-wide moments come back as a broadcast,
+    not a second corpus shuffle."""
     single_exchange = (
-        "q304_entity_resolution",
         "q305_cdc_apply",
         "q307_time_weighted_avg",
         "q312_surrogate_keys",
     )
     for name in single_exchange + (
+        "q304_entity_resolution",
         "q311_event_pmi",
         "q313_embedding_standardize",
         "q314_char_ngram_jaccard",
@@ -674,6 +678,7 @@ def test_r4d_query_plan_shapes(spark):
         assert "CartesianProduct" not in plans.physical_plan(df), name
         if name in single_exchange:
             assert plans.shuffle_count(df) <= 1, name
+    assert plans.shuffle_count(QUERIES["q304_entity_resolution"](spark, SF_CHECK)) <= 3
     assert plans.has_broadcast(QUERIES["q313_embedding_standardize"](spark, SF_CHECK))
 
 
