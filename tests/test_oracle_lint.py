@@ -383,6 +383,33 @@ def test_bench_compact_line_stays_small():
     assert "queries" not in parsed, "per-query map belongs in the sidecar"
 
 
+def test_committed_bench_sidecar_is_a_real_run():
+    """The committed BENCH_DETAIL.json must come from a real headline run
+    (sf0.1, the full BENCH_N medians), not a quick-iteration smoke pass:
+    an n=1 sf0.001 sidecar was once committed alongside unrelated work and
+    its per-query profile (JIT warmup landing on whichever queries run
+    first) is uncomparable with every real round artifact. Catch that at
+    commit time, not at judge time."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "BENCH_DETAIL.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("no committed sidecar")
+    with open(path) as f:
+        d = json.load(f)
+    assert d.get("sf") and d["sf"] >= 0.1, (
+        f"sidecar is an sf{d.get('sf')} run — rerun bench.py at the "
+        "default sf0.1 before committing BENCH_DETAIL.json"
+    )
+    assert d.get("n", 0) >= 2, (
+        f"sidecar is an n={d.get('n')} single-pass — medians over "
+        "BENCH_N>=2 required for a committable artifact"
+    )
+
+
 def test_staleness_retier_orders_rewrites_first():
     """VERDICT r6 #3: within the driver-green class, ids whose
     implementation changed AFTER their latest driver CORRECTNESS row
