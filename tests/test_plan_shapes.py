@@ -373,6 +373,32 @@ def test_q158_reservoir_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_global_topk_family_is_takeordered(spark):
+    """Every global top-K in the registry that is SPELLED as an
+    unpartitioned rank window + `rank <= K` filter must PLAN as a
+    distributed TakeOrderedAndProject (per-partition top-K, merge of
+    K·P rows), courtesy of Catalyst's LimitPushDownThroughWindow — and
+    must introduce NO SinglePartition exchange for the ranking itself.
+    Verified for the whole family (q158 has its own pin above): if a
+    future respelling defeats the rewrite (e.g. a second consumer of
+    the window column, or a non-rank function), the global sort comes
+    back as a single-reducer exchange and this test catches it.
+    q156 is asserted separately: its power-iteration norm reductions
+    legitimately use 1-row aggregates, so it gets an exchange budget
+    instead of a zero-SinglePartition pin."""
+    for name in ("q150_zipf_fit", "q267_vocab_oov", "q06_sink_report"):
+        plan = plans.physical_plan(QUERIES[name](spark, SF_CHECK))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Exchange SinglePartition" not in plan, (
+            f"{name}: ranking fell back to a single-reducer global sort"
+        )
+    tr = plans.physical_plan(QUERIES["q156_textrank"](spark, SF_CHECK))
+    assert "TakeOrderedAndProject" in tr
+    # the fixed-iteration norm/size reductions are the only 1-row
+    # exchanges allowed; the vocab-sized rank must not add one
+    assert tr.count("Exchange SinglePartition") <= 4
+
+
 def test_q159_index_band_screen_before_collect(spark):
     """Posting-list build (round-6 shape): the df-band screen is a
     map-side-combined count + join-back that runs BEFORE collect_list,
