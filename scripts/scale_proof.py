@@ -53,6 +53,22 @@ QUERIES = ["q63_dedup_near", "q71_dedup_minhash_lsh", "q129_semdedup",
            # corpus-relative stopword ceiling correctly admits ALL
            # shards' tokens and index rows grow with VOCABULARY (310x
            # over a 1-token base), not quadratically with data.)
+           # round 7: the iterative family. q156 TextRank — the bijected
+           # shards make the co-occurrence graph 10 disjoint isomorphic
+           # components; per-iteration cost is edge-linear and the output
+           # is the fixed top-K (rows ratio ~1 by design). q162 power
+           # iteration — 3 fixed corpus passes, broadcast-v, output is
+           # the 64 loadings at any scale.
+           "q156_textrank", "q162_pca_power",
+           # (q142/q239's mutual-kNN graph + triangles get a CUSTOM
+           # planted row — knn_triangle_kernel — because their
+           # registered tau=0.30 sits INSIDE the 64-d random-cosine
+           # band: at 10x pair counts the rotated fixture's noise
+           # legitimately enters the tau-ball and the result is
+           # quadratic by problem definition, exactly like q65/q78.
+           # The kernel row runs the same GEMM->top-k->mutual->triangle
+           # composition at PLANT_TAU, where structure defines the
+           # answer: edges/triangles/wedges must each be ~10x.)
            ]
 # Streaming family (VERDICT r4 #6): 10x decorrelated event/document
 # shards (disjoint user ranges / disjoint vocabularies), so per-shard
@@ -74,7 +90,8 @@ def fixture_dir() -> str:
     stamp = source_stamp(f"{SF01}/documents.parquet")
     # v3: adds the 10x customer shards for the warehouse kernels
     # (q304 blocked Levenshtein / q305 cdc_apply — VERDICT r5 #6)
-    return f"/tmp/eclypsium_etl_spark/scale10v3_{stamp}"
+    # v4: adds the planted TRIAD shards for the graph kernels (round 7)
+    return f"/tmp/eclypsium_etl_spark/scale10v4_{stamp}"
 
 
 def build_fixture(out: str) -> None:
@@ -188,6 +205,40 @@ def build_fixture(out: str) -> None:
         big.append(planted_shard(mat @ q if k else mat, k * shard_n, seed=1000 + k))
     pd.concat(big, ignore_index=True).to_parquet(
         f"{out}/emb_planted_10x.parquet", index=False
+    )
+
+    # TRIAD shards for the graph kernels (q142/q239 class): N_PLANTED
+    # bases each get TWO perturbed near-copies. sigma=0.02 on unit-norm
+    # 64-d bases gives cos(base, copy) ~0.987 and cos(copy, copy) ~0.975
+    # — both above PLANT_TAU with margin, while base-base sims (~0.5 max)
+    # and cross-shard rotated sims (<6.5 sigma of the 1/8-sd noise band)
+    # stay far below. Expected graph per shard: 3 mutual edges, 1
+    # triangle, 3 wedges per triad — so edges/triangles/wedges must all
+    # scale exactly 10x, and a non-blocked all-pairs path pays 100x time.
+    def triad_shard(base_mat: np.ndarray, id_off: int, seed: int) -> pd.DataFrame:
+        r = np.random.default_rng(seed)
+        copies = []
+        for _ in range(2):
+            c = base_mat[:N_PLANTED] + 0.02 * r.standard_normal(
+                (N_PLANTED, dim)
+            )
+            copies.append(c / np.linalg.norm(c, axis=1, keepdims=True))
+        vecs = np.concatenate([base_mat] + copies)
+        ids = np.arange(len(vecs))
+        return pd.DataFrame({"vec_id": ids + id_off, "embedding": list(vecs)})
+
+    triad_n = len(mat) + 2 * N_PLANTED
+    triad_shard(mat, 0, seed=2000).to_parquet(
+        f"{out}/emb_triads_1x.parquet", index=False
+    )
+    tbig = []
+    for k in range(N_SHARDS):
+        q, _ = np.linalg.qr(
+            np.random.default_rng(700 + k).standard_normal((dim, dim))
+        )
+        tbig.append(triad_shard(mat @ q if k else mat, k * triad_n, seed=2000 + k))
+    pd.concat(tbig, ignore_index=True).to_parquet(
+        f"{out}/emb_triads_10x.parquet", index=False
     )
     open(f"{out}/_BUILT", "w").close()
 
@@ -416,6 +467,80 @@ def planted_pairs(spark, emb_path: str) -> dict:
     return {"sec": round(time.perf_counter() - t0, 2), "rows": n}
 
 
+def knn_triangle_kernel(spark, emb_path: str) -> dict:
+    """q142's mutual-kNN graph + q239's triangle/wedge counting, run as
+    one composition at PLANT_TAU on the planted TRIAD fixture — the
+    graph family's structural scale row. Same code path as the queries
+    (grid_gemm_candidates tau-ball -> exact JVM dot re-score -> per-src
+    top-k window -> mutual self-join -> a<b<c triangle joins); only the
+    threshold differs, because the registered tau=0.30 is inside the
+    64-d noise band where a 10x fixture's answer is quadratic by
+    problem definition (see the q65/q78 note on planted_pairs)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from eclypsium_etl_spark.functions import dot
+    from eclypsium_etl_spark.llm.similarity import grid_gemm_candidates
+
+    em = spark.read.parquet(emb_path).select("vec_id", "embedding")
+    cand = grid_gemm_candidates(em, PLANT_TAU)
+    cand = cand.union(
+        cand.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    )
+    a = em.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = em.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
+    edges = (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            F.col("vec_a").alias("src"),
+            F.col("vec_b").alias("dst"),
+            dot(F.col("emb_a"), F.col("emb_b")).alias("s"),
+        )
+        .filter(F.round("s", 6) >= PLANT_TAU)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("src", "dst")
+    )
+    e, m = edges.alias("e"), edges.alias("m")
+    und = (
+        e.join(
+            m,
+            (F.col("m.src") == F.col("e.dst"))
+            & (F.col("m.dst") == F.col("e.src")),
+        )
+        .where(F.col("e.src") < F.col("e.dst"))
+        .select(F.col("e.src").alias("a"), F.col("e.dst").alias("b"))
+    )
+    t0 = time.perf_counter()
+    n_edges = und.count()
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    n_tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .count()
+    )
+    nbr = und.select(F.col("a").alias("center"), F.col("b").alias("leaf")).union(
+        und.select(F.col("b").alias("center"), F.col("a").alias("leaf"))
+    )
+    n1, n2 = nbr.alias("n1"), nbr.alias("n2")
+    n_wedges = n1.join(
+        n2,
+        (F.col("n2.center") == F.col("n1.center"))
+        & (F.col("n1.leaf") < F.col("n2.leaf")),
+    ).count()
+    return {
+        "sec": round(time.perf_counter() - t0, 2),
+        "edges": n_edges,
+        "triangles": n_tri,
+        "wedges": n_wedges,
+    }
+
+
 def main() -> int:
     from eclypsium_etl_spark.session import get_spark
 
@@ -444,6 +569,8 @@ def main() -> int:
     cdc_big = run_cdc(spark, 10)
     idx_base = run_inverted_index(spark, SF01)
     idx_big = run_inverted_index(spark, out)
+    tri_base = knn_triangle_kernel(spark, f"{out}/emb_triads_1x.parquet")
+    tri_big = knn_triangle_kernel(spark, f"{out}/emb_triads_10x.parquet")
 
     report, ok = {}, True
     for name in QUERIES + ["emb_pairs_kernel@0.9"]:
@@ -505,8 +632,22 @@ def main() -> int:
     idx_ok = (
         idx_t <= MAX_RATIO and idx_base["cap_ok"] and idx_big["cap_ok"]
     )
-    ok &= er_ok and cdc_ok and idx_ok
+    tri_t = round(tri_big["sec"] / max(tri_base["sec"], 0.05), 1)
+    tri_ratios = {
+        k: round(tri_big[k] / max(tri_base[k], 1), 1)
+        for k in ("edges", "triangles", "wedges")
+    }
+    tri_ok = tri_t <= MAX_RATIO and all(
+        r <= MAX_RATIO for r in tri_ratios.values()
+    )
+    ok &= er_ok and cdc_ok and idx_ok and tri_ok
     warehouse_report = {
+        "knn_triangle_kernel@0.9": {
+            "sf01": tri_base, "x10": tri_big,
+            "time_ratio": tri_t, **{f"{k}_ratio": v
+                                    for k, v in tri_ratios.items()},
+            "subquadratic": tri_ok,
+        },
         "q304_blocked_levenshtein": {
             "sf01": er_base, "x10": er_big,
             "time_ratio": er_t, "candidates_ratio": er_cand,
