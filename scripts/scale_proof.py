@@ -60,6 +60,16 @@ QUERIES = ["q63_dedup_near", "q71_dedup_minhash_lsh", "q129_semdedup",
            # iteration — 3 fixed corpus passes, broadcast-v, output is
            # the 64 loadings at any scale.
            "q156_textrank", "q162_pca_power",
+           # round 7 (second batch): connected components — bijected
+           # shards preserve exact-duplicate structure, so q111's pair
+           # graph is 10 isomorphic-ish per-shard graphs (40-char prefix
+           # boundaries shift under token remapping; bounded drift) and
+           # label propagation converges in the same diameter. The
+           # decontamination family probes a CONSTANT benchmark (doc_id
+           # < 20 lives in shard 0 only) against a 10x corpus — the
+           # realistic shape: rows per corpus doc ~10x, eval side flat.
+           "q111_dedup_groups", "q115_decontaminate",
+           "q124_bloom_decontaminate", "q140_ngram_decontaminate",
            # (q142/q239's mutual-kNN graph + triangles get a CUSTOM
            # planted row — knn_triangle_kernel — because their
            # registered tau=0.30 sits INSIDE the 64-d random-cosine
