@@ -493,7 +493,22 @@ def blocked_levenshtein_match(
     candidate set dropped ~40x. Each pass stays an equi-join Catalyst
     hash-shuffles on the block key — no BNL; a genuinely hot key
     AQE-skew-splits into extra tasks, never one unsplittable
-    partition."""
+    partition.
+
+    SIZE ``block_chars`` TO THE DATA — the key-entropy ceiling: a
+    k-char key over an alphabet of size A has at most A^k distinct
+    values (digit suffixes: 10^k), so once n >> A^k, block size grows
+    ~n/A^k and candidates ~n^2/A^k — quadratic with a small constant.
+    The 10x decorrelated proof shards dodge this by construction
+    (disjoint per-shard alphabets make blocks MULTIPLY); HOMOGENEOUS
+    growth does not, and scripts/scale_proof.py's run_er_entropy
+    measures it: at 4x rows over the same digit alphabet,
+    block_chars=3 candidates grow ~16x (the 1,000-key ceiling) while
+    block_chars=5 stays ~4x (linear), with matches IDENTICAL across
+    both settings at both scales — the completeness proof does not
+    depend on k (names longer than 3*block_chars), so raising k trades
+    nothing but the minimum-name-length bound. Rule of thumb at scale:
+    pick block_chars ~ ceil(log_A(n / target_block_size))."""
     merged = blocked_candidate_pairs(
         dirty,
         master,

@@ -259,8 +259,14 @@ def run_suite(spark, sf_dir: str) -> dict[str, dict]:
     q, _ = load_all()
     res = {}
     for name in QUERIES:
-        df = q[name](spark, sf_dir)
+        # time CONSTRUCTION + write, not write alone: fixpoint queries
+        # (q111's label propagation, kmeans-family) materialize their
+        # iterations eagerly inside the query function, so a write-only
+        # timer reads ~0s for them at any scale (caught on q111's first
+        # row). For lazy queries the construction add-on is plan-build
+        # time — scale-independent, harmless to the ratio.
         t0 = time.perf_counter()
+        df = q[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
         res[name] = {"sec": round(wall, 2), "rows": q[name](spark, sf_dir).count()}
@@ -477,6 +483,67 @@ def planted_pairs(spark, emb_path: str) -> dict:
     return {"sec": round(time.perf_counter() - t0, 2), "rows": n}
 
 
+def run_er_entropy(spark) -> dict:
+    """The blocking-key ENTROPY ceiling, measured on HOMOGENEOUS growth —
+    the axis the decorrelated shards structurally cannot see. The 10x
+    customer shards translate digits into per-shard disjoint alphabets,
+    so suffix blocks MULTIPLY; but real growth appends more rows over the
+    SAME alphabet, and a k-char digit suffix has at most 10^k keys: once
+    n >> 10^k, block size grows ~n/10^k and candidates ~n^2/10^k —
+    quadratic with a small constant, invisible at fixture scale.
+
+    Demonstrated: sequential TPC-H-style names at n and 4n with
+    block_chars=3 (1,000-key ceiling -> candidates ~16x at 4x rows) vs
+    block_chars=5 (100,000 keys -> candidates ~4x, linear). The remedy is
+    the kernel's existing knob: block_chars must scale ~log_alphabet(n),
+    and the completeness contract (names longer than 3*block_chars) still
+    holds at 18-char names for block_chars=5. Matches must be IDENTICAL
+    across block_chars at both scales — recall is completeness-protected,
+    only the candidate budget changes."""
+    from pyspark.sql import functions as F
+
+    from eclypsium_etl_spark import ops
+    from eclypsium_etl_spark.operators.breadth import _ER_TYPO_SQL
+
+    def hom(n: int):
+        c = spark.range(1, n + 1).select(
+            F.col("id").alias("c_custkey"),
+            F.format_string("Customer#%09d", F.col("id")).alias("c_name"),
+        )
+        clean = c.select(
+            F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+        )
+        typo = F.expr(
+            _ER_TYPO_SQL.format(name="c_name", key="c_custkey")
+            .replace("substr", "substring")
+            .replace("strlen", "length")
+        )
+        dirty = c.filter(F.col("c_custkey") % 3 == 0).select(
+            (F.col("c_custkey") + 10_000_000).alias("id"), typo.alias("name")
+        )
+        return dirty, clean
+
+    out: dict = {}
+    for n in (15_000, 60_000):
+        dirty, clean = hom(n)
+        row: dict = {}
+        for bc in (3, 5):
+            cand = ops.blocked_candidate_pairs(
+                dirty, clean, max_len_diff=2, block_chars=bc
+            ).count()
+            t0 = time.perf_counter()
+            matches = ops.blocked_levenshtein_match(
+                dirty, clean, max_len_diff=2, max_dist=2, block_chars=bc
+            ).count()
+            row[f"bc{bc}"] = {
+                "candidates": cand,
+                "matches": matches,
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        out[f"n{n}"] = row
+    return out
+
+
 def knn_triangle_kernel(spark, emb_path: str) -> dict:
     """q142's mutual-kNN graph + q239's triangle/wedge counting, run as
     one composition at PLANT_TAU on the planted TRIAD fixture — the
@@ -581,6 +648,7 @@ def main() -> int:
     idx_big = run_inverted_index(spark, out)
     tri_base = knn_triangle_kernel(spark, f"{out}/emb_triads_1x.parquet")
     tri_big = knn_triangle_kernel(spark, f"{out}/emb_triads_10x.parquet")
+    er_entropy = run_er_entropy(spark)
 
     report, ok = {}, True
     for name in QUERIES + ["emb_pairs_kernel@0.9"]:
@@ -650,8 +718,27 @@ def main() -> int:
     tri_ok = tri_t <= MAX_RATIO and all(
         r <= MAX_RATIO for r in tri_ratios.values()
     )
-    ok &= er_ok and cdc_ok and idx_ok and tri_ok
+    # entropy-ceiling demonstration: candidates at the RIGHT block_chars
+    # must grow ~linearly on homogeneous 4x growth, matches must be
+    # block_chars-invariant (completeness-protected recall), and the
+    # bc3 quadratic ratio is RECORDED as the documented ceiling, not
+    # asserted — it is the hazard the knob exists to avoid.
+    e1, e4 = er_entropy["n15000"], er_entropy["n60000"]
+    ent_bc3 = round(e4["bc3"]["candidates"] / max(e1["bc3"]["candidates"], 1), 1)
+    ent_bc5 = round(e4["bc5"]["candidates"] / max(e1["bc5"]["candidates"], 1), 1)
+    ent_ok = (
+        ent_bc5 <= 8.0
+        and e1["bc3"]["matches"] == e1["bc5"]["matches"]
+        and e4["bc3"]["matches"] == e4["bc5"]["matches"]
+    )
+    ok &= er_ok and cdc_ok and idx_ok and tri_ok and ent_ok
     warehouse_report = {
+        "er_blocking_entropy_ceiling": {
+            **er_entropy,
+            "bc3_candidate_ratio_4x": ent_bc3,
+            "bc5_candidate_ratio_4x": ent_bc5,
+            "matches_block_chars_invariant_and_bc5_linear": ent_ok,
+        },
         "knn_triangle_kernel@0.9": {
             "sf01": tri_base, "x10": tri_big,
             "time_ratio": tri_t, **{f"{k}_ratio": v
