@@ -146,6 +146,7 @@ def compact_record(
     ambient_load_1m: list[float | None],
     load_1m: list[float | None],
     contended: bool,
+    detail: str = "BENCH_DETAIL.json",
 ) -> dict:
     """The ONE machine-readable stdout line. Deliberately small: the
     driver's tail capture keeps only the last ~2,000 chars of output, and
@@ -165,7 +166,7 @@ def compact_record(
         "ambient_load_1m_samples": ambient_load_1m,
         "load_1m": load_1m,
         "contended": contended,
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail,
     }
 
 
@@ -264,11 +265,21 @@ def main() -> None:
     # with SPARK_GRAFT_BENCH_DUCKDB=0 for quick iteration loops.
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
         detail["duckdb"] = _duckdb_times()
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # Quick-iteration runs (sub-sf0.1 or single-pass) write a SEPARATE,
+    # untracked sidecar: an n=1 sf0.001 smoke pass once overwrote the
+    # git-tracked artifact and was committed with unrelated work — its
+    # per-query profile (warmup landing on whichever queries run first)
+    # is uncomparable with real round artifacts. The lint on the tracked
+    # file (tests/test_oracle_lint.py) stays as the second line of
+    # defense; this removes the way the mistake happens at all.
+    is_real_run = sf is not None and sf >= 0.1 and BENCH_N >= 2
+    name = "BENCH_DETAIL.json" if is_real_run else "BENCH_DETAIL.local.json"
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
     with open(sidecar, "w") as f:
         json.dump(detail, f, indent=1)
     compact = compact_record(
-        total, len(times), sf, ambient_samples, load_1m, contended
+        total, len(times), sf, ambient_samples, load_1m, contended,
+        detail=name,
     )
     print(json.dumps(compact, separators=(",", ":")))
 
