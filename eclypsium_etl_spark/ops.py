@@ -508,7 +508,18 @@ def blocked_levenshtein_match(
     both settings at both scales — the completeness proof does not
     depend on k (names longer than 3*block_chars), so raising k trades
     nothing but the minimum-name-length bound. Rule of thumb at scale:
-    pick block_chars ~ ceil(log_A(n / target_block_size))."""
+    pick block_chars ~ ceil(log_A(n / target_block_size)).
+
+    Caveat measured on the 64x ladder (run_er_ladder): the sizing rule
+    governs the SUFFIX pass; taildel's deletion variants forfeit ~one
+    digit of key entropy (~n^2/A^(k-1) candidates on digit tails) and
+    widening the window only helps where the added positions VARY — on
+    zero-padded id-style names bc5 and bc6 produce byte-identical
+    candidate sets, because the variant deleting the new digit pulls in
+    a constant pad character. taildel is tail-edit INSURANCE: when the
+    workload's typo model is known non-tail (OCR'd prefixes, truncated
+    exports), pass ``block_passes=("suffix",)`` and pay n candidates,
+    not the insurance budget."""
     merged = blocked_candidate_pairs(
         dirty,
         master,

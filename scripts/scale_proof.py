@@ -483,6 +483,33 @@ def planted_pairs(spark, emb_path: str) -> dict:
     return {"sec": round(time.perf_counter() - t0, 2), "rows": n}
 
 
+def _hom_customers(spark, n: int):
+    """Homogeneous-growth synthetic: n sequential TPC-H-style names over
+    the SAME digit alphabet (the real growth axis, vs the decorrelated
+    shards' disjoint alphabets), dirty = every third with the standard
+    typo expression."""
+    from pyspark.sql import functions as F
+
+    from eclypsium_etl_spark.operators.breadth import _ER_TYPO_SQL
+
+    c = spark.range(1, n + 1).select(
+        F.col("id").alias("c_custkey"),
+        F.format_string("Customer#%09d", F.col("id")).alias("c_name"),
+    )
+    clean = c.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    typo = F.expr(
+        _ER_TYPO_SQL.format(name="c_name", key="c_custkey")
+        .replace("substr", "substring")
+        .replace("strlen", "length")
+    )
+    dirty = c.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("id"), typo.alias("name")
+    )
+    return dirty, clean
+
+
 def run_er_entropy(spark) -> dict:
     """The blocking-key ENTROPY ceiling, measured on HOMOGENEOUS growth —
     the axis the decorrelated shards structurally cannot see. The 10x
@@ -500,32 +527,11 @@ def run_er_entropy(spark) -> dict:
     holds at 18-char names for block_chars=5. Matches must be IDENTICAL
     across block_chars at both scales — recall is completeness-protected,
     only the candidate budget changes."""
-    from pyspark.sql import functions as F
-
     from eclypsium_etl_spark import ops
-    from eclypsium_etl_spark.operators.breadth import _ER_TYPO_SQL
-
-    def hom(n: int):
-        c = spark.range(1, n + 1).select(
-            F.col("id").alias("c_custkey"),
-            F.format_string("Customer#%09d", F.col("id")).alias("c_name"),
-        )
-        clean = c.select(
-            F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
-        )
-        typo = F.expr(
-            _ER_TYPO_SQL.format(name="c_name", key="c_custkey")
-            .replace("substr", "substring")
-            .replace("strlen", "length")
-        )
-        dirty = c.filter(F.col("c_custkey") % 3 == 0).select(
-            (F.col("c_custkey") + 10_000_000).alias("id"), typo.alias("name")
-        )
-        return dirty, clean
 
     out: dict = {}
     for n in (15_000, 60_000):
-        dirty, clean = hom(n)
+        dirty, clean = _hom_customers(spark, n)
         row: dict = {}
         for bc in (3, 5):
             cand = ops.blocked_candidate_pairs(
@@ -537,6 +543,40 @@ def run_er_entropy(spark) -> dict:
             ).count()
             row[f"bc{bc}"] = {
                 "candidates": cand,
+                "matches": matches,
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        out[f"n{n}"] = row
+    return out
+
+
+def run_er_ladder(spark) -> dict:
+    """Multi-decade homogeneous ladder (env-gated: SPARK_GRAFT_ER_LADDER=1
+    — ~a minute of extra wall, off in the default suite): 15k -> 960k
+    sequential names (64x) at block_chars=5, the right-sized key for this
+    range (100k-key domain). Asserted invariants at every rung: every
+    dirty row resolves (matches == n_dirty — single-edit completeness is
+    scale-independent) and candidates stay linear-bounded
+    (candidates/n under a generous constant). The top rung also records
+    block_chars=6 to show the knob at the saturation edge."""
+    from eclypsium_etl_spark import ops
+
+    out: dict = {}
+    for n in (15_000, 60_000, 240_000, 960_000):
+        dirty, clean = _hom_customers(spark, n)
+        bcs = (5, 6) if n == 960_000 else (5,)
+        row: dict = {"n_dirty": n // 3}
+        for bc in bcs:
+            cand = ops.blocked_candidate_pairs(
+                dirty, clean, max_len_diff=2, block_chars=bc
+            ).count()
+            t0 = time.perf_counter()
+            matches = ops.blocked_levenshtein_match(
+                dirty, clean, max_len_diff=2, max_dist=2, block_chars=bc
+            ).count()
+            row[f"bc{bc}"] = {
+                "candidates": cand,
+                "cand_per_row": round(cand / n, 1),
                 "matches": matches,
                 "sec": round(time.perf_counter() - t0, 2),
             }
@@ -649,6 +689,11 @@ def main() -> int:
     tri_base = knn_triangle_kernel(spark, f"{out}/emb_triads_1x.parquet")
     tri_big = knn_triangle_kernel(spark, f"{out}/emb_triads_10x.parquet")
     er_entropy = run_er_entropy(spark)
+    er_ladder = (
+        run_er_ladder(spark)
+        if os.environ.get("SPARK_GRAFT_ER_LADDER")
+        else None
+    )
 
     report, ok = {}, True
     for name in QUERIES + ["emb_pairs_kernel@0.9"]:
@@ -732,6 +777,16 @@ def main() -> int:
         and e4["bc3"]["matches"] == e4["bc5"]["matches"]
     )
     ok &= er_ok and cdc_ok and idx_ok and tri_ok and ent_ok
+    ladder_report = None
+    if er_ladder is not None:
+        ladder_ok = all(
+            row[k]["matches"] == row["n_dirty"] and row[k]["cand_per_row"] <= 100
+            for row in er_ladder.values()
+            for k in row
+            if k.startswith("bc")
+        )
+        ok &= ladder_ok
+        ladder_report = {**er_ladder, "complete_and_linear_bounded": ladder_ok}
     warehouse_report = {
         "er_blocking_entropy_ceiling": {
             **er_entropy,
@@ -739,6 +794,11 @@ def main() -> int:
             "bc5_candidate_ratio_4x": ent_bc5,
             "matches_block_chars_invariant_and_bc5_linear": ent_ok,
         },
+        **(
+            {"er_homogeneous_ladder_64x": ladder_report}
+            if ladder_report is not None
+            else {}
+        ),
         "knn_triangle_kernel@0.9": {
             "sf01": tri_base, "x10": tri_big,
             "time_ratio": tri_t, **{f"{k}_ratio": v
