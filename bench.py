@@ -264,7 +264,14 @@ def main() -> None:
     # BENCH_N; DuckDB's in-process runs are far less noisy), and opt-out
     # with SPARK_GRAFT_BENCH_DUCKDB=0 for quick iteration loops.
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
-        detail["duckdb"] = _duckdb_times()
+        # Guarded: by this point ALL the Spark timing is already done, so
+        # a DuckDB import/oracle failure must not abort the run and lose
+        # the sidecar + compact line (ADVICE r7) — record the error and
+        # keep the artifact.
+        try:
+            detail["duckdb"] = _duckdb_times()
+        except Exception as exc:  # noqa: BLE001 - any failure is recorded
+            detail["duckdb_error"] = f"{type(exc).__name__}: {exc}"
     # Quick-iteration runs (sub-sf0.1 or single-pass) write a SEPARATE,
     # untracked sidecar: an n=1 sf0.001 smoke pass once overwrote the
     # git-tracked artifact and was committed with unrelated work — its

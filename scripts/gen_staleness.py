@@ -137,6 +137,27 @@ def helper_index() -> dict[str, tuple[str, int, int]]:
     return idx
 
 
+def _referenced_names(code) -> set[str]:
+    """All co_names reachable from a code object, INCLUDING nested
+    functions/lambdas/comprehensions: a shared kernel referenced only
+    inside a closure lives in the nested code object's co_names
+    (reachable via co_consts), so top-level co_names alone would miss
+    it and the query's impl_round would not bump on a kernel rewrite
+    (ADVICE r7). Recursion covers arbitrarily deep nesting; the helper
+    EXPANSION in main() stays one level, as before."""
+    import types
+
+    names: set[str] = set()
+    stack = [code] if code is not None else []
+    while stack:
+        c = stack.pop()
+        names.update(c.co_names)
+        stack.extend(
+            k for k in c.co_consts if isinstance(k, types.CodeType)
+        )
+    return names
+
+
 def main() -> None:
     queries, _ = registry.load_all()
     starts = round_starts()
@@ -147,7 +168,7 @@ def main() -> None:
         own = fn_span(fn)
         if own:
             spans.append(("self", own))
-        names = set(getattr(getattr(fn, "__code__", None), "co_names", ()))
+        names = _referenced_names(getattr(fn, "__code__", None))
         for name in sorted(names & set(idx)):
             span = idx[name]
             if own and span == own:

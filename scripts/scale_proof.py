@@ -312,8 +312,11 @@ def run_er(spark, customer_path: str) -> dict:
     parquet and measure what the blocking actually does — block-size
     distribution of the master side (suffix key), distinct candidate
     pairs produced by the kernel's FULL default pass union (suffix +
-    the three suffix2 alignment joins since r7 — what the kernel
-    actually scores), matches, wall time. With the 10x decorrelated
+    the taildel deletion-neighborhood pass,
+    ops.blocked_levenshtein_match's default block_passes; the
+    end-anchored suffix2 alignment-window design was measured and
+    rejected — what the kernel actually scores), matches, wall time.
+    With the 10x decorrelated
     shards the expected outcome is: blocks 10x MORE but none BIGGER
     (max_block ratio ~1), candidates and matches exactly 10x, time
     ~linear — a quadratic fuzzy join would pay 100x in candidates (the
@@ -349,7 +352,7 @@ def run_er(spark, customer_path: str) -> dict:
         .collect()[0]
     )
     # the kernel's real candidate set: pair-deduped union over the
-    # default pass list (suffix + three suffix2 alignment joins)
+    # default pass list (suffix + taildel deletion-neighborhood)
     cand_n = ops.blocked_candidate_pairs(
         dirty, clean, max_len_diff=2, block_chars=3
     ).count()
