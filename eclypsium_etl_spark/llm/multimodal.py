@@ -66,6 +66,70 @@ def q69_multimodal_cols(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "q322_struct_rollup",
+    oracle=f"""
+    SELECT d.lang, d.source, COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST({dot_sql('e.embedding', 'e.embedding')}
+                         AS DECIMAL(28,4))) AS DOUBLE) AS sum_norm_sq,
+           CAST(GROUPING(d.lang, d.source) AS INT) AS gid
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY ROLLUP (d.lang, d.source)
+    """,
+)
+def q322_struct_rollup(spark, sf_dir) -> DataFrame:
+    """Grouped ROLLUP keyed by FIELDS OF A STRUCT column — aggregation
+    *through* nested types (VERDICT r7 #8): q69 assembles the multimodal
+    record (typed metadata struct + vector) and stops at projection;
+    every existing rollup (q24/q153) groups flat columns. Here the
+    grouping keys are meta.lang and meta.source extracted from the
+    bundled struct — the access pattern a nested-Parquet warehouse
+    actually serves (readers get ONE meta column; rollups reach inside
+    it) — with per-level doc counts, char totals, and the summed
+    embedding energy (decimal-exact, the dsum discipline, since a
+    double sum over shuffle-ordered rows is otherwise
+    partitioning-dependent). grouping_id disambiguates subtotal rows
+    from genuine NULL keys, mirrored as GROUPING() in the oracle.
+
+    Plan note (verified via .explain): column pruning reaches the scan —
+    the wide text column never leaves parquet (ReadSchema: doc_id, lang,
+    source, n_chars) — and GetStructField collapses the meta accesses to
+    plain column refs; the in-plan struct CONSTRUCTOR still carries its
+    scalar label field (constructor-field elimination stops there — a
+    few bytes, not the document). On a PERSISTED nested layout the same
+    query reads only meta.lang/meta.source via nested-schema pruning
+    (spark.sql.optimizer.nestedSchemaPruning.enabled, default on). The
+    rollup itself is the same single shuffle a flat-column rollup plans
+    (expand + hash aggregate)."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    bundled = d.join(e, d.doc_id == e.vec_id).select(
+        F.struct(
+            F.col("lang"), F.col("source"), F.col("n_chars"), F.col("label")
+        ).alias("meta"),
+        F.col("embedding"),
+    )
+    return (
+        bundled.rollup(
+            F.col("meta.lang").alias("lang"),
+            F.col("meta.source").alias("source"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("meta.n_chars")).cast("long").alias("total_chars"),
+            F.sum(
+                dot(F.col("embedding"), F.col("embedding")).cast(
+                    "decimal(28,4)"
+                )
+            )
+            .cast("double")
+            .alias("sum_norm_sq"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
 def decode_media(asset: bytes, media_type: str) -> dict:
     """REAL decode entry point for transform-coded formats (JPEG/MP3/
     H.264 …) whose entropy coders need codec libraries this container

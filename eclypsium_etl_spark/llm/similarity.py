@@ -257,6 +257,204 @@ def q72_sim_ivf(spark, sf_dir) -> DataFrame:
     )
 
 
+_IVF_ITERS = 3   # q319: Lloyd iterations for the trained coarse quantizer
+_IVF_TOP_K = 3
+
+
+def _kmeans_oracle_ctes(k: int, iters: int) -> str:
+    """DuckDB CTE chain replicating clustering.kmeans(k, iters) exactly:
+    cent0 = first-k init, then (iters-1) × [decimal-exact per-dim means →
+    float32 centroids, empty cells carrying the previous position →
+    reassign]. Bit-identical cross-engine because every step is either
+    exact (decimal sums, integer counts) or a deterministic double op on
+    identical operands (the division, the float32 narrowing, the dot
+    fold) — the same discipline recompute_centroids states."""
+    parts = [
+        f"""cent0 AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+        WHERE vec_id < {k}
+    )"""
+    ]
+
+    def asg(t: int) -> str:
+        return f"""asg{t} AS (
+        SELECT vec_id, embedding, cent_id FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {dot_sql('e.embedding', 'c.cent_emb')} DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cent{t} c
+        ) WHERE rn = 1
+    )"""
+
+    parts.append(asg(0))
+    for t in range(iters - 1):
+        parts.append(f"""mc{t} AS (
+        SELECT cent_id,
+               list_transform(list(m ORDER BY dim),
+                              x -> CAST(x AS FLOAT)) AS cent_emb
+        FROM (
+            SELECT cent_id, dim,
+                   CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(v) AS m
+            FROM (
+                SELECT cent_id,
+                       unnest(range(len(embedding))) AS dim,
+                       unnest(embedding) AS v
+                FROM asg{t}
+            )
+            GROUP BY cent_id, dim
+        )
+        GROUP BY cent_id
+    )""")
+        parts.append(f"""cent{t + 1} AS (
+        SELECT * FROM mc{t}
+        UNION ALL
+        SELECT c.cent_id, c.cent_emb FROM cent{t} c
+        WHERE c.cent_id NOT IN (SELECT cent_id FROM mc{t})
+    )""")
+        parts.append(asg(t + 1))
+    return ",\n    ".join(parts)
+
+
+@query(
+    "q319_ivf_trained",
+    oracle=f"""
+    WITH {_kmeans_oracle_ctes(_N_CENTROIDS, _IVF_ITERS)},
+    final_asg AS (SELECT * FROM asg{_IVF_ITERS - 1}),
+    queries AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS q_cent
+        FROM final_asg WHERE vec_id >= 100 AND vec_id < 105
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id, sim_raw FROM (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   {dot_sql('q.q_emb', 'a.embedding')} AS sim_raw,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'a.embedding')} DESC,
+                                a.vec_id
+                   ) AS rn
+            FROM queries q JOIN final_asg a
+              ON a.cent_id = q.q_cent AND a.vec_id <> q.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'c.embedding')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM queries q JOIN embeddings c ON c.vec_id <> q.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    matched AS (
+        SELECT i.query_id, COUNT(*) AS n_hit
+        FROM ivf i JOIN exact e
+          ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        GROUP BY i.query_id
+    )
+    SELECT i.query_id, i.neighbor_id, round(i.sim_raw, 6) AS sim,
+           round(COALESCE(m.n_hit, 0) / {float(_IVF_TOP_K)}, 6) AS recall
+    FROM ivf i LEFT JOIN matched m ON m.query_id = i.query_id
+    """,
+)
+def q319_ivf_trained(spark, sf_dir) -> DataFrame:
+    """IVF with TRAINED k-means cells (VERDICT r7 #4) — q72's coarse
+    quantizer upgraded from 'first 8 vectors as centroids' to centroids
+    actually trained by clustering.kmeans's Lloyd loop (composed, not
+    rebuilt: same assign_to_centroids broadcast-argmax kernel, same
+    decimal-exact recompute_centroids — the corpus never shuffles, each
+    iteration moves only (k × dim) floats to the driver plan). Search is
+    q72's shape: the query probes only its own trained cell.
+
+    The result carries its own quality metric in-band (q287's meta-eval
+    discipline): per query, recall@{_IVF_TOP_K} against the EXACT
+    brute-force top-{_IVF_TOP_K} over the full corpus — so a centroid
+    regression shows up as a recall drop in the hashed result, not just
+    a silent ranking change. (On THIS fixture recall reads low by
+    construction: the embeddings are near-orthogonal noise, so a
+    single-probe IVF captures ≈ 1/k of the true neighbors — the same
+    64-d noise-band rationale as q65/q78's planted rows. Real clustered
+    corpora, or multi-probe, raise it; the measurement, not the value,
+    is the contract.) The whole train→assign→search→evaluate
+    chain is replicated in closed form by the DuckDB oracle (unrolled
+    Lloyd iterations, decimal-exact means, float32-narrowed centroids),
+    making this — unlike most ANN implementations — a fully
+    differentially-tested approximate index.
+
+    At 100 TB: training runs on a sample (k-means|| init + early stop;
+    the per-iteration plan is identical), assignment is one broadcast
+    scan, and the assigned table persists partitioned by cent_id so a
+    query touches one partition (q72's docstring contract, now with
+    learned cells that actually balance load — hash cells give uniform
+    COUNTS but arbitrary geometry; trained cells give locality, which is
+    what bounds the recall loss)."""
+    from .clustering import kmeans
+
+    asg = kmeans(spark, sf_dir, k=_N_CENTROIDS, iterations=_IVF_ITERS)
+    queries = asg.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cent_id").alias("q_cent"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
+    )
+    ivf = (
+        asg.join(
+            F.broadcast(queries),
+            (F.col("cent_id") == F.col("q_cent"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _IVF_TOP_K)
+        .drop("rn")
+    )
+    em = table(spark, sf_dir, "embeddings")
+    exact = (
+        em.join(
+            F.broadcast(queries.select("query_id", "q_emb")),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _IVF_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    matched = (
+        ivf.join(exact, ["query_id", "neighbor_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        ivf.join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim_raw", 6).alias("sim"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / float(_IVF_TOP_K), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def lsh_pairs(spark, sf_dir, threshold: float = 0.7, seed: int = 42) -> DataFrame:
     """Scale path for q65: BucketedRandomProjectionLSH over the embedding
     column — candidates meet only within hash buckets, bounding the O(n²)

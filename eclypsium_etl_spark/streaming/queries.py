@@ -868,3 +868,122 @@ def q306_stream_full_outer_join(spark, sf_dir) -> DataFrame:
         F.coalesce("user_a", "user_b").alias("user_id"),
     )
     return run_stream_to_memory(spark, joined)
+
+
+@query(
+    "q320_stream_join_asym_watermark",
+    oracle="""
+    WITH wm AS (
+        SELECT least(
+            (SELECT MAX(ts) FROM events WHERE event_type = 'view')
+                - INTERVAL 2 HOUR,
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+                - INTERVAL 30 MINUTE
+        ) AS w
+    )
+    SELECT a.event_id AS eid_a, b.event_id AS eid_b, a.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE b.event_id IS NOT NULL
+       OR a.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+    """,
+)
+def q320_stream_join_asym_watermark(spark, sf_dir) -> DataFrame:
+    """PER-SIDE (asymmetric) watermark delays on a stream-stream outer
+    join — the production shape VERDICT r7 #5 asks for: q274/q306 gave
+    both inputs the same 1-hour delay, but real pipelines never do —
+    the view stream here arrives through a batchy CDN-log path
+    (2-hour disorder bound) while purchases come off a transactional
+    log (30-minute bound). Spark combines per-input watermarks with
+    the MIN policy (spark.sql.streaming.multipleWatermarkPolicy
+    default), so the GLOBAL watermark — the only thing eviction and
+    null-emission consult — is
+    least(max_view_ts − 2h, max_purchase_ts − 30min), which the
+    oracle states in closed form (q259/q274 discipline). The
+    asymmetry matters operationally because state retention is
+    per-side: the laggier input's delay dominates the horizon, so
+    tightening the CLEAN side buys nothing — exactly what this
+    closed form makes visible (on this fixture both maxima nearly
+    coincide, so the 2-hour view delay is the binding term). An
+    unmatched view emits its NULL row only once
+    ts + 30min < global watermark; matched pairs emit always; views
+    still coverable at end-of-stream must not leak — row count and
+    hash catch either failure."""
+    from ..operators.queries_stream_helpers import run_stream_to_memory
+
+    a = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("eid_a"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "2 hours")
+    )
+    b = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("eid_b"),
+            F.col("user_id").alias("user_id_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "30 minutes")
+    )
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("user_id_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("eid_a", "eid_b", "user_id")
+    return run_stream_to_memory(spark, joined)
+
+
+@query(
+    "q321_stream_dedup_business_key",
+    oracle="""
+    SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+    FROM events
+    """,
+)
+def q321_stream_dedup_business_key(spark, sf_dir) -> DataFrame:
+    """Streaming dedup on a BUSINESS key (user_id × event-time hour)
+    instead of record identity — the non-digest dedup window VERDICT r7
+    #5 asks for: q57 deduplicates replayed copies of the same event_id
+    (every duplicate is byte-identical), while this collapses GENUINELY
+    DISTINCT events into one row per key — 'has user U been active in
+    hour H' — the classic at-most-once-per-key-per-window trigger
+    (alert throttling, daily-active rollups, idempotent downstream
+    kicks). dropDuplicatesWithinWatermark keeps whichever row arrives
+    first, which on a partitioned replay is nondeterministic — so the
+    query projects ONLY the key columns, making the emitted set
+    arrival-order-free and exactly closed-form: DISTINCT (user_id,
+    hour). The 35-day delay exceeds the fixture's 30-day span
+    DELIBERATELY: every duplicate of a key is then provably inside the
+    state horizon regardless of how availableNow batches the files, so
+    no key can evict-and-re-emit mid-replay and the closed form is
+    exact at every fixture scale. In production the delay is the
+    real disorder bound and a key CAN legitimately re-emit after
+    eviction — that horizon-crossing behavior is batch-boundary-
+    dependent by nature (not closed-form stateable), which is why the
+    registered contract pins the deterministic regime; state cost is
+    one compact row per live key per horizon either way."""
+    e = stream_events(spark, sf_dir)
+    deduped = (
+        e.withColumn("h", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("ts", "35 days")
+        .dropDuplicatesWithinWatermark(["user_id", "h"])
+        .select("user_id", "h")
+    )
+    qname, _ = run_available_now(
+        lambda name, ckpt: deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    return spark.table(qname)

@@ -193,3 +193,32 @@ def test_sargable_filter_pushed_down(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "GreaterThan(l_quantity" in plan
+
+
+def test_scd2_merge_rerun_idempotent(spark):
+    """q317's managed-table SCD2 merge must be rerun-safe (the q244
+    pre-clear discipline + a deterministic merge): building the
+    dimension twice yields byte-identical state — the property MERGE
+    INTO provides transactionally and the emulation must provide by
+    construction. Also pins the MERGE semantics the oracle checks from
+    the other side: no-op updates spawn no versions (every version-2
+    row really changed its tracked attribute)."""
+    from eclypsium_etl_spark.operators.incremental import q317_scd2_merge_table
+    from tests.parity import canonical_rows
+
+    r1 = canonical_rows(q317_scd2_merge_table(spark, SF_SMOKE).toPandas())
+    r2 = canonical_rows(q317_scd2_merge_table(spark, SF_SMOKE).toPandas())
+    assert r1 == r2 and len(r1) > 0
+
+    final = q317_scd2_merge_table(spark, SF_SMOKE).toPandas()
+    v2 = final[final["version"] == 2]
+    v1 = final[final["version"] == 1].set_index("k")
+    assert len(v2) > 0
+    # every successor's predecessor is closed and really changed
+    for _, row in v2.iterrows():
+        pred = v1.loc[row["k"]]
+        assert not pred["is_current"]
+        assert pred["seg"] != row["seg"]
+    # no-op updates (BUILDING customers in the batch) never version
+    building = final[(final["seg"] == "BUILDING") & (final["k"] % 5 == 0)]
+    assert (building["version"] == 1).all() and building["is_current"].all()

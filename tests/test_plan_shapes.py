@@ -736,3 +736,52 @@ def test_q194_uses_distributed_prefix_sum(spark):
     # staged table and folds base offsets — no Window operator at all
     assert "Join" in plan
     assert "Window" not in plan
+
+
+def test_q318_segments_band_screen_before_collect(spark):
+    """The segmented index keeps q159's round-6 discipline: the df-band
+    screen (map-side-combined count + join-back) runs BEFORE the
+    (token, seg_id) collect, so a stop token never builds any posting
+    buffer — and the collect's group key includes seg_id, which is what
+    makes every buffer absolutely bounded by the segment width."""
+    df = QUERIES["q318_posting_segments"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    assert "Join" in plan
+    assert "collect_list" in plan
+    assert "seg_id" in plan
+    assert plans.shuffle_count(df) <= 6
+
+
+def test_q319_trained_ivf_corpus_never_shuffles_for_training(spark):
+    """Trained-IVF composes the q103 assignment kernel across Lloyd
+    iterations: the corpus must enter every iteration via scan +
+    broadcast argmax — no corpus-sized exchange carrying the embedding
+    column, no crossJoin-then-rank, no driver collect in the lineage.
+    The only exchanges allowed to carry arrays are the k-row centroid
+    folds (collect_list over <= k structs) and the tiny query-set
+    broadcast."""
+    df = QUERIES["q319_ivf_trained"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # centroid recompute shuffles (cent_id, dim, partial) scalars; the
+    # full-width embedding column may only cross a broadcast exchange
+    hash_parts = plans.exchange_partitioning(df)
+    assert "embedding#" not in hash_parts
+
+
+def test_q322_struct_rollup_prunes_text_column(spark):
+    """Aggregation through the metadata struct must not drag the wide
+    text column off disk: ReadSchema for the documents scan carries
+    lang/source/n_chars but NOT text (column pruning reaches through
+    the struct constructor), and the rollup is a single expand +
+    hash-aggregate shuffle family."""
+    df = QUERIES["q322_struct_rollup"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    read_schemas = [
+        line.split("ReadSchema:")[1]
+        for line in plan.splitlines()
+        if "ReadSchema" in line
+    ]
+    docs = [s for s in read_schemas if "lang" in s]
+    assert docs and all("text" not in s for s in docs)
+    assert "Expand" in plan
