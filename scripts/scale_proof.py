@@ -587,6 +587,186 @@ def run_er_ladder(spark) -> dict:
     return out
 
 
+def run_salt_growth(spark) -> dict:
+    """q84's fixed-salt kernel on HOMOGENEOUS growth (VERDICT r7 #3) —
+    the second axis the decorrelated shards can't see, applied to
+    salting: the 10x customer shards bring 10x NEW keys, so per-key load
+    never grows and n_salts=8 always looks sufficient; real growth adds
+    rows to the SAME hot key, and a fixed salt count caps the hot key's
+    parallelism at n_salts forever — per-reducer load grows ~hot/n_salts,
+    linear in corpus size. Measured: a synthetic skewed fact table (user
+    0 holds 10% of rows, fixed 1,001-user domain) at n and 4n, salted
+    join at n_salts=8 (the registered q84 constant) vs 32. The recorded
+    ceiling: max per-(key,salt) task load grows ~4x at fixed 8; the
+    asserted remedy: at 4n, n_salts=32 restores per-task load to the
+    n/8 baseline (ratio <= 2) with IDENTICAL join output rows (salting
+    never changes semantics — q84's oracle contract). Sizing rule, now
+    measured: n_salts ~= hot_key_rows / target_task_rows — scale the
+    SALT count with the hot key, exactly as block_chars scales with
+    corpus entropy (run_er_entropy)."""
+    from pyspark.sql import functions as F
+
+    from eclypsium_etl_spark import ops
+
+    def fact_of(n: int):
+        return spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") % 10 == 0, 0)
+            .otherwise(F.col("id") % 1000 + 1)
+            .alias("user_id"),
+            (F.col("id") % 997).cast("double").alias("value"),
+        )
+
+    out: dict = {}
+    for n in (400_000, 1_600_000):
+        fact = fact_of(n)
+        dim = fact.groupBy("user_id").agg(F.count("*").alias("user_n"))
+        row: dict = {"rows": n, "hot_rows": n // 10}
+        for s in (8, 32):
+            t0 = time.perf_counter()
+            joined = ops.salted_join(
+                fact, dim, "user_id", salt_from="event_id", n_salts=s
+            ).count()
+            wall = time.perf_counter() - t0
+            max_task = (
+                fact.withColumn(
+                    "__salt", F.pmod(F.hash("event_id"), F.lit(s))
+                )
+                .groupBy("user_id", "__salt")
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+            row[f"salts{s}"] = {
+                "sec": round(wall, 2),
+                "joined_rows": joined,
+                "max_task_rows": int(max_task),
+            }
+        out[f"n{n}"] = row
+    return out
+
+
+def run_bucket_growth(spark) -> dict:
+    """q161's fixed-bucket layout on HOMOGENEOUS growth (VERDICT r7 #3):
+    the decorrelated 10x shards would add 10x new customers — more
+    buckets' WORTH of keys hashed over the same 8 buckets, every bucket
+    growing uniformly, which still 'works' at fixture scale. The honest
+    axis is the same customer base accumulating 4x the orders: a fixed
+    num_buckets caps the shuffle-free join's parallelism at 8 tasks
+    forever and per-bucket bytes grow linearly — the layout analog of
+    the blocking-key entropy ceiling. Measured: orders-like facts over a
+    fixed 50,000-customer domain at n and 4n, bucketed at 8 (the
+    registered q161 constant) vs 32 at the bigger scale. Recorded
+    ceiling: per-bucket rows ~4x at fixed 8. Asserted remedy: 32 buckets
+    at 4n restores per-bucket rows to the n/8 baseline (ratio <= 2) and
+    the join stays ZERO-exchange at EVERY rung (co-location is
+    num_buckets-independent as long as both sides agree — re-bucketing
+    is a rewrite of the layout, not of the query). Sizing rule:
+    num_buckets ~= table_bytes / target_bucket_bytes, fixed at write
+    time — which is why production bucket counts are chosen for the
+    table's TARGET size, then the table is re-bucketed (one rewrite)
+    when it outgrows them."""
+    from pyspark.sql import functions as F
+
+    from eclypsium_etl_spark import plans
+    from eclypsium_etl_spark.io import write_bucketed
+
+    def fact_of(n: int):
+        return spark.range(n).select(
+            F.col("id").alias("o_orderkey"),
+            (F.col("id") % 50_000).alias("o_custkey"),
+            (F.col("id") % 9973).cast("double").alias("o_totalprice"),
+        )
+
+    dim = spark.range(50_000).select(
+        F.col("id").alias("o_custkey"),
+        F.concat(F.lit("seg"), (F.col("id") % 5).cast("string")).alias(
+            "c_mktsegment"
+        ),
+    )
+    out: dict = {}
+    for n, bucket_counts in ((250_000, (8,)), (1_000_000, (8, 32))):
+        row: dict = {"rows": n}
+        for b in bucket_counts:
+            ot, ct = f"hom_orders_{n}_{b}", f"hom_cust_{n}_{b}"
+            write_bucketed(fact_of(n), ot, "o_custkey", b, sort_col="o_custkey")
+            write_bucketed(dim, ct, "o_custkey", b, sort_col="o_custkey")
+            j = (
+                spark.table(ot)
+                .hint("merge")
+                .join(spark.table(ct), "o_custkey")
+            )
+            n_exchanges = plans.shuffle_count(j)
+            t0 = time.perf_counter()
+            joined = j.count()
+            wall = time.perf_counter() - t0
+            per_bucket = (
+                spark.table(ot)
+                .groupBy(F.pmod(F.hash("o_custkey"), F.lit(b)).alias("bk"))
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+            row[f"buckets{b}"] = {
+                "sec": round(wall, 2),
+                "joined_rows": joined,
+                "join_exchanges": n_exchanges,
+                "max_bucket_rows": int(per_bucket),
+            }
+            for t in (ot, ct):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+        out[f"n{n}"] = row
+    return out
+
+
+def run_posting_segments(spark, sf_dir: str) -> dict:
+    """q318's custom row: the segmented index's absolute bound — max
+    per-segment posting length (seg_df) can never exceed the segment
+    width regardless of how hot the token is or how big the corpus
+    grows; that cap is the asserted invariant at both scales. The hot
+    token's SEGMENT COUNT (the fan-out that replaces q159's
+    corpus-fraction-sized buffers) is recorded, with the same caveat
+    run_er_entropy exists for: under the 10x fixture's
+    vocabulary-bijection sharding a token stays inside its own shard's
+    doc range, so fan-out reads FLAT here (~n_shard_docs/width) and
+    admitted tokens grow with vocabulary instead — homogeneous growth
+    is the axis where fan-out grows ~linearly, and the per-segment cap
+    is what holds under EITHER axis (it is doc-range-local by
+    construction, blind to both)."""
+    from pyspark.sql import functions as F
+
+    from eclypsium_etl_spark.llm.text import _SEG_DOCS
+    from eclypsium_etl_spark.registry import load_all
+
+    q, _ = load_all()
+    df = q["q318_posting_segments"](spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    stats = (
+        q["q318_posting_segments"](spark, sf_dir)
+        .groupBy("token")
+        .agg(
+            F.max("seg_df").alias("max_seg_df"),
+            F.count("*").alias("n_segs"),
+        )
+        .agg(
+            F.count("*").alias("tokens"),
+            F.max("max_seg_df").alias("max_seg_df"),
+            F.max("n_segs").alias("max_token_segments"),
+        )
+        .collect()[0]
+    )
+    return {
+        "sec": round(wall, 2),
+        "tokens": int(stats["tokens"]),
+        "max_seg_df": int(stats["max_seg_df"]) if stats["max_seg_df"] else 0,
+        "max_token_segments": int(stats["max_token_segments"] or 0),
+        "seg_width": _SEG_DOCS,
+        "cap_ok": (stats["max_seg_df"] or 0) <= _SEG_DOCS,
+    }
+
+
 def knn_triangle_kernel(spark, emb_path: str) -> dict:
     """q142's mutual-kNN graph + q239's triangle/wedge counting, run as
     one composition at PLANT_TAU on the planted TRIAD fixture — the
@@ -689,6 +869,10 @@ def main() -> int:
     cdc_big = run_cdc(spark, 10)
     idx_base = run_inverted_index(spark, SF01)
     idx_big = run_inverted_index(spark, out)
+    seg_base = run_posting_segments(spark, SF01)
+    seg_big = run_posting_segments(spark, out)
+    salt_growth = run_salt_growth(spark)
+    bucket_growth = run_bucket_growth(spark)
     tri_base = knn_triangle_kernel(spark, f"{out}/emb_triads_1x.parquet")
     tri_big = knn_triangle_kernel(spark, f"{out}/emb_triads_10x.parquet")
     er_entropy = run_er_entropy(spark)
@@ -779,7 +963,54 @@ def main() -> int:
         and e1["bc3"]["matches"] == e1["bc5"]["matches"]
         and e4["bc3"]["matches"] == e4["bc5"]["matches"]
     )
+    seg_t = round(seg_big["sec"] / max(seg_base["sec"], 0.05), 1)
+    seg_fanout = round(
+        seg_big["max_token_segments"] / max(seg_base["max_token_segments"], 1), 1
+    )
+    seg_ok = (
+        seg_t <= MAX_RATIO and seg_base["cap_ok"] and seg_big["cap_ok"]
+    )
+    # layout-growth gates (homogeneous axis, VERDICT r7 #3): the knob at
+    # the bigger scale must restore per-task/per-bucket load to the small-
+    # scale baseline; the fixed-knob ratios are RECORDED ceilings.
+    s1, s4 = salt_growth["n400000"], salt_growth["n1600000"]
+    salt_fixed_ratio = round(
+        s4["salts8"]["max_task_rows"] / max(s1["salts8"]["max_task_rows"], 1), 1
+    )
+    salt_knob_ratio = round(
+        s4["salts32"]["max_task_rows"] / max(s1["salts8"]["max_task_rows"], 1), 1
+    )
+    salt_ok = (
+        salt_knob_ratio <= 2.0
+        and all(
+            row[k]["joined_rows"] == row["rows"]
+            for row in salt_growth.values()
+            for k in row
+            if k.startswith("salts")
+        )
+    )
+    b1, b4 = bucket_growth["n250000"], bucket_growth["n1000000"]
+    bucket_fixed_ratio = round(
+        b4["buckets8"]["max_bucket_rows"]
+        / max(b1["buckets8"]["max_bucket_rows"], 1),
+        1,
+    )
+    bucket_knob_ratio = round(
+        b4["buckets32"]["max_bucket_rows"]
+        / max(b1["buckets8"]["max_bucket_rows"], 1),
+        1,
+    )
+    bucket_ok = (
+        bucket_knob_ratio <= 2.0
+        and all(
+            row[k]["join_exchanges"] == 0
+            for row in bucket_growth.values()
+            for k in row
+            if k.startswith("buckets")
+        )
+    )
     ok &= er_ok and cdc_ok and idx_ok and tri_ok and ent_ok
+    ok &= seg_ok and salt_ok and bucket_ok
     ladder_report = None
     if er_ladder is not None:
         ladder_ok = all(
@@ -829,6 +1060,25 @@ def main() -> int:
             "postings_capped_both_scales": idx_base["cap_ok"]
             and idx_big["cap_ok"],
             "linear_time_capped_postings": idx_ok,
+        },
+        "q318_posting_segments": {
+            "sf01": seg_base, "x10": seg_big,
+            "time_ratio": seg_t,
+            "hot_token_segment_fanout_ratio": seg_fanout,
+            "seg_cap_both_scales": seg_base["cap_ok"] and seg_big["cap_ok"],
+            "linear_time_absolute_cap": seg_ok,
+        },
+        "q84_salt_growth_homogeneous": {
+            **salt_growth,
+            "fixed8_max_task_ratio_4x": salt_fixed_ratio,
+            "salts32_restores_baseline_ratio": salt_knob_ratio,
+            "semantics_invariant_and_knob_restores": salt_ok,
+        },
+        "q161_bucket_growth_homogeneous": {
+            **bucket_growth,
+            "fixed8_max_bucket_ratio_4x": bucket_fixed_ratio,
+            "buckets32_restores_baseline_ratio": bucket_knob_ratio,
+            "zero_exchange_all_rungs_and_knob_restores": bucket_ok,
         },
     }
     print(json.dumps({"fixture": out, "max_ratio": MAX_RATIO,
