@@ -85,13 +85,17 @@ def recompute_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
-def kmeans(spark, sf_dir, k: int = _K, iterations: int = 3) -> DataFrame:
-    """Lloyd iterations with deterministic init (first k vectors). Returns
-    the final assignment. A centroid that attracts zero members in some
-    iteration keeps its previous position instead of silently vanishing
-    (recompute_centroids only emits cent_ids with members) — callers
-    asking for k clusters get k; production inits (k-means||) make empty
-    cells rare, but the guard keeps the contract."""
+def kmeans_fit(
+    spark, sf_dir, k: int = _K, iterations: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd iterations with deterministic init (first k vectors).
+    Returns (final assignment, the centroids that produced it) — the
+    trained model surface q319/q323's IVF probing needs. A centroid that
+    attracts zero members in some iteration keeps its previous position
+    instead of silently vanishing (recompute_centroids only emits
+    cent_ids with members) — callers asking for k clusters get k;
+    production inits (k-means||) make empty cells rare, but the guard
+    keeps the contract."""
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids = em.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
@@ -102,6 +106,12 @@ def kmeans(spark, sf_dir, k: int = _K, iterations: int = 3) -> DataFrame:
         emptied = centroids.join(recomputed, "cent_id", "left_anti")
         centroids = recomputed.unionByName(emptied)
         assigned = assign_to_centroids(em, centroids)
+    return assigned, centroids
+
+
+def kmeans(spark, sf_dir, k: int = _K, iterations: int = 3) -> DataFrame:
+    """kmeans_fit's assignment-only view (the pre-r8 surface)."""
+    assigned, _ = kmeans_fit(spark, sf_dir, k=k, iterations=iterations)
     return assigned
 
 

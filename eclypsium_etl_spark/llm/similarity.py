@@ -455,6 +455,158 @@ def q319_ivf_trained(spark, sf_dir) -> DataFrame:
     )
 
 
+_IVF_PROBES = 2  # q323: cells probed per query (q319 probes 1)
+
+
+@query(
+    "q323_ivf_multiprobe",
+    oracle=f"""
+    WITH {_kmeans_oracle_ctes(_N_CENTROIDS, _IVF_ITERS)},
+    final_asg AS (SELECT * FROM asg{_IVF_ITERS - 1}),
+    queries AS (
+        SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id >= 100 AND vec_id < 105
+    ),
+    probed AS (
+        SELECT query_id, q_emb, cent_id FROM (
+            SELECT q.query_id, q.q_emb, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'c.cent_emb')} DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM queries q CROSS JOIN cent{_IVF_ITERS - 1} c
+        ) WHERE rn <= {_IVF_PROBES}
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id, sim_raw FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   {dot_sql('p.q_emb', 'a.embedding')} AS sim_raw,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {dot_sql('p.q_emb', 'a.embedding')} DESC,
+                                a.vec_id
+                   ) AS rn
+            FROM probed p JOIN final_asg a
+              ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'c.embedding')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM queries q JOIN embeddings c ON c.vec_id <> q.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    matched AS (
+        SELECT i.query_id, COUNT(*) AS n_hit
+        FROM ivf i JOIN exact e
+          ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        GROUP BY i.query_id
+    )
+    SELECT i.query_id, i.neighbor_id, round(i.sim_raw, 6) AS sim,
+           round(COALESCE(m.n_hit, 0) / {float(_IVF_TOP_K)}, 6) AS recall
+    FROM ivf i LEFT JOIN matched m ON m.query_id = i.query_id
+    """,
+)
+def q323_ivf_multiprobe(spark, sf_dir) -> DataFrame:
+    """MULTI-PROBE trained IVF — the recall knob on q319: each query
+    searches its {_IVF_PROBES} nearest trained cells instead of one.
+    Probing is the standard IVF accuracy/cost dial (nprobe in
+    FAISS-style indexes): candidates scale ~linearly with the probe
+    count while recall climbs toward exact — and because this engine
+    carries recall@{_IVF_TOP_K} IN the result (q319's meta-eval
+    discipline, same exact-top-k yardstick), the lift is itself
+    oracle-checked data: on this fixture the expected single-probe
+    recall is ≈ 1/k and {_IVF_PROBES} probes ≈ {_IVF_PROBES}/k — the
+    dial measurably works even on a noise corpus, which is exactly what
+    a curation pipeline needs to SIZE nprobe instead of guessing.
+
+    Plan: cell ranking is a k-row broadcast crossJoin + per-query
+    window over k rows (kilobytes); candidate search joins the probed
+    (query, cell) pairs against the assignment table on cent_id — at
+    100 TB, with the assignment persisted partitioned by cent_id, a
+    query reads exactly nprobe partitions. Training is shared with
+    q319 via clustering.kmeans_fit (same Lloyd loop, same unrolled
+    decimal-exact oracle CTEs)."""
+    from .clustering import kmeans_fit
+
+    asg, cents = kmeans_fit(spark, sf_dir, k=_N_CENTROIDS, iterations=_IVF_ITERS)
+    queries = table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("cent_id")
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_emb",
+            "cent_id",
+            dot(F.col("q_emb"), F.col("cent_emb")).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= _IVF_PROBES)
+        .select("query_id", "q_emb", "cent_id")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
+    )
+    ivf = (
+        asg.join(
+            F.broadcast(probed),
+            ["cent_id"],
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _IVF_TOP_K)
+        .drop("rn")
+    )
+    em = table(spark, sf_dir, "embeddings")
+    exact = (
+        em.join(
+            F.broadcast(queries),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _IVF_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    matched = (
+        ivf.join(exact, ["query_id", "neighbor_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        ivf.join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim_raw", 6).alias("sim"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / float(_IVF_TOP_K), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def lsh_pairs(spark, sf_dir, threshold: float = 0.7, seed: int = 42) -> DataFrame:
     """Scale path for q65: BucketedRandomProjectionLSH over the embedding
     column — candidates meet only within hash buckets, bounding the O(n²)
