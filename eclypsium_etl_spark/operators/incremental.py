@@ -476,18 +476,37 @@ def q317_scd2_merge_table(spark, sf_dir) -> DataFrame:
     with a table format that supports row-level ops the same classified
     output becomes MERGE's matched/not-matched actions with no plan
     change above the sink."""
+    return _scd2_final_view(spark, _scd2_build_wave1(spark, sf_dir, "t_q317"))
+
+
+def _scd2_publish(spark, tname: str, stage: str, merged: DataFrame) -> None:
+    """Write-audit-publish: stage the merge result, then swap it into the
+    catalog table with INSERT OVERWRITE — OSS Spark's v1 parquet tables
+    reject a self-referencing overwrite ('Cannot overwrite a path that is
+    also being read from'), and staging is the production shape anyway."""
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    merged.write.parquet(stage)
+    spark.read.parquet(stage).write.insertInto(tname, overwrite=True)
+
+
+def _scd2_build_wave1(spark, sf_dir, tname: str) -> str:
+    """Build the SCD2 customer dimension in catalog table ``tname`` and
+    apply the wave-1 change batch (q317's: every 5th customer to 'WEB'
+    with BUILDING no-ops, new keys for every 50th, effective
+    _SCD2_EFF_DATE). Pre-clears location + table (q244 discipline) so
+    every call rebuilds deterministically."""
     import shutil
 
     base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
     os.makedirs(base, exist_ok=True)
-    loc = os.path.join(base, f"q317_tbl_{os.path.basename(sf_dir)}")
-    stage = os.path.join(base, f"q317_stage_{os.path.basename(sf_dir)}")
+    loc = os.path.join(base, f"{tname}_tbl_{os.path.basename(sf_dir)}")
     shutil.rmtree(loc, ignore_errors=True)
-    shutil.rmtree(stage, ignore_errors=True)
-    spark.sql("DROP TABLE IF EXISTS t_q317")
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
     spark.sql(
         f"""
-        CREATE TABLE t_q317 (
+        CREATE TABLE {tname} (
             k BIGINT, name STRING, seg STRING,
             valid_from DATE, valid_to DATE,
             is_current BOOLEAN, version INT
@@ -504,7 +523,7 @@ def q317_scd2_merge_table(spark, sf_dir) -> DataFrame:
         F.lit(True).alias("is_current"),
         F.lit(1).alias("version"),
     )
-    init.write.insertInto("t_q317")
+    init.write.insertInto(tname)
 
     updates = c.filter(F.col("c_custkey") % 5 == 0).select(
         F.col("c_custkey").alias("k"),
@@ -519,19 +538,25 @@ def q317_scd2_merge_table(spark, sf_dir) -> DataFrame:
         F.lit("WEB").alias("seg"),
     )
     merged = scd2_merge(
-        spark.table("t_q317"),
+        spark.table(tname),
         updates.unionByName(inserts),
         key="k",
         attr="seg",
         eff_date=F.to_date(F.lit(_SCD2_EFF_DATE)),
     )
-    # publish: stage the merge result, then atomically swap the table
-    merged.write.parquet(stage)
-    spark.read.parquet(stage).write.insertInto("t_q317", overwrite=True)
-    # validity dates surface as timestamps (q199's cross-engine date
-    # idiom: Spark DATE and DuckDB DATE canonicalize differently through
-    # pandas; TIMESTAMP canonicalizes identically)
-    return spark.table("t_q317").select(
+    stage = os.path.join(
+        base, f"{tname}_stage_{os.path.basename(sf_dir)}"
+    )
+    _scd2_publish(spark, tname, stage, merged)
+    return tname
+
+
+def _scd2_final_view(spark, tname: str) -> DataFrame:
+    """The checked projection: validity dates surface as timestamps
+    (q199's cross-engine date idiom — Spark DATE and DuckDB DATE
+    canonicalize differently through pandas; TIMESTAMP canonicalizes
+    identically)."""
+    return spark.table(tname).select(
         "k",
         "name",
         "seg",
@@ -540,3 +565,90 @@ def q317_scd2_merge_table(spark, sf_dir) -> DataFrame:
         "is_current",
         "version",
     )
+
+
+_SCD2_W2_DATE = "2024-09-01"  # q324: effective date of the second wave
+
+
+@query(
+    "q324_scd2_multiwave",
+    oracle=f"""
+    WITH changed1 AS (
+        SELECT c_custkey AS k FROM customer
+        WHERE c_custkey % 5 = 0 AND c_mktsegment <> 'BUILDING'
+    ),
+    w2 AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0)
+    -- version 1: every original member; closed by whichever wave first
+    -- changed it (wave 1 wins when both apply)
+    SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg,
+           CAST(DATE '{_SCD2_INIT_DATE}' AS TIMESTAMP) AS valid_from,
+           CASE WHEN c_custkey IN (SELECT k FROM changed1)
+                    THEN CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP)
+                WHEN c_custkey IN (SELECT k FROM w2)
+                    THEN CAST(DATE '{_SCD2_W2_DATE}' AS TIMESTAMP)
+           END AS valid_to,
+           c_custkey NOT IN (SELECT k FROM changed1)
+               AND c_custkey NOT IN (SELECT k FROM w2) AS is_current,
+           1 AS version
+    FROM customer
+    UNION ALL
+    -- version 2 = wave-1 'WEB'; closed again where wave 2 also hits
+    SELECT c_custkey, c_name, 'WEB',
+           CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP),
+           CASE WHEN c_custkey IN (SELECT k FROM w2)
+                    THEN CAST(DATE '{_SCD2_W2_DATE}' AS TIMESTAMP) END,
+           c_custkey NOT IN (SELECT k FROM w2), 2
+    FROM customer WHERE c_custkey IN (SELECT k FROM changed1)
+    UNION ALL
+    -- wave-2 'RETAIL' versions: version counts from the CURRENT chain
+    SELECT c_custkey, c_name, 'RETAIL',
+           CAST(DATE '{_SCD2_W2_DATE}' AS TIMESTAMP), NULL, TRUE,
+           CASE WHEN c_custkey IN (SELECT k FROM changed1)
+                THEN 3 ELSE 2 END
+    FROM customer WHERE c_custkey IN (SELECT k FROM w2)
+    UNION ALL
+    -- wave-1 inserts: outside wave 2's key space, still current v1
+    SELECT c_custkey + 10000000, c_name || '-new', 'WEB',
+           CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP), NULL, TRUE, 1
+    FROM customer WHERE c_custkey % 50 = 0
+    """,
+)
+def q324_scd2_multiwave(spark, sf_dir) -> DataFrame:
+    """CHAINED SCD2 merges — the second change wave applied to q317's
+    already-merged state (SURVEY round-9 forward-plan item 1, built
+    early): wave 2 (effective {_SCD2_W2_DATE}) re-segments every 3rd
+    customer to 'RETAIL', which exercises the paths a single merge
+    can't: RE-CLOSING an already-superseded chain (a key hit by both
+    waves closes v1 at wave 1 AND v2 at wave 2 — version arithmetic
+    must continue from the CURRENT version, not restart), closing a v1
+    that survived wave 1 untouched (k%3==0, k%5!=0 → v1 closes at the
+    WAVE-2 date), and leaving wave-1 INSERTS alone (their keys sit
+    outside wave 2's key space — an unmatched target chain carries
+    verbatim through a second merge). Each wave is one scd2_merge
+    key-hash join + staged publish; N waves = N incremental merges, and
+    the oracle states the closed form of the whole two-wave history —
+    so a wrong re-close date, a version restart, or a phantom no-op
+    version all hash-fail. The multi-wave shape is what a nightly
+    dimension load actually runs (q305's CDC waves, but with full SCD2
+    history instead of current-state-only)."""
+    tname = _scd2_build_wave1(spark, sf_dir, "t_q324")
+    c = table(spark, sf_dir, "customer")
+    wave2 = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.lit("RETAIL").alias("seg"),
+    )
+    merged2 = scd2_merge(
+        spark.table(tname),
+        wave2,
+        key="k",
+        attr="seg",
+        eff_date=F.to_date(F.lit(_SCD2_W2_DATE)),
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "eclypsium_etl_spark",
+        f"{tname}_stage2_{os.path.basename(sf_dir)}",
+    )
+    _scd2_publish(spark, tname, stage, merged2)
+    return _scd2_final_view(spark, tname)
