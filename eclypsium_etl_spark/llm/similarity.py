@@ -607,7 +607,172 @@ def q323_ivf_multiprobe(spark, sf_dir) -> DataFrame:
     )
 
 
-def lsh_pairs(spark, sf_dir, threshold: float = 0.7, seed: int = 42) -> DataFrame:
+_LADDER_PROBES = (1, 2, 4)  # q325: the nprobe rungs
+_LADDER_NQ = 5              # queries 100..104
+
+
+def _probe_rung_sql(p: int) -> str:
+    """One nprobe rung of q325's oracle: probe the p nearest trained
+    cells, rank candidates, count exact-top-k hits and candidates."""
+    return f"""
+        SELECT {p} AS nprobe,
+               round(SUM(n_hit) / {float(_LADDER_NQ * _IVF_TOP_K)}, 6)
+                   AS recall_at_{_IVF_TOP_K},
+               CAST(SUM(n_cand) AS BIGINT) AS candidates
+        FROM (
+            SELECT q.query_id,
+                   (SELECT COUNT(*)
+                    FROM probed{p} p JOIN final_asg a
+                      ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+                    WHERE p.query_id = q.query_id) AS n_cand,
+                   (SELECT COUNT(*) FROM (
+                        SELECT i.neighbor_id FROM (
+                            SELECT p.query_id, a.vec_id AS neighbor_id,
+                                   row_number() OVER (
+                                       PARTITION BY p.query_id
+                                       ORDER BY {dot_sql('p.q_emb', 'a.embedding')} DESC,
+                                                a.vec_id
+                                   ) AS rn
+                            FROM probed{p} p JOIN final_asg a
+                              ON a.cent_id = p.cent_id
+                             AND a.vec_id <> p.query_id
+                        ) i
+                        WHERE i.query_id = q.query_id AND i.rn <= {_IVF_TOP_K}
+                        ) iv JOIN exact e
+                          ON e.query_id = q.query_id
+                         AND e.neighbor_id = iv.neighbor_id
+                   ) AS n_hit
+            FROM queries q
+        )
+    """
+
+
+def _probed_cte(p: int) -> str:
+    return f"""probed{p} AS (
+        SELECT query_id, q_emb, cent_id FROM (
+            SELECT q.query_id, q.q_emb, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'c.cent_emb')} DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM queries q CROSS JOIN cent{_IVF_ITERS - 1} c
+        ) WHERE rn <= {p}
+    )"""
+
+
+@query(
+    "q325_ivf_probe_ladder",
+    oracle=f"""
+    WITH {_kmeans_oracle_ctes(_N_CENTROIDS, _IVF_ITERS)},
+    final_asg AS (SELECT * FROM asg{_IVF_ITERS - 1}),
+    queries AS (
+        SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id >= 100 AND vec_id < 105
+    ),
+    {", ".join(_probed_cte(p) for p in _LADDER_PROBES)},
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'c.embedding')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM queries q JOIN embeddings c ON c.vec_id <> q.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    )
+    {" UNION ALL ".join(_probe_rung_sql(p) for p in _LADDER_PROBES)}
+    """,
+)
+def q325_ivf_probe_ladder(spark, sf_dir) -> DataFrame:
+    """The IVF PROBE LADDER — the nprobe recall/cost CURVE as one
+    oracle-checked result (SURVEY round-9 forward-plan item 2, built
+    early; q292's calibration-curve discipline applied to ANN): for
+    nprobe ∈ {_LADDER_PROBES}, total exact-top-{_IVF_TOP_K} hits
+    (as recall) and total candidates scanned across the query set.
+    This is the table an operator actually tunes from — recall climbs
+    with probes while candidates grow ~linearly, and both columns are
+    hashed data, so a quantizer regression bends the measured curve
+    rather than silently degrading answers. Training is shared with
+    q319/q323 (kmeans_fit; the lazy training lineage is re-evaluated
+    per rung at fixture scale — at 100 TB the assignment table and
+    centroids persist once and every rung reads them).
+
+    Scale: each rung is the q323 plan (k-row broadcast cell-ranking +
+    cent_id-scoped candidate join); the ladder is a union of three
+    5-row aggregates — kilobytes past the scans."""
+    from functools import reduce
+
+    from .clustering import kmeans_fit
+
+    asg, cents = kmeans_fit(spark, sf_dir, k=_N_CENTROIDS, iterations=_IVF_ITERS)
+    queries = table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    em = table(spark, sf_dir, "embeddings")
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
+    )
+    exact = (
+        em.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _IVF_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("cent_id")
+    )
+    ranked_cells = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_emb",
+            "cent_id",
+            dot(F.col("q_emb"), F.col("cent_emb")).alias("c_sim"),
+        )
+        .withColumn("cell_rn", F.row_number().over(w_cell))
+    )
+
+    def rung(p: int) -> DataFrame:
+        probed = ranked_cells.filter(F.col("cell_rn") <= p).select(
+            "query_id", "q_emb", "cent_id"
+        )
+        cand = (
+            asg.join(F.broadcast(probed), ["cent_id"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                dot(F.col("q_emb"), F.col("embedding")).alias("sim_raw"),
+            )
+        )
+        topk = (
+            cand.withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") <= _IVF_TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        hits = topk.join(exact, ["query_id", "neighbor_id"], "semi")
+        return (
+            cand.agg(F.count("*").cast("long").alias("candidates"))
+            .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+            .select(
+                F.lit(p).alias("nprobe"),
+                F.round(
+                    F.col("n_hit") / float(_LADDER_NQ * _IVF_TOP_K), 6
+                ).alias(f"recall_at_{_IVF_TOP_K}"),
+                "candidates",
+            )
+        )
+
+    return reduce(DataFrame.unionByName, [rung(p) for p in _LADDER_PROBES])
     """Scale path for q65: BucketedRandomProjectionLSH over the embedding
     column — candidates meet only within hash buckets, bounding the O(n²)
     blow-up. Euclidean distance on unit vectors maps to cosine via

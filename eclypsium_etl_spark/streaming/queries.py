@@ -970,8 +970,12 @@ def q321_stream_dedup_business_key(spark, sf_dir) -> DataFrame:
     real disorder bound and a key CAN legitimately re-emit after
     eviction — that horizon-crossing behavior is batch-boundary-
     dependent by nature (not closed-form stateable), which is why the
-    registered contract pins the deterministic regime; state cost is
-    one compact row per live key per horizon either way."""
+    registered contract pins the deterministic regime; the crossing
+    itself is pinned on a controlled three-batch replay in
+    tests/test_streaming.py::test_dedup_within_watermark_reemits_after_horizon
+    (duplicates REFRESH expiry; eviction runs at batch end with the
+    PREVIOUS batch's watermark). State cost is one compact row per
+    live key per horizon either way."""
     e = stream_events(spark, sf_dir)
     deduped = (
         e.withColumn("h", F.date_trunc("hour", F.col("ts")))

@@ -239,3 +239,89 @@ def test_state_metrics_recorded_on_drain(spark):
     assert m["n_batches"] >= 1
     assert m["peak_state_rows"] > 0  # dedup state holds the seen keys
     assert m["peak_state_bytes"] > 0
+
+
+def test_dedup_within_watermark_reemits_after_horizon(spark, tmp_path):
+    """q321's declared boundary, exercised (SURVEY round-9 forward-plan
+    item 3): dropDuplicatesWithinWatermark only guarantees dedup WITHIN
+    the watermark horizon — a key recurring after its state evicted
+    RE-EMITS, and which occurrence survives a batch boundary is
+    batch-dependent, which is exactly why q321 pins the deterministic
+    regime (delay >= replay span) for its closed-form oracle. Here the
+    horizon-crossing behavior itself is pinned on a controlled
+    two-batch replay (maxFilesPerTrigger=1, distinct mtimes):
+
+    Three batches, because two subtleties govern the horizon (both
+    observed on Spark 4.1 while building this): a duplicate REFRESHES
+    its key's expiry (the guarantee is 'no two emissions within delay
+    OF EACH OTHER', not of the first), and eviction runs at batch END —
+    so a key only re-emits after an INTERVENING batch advanced the
+    watermark past its (possibly refreshed) expiry without touching it:
+
+    - b1: A twice in-batch (12:00, 12:01 -> ONE row), B at 12:05, and
+      a watermark-driver key W at 12:30 advancing the watermark to
+      12:30 - 10min = 12:20;
+    - b2: C at 13:00 only -> the eviction pass at b2's end runs with
+      the watermark DERIVED FROM b1 (12:20 — a third observed
+      subtlety: eviction uses the previous batch's watermark, the
+      13:00-derived 12:50 only arms for the NEXT batch), evicting A
+      (expiry ~12:11) and B (12:15);
+    - b3: A at 13:05 and B at 12:55 RE-EMIT (state gone); C's 13:01
+      duplicate is inside C's horizon (13:10) and is dropped."""
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    schema = "k string, ts timestamp"
+
+    def write_file(rows, name):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"_stage_{name}")
+        )
+        part = next(
+            p
+            for p in (tmp_path / f"_stage_{name}").iterdir()
+            if p.name.endswith(".parquet")
+        )
+        os.rename(part, src / f"{name}.parquet")
+
+    write_file(
+        [
+            ("A", _t("12:00:00")),
+            ("A", _t("12:01:00")),
+            ("B", _t("12:05:00")),
+            ("W", _t("12:30:00")),
+        ],
+        "b1",
+    )
+    time.sleep(1.1)
+    write_file([("C", _t("13:00:00"))], "b2")
+    time.sleep(1.1)
+    write_file(
+        [("A", _t("13:05:00")), ("B", _t("12:55:00")), ("C", _t("13:01:00"))],
+        "b3",
+    )
+
+    deduped = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    qname = f"ddw_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ddw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted((r.k, r.ts) for r in spark.table(qname).collect())
+    ks = [k for k, _ in rows]
+    assert ks == ["A", "A", "B", "B", "C", "W"], rows
+    # the re-emissions are the post-eviction occurrences; C's in-horizon
+    # duplicate (13:01) must NOT appear
+    assert ("A", _t("13:05:00")) in rows and ("B", _t("12:55:00")) in rows
+    assert ("C", _t("13:01:00")) not in rows
