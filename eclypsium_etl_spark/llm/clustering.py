@@ -86,7 +86,7 @@ def recompute_centroids(assigned: DataFrame) -> DataFrame:
 
 
 def kmeans_fit(
-    spark, sf_dir, k: int = _K, iterations: int = 3
+    spark, sf_dir, k: int = _K, iterations: int = 3, train_where=None
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd iterations with deterministic init (first k vectors).
     Returns (final assignment, the centroids that produced it) — the
@@ -95,16 +95,34 @@ def kmeans_fit(
     instead of silently vanishing (recompute_centroids only emits
     cent_ids with members) — callers asking for k clusters get k;
     production inits (k-means||) make empty cells rare, but the guard
-    keeps the contract."""
+    keeps the contract.
+
+    ``train_where`` (q327): an optional Column predicate selecting the
+    TRAINING subset — the Lloyd loop iterates over only those rows
+    (init = first k of the subset in vec_id order, a TakeOrdered, since
+    ``vec_id < k`` may miss the subset entirely) while the returned
+    assignment always covers the FULL corpus. This is the 100 TB shape:
+    centroid training touches a sample, the one full-corpus pass is the
+    final broadcast-argmax assignment."""
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    centroids = em.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
-    )
-    assigned = assign_to_centroids(em, centroids)
+    train = em.filter(train_where) if train_where is not None else em
+    if train_where is not None:
+        centroids = train.orderBy("vec_id").limit(k).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+        )
+    else:
+        centroids = em.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+        )
+    assigned = assign_to_centroids(train, centroids)
     for _ in range(iterations - 1):
         recomputed = recompute_centroids(assigned)
         emptied = centroids.join(recomputed, "cent_id", "left_anti")
         centroids = recomputed.unionByName(emptied)
+        assigned = assign_to_centroids(train, centroids)
+    if train_where is not None:
         assigned = assign_to_centroids(em, centroids)
     return assigned, centroids
 

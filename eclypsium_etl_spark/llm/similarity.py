@@ -261,23 +261,35 @@ _IVF_ITERS = 3   # q319: Lloyd iterations for the trained coarse quantizer
 _IVF_TOP_K = 3
 
 
-def _kmeans_oracle_ctes(k: int, iters: int) -> str:
+def _kmeans_oracle_ctes(k: int, iters: int, train_pred: str | None = None) -> str:
     """DuckDB CTE chain replicating clustering.kmeans(k, iters) exactly:
     cent0 = first-k init, then (iters-1) × [decimal-exact per-dim means →
     float32 centroids, empty cells carrying the previous position →
     reassign]. Bit-identical cross-engine because every step is either
     exact (decimal sums, integer counts) or a deterministic double op on
     identical operands (the division, the float32 narrowing, the dot
-    fold) — the same discipline recompute_centroids states."""
-    parts = [
-        f"""cent0 AS (
+    fold) — the same discipline recompute_centroids states.
+
+    ``train_pred`` (q327): SQL predicate selecting the training subset —
+    mirrors kmeans_fit(train_where=...): init = first k of the subset in
+    vec_id order, Lloyd iterates over the subset only, and an extra
+    ``asg_full`` CTE assigns the FULL corpus to the final centroids."""
+    if train_pred is None:
+        train_rel = "embeddings"
+        init = f"""cent0 AS (
         SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
         WHERE vec_id < {k}
     )"""
-    ]
+    else:
+        train_rel = f"(SELECT * FROM embeddings WHERE {train_pred})"
+        init = f"""cent0 AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+        WHERE {train_pred} ORDER BY vec_id LIMIT {k}
+    )"""
+    parts = [init]
 
-    def asg(t: int) -> str:
-        return f"""asg{t} AS (
+    def asg(t: int, rel: str = "", name: str = "") -> str:
+        return f"""{name or f'asg{t}'} AS (
         SELECT vec_id, embedding, cent_id FROM (
             SELECT e.vec_id, e.embedding, c.cent_id,
                    row_number() OVER (
@@ -285,7 +297,7 @@ def _kmeans_oracle_ctes(k: int, iters: int) -> str:
                        ORDER BY {dot_sql('e.embedding', 'c.cent_emb')} DESC,
                                 c.cent_id
                    ) AS rn
-            FROM embeddings e CROSS JOIN cent{t} c
+            FROM {rel or train_rel} e CROSS JOIN cent{t} c
         ) WHERE rn = 1
     )"""
 
@@ -316,6 +328,10 @@ def _kmeans_oracle_ctes(k: int, iters: int) -> str:
         WHERE c.cent_id NOT IN (SELECT cent_id FROM mc{t})
     )""")
         parts.append(asg(t + 1))
+    if train_pred is not None:
+        parts.append(
+            asg(iters - 1, rel="embeddings", name="asg_full")
+        )
     return ",\n    ".join(parts)
 
 
@@ -397,6 +413,14 @@ def q319_ivf_trained(spark, sf_dir) -> DataFrame:
     from .clustering import kmeans
 
     asg = kmeans(spark, sf_dir, k=_N_CENTROIDS, iterations=_IVF_ITERS)
+    return _ivf_search_with_recall(spark, sf_dir, asg)
+
+
+def _ivf_search_with_recall(spark, sf_dir, asg: DataFrame) -> DataFrame:
+    """Single-probe IVF search + in-result recall@k against the exact
+    brute-force top-k — the shared evaluate stage of q319 (full-corpus
+    training) and q327 (sample training); ``asg`` is any (vec_id,
+    embedding, cent_id) assignment frame."""
     queries = asg.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
     ).select(
@@ -453,6 +477,82 @@ def q319_ivf_trained(spark, sf_dir) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+_IVF_TRAIN_PRED = "vec_id % 4 = 0"  # q327: the training sample (25%)
+
+
+@query(
+    "q327_ivf_sample_trained",
+    oracle=f"""
+    WITH {_kmeans_oracle_ctes(_N_CENTROIDS, _IVF_ITERS, train_pred=_IVF_TRAIN_PRED)},
+    final_asg AS (SELECT * FROM asg_full),
+    queries AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS q_cent
+        FROM final_asg WHERE vec_id >= 100 AND vec_id < 105
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id, sim_raw FROM (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   {dot_sql('q.q_emb', 'a.embedding')} AS sim_raw,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'a.embedding')} DESC,
+                                a.vec_id
+                   ) AS rn
+            FROM queries q JOIN final_asg a
+              ON a.cent_id = q.q_cent AND a.vec_id <> q.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'c.embedding')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM queries q JOIN embeddings c ON c.vec_id <> q.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    matched AS (
+        SELECT i.query_id, COUNT(*) AS n_hit
+        FROM ivf i JOIN exact e
+          ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        GROUP BY i.query_id
+    )
+    SELECT i.query_id, i.neighbor_id, round(i.sim_raw, 6) AS sim,
+           round(COALESCE(m.n_hit, 0) / {float(_IVF_TOP_K)}, 6) AS recall
+    FROM ivf i LEFT JOIN matched m ON m.query_id = i.query_id
+    """,
+)
+def q327_ivf_sample_trained(spark, sf_dir) -> DataFrame:
+    """SAMPLE-TRAINED IVF — the 100 TB training shape made concrete
+    (SURVEY round-9 forward-plan item 1, built early): the Lloyd loop
+    iterates over a deterministic 25% subset ({_IVF_TRAIN_PRED} — the
+    q114 hash-bucket discipline; at scale this is the sampled training
+    table), and the full corpus is touched EXACTLY ONCE, by the final
+    broadcast-argmax assignment. Init is the first k of the SUBSET in
+    vec_id order (a TakeOrdered — ``vec_id < k`` can miss the sample
+    entirely). Everything stays differentially oracled: the unrolled
+    Lloyd CTEs gain the training predicate and one asg_full CTE, so a
+    wrong init set, an iteration that accidentally reads the full
+    corpus, or a final assignment against stale centroids all
+    hash-fail. Search/evaluate is q319's shared single-probe stage —
+    recall vs exact rides in-result, so the sample-vs-full training
+    quality delta is measurable data (compare q319's recall column to
+    this one). Cost shape at 100 TB: iterations × sample_size + 1 ×
+    corpus_size, vs q319's iterations × corpus_size."""
+    from .clustering import kmeans_fit
+
+    asg, _ = kmeans_fit(
+        spark,
+        sf_dir,
+        k=_N_CENTROIDS,
+        iterations=_IVF_ITERS,
+        train_where=F.expr(_IVF_TRAIN_PRED),
+    )
+    return _ivf_search_with_recall(spark, sf_dir, asg)
 
 
 _IVF_PROBES = 2  # q323: cells probed per query (q319 probes 1)

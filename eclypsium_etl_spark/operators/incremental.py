@@ -652,3 +652,98 @@ def q324_scd2_multiwave(spark, sf_dir) -> DataFrame:
     )
     _scd2_publish(spark, tname, stage, merged2)
     return _scd2_final_view(spark, tname)
+
+
+def scd2_tombstone(
+    target: DataFrame, keys: DataFrame, key: str, eff_date
+) -> DataFrame:
+    """SCD2 SOFT DELETE: close the current version of every listed key
+    (valid_to = eff_date, is_current false) and insert NOTHING — the
+    member leaves the dimension but its history survives, which is what
+    distinguishes a dimension tombstone from q305's current-state CDC
+    delete (there the key vanishes entirely). One semi/anti join pair on
+    the key — the same single-shuffle family as scd2_merge; keys absent
+    from the target are a no-op (idempotent re-delivery of a tombstone
+    batch is safe)."""
+    cur = target.filter(F.col("is_current"))
+    hist = target.filter(~F.col("is_current"))
+    def _closed_col(c: str):
+        if c == "valid_to":
+            return eff_date.alias(c)
+        if c == "is_current":
+            return F.lit(False).alias(c)
+        return F.col(c)
+
+    hit = cur.join(keys.select(key), key, "semi").select(
+        *[_closed_col(c) for c in target.columns]
+    )
+    miss = cur.join(keys.select(key), key, "left_anti")
+    return hist.unionByName(hit).unionByName(miss)
+
+
+@query(
+    "q326_scd2_tombstone",
+    oracle=f"""
+    WITH changed1 AS (
+        SELECT c_custkey AS k FROM customer
+        WHERE c_custkey % 5 = 0 AND c_mktsegment <> 'BUILDING'
+    ),
+    del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 7 = 0)
+    SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg,
+           CAST(DATE '{_SCD2_INIT_DATE}' AS TIMESTAMP) AS valid_from,
+           CASE WHEN c_custkey IN (SELECT k FROM changed1)
+                    THEN CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP)
+                WHEN c_custkey IN (SELECT k FROM del)
+                    THEN CAST(DATE '{_SCD2_W2_DATE}' AS TIMESTAMP)
+           END AS valid_to,
+           c_custkey NOT IN (SELECT k FROM changed1)
+               AND c_custkey NOT IN (SELECT k FROM del) AS is_current,
+           1 AS version
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, c_name, 'WEB',
+           CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP),
+           CASE WHEN c_custkey IN (SELECT k FROM del)
+                    THEN CAST(DATE '{_SCD2_W2_DATE}' AS TIMESTAMP) END,
+           c_custkey NOT IN (SELECT k FROM del), 2
+    FROM customer WHERE c_custkey IN (SELECT k FROM changed1)
+    UNION ALL
+    SELECT c_custkey + 10000000, c_name || '-new', 'WEB',
+           CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP), NULL, TRUE, 1
+    FROM customer WHERE c_custkey % 50 = 0
+    """,
+)
+def q326_scd2_tombstone(spark, sf_dir) -> DataFrame:
+    """SCD2 SOFT-DELETE wave (SURVEY round-9 forward-plan item 2, built
+    early): after q317's wave-1 merge, a tombstone batch (every 7th
+    customer, effective {_SCD2_W2_DATE}) closes each listed key's
+    CURRENT version — whichever version that is (v1 for untouched keys,
+    v2 for wave-1-changed ones; getting that right is the point: a
+    delete must chase the chain head, not the original row) — and
+    inserts no successor, so the key has no current row but its FULL
+    history survives. Contrast q305, where a CDC delete erases the key
+    from current state entirely; a dimension must keep the history or
+    every old fact loses its join target. Wave-1 inserts (10M+ keys)
+    sit outside the tombstone key space and carry through current.
+    Tombstoning keys absent from the dimension is a no-op, so
+    re-delivered delete batches are idempotent. Plan: one semi + one
+    anti join on the key against the current slice, history untouched —
+    the same single-shuffle family as the merge itself."""
+    tname = _scd2_build_wave1(spark, sf_dir, "t_q326")
+    c = table(spark, sf_dir, "customer")
+    del_keys = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    tombstoned = scd2_tombstone(
+        spark.table(tname),
+        del_keys,
+        key="k",
+        eff_date=F.to_date(F.lit(_SCD2_W2_DATE)),
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "eclypsium_etl_spark",
+        f"{tname}_stage2_{os.path.basename(sf_dir)}",
+    )
+    _scd2_publish(spark, tname, stage, tombstoned)
+    return _scd2_final_view(spark, tname)

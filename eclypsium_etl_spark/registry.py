@@ -104,7 +104,8 @@ _CHEAP_FIRST = [
     "q317_scd2_merge_table", "q318_posting_segments", "q319_ivf_trained",
     "q320_stream_join_asym_watermark", "q321_stream_dedup_business_key",
     "q322_struct_rollup", "q323_ivf_multiprobe", "q324_scd2_multiwave",
-    "q325_ivf_probe_ladder",
+    "q325_ivf_probe_ladder", "q326_scd2_tombstone",
+    "q327_ivf_sample_trained",
     # --- tier 0: the 119 ids with NO driver CORRECTNESS row through
     # r4 (VERDICT r4 "Next round" #3: spend the whole r5 budget here).
     # Front: q275 (the one RED r4 row — array transport, fixed, re-
