@@ -873,6 +873,9 @@ def q325_ivf_probe_ladder(spark, sf_dir) -> DataFrame:
         )
 
     return reduce(DataFrame.unionByName, [rung(p) for p in _LADDER_PROBES])
+
+
+def lsh_pairs(spark, sf_dir, threshold: float = 0.7, seed: int = 42) -> DataFrame:
     """Scale path for q65: BucketedRandomProjectionLSH over the embedding
     column — candidates meet only within hash buckets, bounding the O(n²)
     blow-up. Euclidean distance on unit vectors maps to cosine via
