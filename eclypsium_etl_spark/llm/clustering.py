@@ -85,8 +85,71 @@ def recompute_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
+def maximin_seeds(spark, sf_dir, k: int) -> DataFrame:
+    """Deterministic farthest-first (maximin) seeding — the
+    distance-weighted init that replaces first-k (SURVEY round-9
+    forward-plan item 1; Gonzalez 1985's 2-approximation for k-center,
+    the deterministic stand-in for k-means++/k-means||'s weighted
+    sampling): seed 0 is vec_id 0; each next seed is the vector whose
+    NEAREST chosen seed is farthest away — on unit vectors, the vector
+    minimizing max-similarity to the chosen set (ties → lowest vec_id,
+    already-chosen ids excluded). Returns (cent_id = seed vec_id,
+    cent_emb).
+
+    Plan per rung: anti-join out the chosen ids, broadcast the ≤k seed
+    rows, per-row max-sim (no corpus shuffle), then a global
+    TakeOrdered(1) collected to the driver — k−1 corpus scans total,
+    each moving ONE row past the scan. The chosen seeds accumulate
+    DRIVER-SIDE (k×dim floats — the module header's stated budget) and
+    each rung rebuilds its seed frame from those literals: a pure-lazy
+    chain that re-referenced the growing ``seeds`` plan three times per
+    rung builds a ~3^k-node logical plan and OOMs the ANALYZER at k=8
+    (measured here — DeduplicateRelations renews the whole duplicated
+    tree), while the eager collect keeps every rung's plan flat. The
+    float32 round-trip is exact: collect widens to double, the
+    array<float> literal narrows back to the identical bits. At 100 TB
+    the same loop runs on a sampled training table (q327's shape) and
+    k-means|| batches several seeds per scan; the per-rung plan is
+    unchanged."""
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    first = em.filter(F.col("vec_id") == 0).collect()[0]
+    chosen = [(first["vec_id"], first["embedding"])]
+    schema = "vec_id bigint, embedding array<float>"
+    for _ in range(k - 1):
+        seeds_df = spark.createDataFrame(chosen, schema)
+        nxt = (
+            em.join(seeds_df.select("vec_id"), "vec_id", "left_anti")
+            .crossJoin(
+                F.broadcast(seeds_df.select(F.col("embedding").alias("s_emb")))
+            )
+            .select(
+                "vec_id",
+                "embedding",
+                dot(F.col("embedding"), F.col("s_emb")).alias("sim"),
+            )
+            .groupBy("vec_id")
+            # every group row carries the same embedding (keyed by vec_id)
+            .agg(
+                F.max("sim").alias("worst"),
+                F.first("embedding").alias("embedding"),
+            )
+            .orderBy(F.asc("worst"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((nxt["vec_id"], nxt["embedding"]))
+    return spark.createDataFrame(
+        chosen, "cent_id bigint, cent_emb array<float>"
+    )
+
+
 def kmeans_fit(
-    spark, sf_dir, k: int = _K, iterations: int = 3, train_where=None
+    spark,
+    sf_dir,
+    k: int = _K,
+    iterations: int = 3,
+    train_where=None,
+    init_centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd iterations with deterministic init (first k vectors).
     Returns (final assignment, the centroids that produced it) — the
@@ -103,10 +166,16 @@ def kmeans_fit(
     ``vec_id < k`` may miss the subset entirely) while the returned
     assignment always covers the FULL corpus. This is the 100 TB shape:
     centroid training touches a sample, the one full-corpus pass is the
-    final broadcast-argmax assignment."""
+    final broadcast-argmax assignment.
+
+    ``init_centroids`` (q330): an explicit (cent_id, cent_emb) frame —
+    e.g. maximin_seeds — replaces the first-k init; the Lloyd loop is
+    unchanged."""
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     train = em.filter(train_where) if train_where is not None else em
-    if train_where is not None:
+    if init_centroids is not None:
+        centroids = init_centroids
+    elif train_where is not None:
         centroids = train.orderBy("vec_id").limit(k).select(
             F.col("vec_id").alias("cent_id"),
             F.col("embedding").alias("cent_emb"),

@@ -261,7 +261,12 @@ _IVF_ITERS = 3   # q319: Lloyd iterations for the trained coarse quantizer
 _IVF_TOP_K = 3
 
 
-def _kmeans_oracle_ctes(k: int, iters: int, train_pred: str | None = None) -> str:
+def _kmeans_oracle_ctes(
+    k: int,
+    iters: int,
+    train_pred: str | None = None,
+    init_sql: str | None = None,
+) -> str:
     """DuckDB CTE chain replicating clustering.kmeans(k, iters) exactly:
     cent0 = first-k init, then (iters-1) × [decimal-exact per-dim means →
     float32 centroids, empty cells carrying the previous position →
@@ -273,8 +278,15 @@ def _kmeans_oracle_ctes(k: int, iters: int, train_pred: str | None = None) -> st
     ``train_pred`` (q327): SQL predicate selecting the training subset —
     mirrors kmeans_fit(train_where=...): init = first k of the subset in
     vec_id order, Lloyd iterates over the subset only, and an extra
-    ``asg_full`` CTE assigns the FULL corpus to the final centroids."""
-    if train_pred is None:
+    ``asg_full`` CTE assigns the FULL corpus to the final centroids.
+
+    ``init_sql`` (q330): a full SELECT producing (cent_id, cent_emb) —
+    mirrors kmeans_fit(init_centroids=...); overrides the first-k init
+    (compose with earlier CTEs, e.g. the maximin seed chain)."""
+    if init_sql is not None:
+        train_rel = "embeddings"
+        init = f"cent0 AS ({init_sql})"
+    elif train_pred is None:
         train_rel = "embeddings"
         init = f"""cent0 AS (
         SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
@@ -1230,4 +1242,249 @@ def q179_hard_negatives(spark, sf_dir) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _HN_K)
         .select("query_id", "neg_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+# ---- IVF × int8 composition (q328): quantized ADC inside trained cells --
+@query(
+    "q328_ivf_adc",
+    oracle=f"""
+    WITH {_kmeans_oracle_ctes(_N_CENTROIDS, _IVF_ITERS)},
+    final_asg AS (SELECT * FROM asg{_IVF_ITERS - 1}),
+    qc AS (
+        SELECT vec_id, embedding, cent_id, scale,
+               CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
+               ELSE list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
+               END AS q
+        FROM (
+            SELECT vec_id, embedding, cent_id,
+                   list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+            FROM final_asg
+        )
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS q_cent
+        FROM final_asg WHERE vec_id >= 100 AND vec_id < 105
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id, approx_raw, exact_raw FROM (
+            SELECT qu.query_id, c.vec_id AS neighbor_id,
+                   c.scale * {dot_sql('c.q', 'qu.q_emb')} AS approx_raw,
+                   {dot_sql('c.embedding', 'qu.q_emb')} AS exact_raw,
+                   row_number() OVER (
+                       PARTITION BY qu.query_id
+                       ORDER BY c.scale * {dot_sql('c.q', 'qu.q_emb')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM queries qu JOIN qc c
+              ON c.cent_id = qu.q_cent AND c.vec_id <> qu.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'c.embedding')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM queries q JOIN embeddings c ON c.vec_id <> q.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    matched AS (
+        SELECT i.query_id, COUNT(*) AS n_hit
+        FROM ivf i JOIN exact e
+          ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        GROUP BY i.query_id
+    )
+    SELECT i.query_id, i.neighbor_id,
+           round(i.approx_raw, 6) AS approx_sim,
+           round(i.exact_raw, 6) AS exact_sim,
+           round(COALESCE(m.n_hit, 0) / {float(_IVF_TOP_K)}, 6) AS recall
+    FROM ivf i LEFT JOIN matched m ON m.query_id = i.query_id
+    """,
+)
+def q328_ivf_adc(spark, sf_dir) -> DataFrame:
+    """IVF-PQ's production shape, composed from two existing kernels
+    (SURVEY round-9 forward-plan item 2): q130's int8 asymmetric-distance
+    scan run INSIDE q319's trained k-means cells — the query stays float,
+    the cell's members are 4×-smaller int8 codes, and ranking uses
+    approx = scale · ⟨codes, q_float⟩ (Jégou et al. 2011's ADC, with
+    per-vector symmetric scalar quantization standing in for the PQ
+    codebook — same storage/bandwidth lever, simpler codebook). Both
+    error sources of a real IVF-PQ index are measured IN-RESULT: the
+    exact float score rides along per emitted neighbor (quantization
+    error), and recall@{_IVF_TOP_K} vs the exact full-corpus top-k
+    rides per query (cell-restriction error, compounded by code
+    ranking). Training, quantization, cell-scoped ADC ranking, and the
+    recall join are all replicated closed-form by the DuckDB oracle —
+    a differentially-tested IVF-PQ, which production ANN libraries
+    don't get to have.
+
+    Plan shape at 100 TB: the trained assignment persists partitioned
+    by cent_id storing ONLY (vec_id, scale, q) — int8 codes cut the
+    cell scan's bytes 4× vs float32, which is the whole point; the
+    float embedding is read back only for the k emitted neighbors (here
+    it rides the same scan because the oracle needs exact_sim for every
+    candidate anyway). Queries broadcast; the quadratic never leaves
+    cell scope (q319's contract), and the ADC fold is a JVM-side
+    codegen'd built-in, no UDF."""
+    from .clustering import kmeans
+
+    asg = kmeans(spark, sf_dir, k=_N_CENTROIDS, iterations=_IVF_ITERS)
+    corpus = asg.withColumn("scale", F.expr(_QSCALE_EXPR)).withColumn(
+        "q", F.expr(_QARR_EXPR)
+    )
+    queries = asg.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cent_id").alias("q_cent"),
+    )
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_raw"), F.asc("neighbor_id")
+    )
+    ivf = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("cent_id") == F.col("q_cent"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("scale") * dot(F.col("q"), F.col("q_emb"))).alias(
+                "approx_raw"
+            ),
+            dot(F.col("embedding"), F.col("q_emb")).alias("exact_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_approx))
+        .filter(F.col("rn") <= _IVF_TOP_K)
+        .drop("rn")
+    )
+    em = table(spark, sf_dir, "embeddings")
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
+    )
+    exact = (
+        em.join(
+            F.broadcast(queries.select("query_id", "q_emb")),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") <= _IVF_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    matched = (
+        ivf.join(exact, ["query_id", "neighbor_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return ivf.join(matched, "query_id", "left").select(
+        "query_id",
+        "neighbor_id",
+        F.round("approx_raw", 6).alias("approx_sim"),
+        F.round("exact_raw", 6).alias("exact_sim"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / float(_IVF_TOP_K), 6
+        ).alias("recall"),
+    )
+
+
+# ---- maximin-seeded k-means (q330) --------------------------------------
+def _maximin_seed_ctes(k: int) -> str:
+    """Unrolled farthest-first seeding (clustering.maximin_seeds's DuckDB
+    twin): s0 = vec_id 0; each rung picks the vector minimizing the max
+    similarity to all previous seeds (ties → lowest vec_id, chosen ids
+    excluded). greatest() over identical doubles is exact, so rung
+    selection is bit-identical cross-engine."""
+    parts = ["s0 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0)"]
+    for t in range(1, k):
+        rels = ", ".join(f"s{j} a{j}" for j in range(t))
+        dots = ", ".join(
+            dot_sql("e.embedding", f"a{j}.embedding") for j in range(t)
+        )
+        worst = f"greatest({dots})" if t > 1 else dots
+        excl = " UNION ALL ".join(f"SELECT vec_id FROM s{j}" for j in range(t))
+        parts.append(f"""s{t} AS MATERIALIZED (
+        SELECT vec_id, embedding FROM (
+            SELECT e.vec_id, e.embedding,
+                   row_number() OVER (ORDER BY {worst} ASC, e.vec_id) AS rn
+            FROM embeddings e, {rels}
+            WHERE e.vec_id NOT IN ({excl})
+        ) WHERE rn = 1
+    )""")
+    return ",\n    ".join(parts)
+
+
+_MAXIMIN_INIT_SQL = (
+    "SELECT vec_id AS cent_id, embedding AS cent_emb FROM ("
+    + " UNION ALL ".join(f"SELECT * FROM s{j}" for j in range(_N_CENTROIDS))
+    + ")"
+)
+
+
+@query(
+    "q330_kmeans_maximin_seed",
+    oracle=f"""
+    WITH {_maximin_seed_ctes(_N_CENTROIDS)},
+    {_kmeans_oracle_ctes(_N_CENTROIDS, _IVF_ITERS, init_sql=_MAXIMIN_INIT_SQL)}
+    SELECT a.cent_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           round(MIN({dot_sql('a.embedding', 'c.cent_emb')}), 6) AS min_sim,
+           round(MAX({dot_sql('a.embedding', 'c.cent_emb')}), 6) AS max_sim
+    FROM asg{_IVF_ITERS - 1} a
+    JOIN cent{_IVF_ITERS - 1} c ON c.cent_id = a.cent_id
+    GROUP BY a.cent_id
+    """,
+)
+def q330_kmeans_maximin_seed(spark, sf_dir) -> DataFrame:
+    """K-MEANS WITH DISTANCE-AWARE SEEDING (SURVEY round-9 forward-plan
+    item 1): the Lloyd loop initialized from clustering.maximin_seeds —
+    deterministic farthest-first traversal (Gonzalez 1985), the
+    determinism-preserving stand-in for k-means++/k-means||'s weighted
+    sampling, so the ENTIRE train (seed chain + every Lloyd iteration)
+    stays closed-form differentially oracled: the seed rungs unroll as
+    argmin-of-greatest CTEs, then feed cent0 of the same unrolled Lloyd
+    chain q319 uses. A wrong seed pick, a tie broken differently, or an
+    iteration initialized off the first-k path all hash-fail. (Both
+    engines need the same blowup guard here: rung t references every
+    earlier rung, so a pure-lazy spelling expands ~3^k plan nodes —
+    Spark's analyzer OOMs and DuckDB's inlined CTEs exhaust file
+    handles re-scanning the parquet. The Spark side collects each seed
+    to the driver, the oracle pins AS MATERIALIZED.)
+
+    The checked result is the per-cluster quality summary (cent_id =
+    seed vec_id, member count, min/max member→centroid similarity —
+    min/max because they're order-independent doubles; mean-of-dots is
+    the one aggregate the decimal trick can't make portable): the
+    balanced-cells claim of seeded init vs q319's first-k becomes
+    hashed data, comparable across the two queries' results.
+
+    Scale: seeding is k−1 scans × TakeOrdered(1) (one row moves per
+    scan; at 100 TB it runs on q327's training sample and k-means||
+    batches several seeds per scan), then the standard broadcast-argmax
+    Lloyd loop — the corpus never shuffles anywhere in this plan."""
+    from .clustering import kmeans_fit, maximin_seeds
+
+    seeds = maximin_seeds(spark, sf_dir, k=_N_CENTROIDS)
+    asg, cents = kmeans_fit(
+        spark, sf_dir, k=_N_CENTROIDS, iterations=_IVF_ITERS,
+        init_centroids=seeds,
+    )
+    sims = asg.join(F.broadcast(cents), "cent_id").select(
+        "cent_id", dot(F.col("embedding"), F.col("cent_emb")).alias("sim")
+    )
+    return sims.groupBy("cent_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.round(F.min("sim"), 6).alias("min_sim"),
+        F.round(F.max("sim"), 6).alias("max_sim"),
     )

@@ -491,11 +491,10 @@ def _scd2_publish(spark, tname: str, stage: str, merged: DataFrame) -> None:
     spark.read.parquet(stage).write.insertInto(tname, overwrite=True)
 
 
-def _scd2_build_wave1(spark, sf_dir, tname: str) -> str:
-    """Build the SCD2 customer dimension in catalog table ``tname`` and
-    apply the wave-1 change batch (q317's: every 5th customer to 'WEB'
-    with BUILDING no-ops, new keys for every 50th, effective
-    _SCD2_EFF_DATE). Pre-clears location + table (q244 discipline) so
+def _scd2_create_init(spark, sf_dir, tname: str) -> None:
+    """CREATE the SCD2 customer dimension catalog table ``tname`` and
+    INSERT the initial load (every customer at version 1, valid from
+    _SCD2_INIT_DATE). Pre-clears location + table (q244 discipline) so
     every call rebuilds deterministically."""
     import shutil
 
@@ -525,6 +524,11 @@ def _scd2_build_wave1(spark, sf_dir, tname: str) -> str:
     )
     init.write.insertInto(tname)
 
+
+def _scd2_wave1_batch(c: DataFrame) -> DataFrame:
+    """q317's wave-1 change batch: every 5th customer re-segmented to
+    'WEB' (BUILDING rows are deliberate no-ops), new business keys for
+    every 50th."""
     updates = c.filter(F.col("c_custkey") % 5 == 0).select(
         F.col("c_custkey").alias("k"),
         F.col("c_name").alias("name"),
@@ -537,15 +541,33 @@ def _scd2_build_wave1(spark, sf_dir, tname: str) -> str:
         F.concat(F.col("c_name"), F.lit("-new")).alias("name"),
         F.lit("WEB").alias("seg"),
     )
+    return updates.unionByName(inserts)
+
+
+def _scd2_wave2_batch(c: DataFrame) -> DataFrame:
+    """q324's wave-2 change batch: every 3rd customer to 'RETAIL'."""
+    return c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.lit("RETAIL").alias("seg"),
+    )
+
+
+def _scd2_build_wave1(spark, sf_dir, tname: str) -> str:
+    """Build the SCD2 customer dimension in catalog table ``tname`` and
+    apply the wave-1 change batch through scd2_merge."""
+    _scd2_create_init(spark, sf_dir, tname)
     merged = scd2_merge(
         spark.table(tname),
-        updates.unionByName(inserts),
+        _scd2_wave1_batch(table(spark, sf_dir, "customer")),
         key="k",
         attr="seg",
         eff_date=F.to_date(F.lit(_SCD2_EFF_DATE)),
     )
     stage = os.path.join(
-        base, f"{tname}_stage_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(),
+        "eclypsium_etl_spark",
+        f"{tname}_stage_{os.path.basename(sf_dir)}",
     )
     _scd2_publish(spark, tname, stage, merged)
     return tname
@@ -569,10 +591,11 @@ def _scd2_final_view(spark, tname: str) -> DataFrame:
 
 _SCD2_W2_DATE = "2024-09-01"  # q324: effective date of the second wave
 
-
-@query(
-    "q324_scd2_multiwave",
-    oracle=f"""
+# Closed form of the full two-wave history (wave 1 = q317's batch at
+# _SCD2_EFF_DATE, wave 2 = every-3rd-to-RETAIL at _SCD2_W2_DATE) —
+# shared by q324 (batch chaining) and q329 (the same waves delivered
+# through the streaming runtime, one merge per micro-batch).
+_SCD2_TWO_WAVE_ORACLE = f"""
     WITH changed1 AS (
         SELECT c_custkey AS k FROM customer
         WHERE c_custkey % 5 = 0 AND c_mktsegment <> 'BUILDING'
@@ -611,8 +634,10 @@ _SCD2_W2_DATE = "2024-09-01"  # q324: effective date of the second wave
     SELECT c_custkey + 10000000, c_name || '-new', 'WEB',
            CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP), NULL, TRUE, 1
     FROM customer WHERE c_custkey % 50 = 0
-    """,
-)
+    """
+
+
+@query("q324_scd2_multiwave", oracle=_SCD2_TWO_WAVE_ORACLE)
 def q324_scd2_multiwave(spark, sf_dir) -> DataFrame:
     """CHAINED SCD2 merges — the second change wave applied to q317's
     already-merged state (SURVEY round-9 forward-plan item 1, built
@@ -632,15 +657,9 @@ def q324_scd2_multiwave(spark, sf_dir) -> DataFrame:
     dimension load actually runs (q305's CDC waves, but with full SCD2
     history instead of current-state-only)."""
     tname = _scd2_build_wave1(spark, sf_dir, "t_q324")
-    c = table(spark, sf_dir, "customer")
-    wave2 = c.filter(F.col("c_custkey") % 3 == 0).select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_name").alias("name"),
-        F.lit("RETAIL").alias("seg"),
-    )
     merged2 = scd2_merge(
         spark.table(tname),
-        wave2,
+        _scd2_wave2_batch(table(spark, sf_dir, "customer")),
         key="k",
         attr="seg",
         eff_date=F.to_date(F.lit(_SCD2_W2_DATE)),
@@ -746,4 +765,95 @@ def q326_scd2_tombstone(spark, sf_dir) -> DataFrame:
         f"{tname}_stage2_{os.path.basename(sf_dir)}",
     )
     _scd2_publish(spark, tname, stage, tombstoned)
+    return _scd2_final_view(spark, tname)
+
+
+@query("q329_stream_scd2", oracle=_SCD2_TWO_WAVE_ORACLE)
+def q329_stream_scd2(spark, sf_dir) -> DataFrame:
+    """STREAMING SCD2 — q324's two change waves delivered through the
+    Structured Streaming runtime instead of batch calls (SURVEY round-9
+    forward-plan item 3): a file-replay change feed (one parquet file
+    per wave, maxFilesPerTrigger=1, explicit mtimes so the file source's
+    oldest-first ordering is deterministic) drives q58's foreachBatch
+    sink, and EACH MICRO-BATCH IS ONE MERGE WAVE — scd2_merge against
+    the catalog table's current state, then the staged write-audit-
+    publish swap. The handler groups the batch by its effective date
+    and applies merges in date order, so the semantics survive Spark
+    coalescing several source files into one batch (wave chunks of the
+    SAME date commute — the merge is per-key — and distinct dates apply
+    oldest-first; only cross-batch date inversion would break, which
+    the mtime ordering pins away).
+
+    The final table state must equal the closed form of the whole
+    two-wave history — the SAME oracle as q324, so the streaming
+    runtime (checkpointed micro-batch scheduling, replay, foreachBatch
+    exactly-once-per-batch-id) is differentially tested against the
+    batch chaining it must reproduce. This is the nightly-dimension-
+    load-as-a-stream shape: CDC feed in, SCD2 history out, one merge
+    per trigger.
+
+    At 100 TB: each micro-batch joins (current slice × change batch)
+    with the batch broadcast (AQE) — identical plan to q324 per wave;
+    the stream adds checkpointed offsets so a crashed load resumes at
+    the failed wave instead of replaying history (the publish is
+    idempotent per batch_id: a retried batch re-runs the same merge on
+    the same pre-merge state because the swap is the last step)."""
+    import time
+
+    from ..streaming.queries import run_available_now
+
+    tname = "t_q329"
+    _scd2_create_init(spark, sf_dir, tname)
+    c = table(spark, sf_dir, "customer")
+    waves = [
+        (_SCD2_EFF_DATE, _scd2_wave1_batch(c)),
+        (_SCD2_W2_DATE, _scd2_wave2_batch(c)),
+    ]
+    src = tempfile.mkdtemp(prefix="eclypsium_scd2_feed_")
+    t0 = time.time()
+    for i, (eff, wave) in enumerate(waves):
+        staged = os.path.join(src, f"_stage_w{i}")
+        wave.withColumn("eff", F.lit(eff)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        part = next(
+            f for f in os.listdir(staged) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"w{i}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        # explicit, well-separated mtimes: the file source processes
+        # oldest-first, so wave order is pinned without sleeping
+        os.utime(dst, (t0 - 60 + 30 * i, t0 - 60 + 30 * i))
+
+    base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
+
+    def apply_wave(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        effs = sorted(r[0] for r in batch_df.select("eff").distinct().collect())
+        for eff in effs:  # ISO date strings sort chronologically
+            merged = scd2_merge(
+                spark.table(tname),
+                batch_df.filter(F.col("eff") == eff).select("k", "name", "seg"),
+                key="k",
+                attr="seg",
+                eff_date=F.to_date(F.lit(eff)),
+            )
+            stage = os.path.join(
+                base,
+                f"{tname}_stage_b{batch_id}_{eff}_{os.path.basename(sf_dir)}",
+            )
+            _scd2_publish(spark, tname, stage, merged)
+
+    feed = (
+        spark.readStream.schema("k bigint, name string, seg string, eff string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_available_now(
+        lambda name, ckpt: feed.writeStream.foreachBatch(apply_wave)
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
     return _scd2_final_view(spark, tname)

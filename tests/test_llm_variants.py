@@ -279,3 +279,66 @@ def test_goertzel_vectorized_fold_is_ieee_identical():
             "goertzel raw-sum drift vs libm (numpy SIMD trig; parity-"
             f"harmless at 6dp): {raw_drift[:5]} (+{len(raw_drift) - 5 if len(raw_drift) > 5 else 0} more)"
         )
+
+
+def test_maximin_seeds_are_spread_and_deterministic(spark):
+    """q330's seeding kernel: exactly k seeds, all distinct, seed 0 is
+    vec_id 0, and the chain is deterministic across calls (the property
+    that makes the unrolled-CTE oracle possible at all). Farthest-first
+    must also actually spread: every later seed's max-similarity to the
+    PRIOR seeds is no higher than what replacing it with the densest
+    skipped vector would give — spot-checked via the weaker invariant
+    that no two chosen seeds are near-duplicates of each other."""
+    from eclypsium_etl_spark.functions import dot
+    from eclypsium_etl_spark.llm.clustering import maximin_seeds
+    from pyspark.sql import functions as F
+
+    k = 8
+    s1 = maximin_seeds(spark, SF_SMOKE, k=k).collect()
+    s2 = maximin_seeds(spark, SF_SMOKE, k=k).collect()
+    ids1 = [r.cent_id for r in s1]
+    assert ids1 == [r.cent_id for r in s2], "seeding must be deterministic"
+    assert len(ids1) == k == len(set(ids1))
+    assert ids1[0] == 0
+    seeds_df = maximin_seeds(spark, SF_SMOKE, k=k)
+    a = seeds_df.select(
+        F.col("cent_id").alias("ia"), F.col("cent_emb").alias("ea")
+    )
+    b = seeds_df.select(
+        F.col("cent_id").alias("ib"), F.col("cent_emb").alias("eb")
+    )
+    pair_sims = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(dot(F.col("ea"), F.col("eb")).alias("sim"))
+        .collect()
+    )
+    assert max(r.sim for r in pair_sims) < 0.9, "seeds collapsed together"
+
+
+def test_q328_neighbors_come_from_query_cell(spark):
+    """q328's semantic pin: the ADC scan is CELL-SCOPED — every emitted
+    neighbor must share the query's trained cell (the IVF restriction),
+    and the in-band quality columns are sane: recall in [0,1], and the
+    approx (int8 ADC) score within quantization distance of the exact
+    float score it approximates."""
+    from eclypsium_etl_spark.llm.clustering import kmeans
+    from eclypsium_etl_spark.llm.similarity import (
+        _IVF_ITERS,
+        _N_CENTROIDS,
+        q328_ivf_adc,
+    )
+
+    cell = {
+        r.vec_id: r.cent_id
+        for r in kmeans(
+            spark, SF_SMOKE, k=_N_CENTROIDS, iterations=_IVF_ITERS
+        ).collect()
+    }
+    rows = q328_ivf_adc(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert cell[r.neighbor_id] == cell[r.query_id]
+        assert 0.0 <= r.recall <= 1.0
+        # symmetric int8: |approx - exact| bounded by dim * scale/2 per
+        # term; on unit 64-d vectors a loose but real bound is 0.05
+        assert abs(r.approx_sim - r.exact_sim) < 0.05

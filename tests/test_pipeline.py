@@ -222,3 +222,23 @@ def test_scd2_merge_rerun_idempotent(spark):
     # no-op updates (BUILDING customers in the batch) never version
     building = final[(final["seg"] == "BUILDING") & (final["k"] % 5 == 0)]
     assert (building["version"] == 1).all() and building["is_current"].all()
+
+
+def test_stream_scd2_matches_batch_chain_and_reruns(spark):
+    """q329's core claim, pinned from the Spark side too (the oracle
+    already states the closed form): the streaming runtime delivering
+    one merge wave per micro-batch must land byte-identical dimension
+    state to q324's batch chaining of the same two waves — and rerunning
+    the stream (fresh source staging + checkpoint, q244 pre-clear)
+    rebuilds the same state."""
+    from eclypsium_etl_spark.operators.incremental import (
+        q324_scd2_multiwave,
+        q329_stream_scd2,
+    )
+    from tests.parity import canonical_rows
+
+    batch = canonical_rows(q324_scd2_multiwave(spark, SF_SMOKE).toPandas())
+    s1 = canonical_rows(q329_stream_scd2(spark, SF_SMOKE).toPandas())
+    s2 = canonical_rows(q329_stream_scd2(spark, SF_SMOKE).toPandas())
+    assert s1 == batch and len(s1) > 0
+    assert s1 == s2

@@ -759,14 +759,20 @@ def test_q319_trained_ivf_corpus_never_shuffles_for_training(spark):
     column, no crossJoin-then-rank, no driver collect in the lineage.
     The only exchanges allowed to carry arrays are the k-row centroid
     folds (collect_list over <= k structs) and the tiny query-set
-    broadcast."""
-    df = QUERIES["q319_ivf_trained"](spark, SF_CHECK)
-    plan = plans.physical_plan(df)
-    assert "CartesianProduct" not in plan
-    # centroid recompute shuffles (cent_id, dim, partial) scalars; the
-    # full-width embedding column may only cross a broadcast exchange
-    hash_parts = plans.exchange_partitioning(df)
-    assert "embedding#" not in hash_parts
+    broadcast. Family test: q328 (int8 ADC inside the same trained
+    cells) and q330 (maximin-seeded Lloyd — its seed scans run eagerly
+    before this lineage, driver-side k×dim accumulation) must keep the
+    same discipline."""
+    for qid in ("q319_ivf_trained", "q328_ivf_adc",
+                "q330_kmeans_maximin_seed"):
+        df = QUERIES[qid](spark, SF_CHECK)
+        plan = plans.physical_plan(df)
+        assert "CartesianProduct" not in plan, qid
+        # centroid recompute shuffles (cent_id, dim, partial) scalars;
+        # the full-width embedding column may only cross a broadcast
+        # exchange
+        hash_parts = plans.exchange_partitioning(df)
+        assert "embedding#" not in hash_parts, qid
 
 
 def test_q322_struct_rollup_prunes_text_column(spark):
