@@ -150,6 +150,7 @@ def kmeans_fit(
     iterations: int = 3,
     train_where=None,
     init_centroids: DataFrame | None = None,
+    source: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd iterations with deterministic init (first k vectors).
     Returns (final assignment, the centroids that produced it) — the
@@ -170,8 +171,16 @@ def kmeans_fit(
 
     ``init_centroids`` (q330): an explicit (cent_id, cent_emb) frame —
     e.g. maximin_seeds — replaces the first-k init; the Lloyd loop is
-    unchanged."""
-    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    unchanged.
+
+    ``source`` (q331): train over a provided (vec_id, embedding) frame
+    instead of the embeddings table — e.g. a sliced-subvector view for
+    per-subspace PQ codebooks."""
+    em = (
+        source
+        if source is not None
+        else table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     train = em.filter(train_where) if train_where is not None else em
     if init_centroids is not None:
         centroids = init_centroids
@@ -713,4 +722,215 @@ def q129_semdedup(spark, sf_dir) -> DataFrame:
         asg.select("vec_id", "cent_id")
         .join(dup, "vec_id", "left")
         .select("vec_id", "cent_id", F.col("__dup").isNull().alias("kept"))
+    )
+
+
+# ---- streaming (mini-batch) k-means (q332) -------------------------------
+_SKM_K = 8          # centroids
+_SKM_ITERS = 1      # one assignment per arriving batch (MacQueen-style)
+
+
+def _skm_asg_sql(rel: str, cent: str, name: str) -> str:
+    """Assign ``rel`` to centroid CTE ``cent`` (sim DESC, cent_id ASC —
+    the shared tiebreak)."""
+    return f"""{name} AS (
+        SELECT vec_id, embedding, cent_id FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {dot_sql('e.embedding', 'c.cent_emb')} DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM {rel} e CROSS JOIN {cent} c
+        ) WHERE rn = 1
+    )"""
+
+
+def _skm_sums_sql(asg: str, name: str) -> str:
+    """Per-(cent, dim) decimal partial sums + counts over an assignment —
+    the mergeable state the stream carries between batches."""
+    return f"""{name} AS (
+        SELECT cent_id, dim,
+               SUM(CAST(v AS DECIMAL(28,12))) AS sv,
+               COUNT(v) AS cn
+        FROM (
+            SELECT cent_id,
+                   unnest(range(len(embedding))) AS dim,
+                   unnest(embedding) AS v
+            FROM {asg}
+        )
+        GROUP BY cent_id, dim
+    )"""
+
+
+@query(
+    "q332_stream_kmeans",
+    oracle=f"""
+    WITH b0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+    b1 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+    cent0 AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb FROM b0
+        ORDER BY vec_id LIMIT {_SKM_K}
+    ),
+    {_skm_asg_sql('b0', 'cent0', 'asg0')},
+    {_skm_sums_sql('asg0', 's0')},
+    cent1 AS (
+        SELECT cent_id,
+               list_transform(list(m ORDER BY dim),
+                              x -> CAST(x AS FLOAT)) AS cent_emb
+        FROM (SELECT cent_id, dim, CAST(sv AS DOUBLE) / cn AS m FROM s0)
+        GROUP BY cent_id
+        UNION ALL
+        SELECT c.cent_id, c.cent_emb FROM cent0 c
+        WHERE c.cent_id NOT IN (SELECT cent_id FROM s0)
+    ),
+    {_skm_asg_sql('b1', 'cent1', 'asg1')},
+    {_skm_sums_sql('asg1', 's1')},
+    stot AS (
+        SELECT COALESCE(a.cent_id, b.cent_id) AS cent_id,
+               COALESCE(a.dim, b.dim) AS dim,
+               COALESCE(a.sv, 0) + COALESCE(b.sv, 0) AS sv,
+               COALESCE(a.cn, 0) + COALESCE(b.cn, 0) AS cn
+        FROM s0 a FULL OUTER JOIN s1 b
+          ON b.cent_id = a.cent_id AND b.dim = a.dim
+    ),
+    cent2 AS (
+        SELECT cent_id,
+               list_transform(list(m ORDER BY dim),
+                              x -> CAST(x AS FLOAT)) AS cent_emb
+        FROM (SELECT cent_id, dim, CAST(sv AS DOUBLE) / cn AS m FROM stot)
+        GROUP BY cent_id
+        UNION ALL
+        SELECT c.cent_id, c.cent_emb FROM cent1 c
+        WHERE c.cent_id NOT IN (SELECT cent_id FROM stot)
+    ),
+    {_skm_asg_sql('embeddings', 'cent2', 'asg_final')}
+    SELECT a.cent_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           round(MIN({dot_sql('a.embedding', 'c.cent_emb')}), 6) AS min_sim,
+           round(MAX({dot_sql('a.embedding', 'c.cent_emb')}), 6) AS max_sim
+    FROM asg_final a JOIN cent2 c ON c.cent_id = a.cent_id
+    GROUP BY a.cent_id
+    """,
+)
+def q332_stream_kmeans(spark, sf_dir) -> DataFrame:
+    """STREAMING K-MEANS — the model updated per micro-batch (SURVEY
+    round-9 item 2; q329's foreachBatch pattern applied to q319's
+    model): the corpus arrives as a two-batch file-replay feed (even
+    vec_ids then odd, mtime-pinned order), and each micro-batch (a)
+    assigns its rows to the CURRENT centroids (the broadcast-argmax
+    kernel on the batch frame) and (b) folds per-(centroid, dim)
+    DECIMAL partial sums + counts into the running state — MacQueen's
+    sequential k-means at batch granularity, with centroid t+1 = the
+    exact mean of every row assigned so far under the centroids of its
+    arrival time. The state the stream carries is k × dim decimals +
+    counts — the mergeable-aggregate discipline (q106's partial→final)
+    applied to MODEL state, which is what makes the whole streaming
+    train EXACTLY reproducible: decimal addition is order-independent
+    and batch-boundary-independent-given-the-schedule, so the unrolled
+    two-batch oracle states the final model in closed form (assignment
+    → partials → merged means → float32 narrowing, all bit-identical).
+
+    Checked result: the full corpus assigned to the final streamed
+    model, per-cluster count + min/max member similarity (q330's
+    summary tail). A wrong batch order, a cumulative-mean slip (e.g.
+    recomputing from the current batch only), a float accumulator, or
+    an empty-cell drop all hash-fail.
+
+    At 100 TB: per-batch work is one scan of the batch + a k×dim-row
+    aggregate (map-side combined, only partials shuffle); state lives
+    on the driver here (512 decimals) and in a state store or the
+    checkpoint at scale. The final full-corpus assignment is the one
+    corpus-sized pass, same as q327's sampled shape."""
+    import os
+    import tempfile
+    import time
+    from decimal import Decimal
+
+    import numpy as np
+
+    from ..streaming.queries import run_available_now
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = tempfile.mkdtemp(prefix="eclypsium_skm_feed_")
+    t0 = time.time()
+    for i in range(2):
+        staged = os.path.join(src, f"_stage_b{i}")
+        em.filter(F.col("vec_id") % 2 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        os.utime(dst, (t0 - 60 + 30 * i, t0 - 60 + 30 * i))
+
+    # init: first k of the FIRST batch in vec_id order (known = evens)
+    init_rows = (
+        em.filter(F.col("vec_id") % 2 == 0)
+        .orderBy("vec_id")
+        .limit(_SKM_K)
+        .collect()
+    )
+    state = {
+        "cents": [(r["vec_id"], r["embedding"]) for r in init_rows],
+        "sums": {},  # (cent_id, dim) -> [Decimal sum, count]
+    }
+    cent_schema = "cent_id bigint, cent_emb array<float>"
+
+    def update_model(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cents_df = spark.createDataFrame(state["cents"], cent_schema)
+        asg = assign_to_centroids(
+            batch_df.select("vec_id", "embedding"), cents_df
+        )
+        parts = (
+            asg.select("cent_id", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cent_id", "dim")
+            .agg(
+                F.sum(F.col("v").cast("decimal(28,12)")).alias("sv"),
+                F.count("v").alias("cn"),
+            )
+            .collect()
+        )
+        for r in parts:
+            key = (r["cent_id"], r["dim"])
+            sv, cn = state["sums"].get(key, (Decimal(0), 0))
+            state["sums"][key] = (sv + r["sv"], cn + r["cn"])
+        new_cents = []
+        for cid, emb in state["cents"]:
+            if (cid, 0) in state["sums"]:
+                vec = [
+                    np.float32(
+                        float(state["sums"][(cid, d)][0])
+                        / state["sums"][(cid, d)][1]
+                    )
+                    for d in range(len(emb))
+                ]
+                new_cents.append((cid, [float(x) for x in vec]))
+            else:  # empty cell so far: carry the previous position
+                new_cents.append((cid, emb))
+        state["cents"] = new_cents
+
+    feed = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_available_now(
+        lambda name, ckpt: feed.writeStream.foreachBatch(update_model)
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+
+    final_cents = spark.createDataFrame(state["cents"], cent_schema)
+    asg = assign_to_centroids(em, final_cents)
+    sims = asg.join(F.broadcast(final_cents), "cent_id").select(
+        "cent_id", dot(F.col("embedding"), F.col("cent_emb")).alias("sim")
+    )
+    return sims.groupBy("cent_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.round(F.min("sim"), 6).alias("min_sim"),
+        F.round(F.max("sim"), 6).alias("max_sim"),
     )

@@ -266,6 +266,8 @@ def _kmeans_oracle_ctes(
     iters: int,
     train_pred: str | None = None,
     init_sql: str | None = None,
+    src_rel: str | None = None,
+    prefix: str = "",
 ) -> str:
     """DuckDB CTE chain replicating clustering.kmeans(k, iters) exactly:
     cent0 = first-k init, then (iters-1) × [decimal-exact per-dim means →
@@ -282,26 +284,32 @@ def _kmeans_oracle_ctes(
 
     ``init_sql`` (q330): a full SELECT producing (cent_id, cent_emb) —
     mirrors kmeans_fit(init_centroids=...); overrides the first-k init
-    (compose with earlier CTEs, e.g. the maximin seed chain)."""
+    (compose with earlier CTEs, e.g. the maximin seed chain).
+
+    ``src_rel``/``prefix`` (q331): train over a different relation
+    (e.g. a sliced-subvector CTE) and namespace every CTE as
+    {prefix}cent0/{prefix}asg0/… so several independent chains — one
+    per PQ subspace — compose in a single WITH list."""
+    src_rel = "embeddings" if src_rel is None else src_rel
     if init_sql is not None:
-        train_rel = "embeddings"
-        init = f"cent0 AS ({init_sql})"
+        train_rel = src_rel
+        init = f"{prefix}cent0 AS ({init_sql})"
     elif train_pred is None:
-        train_rel = "embeddings"
-        init = f"""cent0 AS (
-        SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+        train_rel = src_rel
+        init = f"""{prefix}cent0 AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb FROM {src_rel}
         WHERE vec_id < {k}
     )"""
     else:
-        train_rel = f"(SELECT * FROM embeddings WHERE {train_pred})"
-        init = f"""cent0 AS (
-        SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+        train_rel = f"(SELECT * FROM {src_rel} WHERE {train_pred})"
+        init = f"""{prefix}cent0 AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb FROM {src_rel}
         WHERE {train_pred} ORDER BY vec_id LIMIT {k}
     )"""
     parts = [init]
 
     def asg(t: int, rel: str = "", name: str = "") -> str:
-        return f"""{name or f'asg{t}'} AS (
+        return f"""{name or f'{prefix}asg{t}'} AS (
         SELECT vec_id, embedding, cent_id FROM (
             SELECT e.vec_id, e.embedding, c.cent_id,
                    row_number() OVER (
@@ -309,13 +317,13 @@ def _kmeans_oracle_ctes(
                        ORDER BY {dot_sql('e.embedding', 'c.cent_emb')} DESC,
                                 c.cent_id
                    ) AS rn
-            FROM {rel or train_rel} e CROSS JOIN cent{t} c
+            FROM {rel or train_rel} e CROSS JOIN {prefix}cent{t} c
         ) WHERE rn = 1
     )"""
 
     parts.append(asg(0))
     for t in range(iters - 1):
-        parts.append(f"""mc{t} AS (
+        parts.append(f"""{prefix}mc{t} AS (
         SELECT cent_id,
                list_transform(list(m ORDER BY dim),
                               x -> CAST(x AS FLOAT)) AS cent_emb
@@ -327,22 +335,22 @@ def _kmeans_oracle_ctes(
                 SELECT cent_id,
                        unnest(range(len(embedding))) AS dim,
                        unnest(embedding) AS v
-                FROM asg{t}
+                FROM {prefix}asg{t}
             )
             GROUP BY cent_id, dim
         )
         GROUP BY cent_id
     )""")
-        parts.append(f"""cent{t + 1} AS (
-        SELECT * FROM mc{t}
+        parts.append(f"""{prefix}cent{t + 1} AS (
+        SELECT * FROM {prefix}mc{t}
         UNION ALL
-        SELECT c.cent_id, c.cent_emb FROM cent{t} c
-        WHERE c.cent_id NOT IN (SELECT cent_id FROM mc{t})
+        SELECT c.cent_id, c.cent_emb FROM {prefix}cent{t} c
+        WHERE c.cent_id NOT IN (SELECT cent_id FROM {prefix}mc{t})
     )""")
         parts.append(asg(t + 1))
     if train_pred is not None:
         parts.append(
-            asg(iters - 1, rel="embeddings", name="asg_full")
+            asg(iters - 1, rel=src_rel, name=f"{prefix}asg_full")
         )
     return ",\n    ".join(parts)
 
@@ -1487,4 +1495,415 @@ def q330_kmeans_maximin_seed(spark, sf_dir) -> DataFrame:
         F.count("*").cast("long").alias("n_members"),
         F.round(F.min("sim"), 6).alias("min_sim"),
         F.round(F.max("sim"), 6).alias("max_sim"),
+    )
+
+
+# ---- product quantization with real subspace codebooks (q331) -----------
+_PQ_SUBS = ((1, 32), (33, 32))  # 1-based (start, length): 64-d → 2 × 32-d
+_PQ_CB_K = 8                    # centroids per subspace codebook
+
+
+def _pq_best_expr(arr_col: str, start: int, length: int) -> str:
+    """Scan-stage PQ encode for one subspace: argmax over the broadcast
+    codebook array of (dot(centroid, subvector), cent_id, cent_emb) —
+    assign_to_centroids's fold widened to also return the winning
+    centroid VECTOR, so encode and reconstruct happen in the same
+    expression with zero shuffle. Ties → lowest cent_id (array sorted,
+    strictly-better keeps)."""
+    sub = f"slice(embedding, {start}, {length})"
+    sims = (
+        f"transform({arr_col}, c -> struct("
+        f" aggregate(zip_with(c.cent_emb, {sub},"
+        "   (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        "   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS sim,"
+        " c.cent_id AS cent_id, c.cent_emb AS cent_emb))"
+    )
+    return (
+        f"aggregate({sims},"
+        " CAST(NULL AS STRUCT<sim: DOUBLE, cent_id: BIGINT,"
+        " cent_emb: ARRAY<FLOAT>>),"
+        " (acc, s) -> CASE WHEN acc IS NULL OR s.sim > acc.sim"
+        " THEN s ELSE acc END)"
+    )
+
+
+@query(
+    "q331_pq_adc",
+    oracle=f"""
+    WITH sub1 AS (
+        SELECT vec_id, list_slice(embedding, 1, 32) AS embedding
+        FROM embeddings
+    ),
+    sub2 AS (
+        SELECT vec_id, list_slice(embedding, 33, 64) AS embedding
+        FROM embeddings
+    ),
+    {_kmeans_oracle_ctes(_PQ_CB_K, _IVF_ITERS, src_rel='sub1', prefix='p1_')},
+    {_kmeans_oracle_ctes(_PQ_CB_K, _IVF_ITERS, src_rel='sub2', prefix='p2_')},
+    codes AS (
+        SELECT e.vec_id, e.embedding,
+               a1.cent_id AS code1, c1.cent_emb AS ce1,
+               a2.cent_id AS code2, c2.cent_emb AS ce2
+        FROM embeddings e
+        JOIN p1_asg{_IVF_ITERS - 1} a1 ON a1.vec_id = e.vec_id
+        JOIN p1_cent{_IVF_ITERS - 1} c1 ON c1.cent_id = a1.cent_id
+        JOIN p2_asg{_IVF_ITERS - 1} a2 ON a2.vec_id = e.vec_id
+        JOIN p2_cent{_IVF_ITERS - 1} c2 ON c2.cent_id = a2.cent_id
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, embedding AS q_emb,
+               list_slice(embedding, 1, 32) AS q1,
+               list_slice(embedding, 33, 64) AS q2
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    pq AS (
+        SELECT query_id, neighbor_id, code1, code2, approx_raw, exact_raw
+        FROM (
+            SELECT qu.query_id, c.vec_id AS neighbor_id, c.code1, c.code2,
+                   {dot_sql('c.ce1', 'qu.q1')} + {dot_sql('c.ce2', 'qu.q2')}
+                       AS approx_raw,
+                   {dot_sql('c.embedding', 'qu.q_emb')} AS exact_raw,
+                   row_number() OVER (
+                       PARTITION BY qu.query_id
+                       ORDER BY {dot_sql('c.ce1', 'qu.q1')}
+                                + {dot_sql('c.ce2', 'qu.q2')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM codes c JOIN queries qu ON c.vec_id <> qu.query_id
+        ) WHERE rn <= {_PQ_TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'c.embedding')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM queries q JOIN embeddings c ON c.vec_id <> q.query_id
+        ) WHERE rn <= {_PQ_TOP_K}
+    ),
+    matched AS (
+        SELECT p.query_id, COUNT(*) AS n_hit
+        FROM pq p JOIN exact e
+          ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+        GROUP BY p.query_id
+    )
+    SELECT p.query_id, p.neighbor_id, p.code1, p.code2,
+           round(p.approx_raw, 6) AS approx_sim,
+           round(p.exact_raw, 6) AS exact_sim,
+           round(COALESCE(m.n_hit, 0) / {float(_PQ_TOP_K)}, 6) AS recall
+    FROM pq p LEFT JOIN matched m ON m.query_id = p.query_id
+    """,
+)
+def q331_pq_adc(spark, sf_dir) -> DataFrame:
+    """PRODUCT QUANTIZATION with REAL per-subspace codebooks (SURVEY
+    round-9 item 1; Jégou et al. 2011 proper, upgrading q328's scalar
+    stand-in): the 64-d embedding splits into {len(_PQ_SUBS)} × 32-d
+    subvectors, an independent k-means codebook (k={_PQ_CB_K}, the
+    shared unrolled-Lloyd oracle chain per subspace via src_rel/prefix)
+    trains on each slice, every vector encodes as its per-subspace
+    nearest-centroid ids — {len(_PQ_SUBS)} small ints replacing 64
+    floats, the 100 TB storage shape — and ADC scoring reconstructs
+    from the codebooks: approx = Σ_j ⟨codebook_j[code_j], q_sub_j⟩
+    (the sum of two doubles in fixed operand order — exact parity).
+
+    Everything is hashed data: the codes themselves (code1/code2 — a
+    wrong codebook or tiebreak shows up directly), the approx and
+    exact scores per emitted neighbor, and recall@{_PQ_TOP_K} vs the
+    exact float top-k per query. Both training chains, both encodes,
+    the ADC ranking and the recall join replicate closed-form in
+    DuckDB — a differentially-tested PQ index end to end.
+
+    Plan discipline: training is the q319 broadcast-argmax loop per
+    subspace (corpus never shuffles); ENCODE + RECONSTRUCT happen in
+    one scan — each codebook folds to a 1-row array, crossJoin-
+    broadcasts, and a widened assign_to_centroids fold returns the
+    winning (cent_id, cent_emb) per subspace, so no corpus-sized join
+    assembles the code table (the naive per-subspace-assignment join
+    would shuffle the corpus on vec_id once per subspace). Queries
+    broadcast; ranking is per-partition window heads."""
+    from .clustering import kmeans_fit
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    folded = []
+    for i, (st, ln) in enumerate(_PQ_SUBS):
+        sub = em.select(
+            "vec_id", F.slice("embedding", st, ln).alias("embedding")
+        )
+        _, cents = kmeans_fit(
+            spark, sf_dir, k=_PQ_CB_K, iterations=_IVF_ITERS, source=sub
+        )
+        folded.append(
+            cents.agg(
+                F.array_sort(
+                    F.collect_list(F.struct("cent_id", "cent_emb"))
+                ).alias(f"__cb{i}")
+            )
+        )
+    corpus = em
+    for f in folded:
+        corpus = corpus.crossJoin(F.broadcast(f))
+    corpus = corpus.select(
+        "vec_id",
+        "embedding",
+        F.expr(_pq_best_expr("__cb0", *_PQ_SUBS[0])).alias("__b0"),
+        F.expr(_pq_best_expr("__cb1", *_PQ_SUBS[1])).alias("__b1"),
+    )
+    queries = em.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.slice("embedding", *_PQ_SUBS[0]).alias("q1"),
+        F.slice("embedding", *_PQ_SUBS[1]).alias("q2"),
+    )
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_raw"), F.asc("neighbor_id")
+    )
+    pq = (
+        corpus.join(
+            F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("__b0.cent_id").alias("code1"),
+            F.col("__b1.cent_id").alias("code2"),
+            (
+                dot(F.col("__b0.cent_emb"), F.col("q1"))
+                + dot(F.col("__b1.cent_emb"), F.col("q2"))
+            ).alias("approx_raw"),
+            dot(F.col("embedding"), F.col("q_emb")).alias("exact_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_approx))
+        .filter(F.col("rn") <= _PQ_TOP_K)
+        .drop("rn")
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
+    )
+    exact = (
+        em.join(
+            F.broadcast(queries.select("query_id", "q_emb")),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") <= _PQ_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    matched = (
+        pq.join(exact, ["query_id", "neighbor_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return pq.join(matched, "query_id", "left").select(
+        "query_id",
+        "neighbor_id",
+        "code1",
+        "code2",
+        F.round("approx_raw", 6).alias("approx_sim"),
+        F.round("exact_raw", 6).alias("exact_sim"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / float(_PQ_TOP_K), 6
+        ).alias("recall"),
+    )
+
+
+# ---- IVF-PQ end-to-end (q334): trained cells × subspace codebooks ------
+@query(
+    "q334_ivfpq",
+    oracle=f"""
+    WITH {_kmeans_oracle_ctes(_N_CENTROIDS, _IVF_ITERS, prefix='c_')},
+    sub1 AS (
+        SELECT vec_id, list_slice(embedding, 1, 32) AS embedding
+        FROM embeddings
+    ),
+    sub2 AS (
+        SELECT vec_id, list_slice(embedding, 33, 64) AS embedding
+        FROM embeddings
+    ),
+    {_kmeans_oracle_ctes(_PQ_CB_K, _IVF_ITERS, src_rel='sub1', prefix='p1_')},
+    {_kmeans_oracle_ctes(_PQ_CB_K, _IVF_ITERS, src_rel='sub2', prefix='p2_')},
+    codes AS (
+        SELECT e.vec_id, e.embedding, cc.cent_id AS cell,
+               a1.cent_id AS code1, c1.cent_emb AS ce1,
+               a2.cent_id AS code2, c2.cent_emb AS ce2
+        FROM embeddings e
+        JOIN c_asg{_IVF_ITERS - 1} cc ON cc.vec_id = e.vec_id
+        JOIN p1_asg{_IVF_ITERS - 1} a1 ON a1.vec_id = e.vec_id
+        JOIN p1_cent{_IVF_ITERS - 1} c1 ON c1.cent_id = a1.cent_id
+        JOIN p2_asg{_IVF_ITERS - 1} a2 ON a2.vec_id = e.vec_id
+        JOIN p2_cent{_IVF_ITERS - 1} c2 ON c2.cent_id = a2.cent_id
+    ),
+    queries AS (
+        SELECT c.vec_id AS query_id, c.embedding AS q_emb, c.cell AS q_cell,
+               list_slice(c.embedding, 1, 32) AS q1,
+               list_slice(c.embedding, 33, 64) AS q2
+        FROM codes c WHERE c.vec_id >= 100 AND c.vec_id < 105
+    ),
+    ivfpq AS (
+        SELECT query_id, neighbor_id, code1, code2, approx_raw, exact_raw
+        FROM (
+            SELECT qu.query_id, c.vec_id AS neighbor_id, c.code1, c.code2,
+                   {dot_sql('c.ce1', 'qu.q1')} + {dot_sql('c.ce2', 'qu.q2')}
+                       AS approx_raw,
+                   {dot_sql('c.embedding', 'qu.q_emb')} AS exact_raw,
+                   row_number() OVER (
+                       PARTITION BY qu.query_id
+                       ORDER BY {dot_sql('c.ce1', 'qu.q1')}
+                                + {dot_sql('c.ce2', 'qu.q2')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM queries qu JOIN codes c
+              ON c.cell = qu.q_cell AND c.vec_id <> qu.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'c.embedding')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM queries q JOIN embeddings c ON c.vec_id <> q.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    matched AS (
+        SELECT i.query_id, COUNT(*) AS n_hit
+        FROM ivfpq i JOIN exact e
+          ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        GROUP BY i.query_id
+    )
+    SELECT i.query_id, i.neighbor_id, i.code1, i.code2,
+           round(i.approx_raw, 6) AS approx_sim,
+           round(i.exact_raw, 6) AS exact_sim,
+           round(COALESCE(m.n_hit, 0) / {float(_IVF_TOP_K)}, 6) AS recall
+    FROM ivfpq i LEFT JOIN matched m ON m.query_id = i.query_id
+    """,
+)
+def q334_ivfpq(spark, sf_dir) -> DataFrame:
+    """IVF-PQ END-TO-END — the two halves composed (SURVEY round-9
+    item 1; both built this round): q319's trained coarse quantizer
+    scopes the search to the query's cell, and WITHIN the cell q331's
+    per-subspace codebooks score candidates by PQ-ADC. This is the
+    production FAISS IVFADC shape with two honest simplifications,
+    both declared: the PQ encodes RAW vectors rather than residuals
+    (x − coarse_centroid) — residual encoding needs per-cell codebook
+    arithmetic the oracle would state identically, at 2× the CTE bill —
+    and m=2 subspaces of 32 dims. The index stores, per vector:
+    (cell, code1, code2) — three small ints replacing 64 floats; the
+    cell partition bounds the scan, the codes bound the bytes.
+
+    All three training chains (coarse + two subspaces) plus encode,
+    cell-scoped ADC ranking, and recall vs the exact full-corpus top-k
+    replicate closed-form in DuckDB via the prefixed unrolled-Lloyd
+    CTEs. Every error source is measurable in the hashed result:
+    cell restriction (recall), quantization (approx vs exact per
+    neighbor), and a wrong codebook or assignment (the codes).
+
+    Plan: training never shuffles the corpus (broadcast-argmax loops);
+    the serving scan computes cell + both codes + both reconstructions
+    in ONE pass (three 1-row broadcast folds); queries broadcast;
+    ranking is per-partition window heads. At 100 TB the encoded table
+    persists partitioned by cell and the scan reads only probed
+    partitions — q328's contract with q331's bytes."""
+    from .clustering import kmeans, kmeans_fit
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    asg = kmeans(spark, sf_dir, k=_N_CENTROIDS, iterations=_IVF_ITERS)
+    folded = []
+    for i, (st, ln) in enumerate(_PQ_SUBS):
+        sub = em.select(
+            "vec_id", F.slice("embedding", st, ln).alias("embedding")
+        )
+        _, cents = kmeans_fit(
+            spark, sf_dir, k=_PQ_CB_K, iterations=_IVF_ITERS, source=sub
+        )
+        folded.append(
+            cents.agg(
+                F.array_sort(
+                    F.collect_list(F.struct("cent_id", "cent_emb"))
+                ).alias(f"__cb{i}")
+            )
+        )
+    corpus = asg
+    for f in folded:
+        corpus = corpus.crossJoin(F.broadcast(f))
+    corpus = corpus.select(
+        "vec_id",
+        "embedding",
+        F.col("cent_id").alias("cell"),
+        F.expr(_pq_best_expr("__cb0", *_PQ_SUBS[0])).alias("__b0"),
+        F.expr(_pq_best_expr("__cb1", *_PQ_SUBS[1])).alias("__b1"),
+    )
+    queries = corpus.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+        F.slice("embedding", *_PQ_SUBS[0]).alias("q1"),
+        F.slice("embedding", *_PQ_SUBS[1]).alias("q2"),
+    )
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_raw"), F.asc("neighbor_id")
+    )
+    ivfpq = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("__b0.cent_id").alias("code1"),
+            F.col("__b1.cent_id").alias("code2"),
+            (
+                dot(F.col("__b0.cent_emb"), F.col("q1"))
+                + dot(F.col("__b1.cent_emb"), F.col("q2"))
+            ).alias("approx_raw"),
+            dot(F.col("embedding"), F.col("q_emb")).alias("exact_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_approx))
+        .filter(F.col("rn") <= _IVF_TOP_K)
+        .drop("rn")
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
+    )
+    exact = (
+        em.join(
+            F.broadcast(queries.select("query_id", "q_emb")),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") <= _IVF_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    matched = (
+        ivfpq.join(exact, ["query_id", "neighbor_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return ivfpq.join(matched, "query_id", "left").select(
+        "query_id",
+        "neighbor_id",
+        "code1",
+        "code2",
+        F.round("approx_raw", 6).alias("approx_sim"),
+        F.round("exact_raw", 6).alias("exact_sim"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / float(_IVF_TOP_K), 6
+        ).alias("recall"),
     )

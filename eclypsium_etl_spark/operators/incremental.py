@@ -857,3 +857,182 @@ def q329_stream_scd2(spark, sf_dir) -> DataFrame:
         .trigger(availableNow=True)
     )
     return _scd2_final_view(spark, tname)
+
+
+def scd2_merge_multi(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    attrs: list[str],
+    eff_date,
+) -> DataFrame:
+    """scd2_merge generalized to MULTIPLE tracked attributes: the close/
+    insert trigger is a change in ANY tracked column (OR over per-column
+    inequality — the expanded form of comparing a tracked-column hash),
+    and the successor version carries ALL tracked columns from the
+    source, changed or not. Same single key-hash join plan as
+    scd2_merge; no-op suppression now means no-op across the WHOLE
+    tracked set."""
+    from functools import reduce
+
+    cur = target.filter(F.col("is_current"))
+    hist = target.filter(~F.col("is_current"))
+    j = cur.alias("t").join(
+        source.alias("s"), F.col("t." + key) == F.col("s." + key), "full_outer"
+    )
+    changed = (
+        F.col("t." + key).isNotNull()
+        & F.col("s." + key).isNotNull()
+        & reduce(
+            lambda a, b: a | b,
+            [F.col("t." + a) != F.col("s." + a) for a in attrs],
+        )
+    )
+
+    def _kept_col(c: str):
+        if c == "valid_to":
+            return F.when(changed, eff_date).otherwise(F.col("t." + c)).alias(c)
+        if c == "is_current":
+            return (
+                F.when(changed, F.lit(False)).otherwise(F.col("t." + c)).alias(c)
+            )
+        return F.col("t." + c).alias(c)
+
+    kept = j.filter(F.col("t." + key).isNotNull()).select(
+        *[_kept_col(c) for c in target.columns]
+    )
+    succ = j.filter(changed).select(
+        F.col("t." + key).alias(key),
+        F.col("s.name").alias("name"),
+        *[F.col("s." + a).alias(a) for a in attrs],
+        eff_date.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        (F.col("t.version") + 1).alias("version"),
+    )
+    new = j.filter(F.col("t." + key).isNull()).select(
+        F.col("s." + key).alias(key),
+        F.col("s.name").alias("name"),
+        *[F.col("s." + a).alias(a) for a in attrs],
+        eff_date.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.lit(1).alias("version"),
+    )
+    return hist.unionByName(kept).unionByName(succ).unionByName(new)
+
+
+@query(
+    "q333_scd2_multiattr",
+    oracle=f"""
+    WITH src AS (
+        SELECT c_custkey AS k, c_name AS name,
+               CASE WHEN c_custkey % 4 = 0 THEN
+                   CASE WHEN c_mktsegment = 'BUILDING' THEN 'BUILDING'
+                        ELSE 'WEB' END
+               ELSE c_mktsegment END AS seg,
+               CAST(CASE WHEN c_custkey % 6 = 0 THEN (c_nationkey + 1) % 25
+                    ELSE c_nationkey END AS BIGINT) AS nat
+        FROM customer WHERE c_custkey % 4 = 0 OR c_custkey % 6 = 0
+    ),
+    changed AS (
+        SELECT s.k FROM src s JOIN customer t ON t.c_custkey = s.k
+        WHERE s.seg <> t.c_mktsegment OR s.nat <> CAST(t.c_nationkey AS BIGINT)
+    )
+    SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg,
+           CAST(c_nationkey AS BIGINT) AS nat,
+           CAST(DATE '{_SCD2_INIT_DATE}' AS TIMESTAMP) AS valid_from,
+           CASE WHEN c_custkey IN (SELECT k FROM changed)
+                THEN CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP)
+           END AS valid_to,
+           c_custkey NOT IN (SELECT k FROM changed) AS is_current,
+           1 AS version
+    FROM customer
+    UNION ALL
+    SELECT s.k, s.name, s.seg, s.nat,
+           CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP), NULL, TRUE, 2
+    FROM src s WHERE s.k IN (SELECT k FROM changed)
+    """,
+)
+def q333_scd2_multiattr(spark, sf_dir) -> DataFrame:
+    """SCD2 with a MULTI-ATTRIBUTE tracked set (SURVEY round-9 item 3):
+    the dimension tracks (seg, nat) together — a change in EITHER column
+    closes the current version and the successor carries BOTH current
+    values, which is what real dimensions do (a hash over the tracked
+    set in production; the expanded OR here so the oracle states it
+    exactly). The change batch is built to hit every path: seg-only
+    changes (k%4, not BUILDING, k%6≠0), nat-only changes (k%6, k%4≠0 —
+    (n+1)%25 never equals n, so these always change), both-change rows
+    (k%12), and FULL no-ops (k%12=0 BUILDING rows change nat only;
+    k%4=0 BUILDING rows with k%6≠0 change NOTHING and must spawn no
+    version — partial no-op on one column of a changed row is NOT a
+    no-op, which is the bug class single-attribute merges can't see).
+    Same managed-table build as q317 (CREATE + INSERT init + merge +
+    staged INSERT OVERWRITE publish); one key-hash join, change batch
+    broadcasts under AQE."""
+    import shutil
+
+    tname = "t_q333"
+    base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
+    os.makedirs(base, exist_ok=True)
+    loc = os.path.join(base, f"{tname}_tbl_{os.path.basename(sf_dir)}")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    spark.sql(
+        f"""
+        CREATE TABLE {tname} (
+            k BIGINT, name STRING, seg STRING, nat BIGINT,
+            valid_from DATE, valid_to DATE,
+            is_current BOOLEAN, version INT
+        ) USING parquet LOCATION '{loc}'
+        """
+    )
+    c = table(spark, sf_dir, "customer")
+    init = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("bigint").alias("nat"),
+        F.to_date(F.lit(_SCD2_INIT_DATE)).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.lit(1).alias("version"),
+    )
+    init.write.insertInto(tname)
+
+    k = F.col("c_custkey")
+    src = c.filter((k % 4 == 0) | (k % 6 == 0)).select(
+        k.alias("k"),
+        F.col("c_name").alias("name"),
+        F.when(
+            k % 4 == 0,
+            F.when(F.col("c_mktsegment") == "BUILDING", "BUILDING").otherwise(
+                "WEB"
+            ),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.when(k % 6 == 0, (F.col("c_nationkey") + 1) % 25)
+        .otherwise(F.col("c_nationkey"))
+        .cast("bigint")
+        .alias("nat"),
+    )
+    merged = scd2_merge_multi(
+        spark.table(tname),
+        src,
+        key="k",
+        attrs=["seg", "nat"],
+        eff_date=F.to_date(F.lit(_SCD2_EFF_DATE)),
+    )
+    stage = os.path.join(base, f"{tname}_stage_{os.path.basename(sf_dir)}")
+    _scd2_publish(spark, tname, stage, merged)
+    return spark.table(tname).select(
+        "k",
+        "name",
+        "seg",
+        "nat",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+        "version",
+    )

@@ -242,3 +242,44 @@ def test_stream_scd2_matches_batch_chain_and_reruns(spark):
     s2 = canonical_rows(q329_stream_scd2(spark, SF_SMOKE).toPandas())
     assert s1 == batch and len(s1) > 0
     assert s1 == s2
+
+
+def test_stream_kmeans_rerun_deterministic(spark):
+    """q332's streamed model must be exactly reproducible: fresh feed
+    staging + checkpoint each call, decimal partial-sum state, pinned
+    batch order — two runs, identical per-cluster summaries."""
+    from eclypsium_etl_spark.llm.clustering import q332_stream_kmeans
+    from tests.parity import canonical_rows
+
+    r1 = canonical_rows(q332_stream_kmeans(spark, SF_SMOKE).toPandas())
+    r2 = canonical_rows(q332_stream_kmeans(spark, SF_SMOKE).toPandas())
+    assert r1 == r2 and len(r1) > 0
+
+
+def test_scd2_multiattr_full_noop_spawns_nothing(spark):
+    """q333's distinguishing semantics, pinned from the Spark side: a
+    source row where EVERY tracked column equals the target (k%4
+    BUILDING rows with k%6 != 0) must spawn no version; a row where
+    only ONE tracked column changed still versions and the successor
+    carries BOTH current values. Rebuild is rerun-idempotent."""
+    from eclypsium_etl_spark.operators.incremental import q333_scd2_multiattr
+    from tests.parity import canonical_rows
+
+    r1 = canonical_rows(q333_scd2_multiattr(spark, SF_SMOKE).toPandas())
+    r2 = canonical_rows(q333_scd2_multiattr(spark, SF_SMOKE).toPandas())
+    assert r1 == r2 and len(r1) > 0
+
+    df = q333_scd2_multiattr(spark, SF_SMOKE).toPandas()
+    noop = df[
+        (df["k"] % 4 == 0) & (df["k"] % 6 != 0) & (df["seg"] == "BUILDING")
+    ]
+    assert len(noop) > 0
+    assert (noop["version"] == 1).all() and noop["is_current"].all()
+    v2 = df[df["version"] == 2]
+    assert len(v2) > 0
+    v1 = df[df["version"] == 1].set_index("k")
+    for _, row in v2.iterrows():
+        pred = v1.loc[row["k"]]
+        assert not pred["is_current"]
+        # ANY tracked column changed — never a full-tracked-set no-op
+        assert pred["seg"] != row["seg"] or pred["nat"] != row["nat"]
