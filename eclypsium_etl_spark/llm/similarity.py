@@ -1503,14 +1503,17 @@ _PQ_SUBS = ((1, 32), (33, 32))  # 1-based (start, length): 64-d → 2 × 32-d
 _PQ_CB_K = 8                    # centroids per subspace codebook
 
 
-def _pq_best_expr(arr_col: str, start: int, length: int) -> str:
+def _pq_best_expr(
+    arr_col: str, start: int, length: int, col: str = "embedding"
+) -> str:
     """Scan-stage PQ encode for one subspace: argmax over the broadcast
     codebook array of (dot(centroid, subvector), cent_id, cent_emb) —
     assign_to_centroids's fold widened to also return the winning
     centroid VECTOR, so encode and reconstruct happen in the same
     expression with zero shuffle. Ties → lowest cent_id (array sorted,
-    strictly-better keeps)."""
-    sub = f"slice(embedding, {start}, {length})"
+    strictly-better keeps). ``col`` (q335): encode a different array
+    column, e.g. the residual."""
+    sub = f"slice({col}, {start}, {length})"
     sims = (
         f"transform({arr_col}, c -> struct("
         f" aggregate(zip_with(c.cent_emb, {sub},"
@@ -1866,6 +1869,275 @@ def q334_ivfpq(spark, sf_dir) -> DataFrame:
             F.col("__b1.cent_id").alias("code2"),
             (
                 dot(F.col("__b0.cent_emb"), F.col("q1"))
+                + dot(F.col("__b1.cent_emb"), F.col("q2"))
+            ).alias("approx_raw"),
+            dot(F.col("embedding"), F.col("q_emb")).alias("exact_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_approx))
+        .filter(F.col("rn") <= _IVF_TOP_K)
+        .drop("rn")
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
+    )
+    exact = (
+        em.join(
+            F.broadcast(queries.select("query_id", "q_emb")),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") <= _IVF_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    matched = (
+        ivfpq.join(exact, ["query_id", "neighbor_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return ivfpq.join(matched, "query_id", "left").select(
+        "query_id",
+        "neighbor_id",
+        "code1",
+        "code2",
+        F.round("approx_raw", 6).alias("approx_sim"),
+        F.round("exact_raw", 6).alias("exact_sim"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / float(_IVF_TOP_K), 6
+        ).alias("recall"),
+    )
+
+
+# ---- residual-encoding IVF-PQ (q335): textbook IVFADC ------------------
+_RESID_EXPR = (
+    "CAST(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE) AS FLOAT)"
+)
+
+
+@query(
+    "q335_ivfpq_residual",
+    oracle=f"""
+    WITH {_kmeans_oracle_ctes(_N_CENTROIDS, _IVF_ITERS, prefix='c_')},
+    resid AS MATERIALIZED (
+        SELECT a.vec_id, a.embedding, a.cent_id AS cell, c.cent_emb AS cell_emb,
+               list_transform(list_zip(a.embedding, c.cent_emb),
+                              s -> {_RESID_EXPR}) AS r_emb
+        FROM c_asg{_IVF_ITERS - 1} a
+        JOIN c_cent{_IVF_ITERS - 1} c ON c.cent_id = a.cent_id
+    ),
+    rsub1 AS MATERIALIZED (
+        SELECT vec_id, list_slice(r_emb, 1, 32) AS embedding FROM resid
+    ),
+    rsub2 AS MATERIALIZED (
+        SELECT vec_id, list_slice(r_emb, 33, 64) AS embedding FROM resid
+    ),
+    {_kmeans_oracle_ctes(_PQ_CB_K, _IVF_ITERS, src_rel='rsub1', prefix='p1_')},
+    {_kmeans_oracle_ctes(_PQ_CB_K, _IVF_ITERS, src_rel='rsub2', prefix='p2_')},
+    codes AS (
+        SELECT r.vec_id, r.embedding, r.cell, r.cell_emb,
+               a1.cent_id AS code1, c1.cent_emb AS ce1,
+               a2.cent_id AS code2, c2.cent_emb AS ce2
+        FROM resid r
+        JOIN p1_asg{_IVF_ITERS - 1} a1 ON a1.vec_id = r.vec_id
+        JOIN p1_cent{_IVF_ITERS - 1} c1 ON c1.cent_id = a1.cent_id
+        JOIN p2_asg{_IVF_ITERS - 1} a2 ON a2.vec_id = r.vec_id
+        JOIN p2_cent{_IVF_ITERS - 1} c2 ON c2.cent_id = a2.cent_id
+    ),
+    queries AS (
+        SELECT c.vec_id AS query_id, c.embedding AS q_emb, c.cell AS q_cell,
+               list_slice(c.embedding, 1, 32) AS q1,
+               list_slice(c.embedding, 33, 64) AS q2
+        FROM codes c WHERE c.vec_id >= 100 AND c.vec_id < 105
+    ),
+    ivfpq AS (
+        SELECT query_id, neighbor_id, code1, code2, approx_raw, exact_raw
+        FROM (
+            SELECT qu.query_id, c.vec_id AS neighbor_id, c.code1, c.code2,
+                   {dot_sql('c.cell_emb', 'qu.q_emb')}
+                       + {dot_sql('c.ce1', 'qu.q1')}
+                       + {dot_sql('c.ce2', 'qu.q2')} AS approx_raw,
+                   {dot_sql('c.embedding', 'qu.q_emb')} AS exact_raw,
+                   row_number() OVER (
+                       PARTITION BY qu.query_id
+                       ORDER BY {dot_sql('c.cell_emb', 'qu.q_emb')}
+                                + {dot_sql('c.ce1', 'qu.q1')}
+                                + {dot_sql('c.ce2', 'qu.q2')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM queries qu JOIN codes c
+              ON c.cell = qu.q_cell AND c.vec_id <> qu.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'c.embedding')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM queries q JOIN embeddings c ON c.vec_id <> q.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    matched AS (
+        SELECT i.query_id, COUNT(*) AS n_hit
+        FROM ivfpq i JOIN exact e
+          ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        GROUP BY i.query_id
+    )
+    SELECT i.query_id, i.neighbor_id, i.code1, i.code2,
+           round(i.approx_raw, 6) AS approx_sim,
+           round(i.exact_raw, 6) AS exact_sim,
+           round(COALESCE(m.n_hit, 0) / {float(_IVF_TOP_K)}, 6) AS recall
+    FROM ivfpq i LEFT JOIN matched m ON m.query_id = i.query_id
+    """,
+)
+def q335_ivfpq_residual(spark, sf_dir) -> DataFrame:
+    """RESIDUAL-ENCODING IVF-PQ — textbook IVFADC (Jégou et al. 2011
+    §IV; closes q334's declared delta): the PQ codebooks train on and
+    encode the RESIDUAL r = x − coarse_centroid(x), so codebook
+    capacity models the within-cell displacement rather than absolute
+    position — the reason FAISS defaults to residual encoding — and
+    ADC scoring adds the coarse term back:
+    approx = ⟨cell_centroid, q⟩ + Σ_j ⟨codebook_j[code_j], q_sub_j⟩
+    (three doubles summed in fixed left-to-right order on identical
+    operands — exact parity; with the search cell-scoped the coarse
+    term is constant per query, but the general candidate-cell
+    spelling is kept so multiprobe composes unchanged).
+
+    The parity-critical design point: residuals NARROW TO FLOAT32
+    (CAST(x_d − c_d AS FLOAT), the same double subtraction + IEEE
+    narrowing on both engines — also what FAISS stores). Keeping raw
+    double residuals would poison the Lloyd chain: the decimal(28,12)
+    sums that make centroid means order-independent are only
+    engine-portable for values EXACT at that scale (float32 shortest
+    reprs are; full-precision doubles are not — functions.py's scale
+    rule), so the float32 narrowing is what lets the entire
+    residual-codebook train reuse the unrolled oracle machinery
+    unchanged. Codebooks are GLOBAL across cells (FAISS's default
+    IVFADC layout — per-cell codebooks are the by_residual variant the
+    oracle could state with k more CTE chains).
+
+    Plan: one broadcast join (k-row centroid set) computes residuals
+    in the scan, and the residual table MATERIALIZES (write-once memo,
+    io.materialize_once — exact float32 parquet round-trip): every
+    later stage reads a flat scan. This is a correctness-of-cost
+    requirement, not a cache nicety — the coarse Lloyd lineage
+    embedded lazily inside each codebook-training iteration multiplies
+    to ~2^iters(coarse) × 2^iters(codebook) × m plan leaves and OOMs
+    the driver during analysis (measured here; q330's blowup class at
+    one level deeper), and it is also exactly what production IVFADC
+    does: the residual/encoded table persists, training and serving
+    read it. The oracle needs the same guard: the resid/rsub CTEs are
+    AS MATERIALIZED, else DuckDB re-inlines the coarse chain into
+    every codebook iteration (measured: hung past 300 s; materialized
+    it runs ~4 s). Codebook training is then the standard
+    broadcast-argmax loop over residual slices; encode + reconstruct
+    ride the same one-scan fold family as q331/q334. Corpus never
+    shuffles."""
+    import os
+    import tempfile
+
+    from .clustering import kmeans_fit
+    from ..io import materialize_once, source_stamp
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    asg, ccents = kmeans_fit(
+        spark, sf_dir, k=_N_CENTROIDS, iterations=_IVF_ITERS
+    )
+    resid_lazy = (
+        asg.alias("a")
+        .join(
+            F.broadcast(ccents.alias("c")),
+            F.col("a.cent_id") == F.col("c.cent_id"),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("a.embedding").alias("embedding"),
+            F.col("a.cent_id").alias("cell"),
+            F.col("c.cent_emb").alias("cell_emb"),
+            F.zip_with(
+                F.col("a.embedding"),
+                F.col("c.cent_emb"),
+                lambda x, y: (x.cast("double") - y.cast("double")).cast(
+                    "float"
+                ),
+            ).alias("r_emb"),
+        )
+    )
+    # full-path slug + source stamp (the shingles-memo convention: two
+    # data dirs sharing a basename must not alias, and a regenerated
+    # fixture must not be served stale residuals)
+    src_pq = os.path.join(sf_dir, "embeddings.parquet")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "eclypsium_etl_spark",
+        f"q335_resid_{sf_dir.strip('/').replace('/', '_')}"
+        f"_{source_stamp(src_pq)}",
+    )
+    resid = materialize_once(
+        spark, out, lambda p: resid_lazy.write.parquet(p)
+    )
+    folded = []
+    for i, (st, ln) in enumerate(_PQ_SUBS):
+        sub = resid.select(
+            "vec_id", F.slice("r_emb", st, ln).alias("embedding")
+        )
+        _, cents = kmeans_fit(
+            spark, sf_dir, k=_PQ_CB_K, iterations=_IVF_ITERS, source=sub
+        )
+        folded.append(
+            cents.agg(
+                F.array_sort(
+                    F.collect_list(F.struct("cent_id", "cent_emb"))
+                ).alias(f"__cb{i}")
+            )
+        )
+    corpus = resid
+    for f in folded:
+        corpus = corpus.crossJoin(F.broadcast(f))
+    corpus = corpus.select(
+        "vec_id",
+        "embedding",
+        "cell",
+        "cell_emb",
+        F.expr(_pq_best_expr("__cb0", *_PQ_SUBS[0], col="r_emb")).alias(
+            "__b0"
+        ),
+        F.expr(_pq_best_expr("__cb1", *_PQ_SUBS[1], col="r_emb")).alias(
+            "__b1"
+        ),
+    )
+    queries = corpus.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+        F.slice("embedding", *_PQ_SUBS[0]).alias("q1"),
+        F.slice("embedding", *_PQ_SUBS[1]).alias("q2"),
+    )
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_raw"), F.asc("neighbor_id")
+    )
+    ivfpq = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("__b0.cent_id").alias("code1"),
+            F.col("__b1.cent_id").alias("code2"),
+            (
+                dot(F.col("cell_emb"), F.col("q_emb"))
+                + dot(F.col("__b0.cent_emb"), F.col("q1"))
                 + dot(F.col("__b1.cent_emb"), F.col("q2"))
             ).alias("approx_raw"),
             dot(F.col("embedding"), F.col("q_emb")).alias("exact_raw"),

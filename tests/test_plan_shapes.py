@@ -764,7 +764,8 @@ def test_q319_trained_ivf_corpus_never_shuffles_for_training(spark):
     before this lineage, driver-side k×dim accumulation) must keep the
     same discipline."""
     for qid in ("q319_ivf_trained", "q328_ivf_adc",
-                "q330_kmeans_maximin_seed", "q331_pq_adc", "q334_ivfpq"):
+                "q330_kmeans_maximin_seed", "q331_pq_adc", "q334_ivfpq",
+                "q335_ivfpq_residual"):
         df = QUERIES[qid](spark, SF_CHECK)
         plan = plans.physical_plan(df)
         assert "CartesianProduct" not in plan, qid
