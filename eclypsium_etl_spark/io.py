@@ -163,6 +163,72 @@ def write_bucketed(
     writer.saveAsTable(name)
 
 
+def ensure_bucketed(
+    df: DataFrame, name: str, bucket_col: str, num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Cross-process-safe, write-ONCE variant of :func:`write_bucketed`
+    for stamped table names whose content is a pure function of the name
+    (bucketed_orders_customer's source-stamped layouts).
+
+    write_bucketed's drop+rmtree+saveAsTable is overwrite-in-place: a
+    second process hitting the same name mid-build can interleave so the
+    table directory ends up with TWO complete file sets — every row
+    twice (observed once in a concurrent two-walk run, q161 reading
+    exactly 2× per group). This variant applies materialize_once's
+    commit protocol to the bucketed layout: build as an EXTERNAL table
+    at a per-process unique path (DROP then leaves the files), atomic-
+    rename into the canonical warehouse location with _SUCCESS as the
+    completeness marker, losers discard their build; if the marker is
+    already present the write is skipped entirely (each process then
+    only pays catalog registration). Registration declares the bucket
+    spec via CREATE TABLE ... CLUSTERED BY ... LOCATION, so the
+    zero-exchange join property is preserved (plan-asserted in
+    test_plan_shapes)."""
+    import os
+    import shutil
+    import uuid
+
+    spark = df.sparkSession
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    warehouse = warehouse.removeprefix("file://").removeprefix("file:")
+    final_dir = os.path.join(warehouse, name.lower())
+    done = os.path.join(final_dir, "_SUCCESS")
+    if not os.path.exists(done):
+        tmp_name = f"{name}_bld_{uuid.uuid4().hex[:8]}"
+        tmp_path = os.path.join(warehouse, tmp_name.lower())
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", tmp_path)  # external: DROP keeps the files
+            .bucketBy(num_buckets, bucket_col)
+        )
+        if sort_col:
+            writer = writer.sortBy(sort_col)
+        writer.saveAsTable(tmp_name)
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        try:
+            os.rename(tmp_path, final_dir)
+        except OSError:
+            if os.path.exists(done):
+                # raced: another process completed first — use theirs
+                shutil.rmtree(tmp_path, ignore_errors=True)
+            else:
+                # incomplete leftover (crashed writer): replace it
+                shutil.rmtree(final_dir, ignore_errors=True)
+                os.rename(tmp_path, final_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    sort_clause = f"SORTED BY ({sort_col}) " if sort_col else ""
+    spark.sql(
+        f"CREATE TABLE {name} ({ddl}) USING parquet "
+        f"CLUSTERED BY ({bucket_col}) {sort_clause}"
+        f"INTO {num_buckets} BUCKETS LOCATION '{final_dir}'"
+    )
+
+
 def jdbc_options(
     url: str,
     dbtable: str,

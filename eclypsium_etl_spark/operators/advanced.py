@@ -262,28 +262,32 @@ def q86_partition_pruning(spark, sf_dir) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
 
 
-# process-level memo: bucketed catalog tables built this session, keyed by
-# (catalog name). The WAREHOUSE dir is cross-process but the in-memory
-# catalog is not, so each process (re)registers once; write_bucketed drops
-# stale dirs before writing.
+# process-level memo: bucketed catalog tables registered this session,
+# keyed by catalog name. The WAREHOUSE dir is cross-process (write-once,
+# io.ensure_bucketed's atomic-rename + _SUCCESS protocol) but the
+# in-memory catalog is not, so each process registers once.
 _BUCKETED_BUILT: set[str] = set()
 
 
 def bucketed_orders_customer(spark, sf_dir) -> tuple[str, str]:
     """orders + customer written as 8-bucket tables on the customer key —
     the co-located layout that lets every later join/agg on that key skip
-    its shuffle. Returns the catalog table names."""
-    from ..io import source_stamp, write_bucketed
+    its shuffle. Returns the catalog table names. Stamped names make the
+    content a pure function of the name, so the layout is built at most
+    once ACROSS processes (ensure_bucketed; concurrent walks previously
+    raced write_bucketed's overwrite-in-place and one read a doubled
+    table)."""
+    from ..io import ensure_bucketed, source_stamp
 
     stamp = source_stamp(f"{sf_dir}/orders.parquet").replace("-", "_")
     slug = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     ot, ct = f"orders_bkt_{slug}_{stamp}", f"customer_bkt_{slug}_{stamp}"
     if ot not in _BUCKETED_BUILT:
-        write_bucketed(
+        ensure_bucketed(
             table(spark, sf_dir, "orders"), ot, "o_custkey", 8,
             sort_col="o_custkey",
         )
-        write_bucketed(
+        ensure_bucketed(
             table(spark, sf_dir, "customer").withColumnRenamed(
                 "c_custkey", "o_custkey"
             ),

@@ -404,3 +404,35 @@ def test_stream_dedup_state_identical_under_both_providers(
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_ensure_bucketed_is_write_once_and_zero_exchange(spark):
+    """io.ensure_bucketed: a second call (fresh process simulated by a
+    catalog drop) must NOT rewrite the committed layout — the _SUCCESS
+    marker gates the build (the materialize_once protocol applied to
+    bucketed tables; write_bucketed's overwrite-in-place raced under
+    concurrent walks and produced a doubled table). The re-registered
+    external CLUSTERED BY table must keep the bucket spec."""
+    import os
+
+    from eclypsium_etl_spark.io import ensure_bucketed, table
+
+    orders = table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    ensure_bucketed(orders, "orders_once", "o_custkey", 8,
+                    sort_col="o_custkey")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    warehouse = warehouse.removeprefix("file://").removeprefix("file:")
+    loc = os.path.join(warehouse, "orders_once")
+    files1 = sorted(os.listdir(loc))
+    mtime1 = os.path.getmtime(loc)
+    spark.sql("DROP TABLE IF EXISTS orders_once")  # simulate new process
+    ensure_bucketed(orders, "orders_once", "o_custkey", 8,
+                    sort_col="o_custkey")
+    assert sorted(os.listdir(loc)) == files1
+    assert os.path.getmtime(loc) == mtime1, "layout must not be rebuilt"
+    buckets = spark.sql("DESCRIBE EXTENDED orders_once").collect()
+    info = {r.col_name: r.data_type for r in buckets}
+    assert info.get("Num Buckets") == "8"
+    assert "o_custkey" in info.get("Bucket Columns", "")
