@@ -191,6 +191,13 @@ _DIV_WHITELIST: dict[str, set[str]] = {
     "q313_embedding_standardize": {"s.sigma"},
     # digit/total counts over Benford buckets, COUNT(*) >= 1 per group
     "q316_benford_audit": {"d", "t"},
+    # guarded upstream by CASE WHEN scale = 0.0 on BOTH sides (the
+    # q121/q130 idiom inside the trained-cell qc CTE)
+    "q328_ivf_adc": {"scale"},
+    # cn = COUNT(v) alias over a GROUP BY (cent_id, dim) group in s0/s1,
+    # and in stot the COALESCE'd sum of two such counts where at least
+    # one side matched the FULL OUTER join — always >= 1
+    "q332_stream_kmeans": {"cn"},
 }
 
 
