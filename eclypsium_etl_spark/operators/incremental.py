@@ -865,6 +865,7 @@ def scd2_merge_multi(
     key: str,
     attrs: list[str],
     eff_date,
+    payload: list[str] | None = None,
 ) -> DataFrame:
     """scd2_merge generalized to MULTIPLE tracked attributes: the close/
     insert trigger is a change in ANY tracked column (OR over per-column
@@ -872,7 +873,12 @@ def scd2_merge_multi(
     and the successor version carries ALL tracked columns from the
     source, changed or not. Same single key-hash join plan as
     scd2_merge; no-op suppression now means no-op across the WHOLE
-    tracked set."""
+    tracked set.
+
+    ``payload`` (q336): extra source columns the successor/insert rows
+    carry WITHOUT participating in change detection — the hash-diff
+    layout compares one digest column (attrs=[hashdiff]) while the
+    actual attribute values ride as payload."""
     from functools import reduce
 
     cur = target.filter(F.col("is_current"))
@@ -898,13 +904,14 @@ def scd2_merge_multi(
             )
         return F.col("t." + c).alias(c)
 
+    carried = list(attrs) + list(payload or [])
     kept = j.filter(F.col("t." + key).isNotNull()).select(
         *[_kept_col(c) for c in target.columns]
     )
     succ = j.filter(changed).select(
         F.col("t." + key).alias(key),
         F.col("s.name").alias("name"),
-        *[F.col("s." + a).alias(a) for a in attrs],
+        *[F.col("s." + a).alias(a) for a in carried],
         eff_date.alias("valid_from"),
         F.lit(None).cast("date").alias("valid_to"),
         F.lit(True).alias("is_current"),
@@ -913,7 +920,7 @@ def scd2_merge_multi(
     new = j.filter(F.col("t." + key).isNull()).select(
         F.col("s." + key).alias(key),
         F.col("s.name").alias("name"),
-        *[F.col("s." + a).alias(a) for a in attrs],
+        *[F.col("s." + a).alias(a) for a in carried],
         eff_date.alias("valid_from"),
         F.lit(None).cast("date").alias("valid_to"),
         F.lit(True).alias("is_current"),
@@ -1031,6 +1038,152 @@ def q333_scd2_multiattr(spark, sf_dir) -> DataFrame:
         "name",
         "seg",
         "nat",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+        "version",
+    )
+
+
+# q336: the production hash-diff spelling of multi-attribute tracking.
+# Separator-joined string then md5 — engine-portable (BIGINT→string
+# renders identically; columns are non-null, so no concat_ws skip hazard).
+_HASHDIFF_SPARK = lambda seg, nat: F.md5(  # noqa: E731
+    F.concat_ws("|", seg, nat.cast("string"))
+)
+
+
+@query(
+    "q336_scd2_hashdiff",
+    oracle=f"""
+    WITH src AS (
+        SELECT c_custkey AS k, c_name AS name,
+               CASE WHEN c_custkey % 4 = 0 THEN
+                   CASE WHEN c_mktsegment = 'BUILDING' THEN 'BUILDING'
+                        ELSE 'WEB' END
+               ELSE c_mktsegment END AS seg,
+               CAST(CASE WHEN c_custkey % 6 = 0 THEN (c_nationkey + 1) % 25
+                    ELSE c_nationkey END AS BIGINT) AS nat
+        FROM customer WHERE c_custkey % 4 = 0 OR c_custkey % 6 = 0
+    ),
+    src_h AS (
+        SELECT k, name, seg, nat,
+               md5(seg || '|' || CAST(nat AS VARCHAR)) AS hashdiff
+        FROM src
+    ),
+    tgt_h AS (
+        SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg,
+               CAST(c_nationkey AS BIGINT) AS nat,
+               md5(c_mktsegment || '|'
+                   || CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR))
+                   AS hashdiff
+        FROM customer
+    ),
+    changed AS (
+        SELECT s.k FROM src_h s JOIN tgt_h t ON t.k = s.k
+        WHERE s.hashdiff <> t.hashdiff
+    )
+    SELECT t.k, t.name, t.seg, t.nat, t.hashdiff,
+           CAST(DATE '{_SCD2_INIT_DATE}' AS TIMESTAMP) AS valid_from,
+           CASE WHEN t.k IN (SELECT k FROM changed)
+                THEN CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP)
+           END AS valid_to,
+           t.k NOT IN (SELECT k FROM changed) AS is_current,
+           1 AS version
+    FROM tgt_h t
+    UNION ALL
+    SELECT s.k, s.name, s.seg, s.nat, s.hashdiff,
+           CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP), NULL, TRUE, 2
+    FROM src_h s WHERE s.k IN (SELECT k FROM changed)
+    """,
+)
+def q336_scd2_hashdiff(spark, sf_dir) -> DataFrame:
+    """SCD2 HASH-DIFF change detection (SURVEY round-9 item 3) — q333's
+    expanded OR restated as the production spelling: the dimension
+    stores ONE digest column over the tracked set
+    (md5('seg|nat'), the data-vault hashdiff) and the merge compares
+    ONLY digests — one comparison regardless of tracked width, which is
+    why wide dimensions standardize on it. The actual attribute values
+    ride as PAYLOAD (scd2_merge_multi's new payload param): carried by
+    successors, never compared. Semantics are q333's exactly (same
+    change batch, same no-op/partial/both paths) PLUS the hashdiff
+    column itself is hashed data — a separator bug, a null-skip, or a
+    cast-format divergence between engines shows up as a value
+    mismatch, making the digest computation differentially tested, not
+    just trusted. md5 is engine-portable; '|' separation is explicit
+    because concat_ws SKIPS nulls (both columns here are non-null; a
+    production hashdiff must encode nulls explicitly first). Same
+    managed-table build + staged publish as q317/q333."""
+    import shutil
+
+    tname = "t_q336"
+    base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
+    os.makedirs(base, exist_ok=True)
+    loc = os.path.join(base, f"{tname}_tbl_{os.path.basename(sf_dir)}")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    spark.sql(
+        f"""
+        CREATE TABLE {tname} (
+            k BIGINT, name STRING, seg STRING, nat BIGINT, hashdiff STRING,
+            valid_from DATE, valid_to DATE,
+            is_current BOOLEAN, version INT
+        ) USING parquet LOCATION '{loc}'
+        """
+    )
+    c = table(spark, sf_dir, "customer")
+    nat0 = F.col("c_nationkey").cast("bigint")
+    init = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        nat0.alias("nat"),
+        _HASHDIFF_SPARK(F.col("c_mktsegment"), nat0).alias("hashdiff"),
+        F.to_date(F.lit(_SCD2_INIT_DATE)).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.lit(1).alias("version"),
+    )
+    init.write.insertInto(tname)
+
+    k = F.col("c_custkey")
+    seg_new = (
+        F.when(
+            k % 4 == 0,
+            F.when(F.col("c_mktsegment") == "BUILDING", "BUILDING").otherwise(
+                "WEB"
+            ),
+        )
+        .otherwise(F.col("c_mktsegment"))
+    )
+    nat_new = (
+        F.when(k % 6 == 0, (F.col("c_nationkey") + 1) % 25)
+        .otherwise(F.col("c_nationkey"))
+        .cast("bigint")
+    )
+    src = c.filter((k % 4 == 0) | (k % 6 == 0)).select(
+        k.alias("k"),
+        F.col("c_name").alias("name"),
+        seg_new.alias("seg"),
+        nat_new.alias("nat"),
+        _HASHDIFF_SPARK(seg_new, nat_new).alias("hashdiff"),
+    )
+    merged = scd2_merge_multi(
+        spark.table(tname),
+        src,
+        key="k",
+        attrs=["hashdiff"],
+        eff_date=F.to_date(F.lit(_SCD2_EFF_DATE)),
+        payload=["seg", "nat"],
+    )
+    stage = os.path.join(base, f"{tname}_stage_{os.path.basename(sf_dir)}")
+    _scd2_publish(spark, tname, stage, merged)
+    return spark.table(tname).select(
+        "k",
+        "name",
+        "seg",
+        "nat",
+        "hashdiff",
         F.col("valid_from").cast("timestamp").alias("valid_from"),
         F.col("valid_to").cast("timestamp").alias("valid_to"),
         "is_current",
