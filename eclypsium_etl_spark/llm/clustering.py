@@ -202,6 +202,46 @@ def kmeans_fit(
         assigned = assign_to_centroids(train, centroids)
     if train_where is not None:
         assigned = assign_to_centroids(em, centroids)
+    canonical = (
+        train_where is None and init_centroids is None and source is None
+    )
+    if canonical:
+        # The model every IVF query shares (first-k init, full corpus)
+        # PERSISTS — the docstring posture "the assignment table persists
+        # partitioned by cent_id" made real: without this, each of the
+        # half-dozen IVF-family queries re-runs the whole lazy Lloyd
+        # chain per DataFrame reference (trainings are the dominant cost
+        # of the family's driver walk). materialize_once keyed by
+        # sf + source stamp + (k, iterations) + a version token (bump
+        # v1 if the Lloyd kernel changes, else a stale memo would serve
+        # old assignments — the differential walk fails loudly if so).
+        # float32 parquet round-trip is exact, so the memoized model is
+        # bit-identical to the lazy one.
+        import os
+        import tempfile
+
+        from ..io import materialize_once, source_stamp
+
+        slug = sf_dir.strip("/").replace("/", "_")
+        stamp = source_stamp(os.path.join(sf_dir, "embeddings.parquet"))
+        base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
+        ckey = os.path.join(
+            base, f"kmeans_cent_v1_k{k}_i{iterations}_{slug}_{stamp}"
+        )
+        akey = os.path.join(
+            base, f"kmeans_asg_v1_k{k}_i{iterations}_{slug}_{stamp}"
+        )
+        cents_m = materialize_once(
+            spark, ckey, lambda p: centroids.write.parquet(p)
+        )
+        # rebuild the assignment FROM the materialized centroids so the
+        # training chain executes exactly once (for the cents write)
+        asg_m = materialize_once(
+            spark,
+            akey,
+            lambda p: assign_to_centroids(em, cents_m).write.parquet(p),
+        )
+        return asg_m, cents_m
     return assigned, centroids
 
 
