@@ -1918,6 +1918,55 @@ _RESID_EXPR = (
 )
 
 
+def _q335_resid(spark, sf_dir) -> DataFrame:
+    """The materialized residual table (vec_id, embedding, cell,
+    cell_emb, r_emb) shared by q335 and q337: coarse-assign, compute
+    float32-narrowed residuals in the scan, persist via the
+    materialize_once memo (full-path slug + source stamp — the
+    shingles convention). Every consumer then reads a flat scan, which
+    is both the plan-blowup guard (see q335's docstring) and the
+    production IVFADC shape."""
+    import os
+    import tempfile
+
+    from .clustering import kmeans_fit
+    from ..io import materialize_once, source_stamp
+
+    asg, ccents = kmeans_fit(
+        spark, sf_dir, k=_N_CENTROIDS, iterations=_IVF_ITERS
+    )
+    resid_lazy = (
+        asg.alias("a")
+        .join(
+            F.broadcast(ccents.alias("c")),
+            F.col("a.cent_id") == F.col("c.cent_id"),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("a.embedding").alias("embedding"),
+            F.col("a.cent_id").alias("cell"),
+            F.col("c.cent_emb").alias("cell_emb"),
+            F.zip_with(
+                F.col("a.embedding"),
+                F.col("c.cent_emb"),
+                lambda x, y: (x.cast("double") - y.cast("double")).cast(
+                    "float"
+                ),
+            ).alias("r_emb"),
+        )
+    )
+    src_pq = os.path.join(sf_dir, "embeddings.parquet")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "eclypsium_etl_spark",
+        f"q335_resid_{sf_dir.strip('/').replace('/', '_')}"
+        f"_{source_stamp(src_pq)}",
+    )
+    return materialize_once(
+        spark, out, lambda p: resid_lazy.write.parquet(p)
+    )
+
+
 @query(
     "q335_ivfpq_residual",
     oracle=f"""
@@ -2039,49 +2088,10 @@ def q335_ivfpq_residual(spark, sf_dir) -> DataFrame:
     broadcast-argmax loop over residual slices; encode + reconstruct
     ride the same one-scan fold family as q331/q334. Corpus never
     shuffles."""
-    import os
-    import tempfile
-
     from .clustering import kmeans_fit
-    from ..io import materialize_once, source_stamp
 
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    asg, ccents = kmeans_fit(
-        spark, sf_dir, k=_N_CENTROIDS, iterations=_IVF_ITERS
-    )
-    resid_lazy = (
-        asg.alias("a")
-        .join(
-            F.broadcast(ccents.alias("c")),
-            F.col("a.cent_id") == F.col("c.cent_id"),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("a.embedding").alias("embedding"),
-            F.col("a.cent_id").alias("cell"),
-            F.col("c.cent_emb").alias("cell_emb"),
-            F.zip_with(
-                F.col("a.embedding"),
-                F.col("c.cent_emb"),
-                lambda x, y: (x.cast("double") - y.cast("double")).cast(
-                    "float"
-                ),
-            ).alias("r_emb"),
-        )
-    )
-    # full-path slug + source stamp (the shingles-memo convention: two
-    # data dirs sharing a basename must not alias, and a regenerated
-    # fixture must not be served stale residuals)
-    src_pq = os.path.join(sf_dir, "embeddings.parquet")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "eclypsium_etl_spark",
-        f"q335_resid_{sf_dir.strip('/').replace('/', '_')}"
-        f"_{source_stamp(src_pq)}",
-    )
-    resid = materialize_once(
-        spark, out, lambda p: resid_lazy.write.parquet(p)
-    )
+    resid = _q335_resid(spark, sf_dir)
     folded = []
     for i, (st, ln) in enumerate(_PQ_SUBS):
         sub = resid.select(
@@ -2111,6 +2121,286 @@ def q335_ivfpq_residual(spark, sf_dir) -> DataFrame:
         F.expr(_pq_best_expr("__cb1", *_PQ_SUBS[1], col="r_emb")).alias(
             "__b1"
         ),
+    )
+    queries = corpus.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+        F.slice("embedding", *_PQ_SUBS[0]).alias("q1"),
+        F.slice("embedding", *_PQ_SUBS[1]).alias("q2"),
+    )
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_raw"), F.asc("neighbor_id")
+    )
+    ivfpq = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("__b0.cent_id").alias("code1"),
+            F.col("__b1.cent_id").alias("code2"),
+            (
+                dot(F.col("cell_emb"), F.col("q_emb"))
+                + dot(F.col("__b0.cent_emb"), F.col("q1"))
+                + dot(F.col("__b1.cent_emb"), F.col("q2"))
+            ).alias("approx_raw"),
+            dot(F.col("embedding"), F.col("q_emb")).alias("exact_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_approx))
+        .filter(F.col("rn") <= _IVF_TOP_K)
+        .drop("rn")
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
+    )
+    exact = (
+        em.join(
+            F.broadcast(queries.select("query_id", "q_emb")),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") <= _IVF_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    matched = (
+        ivfpq.join(exact, ["query_id", "neighbor_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return ivfpq.join(matched, "query_id", "left").select(
+        "query_id",
+        "neighbor_id",
+        "code1",
+        "code2",
+        F.round("approx_raw", 6).alias("approx_sim"),
+        F.round("exact_raw", 6).alias("exact_sim"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / float(_IVF_TOP_K), 6
+        ).alias("recall"),
+    )
+
+
+# ---- per-cell codebook IVFADC (q337): FAISS by_residual proper ----------
+def _percell_chains() -> str:
+    """The 16 per-cell-per-subspace codebook training chains (8 cells ×
+    2 subspaces), each an independent unrolled Lloyd over that cell's
+    residual slice. train_pred='TRUE' routes _kmeans_oracle_ctes onto
+    its ORDER BY vec_id LIMIT k init — first-k OF THE CELL, since cell
+    membership is arbitrary vec_ids (the vec_id < k spelling would pick
+    rows outside the cell)."""
+    parts = []
+    for c in range(_N_CENTROIDS):
+        for j, (lo, hi) in enumerate([(1, 32), (33, 64)]):
+            rel = (
+                f"(SELECT vec_id, list_slice(r_emb, {lo}, {hi}) AS embedding"
+                f" FROM resid WHERE cell = {c})"
+            )
+            parts.append(
+                _kmeans_oracle_ctes(
+                    _PQ_CB_K,
+                    _IVF_ITERS,
+                    train_pred="TRUE",
+                    src_rel=rel,
+                    prefix=f"c{c}s{j}_",
+                )
+            )
+    return ",\n    ".join(parts)
+
+
+def _percell_union(j: int, what: str) -> str:
+    """UNION ALL across cells of the final per-cell assignment (what =
+    'asg': vec_id → cent_id) or codebook (what = 'cent': cell, cent_id,
+    cent_emb) for subspace j."""
+    t = _IVF_ITERS - 1
+    if what == "asg":
+        return " UNION ALL ".join(
+            f"SELECT vec_id, cent_id FROM c{c}s{j}_asg{t}"
+            for c in range(_N_CENTROIDS)
+        )
+    return " UNION ALL ".join(
+        f"SELECT {c} AS cell, cent_id, cent_emb FROM c{c}s{j}_cent{t}"
+        for c in range(_N_CENTROIDS)
+    )
+
+
+@query(
+    "q337_ivfpq_percell",
+    oracle=f"""
+    WITH {_kmeans_oracle_ctes(_N_CENTROIDS, _IVF_ITERS, prefix='c_')},
+    resid AS MATERIALIZED (
+        SELECT a.vec_id, a.embedding, a.cent_id AS cell, c.cent_emb AS cell_emb,
+               list_transform(list_zip(a.embedding, c.cent_emb),
+                              s -> {_RESID_EXPR}) AS r_emb
+        FROM c_asg{_IVF_ITERS - 1} a
+        JOIN c_cent{_IVF_ITERS - 1} c ON c.cent_id = a.cent_id
+    ),
+    {_percell_chains()},
+    asg_s0 AS ({_percell_union(0, 'asg')}),
+    asg_s1 AS ({_percell_union(1, 'asg')}),
+    cb_s0 AS ({_percell_union(0, 'cent')}),
+    cb_s1 AS ({_percell_union(1, 'cent')}),
+    codes AS MATERIALIZED (
+        SELECT r.vec_id, r.embedding, r.cell, r.cell_emb,
+               a0.cent_id AS code1, b0.cent_emb AS ce1,
+               a1.cent_id AS code2, b1.cent_emb AS ce2
+        FROM resid r
+        JOIN asg_s0 a0 ON a0.vec_id = r.vec_id
+        JOIN cb_s0 b0 ON b0.cell = r.cell AND b0.cent_id = a0.cent_id
+        JOIN asg_s1 a1 ON a1.vec_id = r.vec_id
+        JOIN cb_s1 b1 ON b1.cell = r.cell AND b1.cent_id = a1.cent_id
+    ),
+    queries AS (
+        SELECT c.vec_id AS query_id, c.embedding AS q_emb, c.cell AS q_cell,
+               list_slice(c.embedding, 1, 32) AS q1,
+               list_slice(c.embedding, 33, 64) AS q2
+        FROM codes c WHERE c.vec_id >= 100 AND c.vec_id < 105
+    ),
+    ivfpq AS (
+        SELECT query_id, neighbor_id, code1, code2, approx_raw, exact_raw
+        FROM (
+            SELECT qu.query_id, c.vec_id AS neighbor_id, c.code1, c.code2,
+                   {dot_sql('c.cell_emb', 'qu.q_emb')}
+                       + {dot_sql('c.ce1', 'qu.q1')}
+                       + {dot_sql('c.ce2', 'qu.q2')} AS approx_raw,
+                   {dot_sql('c.embedding', 'qu.q_emb')} AS exact_raw,
+                   row_number() OVER (
+                       PARTITION BY qu.query_id
+                       ORDER BY {dot_sql('c.cell_emb', 'qu.q_emb')}
+                                + {dot_sql('c.ce1', 'qu.q1')}
+                                + {dot_sql('c.ce2', 'qu.q2')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM queries qu JOIN codes c
+              ON c.cell = qu.q_cell AND c.vec_id <> qu.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'c.embedding')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM queries q JOIN embeddings c ON c.vec_id <> q.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    matched AS (
+        SELECT i.query_id, COUNT(*) AS n_hit
+        FROM ivfpq i JOIN exact e
+          ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        GROUP BY i.query_id
+    )
+    SELECT i.query_id, i.neighbor_id, i.code1, i.code2,
+           round(i.approx_raw, 6) AS approx_sim,
+           round(i.exact_raw, 6) AS exact_sim,
+           round(COALESCE(m.n_hit, 0) / {float(_IVF_TOP_K)}, 6) AS recall
+    FROM ivfpq i LEFT JOIN matched m ON m.query_id = i.query_id
+    """,
+)
+def q337_ivfpq_percell(spark, sf_dir) -> DataFrame:
+    """PER-CELL codebook IVFADC — FAISS's by_residual layout proper
+    (the last declared delta, SURVEY round-9 item 1): every coarse cell
+    trains its OWN pair of subspace codebooks on ITS members' residuals
+    — 8 cells × 2 subspaces = 16 independent Lloyd chains — so codebook
+    capacity adapts to each cell's residual geometry instead of
+    averaging across cells (the reason FAISS by_residual beats global
+    codebooks on clustered data). Per-cell init must be first-k OF THE
+    CELL in vec_id order (cell membership is arbitrary ids; the
+    vec_id < k spelling would miss the cell entirely) — the same
+    TakeOrdered discipline as q327's sampled init, routed via
+    train_pred. A codebook lookup is now (cell, code): per-vector index
+    storage is unchanged at (cell, code1, code2), and the decode table
+    is k_cells × m × k_cb centroids — still kilobytes, still broadcast.
+
+    All 17 training chains (1 coarse + 16 per-cell), the residual
+    computation, per-cell encode, cell-scoped ADC ranking, and recall
+    vs exact replicate closed-form in DuckDB — the oracle is ~16
+    prefixed Lloyd chains over a MATERIALIZED residual CTE, mechanical
+    composition of the q335 machinery. Spark side: the resid table is
+    the q335 memo (shared — training reads a flat scan), each cell's
+    codebook trains on a cell-filtered slice, and the 16 tiny codebooks
+    collect to an 8-row (cell, cb0, cb1) frame that BROADCAST-joins the
+    corpus on cell — encode + reconstruct stay one scan + one 8-row
+    join; the corpus never shuffles. At 100 TB the per-cell training
+    is embarrassingly parallel (cells are disjoint) and serving is
+    identical to q335 with a (cell, code)-keyed decode map."""
+    import os
+    import tempfile
+
+    from .clustering import kmeans_fit
+    from ..io import materialize_once, source_stamp
+
+    resid = _q335_resid(spark, sf_dir)
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb_schema = (
+        "cell bigint, "
+        "cb0 array<struct<cent_id: bigint, cent_emb: array<float>>>, "
+        "cb1 array<struct<cent_id: bigint, cent_emb: array<float>>>"
+    )
+
+    # the 16 trainings are one-time ETL: the (cell, cb0, cb1) decode
+    # table memoizes like the model itself (v1 key — bump on kernel
+    # change), so later processes skip straight to serving
+    def build_codebooks(path: str) -> None:
+        rows = []
+        for c in range(_N_CENTROIDS):
+            cell_cbs = []
+            for (st, ln) in _PQ_SUBS:
+                sub = resid.filter(F.col("cell") == c).select(
+                    "vec_id", F.slice("r_emb", st, ln).alias("embedding")
+                )
+                _, cents = kmeans_fit(
+                    spark,
+                    sf_dir,
+                    k=_PQ_CB_K,
+                    iterations=_IVF_ITERS,
+                    source=sub,
+                    train_where=F.lit(True),
+                )
+                got = sorted(
+                    (r["cent_id"], r["cent_emb"]) for r in cents.collect()
+                )
+                cell_cbs.append(
+                    [{"cent_id": i, "cent_emb": e} for i, e in got]
+                )
+            rows.append((c, cell_cbs[0], cell_cbs[1]))
+        spark.createDataFrame(rows, cb_schema).coalesce(1).write.parquet(
+            path
+        )
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "eclypsium_etl_spark",
+        f"q337_cbs_v1_{sf_dir.strip('/').replace('/', '_')}"
+        f"_{source_stamp(os.path.join(sf_dir, 'embeddings.parquet'))}",
+    )
+    cb_df = materialize_once(spark, out, build_codebooks)
+    corpus = (
+        resid.join(F.broadcast(cb_df), "cell")
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            "cell_emb",
+            F.expr(_pq_best_expr("cb0", *_PQ_SUBS[0], col="r_emb")).alias(
+                "__b0"
+            ),
+            F.expr(_pq_best_expr("cb1", *_PQ_SUBS[1], col="r_emb")).alias(
+                "__b1"
+            ),
+        )
     )
     queries = corpus.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)

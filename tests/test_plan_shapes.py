@@ -765,7 +765,7 @@ def test_q319_trained_ivf_corpus_never_shuffles_for_training(spark):
     same discipline."""
     for qid in ("q319_ivf_trained", "q328_ivf_adc",
                 "q330_kmeans_maximin_seed", "q331_pq_adc", "q334_ivfpq",
-                "q335_ivfpq_residual"):
+                "q335_ivfpq_residual", "q337_ivfpq_percell"):
         df = QUERIES[qid](spark, SF_CHECK)
         plan = plans.physical_plan(df)
         assert "CartesianProduct" not in plan, qid
