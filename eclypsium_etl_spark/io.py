@@ -70,6 +70,71 @@ def source_stamp(path: str) -> str:
     return f"{int(st.st_mtime)}_{st.st_size}"
 
 
+def _commit_dir(tmp: str, out: str, is_complete) -> None:
+    """Atomically install the COMPLETE build at ``tmp`` as ``out``.
+
+    Fast path: plain ``os.rename`` (fails if ``out`` already exists). Slow
+    path (rename failed): either another process committed a complete
+    layout first — keep theirs, discard ours — or a crashed writer left an
+    incomplete directory that must be replaced. The replace is serialized
+    through an O_EXCL lockfile and the completeness predicate is
+    re-checked UNDER the lock, so two processes taking the crashed-writer
+    branch can never both rmtree (previously the second rmtree could
+    delete the first's just-committed layout while its lazily-evaluated
+    scans still referenced the files). The stale directory is renamed
+    aside before deletion so the install itself stays atomic.
+
+    ``is_complete()`` decides whether the current ``out`` is a finished,
+    usable layout (at minimum: the _SUCCESS marker written last)."""
+    import os
+    import shutil
+    import time
+    import uuid
+
+    try:
+        os.rename(tmp, out)
+        return
+    except OSError:
+        pass
+    if is_complete():
+        # raced: another process completed `out` first — use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    lock = out + ".replace-lock"
+    deadline = time.time() + 300.0
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            if is_complete():
+                # the lock holder committed a complete build — use it
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"stale replace lock (remove manually if no writer is "
+                    f"alive): {lock}"
+                )
+            time.sleep(0.05)
+    try:
+        if is_complete():
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        if os.path.exists(out):
+            # incomplete leftover: move it aside atomically, then delete
+            trash = f"{out}.stale-{uuid.uuid4().hex[:8]}"
+            os.rename(out, trash)
+            shutil.rmtree(trash, ignore_errors=True)
+        os.rename(tmp, out)
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
 def materialize_once(spark: SparkSession, out: str, write_fn) -> DataFrame:
     """Write-once shared parquet intermediate (the memo discipline behind
     llm/dedup.shingles() and the q86 partitioned layout).
@@ -80,11 +145,12 @@ def materialize_once(spark: SparkSession, out: str, write_fn) -> DataFrame:
     so a second process can never delete or overwrite files a first
     process's lazy DataFrame is still reading (the old mode("overwrite")
     memo could). Losing the rename race just means another process
-    finished first; our build is discarded and theirs is read.
+    finished first; our build is discarded and theirs is read. The
+    crashed-writer replace path is lockfile-serialized in
+    :func:`_commit_dir`.
 
     ``write_fn(path)`` must write the parquet dataset at ``path``."""
     import os
-    import shutil
     import uuid
 
     done = os.path.join(out, "_SUCCESS")
@@ -93,17 +159,7 @@ def materialize_once(spark: SparkSession, out: str, write_fn) -> DataFrame:
     os.makedirs(os.path.dirname(out), exist_ok=True)
     tmp = f"{out}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     write_fn(tmp)
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        if os.path.exists(done):
-            # raced: another process completed `out` first — use theirs
-            shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            # `out` exists but incomplete (a crashed writer left no
-            # _SUCCESS): replace it with our complete build
-            shutil.rmtree(out, ignore_errors=True)
-            os.rename(tmp, out)
+    _commit_dir(tmp, out, lambda: os.path.exists(done))
     return spark.read.parquet(out)
 
 
@@ -184,9 +240,18 @@ def ensure_bucketed(
     only pays catalog registration). Registration declares the bucket
     spec via CREATE TABLE ... CLUSTERED BY ... LOCATION, so the
     zero-exchange join property is preserved (plan-asserted in
-    test_plan_shapes)."""
+    test_plan_shapes).
+
+    The LAYOUT spec (bucket_col, num_buckets, sort_col) is persisted as
+    a _BUCKET_SPEC manifest written with the data and verified before any
+    skip: registering N-bucket metadata over data physically hashed mod M
+    would make Spark trust HashPartitioning(key, N) it doesn't have and
+    silently drop join matches. A caller passing a different spec for an
+    existing stamped layout therefore raises (re-bucketing needs a new
+    name — fold the new bucket count into the stamp); a layout with no
+    manifest is treated as incomplete and rebuilt."""
+    import json
     import os
-    import shutil
     import uuid
 
     spark = df.sparkSession
@@ -194,7 +259,32 @@ def ensure_bucketed(
     warehouse = warehouse.removeprefix("file://").removeprefix("file:")
     final_dir = os.path.join(warehouse, name.lower())
     done = os.path.join(final_dir, "_SUCCESS")
-    if not os.path.exists(done):
+    spec = {
+        "bucket_col": bucket_col,
+        "num_buckets": num_buckets,
+        "sort_col": sort_col,
+    }
+    spec_path = os.path.join(final_dir, "_BUCKET_SPEC")
+
+    def _read_spec():
+        try:
+            with open(spec_path) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _is_complete():
+        return os.path.exists(done) and _read_spec() == spec
+
+    if os.path.exists(done):
+        existing = _read_spec()
+        if existing is not None and existing != spec:
+            raise ValueError(
+                f"bucketed layout {name!r} exists with spec {existing}, "
+                f"requested {spec}: stamped layouts are write-once — use a "
+                f"name that encodes the new bucket spec instead"
+            )
+    if not _is_complete():
         tmp_name = f"{name}_bld_{uuid.uuid4().hex[:8]}"
         tmp_path = os.path.join(warehouse, tmp_name.lower())
         writer = (
@@ -207,16 +297,9 @@ def ensure_bucketed(
             writer = writer.sortBy(sort_col)
         writer.saveAsTable(tmp_name)
         spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
-        try:
-            os.rename(tmp_path, final_dir)
-        except OSError:
-            if os.path.exists(done):
-                # raced: another process completed first — use theirs
-                shutil.rmtree(tmp_path, ignore_errors=True)
-            else:
-                # incomplete leftover (crashed writer): replace it
-                shutil.rmtree(final_dir, ignore_errors=True)
-                os.rename(tmp_path, final_dir)
+        with open(os.path.join(tmp_path, "_BUCKET_SPEC"), "w") as fh:
+            json.dump(spec, fh)
+        _commit_dir(tmp_path, final_dir, _is_complete)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields

@@ -847,8 +847,8 @@ def _skm_sums_sql(asg: str, name: str) -> str:
     {_skm_asg_sql('embeddings', 'cent2', 'asg_final')}
     SELECT a.cent_id,
            CAST(COUNT(*) AS BIGINT) AS n_members,
-           round(MIN({dot_sql('a.embedding', 'c.cent_emb')}), 6) AS min_sim,
-           round(MAX({dot_sql('a.embedding', 'c.cent_emb')}), 6) AS max_sim
+           round(MIN({dot_sql('a.embedding', 'c.cent_emb')}), 6) + 0.0 AS min_sim,
+           round(MAX({dot_sql('a.embedding', 'c.cent_emb')}), 6) + 0.0 AS max_sim
     FROM asg_final a JOIN cent2 c ON c.cent_id = a.cent_id
     GROUP BY a.cent_id
     """,
@@ -914,10 +914,20 @@ def q332_stream_kmeans(spark, sf_dir) -> DataFrame:
     state = {
         "cents": [(r["vec_id"], r["embedding"]) for r in init_rows],
         "sums": {},  # (cent_id, dim) -> [Decimal sum, count]
+        "applied": set(),  # batch_ids already folded into the model
     }
     cent_schema = "cent_id bigint, cent_emb array<float>"
 
     def update_model(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a task-failure-driven retry
+        # re-invokes the handler with the SAME batch_id, and the
+        # accumulating `sums` partials are not idempotent — replaying
+        # would double-count and silently corrupt the streamed model.
+        # Exactly-once per batch_id, the discipline q329's merge gets
+        # for free from no-op merges.
+        if batch_id in state["applied"]:
+            return
+        state["applied"].add(batch_id)
         if batch_df.isEmpty():
             return
         cents_df = spark.createDataFrame(state["cents"], cent_schema)

@@ -39,7 +39,7 @@ _N_CENTROIDS = 8  # q72: vectors with vec_id < 8 act as centroids
     oracle=f"""
     SELECT query_id, neighbor_id, sim FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               round({dot_sql('q.embedding', 'c.embedding')}, 6) AS sim,
+               round({dot_sql('q.embedding', 'c.embedding')}, 6) + 0.0 AS sim,
                row_number() OVER (
                    PARTITION BY q.vec_id
                    ORDER BY {dot_sql('q.embedding', 'c.embedding')} DESC, c.vec_id
@@ -144,7 +144,7 @@ def grid_gemm_candidates(em: DataFrame, tau: float, n_blocks: int | None = None)
     "q65_sim_pairs",
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({dot_sql('a.embedding', 'b.embedding')}, 6) AS sim
+           round({dot_sql('a.embedding', 'b.embedding')}, 6) + 0.0 AS sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE round({dot_sql('a.embedding', 'b.embedding')}, 6) >= {_PAIR_TAU}
     """,
@@ -206,7 +206,7 @@ def q65_sim_pairs(spark, sf_dir) -> DataFrame:
     )
     SELECT query_id, neighbor_id, sim FROM (
         SELECT q.query_id, a.vec_id AS neighbor_id,
-               round({dot_sql('q.q_emb', 'a.embedding')}, 6) AS sim,
+               round({dot_sql('q.q_emb', 'a.embedding')}, 6) + 0.0 AS sim,
                row_number() OVER (
                    PARTITION BY q.query_id
                    ORDER BY {dot_sql('q.q_emb', 'a.embedding')} DESC, a.vec_id
@@ -394,7 +394,7 @@ def _kmeans_oracle_ctes(
           ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
         GROUP BY i.query_id
     )
-    SELECT i.query_id, i.neighbor_id, round(i.sim_raw, 6) AS sim,
+    SELECT i.query_id, i.neighbor_id, round(i.sim_raw, 6) + 0.0 AS sim,
            round(COALESCE(m.n_hit, 0) / {float(_IVF_TOP_K)}, 6) AS recall
     FROM ivf i LEFT JOIN matched m ON m.query_id = i.query_id
     """,
@@ -541,7 +541,7 @@ _IVF_TRAIN_PRED = "vec_id % 4 = 0"  # q327: the training sample (25%)
           ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
         GROUP BY i.query_id
     )
-    SELECT i.query_id, i.neighbor_id, round(i.sim_raw, 6) AS sim,
+    SELECT i.query_id, i.neighbor_id, round(i.sim_raw, 6) + 0.0 AS sim,
            round(COALESCE(m.n_hit, 0) / {float(_IVF_TOP_K)}, 6) AS recall
     FROM ivf i LEFT JOIN matched m ON m.query_id = i.query_id
     """,
@@ -628,7 +628,7 @@ _IVF_PROBES = 2  # q323: cells probed per query (q319 probes 1)
           ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
         GROUP BY i.query_id
     )
-    SELECT i.query_id, i.neighbor_id, round(i.sim_raw, 6) AS sim,
+    SELECT i.query_id, i.neighbor_id, round(i.sim_raw, 6) + 0.0 AS sim,
            round(COALESCE(m.n_hit, 0) / {float(_IVF_TOP_K)}, 6) AS recall
     FROM ivf i LEFT JOIN matched m ON m.query_id = i.query_id
     """,
@@ -1031,8 +1031,8 @@ _PQ_TOP_K = 5
     )
     SELECT query_id, neighbor_id, approx_sim, exact_sim FROM (
         SELECT qu.query_id, c.vec_id AS neighbor_id,
-               round(c.scale * {dot_sql('c.q', 'qu.q_emb')}, 6) AS approx_sim,
-               round({dot_sql('c.embedding', 'qu.q_emb')}, 6) AS exact_sim,
+               round(c.scale * {dot_sql('c.q', 'qu.q_emb')}, 6) + 0.0 AS approx_sim,
+               round({dot_sql('c.embedding', 'qu.q_emb')}, 6) + 0.0 AS exact_sim,
                row_number() OVER (
                    PARTITION BY qu.query_id
                    ORDER BY c.scale * {dot_sql('c.q', 'qu.q_emb')} DESC, c.vec_id
@@ -1210,7 +1210,7 @@ _HN_K = 5
     oracle=f"""
     SELECT query_id, neg_id, sim FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
-               round({dot_sql('q.embedding', 'c.embedding')}, 6) AS sim,
+               round({dot_sql('q.embedding', 'c.embedding')}, 6) + 0.0 AS sim,
                row_number() OVER (
                    PARTITION BY q.vec_id
                    ORDER BY {dot_sql('q.embedding', 'c.embedding')} DESC,
@@ -1308,8 +1308,8 @@ def q179_hard_negatives(spark, sf_dir) -> DataFrame:
         GROUP BY i.query_id
     )
     SELECT i.query_id, i.neighbor_id,
-           round(i.approx_raw, 6) AS approx_sim,
-           round(i.exact_raw, 6) AS exact_sim,
+           round(i.approx_raw, 6) + 0.0 AS approx_sim,
+           round(i.exact_raw, 6) + 0.0 AS exact_sim,
            round(COALESCE(m.n_hit, 0) / {float(_IVF_TOP_K)}, 6) AS recall
     FROM ivf i LEFT JOIN matched m ON m.query_id = i.query_id
     """,
@@ -1447,8 +1447,8 @@ _MAXIMIN_INIT_SQL = (
     {_kmeans_oracle_ctes(_N_CENTROIDS, _IVF_ITERS, init_sql=_MAXIMIN_INIT_SQL)}
     SELECT a.cent_id,
            CAST(COUNT(*) AS BIGINT) AS n_members,
-           round(MIN({dot_sql('a.embedding', 'c.cent_emb')}), 6) AS min_sim,
-           round(MAX({dot_sql('a.embedding', 'c.cent_emb')}), 6) AS max_sim
+           round(MIN({dot_sql('a.embedding', 'c.cent_emb')}), 6) + 0.0 AS min_sim,
+           round(MAX({dot_sql('a.embedding', 'c.cent_emb')}), 6) + 0.0 AS max_sim
     FROM asg{_IVF_ITERS - 1} a
     JOIN cent{_IVF_ITERS - 1} c ON c.cent_id = a.cent_id
     GROUP BY a.cent_id
@@ -1593,8 +1593,8 @@ def _pq_best_expr(
         GROUP BY p.query_id
     )
     SELECT p.query_id, p.neighbor_id, p.code1, p.code2,
-           round(p.approx_raw, 6) AS approx_sim,
-           round(p.exact_raw, 6) AS exact_sim,
+           round(p.approx_raw, 6) + 0.0 AS approx_sim,
+           round(p.exact_raw, 6) + 0.0 AS exact_sim,
            round(COALESCE(m.n_hit, 0) / {float(_PQ_TOP_K)}, 6) AS recall
     FROM pq p LEFT JOIN matched m ON m.query_id = p.query_id
     """,
@@ -1783,8 +1783,8 @@ def q331_pq_adc(spark, sf_dir) -> DataFrame:
         GROUP BY i.query_id
     )
     SELECT i.query_id, i.neighbor_id, i.code1, i.code2,
-           round(i.approx_raw, 6) AS approx_sim,
-           round(i.exact_raw, 6) AS exact_sim,
+           round(i.approx_raw, 6) + 0.0 AS approx_sim,
+           round(i.exact_raw, 6) + 0.0 AS exact_sim,
            round(COALESCE(m.n_hit, 0) / {float(_IVF_TOP_K)}, 6) AS recall
     FROM ivfpq i LEFT JOIN matched m ON m.query_id = i.query_id
     """,
@@ -1959,7 +1959,13 @@ def _q335_resid(spark, sf_dir) -> DataFrame:
     out = os.path.join(
         tempfile.gettempdir(),
         "eclypsium_etl_spark",
-        f"q335_resid_{sf_dir.strip('/').replace('/', '_')}"
+        # v1 + model knobs in the key, bumped in LOCKSTEP with the
+        # kmeans_cent_v1 memo it derives from: a kernel-version bump that
+        # refreshed the centroid memo but not this one would silently
+        # serve residuals computed from the OLD model (surfacing only as
+        # a differential hash failure instead of a rebuild).
+        f"q335_resid_v1_k{_N_CENTROIDS}_i{_IVF_ITERS}"
+        f"_{sf_dir.strip('/').replace('/', '_')}"
         f"_{source_stamp(src_pq)}",
     )
     return materialize_once(
@@ -2039,8 +2045,8 @@ def _q335_resid(spark, sf_dir) -> DataFrame:
         GROUP BY i.query_id
     )
     SELECT i.query_id, i.neighbor_id, i.code1, i.code2,
-           round(i.approx_raw, 6) AS approx_sim,
-           round(i.exact_raw, 6) AS exact_sim,
+           round(i.approx_raw, 6) + 0.0 AS approx_sim,
+           round(i.exact_raw, 6) + 0.0 AS exact_sim,
            round(COALESCE(m.n_hit, 0) / {float(_IVF_TOP_K)}, 6) AS recall
     FROM ivfpq i LEFT JOIN matched m ON m.query_id = i.query_id
     """,
@@ -2303,8 +2309,8 @@ def _percell_union(j: int, what: str) -> str:
         GROUP BY i.query_id
     )
     SELECT i.query_id, i.neighbor_id, i.code1, i.code2,
-           round(i.approx_raw, 6) AS approx_sim,
-           round(i.exact_raw, 6) AS exact_sim,
+           round(i.approx_raw, 6) + 0.0 AS approx_sim,
+           round(i.exact_raw, 6) + 0.0 AS exact_sim,
            round(COALESCE(m.n_hit, 0) / {float(_IVF_TOP_K)}, 6) AS recall
     FROM ivfpq i LEFT JOIN matched m ON m.query_id = i.query_id
     """,

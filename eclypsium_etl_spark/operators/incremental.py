@@ -350,7 +350,8 @@ def scd2_merge(
     built-in catalog is v1 parquet, which has no row-level MERGE — with
     Delta/Iceberg on the classpath the SAME classification writes as
     MERGE INTO ... WHEN MATCHED/WHEN NOT MATCHED):
-    - WHEN MATCHED AND target.attr <> source.attr (current row only):
+    - WHEN MATCHED AND target.attr IS DISTINCT FROM source.attr
+      (null-safe, current row only):
       close the current version (valid_to = eff_date, is_current false)
       AND insert the successor version.
     - WHEN MATCHED AND attr unchanged: no-op — a MERGE must not spawn
@@ -367,10 +368,15 @@ def scd2_merge(
     j = cur.alias("t").join(
         source.alias("s"), F.col("t." + key) == F.col("s." + key), "full_outer"
     )
+    # NULL-SAFE change detection: plain `!=` yields NULL (treated as
+    # unchanged) on a NULL→value or value→NULL transition, silently
+    # suppressing a real change — a first-class MERGE kernel must track
+    # nullable dimension attributes. eqNullSafe is Spark's
+    # IS NOT DISTINCT FROM (null==null → true, null vs value → false).
     changed = (
         F.col("t." + key).isNotNull()
         & F.col("s." + key).isNotNull()
-        & (F.col("t." + attr) != F.col("s." + attr))
+        & ~F.col("t." + attr).eqNullSafe(F.col("s." + attr))
     )
 
     def _kept_col(c: str):
@@ -426,7 +432,7 @@ def scd2_merge(
     ),
     changed AS (
         SELECT s.k FROM src s JOIN customer t ON t.c_custkey = s.k
-        WHERE s.seg <> t.c_mktsegment
+        WHERE s.seg IS DISTINCT FROM t.c_mktsegment
     )
     SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg,
            CAST(DATE '{_SCD2_INIT_DATE}' AS TIMESTAMP) AS valid_from,
@@ -886,12 +892,15 @@ def scd2_merge_multi(
     j = cur.alias("t").join(
         source.alias("s"), F.col("t." + key) == F.col("s." + key), "full_outer"
     )
+    # OR-fold of NULL-SAFE per-column inequality (IS DISTINCT FROM): a
+    # plain `!=` goes NULL on null transitions and the OR-fold then
+    # treats a genuinely changed row as a no-op (see scd2_merge).
     changed = (
         F.col("t." + key).isNotNull()
         & F.col("s." + key).isNotNull()
         & reduce(
             lambda a, b: a | b,
-            [F.col("t." + a) != F.col("s." + a) for a in attrs],
+            [~F.col("t." + a).eqNullSafe(F.col("s." + a)) for a in attrs],
         )
     )
 
@@ -932,29 +941,46 @@ def scd2_merge_multi(
 @query(
     "q333_scd2_multiattr",
     oracle=f"""
-    WITH src AS (
+    WITH init AS (
+        -- NULLABLE tracked attribute: every k%10=7 key starts with
+        -- UNKNOWN nationality (the real-dimension shape plain != can't
+        -- track). k%10 IN (3,7) keys are odd, so disjoint from the
+        -- k%4/k%6 change arms.
+        SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg,
+               CASE WHEN c_custkey % 10 = 7 THEN NULL
+                    ELSE CAST(c_nationkey AS BIGINT) END AS nat
+        FROM customer
+    ),
+    src AS (
         SELECT c_custkey AS k, c_name AS name,
                CASE WHEN c_custkey % 4 = 0 THEN
                    CASE WHEN c_mktsegment = 'BUILDING' THEN 'BUILDING'
                         ELSE 'WEB' END
                ELSE c_mktsegment END AS seg,
-               CAST(CASE WHEN c_custkey % 6 = 0 THEN (c_nationkey + 1) % 25
-                    ELSE c_nationkey END AS BIGINT) AS nat
-        FROM customer WHERE c_custkey % 4 = 0 OR c_custkey % 6 = 0
+               CASE WHEN c_custkey % 6 = 0
+                        THEN CAST((c_nationkey + 1) % 25 AS BIGINT)
+                    WHEN c_custkey % 10 = 3 THEN NULL       -- value→NULL
+                    WHEN c_custkey % 10 = 7 AND c_custkey % 3 = 0
+                        THEN NULL                            -- NULL→NULL no-op
+                    ELSE CAST(c_nationkey AS BIGINT)         -- k%10=7: NULL→value
+               END AS nat
+        FROM customer
+        WHERE c_custkey % 4 = 0 OR c_custkey % 6 = 0
+           OR c_custkey % 10 IN (3, 7)
     ),
     changed AS (
-        SELECT s.k FROM src s JOIN customer t ON t.c_custkey = s.k
-        WHERE s.seg <> t.c_mktsegment OR s.nat <> CAST(t.c_nationkey AS BIGINT)
+        SELECT s.k FROM src s JOIN init t ON t.k = s.k
+        WHERE s.seg IS DISTINCT FROM t.seg
+           OR s.nat IS DISTINCT FROM t.nat
     )
-    SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg,
-           CAST(c_nationkey AS BIGINT) AS nat,
+    SELECT t.k, t.name, t.seg, t.nat,
            CAST(DATE '{_SCD2_INIT_DATE}' AS TIMESTAMP) AS valid_from,
-           CASE WHEN c_custkey IN (SELECT k FROM changed)
+           CASE WHEN t.k IN (SELECT k FROM changed)
                 THEN CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP)
            END AS valid_to,
-           c_custkey NOT IN (SELECT k FROM changed) AS is_current,
+           t.k NOT IN (SELECT k FROM changed) AS is_current,
            1 AS version
-    FROM customer
+    FROM init t
     UNION ALL
     SELECT s.k, s.name, s.seg, s.nat,
            CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP), NULL, TRUE, 2
@@ -974,9 +1000,18 @@ def q333_scd2_multiattr(spark, sf_dir) -> DataFrame:
     k%4=0 BUILDING rows with k%6≠0 change NOTHING and must spawn no
     version — partial no-op on one column of a changed row is NOT a
     no-op, which is the bug class single-attribute merges can't see).
-    Same managed-table build as q317 (CREATE + INSERT init + merge +
-    staged INSERT OVERWRITE publish); one key-hash join, change batch
-    broadcasts under AQE."""
+
+    NULL-TRANSITION coverage (round-9 hardening): nat is NULLABLE —
+    every k%10=7 key starts with nat NULL, and the batch delivers all
+    three null shapes on a tracked attribute: NULL→value (k%10=7,
+    k%3≠0: must CLOSE + version), value→NULL (k%10=3: must CLOSE +
+    version), and NULL→NULL (k%10=7, k%3=0: must be a NO-OP). Plain
+    `!=` change detection renders all three as "unchanged" (NULL
+    predicate) and silently suppresses the first two — the kernel uses
+    eqNullSafe / IS DISTINCT FROM precisely for this, and this oracle
+    is the family's differential pin for it. Same managed-table build
+    as q317 (CREATE + INSERT init + merge + staged INSERT OVERWRITE
+    publish); one key-hash join, change batch broadcasts under AQE."""
     import shutil
 
     tname = "t_q333"
@@ -995,11 +1030,16 @@ def q333_scd2_multiattr(spark, sf_dir) -> DataFrame:
         """
     )
     c = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
     init = c.select(
-        F.col("c_custkey").alias("k"),
+        k.alias("k"),
         F.col("c_name").alias("name"),
         F.col("c_mktsegment").alias("seg"),
-        F.col("c_nationkey").cast("bigint").alias("nat"),
+        # nullable tracked attribute: k%10=7 keys start UNKNOWN
+        F.when(k % 10 == 7, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .cast("bigint")
+        .alias("nat"),
         F.to_date(F.lit(_SCD2_INIT_DATE)).alias("valid_from"),
         F.lit(None).cast("date").alias("valid_to"),
         F.lit(True).alias("is_current"),
@@ -1007,8 +1047,9 @@ def q333_scd2_multiattr(spark, sf_dir) -> DataFrame:
     )
     init.write.insertInto(tname)
 
-    k = F.col("c_custkey")
-    src = c.filter((k % 4 == 0) | (k % 6 == 0)).select(
+    src = c.filter(
+        (k % 4 == 0) | (k % 6 == 0) | (k % 10).isin(3, 7)
+    ).select(
         k.alias("k"),
         F.col("c_name").alias("name"),
         F.when(
@@ -1020,7 +1061,9 @@ def q333_scd2_multiattr(spark, sf_dir) -> DataFrame:
         .otherwise(F.col("c_mktsegment"))
         .alias("seg"),
         F.when(k % 6 == 0, (F.col("c_nationkey") + 1) % 25)
-        .otherwise(F.col("c_nationkey"))
+        .when(k % 10 == 3, F.lit(None))                      # value→NULL
+        .when((k % 10 == 7) & (k % 3 == 0), F.lit(None))     # NULL→NULL no-op
+        .otherwise(F.col("c_nationkey"))                     # k%10=7: NULL→value
         .cast("bigint")
         .alias("nat"),
     )
@@ -1081,7 +1124,7 @@ _HASHDIFF_SPARK = lambda seg, nat: F.md5(  # noqa: E731
     ),
     changed AS (
         SELECT s.k FROM src_h s JOIN tgt_h t ON t.k = s.k
-        WHERE s.hashdiff <> t.hashdiff
+        WHERE s.hashdiff IS DISTINCT FROM t.hashdiff
     )
     SELECT t.k, t.name, t.seg, t.nat, t.hashdiff,
            CAST(DATE '{_SCD2_INIT_DATE}' AS TIMESTAMP) AS valid_from,

@@ -25,11 +25,16 @@ from ..registry import query
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice,
            row_number() OVER (PARTITION BY o_custkey
-                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                              ORDER BY o_totalprice DESC NULLS LAST,
+                                       o_orderkey) AS rn
     FROM orders
     """,
 )
 def q29_win_rownumber(spark, sf_dir) -> DataFrame:
+    """row_number per customer by price. NULL ordering is PINNED to the
+    engine's (Spark's) defaults — DESC places NULLs last, which DuckDB's
+    nulls_last default happens to share; the oracle states it explicitly
+    so the null-injection sweep (test_null_injection.py) is exact."""
     o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
@@ -43,15 +48,20 @@ def q29_win_rownumber(spark, sf_dir) -> DataFrame:
     "q30_win_rank",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderstatus,
-           rank()       OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS rnk,
-           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS drnk
+           rank()       OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderstatus NULLS FIRST) AS rnk,
+           dense_rank() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderstatus NULLS FIRST) AS drnk
     FROM orders
     """,
 )
 def q30_win_rank(spark, sf_dir) -> DataFrame:
     """rank/dense_rank over a *tied* ordering (orderstatus has 3 values) —
     tie semantics themselves are what's exercised; the output is
-    deterministic because ranks are equal for equal keys."""
+    deterministic because ranks are equal for equal keys. ASC NULL
+    ordering is engine-defined and DIVERGES (Spark: NULLS FIRST,
+    DuckDB: NULLS LAST) — the engine keeps Spark's default and the
+    oracle pins NULLS FIRST explicitly (null-injection sweep)."""
     o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
     return o.select(
@@ -163,14 +173,16 @@ def q33_win_range_frame(spark, sf_dir) -> DataFrame:
            percent_rank() OVER w AS pct_rank,
            cume_dist()    OVER w AS cum_dist
     FROM customer
-    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (ORDER BY c_acctbal NULLS FIRST, c_custkey)
     """,
 )
 def q34_win_ntile_pct(spark, sf_dir) -> DataFrame:
     """Distribution functions over a total order (c_custkey tiebreak makes
     ntile assignment deterministic). Note: a global (unpartitioned) window
     is a single-reducer sort — fine for a 15k-row dimension, a deliberate
-    anti-pattern for fact tables (use q37's per-group top-k instead)."""
+    anti-pattern for fact tables (use q37's per-group top-k instead).
+    ASC NULL ordering pinned to Spark's NULLS FIRST in the oracle — see
+    q30 / test_null_injection.py."""
     c = table(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return c.select(

@@ -436,3 +436,48 @@ def test_ensure_bucketed_is_write_once_and_zero_exchange(spark):
     info = {r.col_name: r.data_type for r in buckets}
     assert info.get("Num Buckets") == "8"
     assert "o_custkey" in info.get("Bucket Columns", "")
+
+
+def test_ensure_bucketed_spec_mismatch_raises(spark):
+    """The skip decision must verify the PERSISTED bucket spec, not trust
+    the caller's arguments: registering N-bucket metadata over data
+    physically hashed mod M makes Spark assume HashPartitioning(key, N)
+    it doesn't have and the zero-exchange join silently drops matches.
+    A changed spec for an existing stamped layout is therefore an error
+    (re-bucketing requires a new stamped name), and a layout missing its
+    _BUCKET_SPEC manifest (pre-manifest build or torn write) is treated
+    as incomplete and rebuilt rather than trusted."""
+    import json
+    import os
+
+    import pytest
+
+    from eclypsium_etl_spark.io import ensure_bucketed, table
+
+    orders = table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    ensure_bucketed(orders, "orders_spec_guard", "o_custkey", 8)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    warehouse = warehouse.removeprefix("file://").removeprefix("file:")
+    loc = os.path.join(warehouse, "orders_spec_guard")
+    with open(os.path.join(loc, "_BUCKET_SPEC")) as fh:
+        assert json.load(fh) == {
+            "bucket_col": "o_custkey", "num_buckets": 8, "sort_col": None,
+        }
+    with pytest.raises(ValueError, match="write-once"):
+        ensure_bucketed(orders, "orders_spec_guard", "o_custkey", 16)
+    with pytest.raises(ValueError, match="write-once"):
+        ensure_bucketed(orders, "orders_spec_guard", "o_orderkey", 8)
+    # same spec still skips (mtime unchanged = no rebuild)
+    mtime1 = os.path.getmtime(loc)
+    spark.sql("DROP TABLE IF EXISTS orders_spec_guard")
+    ensure_bucketed(orders, "orders_spec_guard", "o_custkey", 8)
+    assert os.path.getmtime(loc) == mtime1
+    # a manifest-less layout is unverifiable -> rebuilt in place
+    os.remove(os.path.join(loc, "_BUCKET_SPEC"))
+    spark.sql("DROP TABLE IF EXISTS orders_spec_guard")
+    ensure_bucketed(orders, "orders_spec_guard", "o_custkey", 8)
+    assert os.path.exists(os.path.join(loc, "_BUCKET_SPEC"))
+    assert os.path.exists(os.path.join(loc, "_SUCCESS"))
+    assert spark.table("orders_spec_guard").count() == orders.count()
