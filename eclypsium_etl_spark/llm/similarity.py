@@ -727,6 +727,196 @@ def q323_ivf_multiprobe(spark, sf_dir) -> DataFrame:
     )
 
 
+_FILTER_LABEL = 2  # q339: the metadata predicate pushed into the cell scan
+
+
+@query(
+    "q339_ivf_filtered",
+    oracle=f"""
+    WITH {_kmeans_oracle_ctes(_N_CENTROIDS, _IVF_ITERS)},
+    final_asg AS (
+        SELECT a.vec_id, a.embedding, a.cent_id, e.label
+        FROM asg{_IVF_ITERS - 1} a JOIN embeddings e ON e.vec_id = a.vec_id
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id >= 100 AND vec_id < 105
+    ),
+    probed AS (
+        SELECT query_id, q_emb, cent_id FROM (
+            SELECT q.query_id, q.q_emb, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'c.cent_emb')} DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM queries q CROSS JOIN cent{_IVF_ITERS - 1} c
+        ) WHERE rn <= {_IVF_PROBES}
+    ),
+    sel AS (
+        SELECT p.query_id,
+               round(SUM(CASE WHEN a.label = {_FILTER_LABEL}
+                              THEN 1.0 ELSE 0.0 END)
+                     / COUNT(*), 6) AS probe_selectivity
+        FROM probed p JOIN final_asg a
+          ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+        GROUP BY p.query_id
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id, sim_raw FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   {dot_sql('p.q_emb', 'a.embedding')} AS sim_raw,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {dot_sql('p.q_emb', 'a.embedding')} DESC,
+                                a.vec_id
+                   ) AS rn
+            FROM probed p JOIN final_asg a
+              ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+             AND a.label = {_FILTER_LABEL}
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'c.embedding')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM queries q JOIN embeddings c
+              ON c.vec_id <> q.query_id AND c.label = {_FILTER_LABEL}
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    matched AS (
+        SELECT i.query_id, COUNT(*) AS n_hit
+        FROM ivf i JOIN exact e
+          ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        GROUP BY i.query_id
+    )
+    SELECT i.query_id, i.neighbor_id, round(i.sim_raw, 6) + 0.0 AS sim,
+           round(COALESCE(m.n_hit, 0) / {float(_IVF_TOP_K)}, 6) AS recall,
+           s.probe_selectivity
+    FROM ivf i
+    LEFT JOIN matched m ON m.query_id = i.query_id
+    JOIN sel s ON s.query_id = i.query_id
+    """,
+)
+def q339_ivf_filtered(spark, sf_dir) -> DataFrame:
+    """FILTERED ANN — metadata-predicate pushdown INTO the cell scan
+    (VERDICT r8 #8, the vector-DB production shape): the query asks for
+    nearest neighbors AMONG rows satisfying label = {_FILTER_LABEL},
+    and the predicate is applied to the probed cells' members BEFORE
+    the rerank, never to a post-hoc truncation of an unfiltered top-k
+    (post-filtering silently returns < k or misses qualifying
+    neighbors just outside the unfiltered top-k — the classic filtered-
+    ANN bug). Probing is q323's nprobe={_IVF_PROBES} shape over the
+    SHARED trained model (clustering.kmeans_fit memo), ground truth is
+    the exact brute force over the FILTERED corpus, and recall@
+    {_IVF_TOP_K} rides in-result as always.
+
+    PER-PROBE PREDICATE SELECTIVITY is measured in-result
+    (probe_selectivity = qualifying candidates / probed candidates):
+    it is the production dial for filtered ANN — as selectivity falls
+    the filtered cell scan returns fewer than k candidates and recall
+    collapses, at which point the planner must switch strategy
+    (pre-filter + brute force over the qualifying subset, or raise
+    nprobe). Carrying it in the hashed result makes the dial itself
+    differentially tested data, the q325 calibration discipline.
+
+    At 100 TB: the assignment table persists partitioned by cent_id
+    with metadata columns alongside, so the label predicate reaches the
+    parquet scan of exactly the nprobe probed partitions (PushedFilters
+    on label) — candidates never leave the cell, the filter never
+    touches unprobed cells, and the selectivity statistic is computable
+    from the same scan that serves the candidates."""
+    from .clustering import kmeans_fit
+
+    asg, cents = kmeans_fit(
+        spark, sf_dir, k=_N_CENTROIDS, iterations=_IVF_ITERS
+    )
+    em = table(spark, sf_dir, "embeddings")
+    asg_l = asg.join(em.select("vec_id", "label"), "vec_id")
+    queries = em.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("cent_id")
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_emb",
+            "cent_id",
+            dot(F.col("q_emb"), F.col("cent_emb")).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= _IVF_PROBES)
+        .select("query_id", "q_emb", "cent_id")
+    )
+    cand = asg_l.join(F.broadcast(probed), ["cent_id"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sel = cand.groupBy("query_id").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("label") == _FILTER_LABEL, 1.0).otherwise(0.0)
+            )
+            / F.count("*"),
+            6,
+        ).alias("probe_selectivity")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
+    )
+    ivf = (
+        cand.filter(F.col("label") == _FILTER_LABEL)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _IVF_TOP_K)
+        .drop("rn")
+    )
+    exact = (
+        em.filter(F.col("label") == _FILTER_LABEL)
+        .join(
+            F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _IVF_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    matched = (
+        ivf.join(exact, ["query_id", "neighbor_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        ivf.join(matched, "query_id", "left")
+        .join(sel, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim_raw", 6).alias("sim"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / float(_IVF_TOP_K), 6
+            ).alias("recall"),
+            "probe_selectivity",
+        )
+    )
+
+
 _LADDER_PROBES = (1, 2, 4)  # q325: the nprobe rungs
 _LADDER_NQ = 5              # queries 100..104
 

@@ -381,7 +381,26 @@ def scd2_merge(
 
     def _kept_col(c: str):
         if c == "valid_to":
-            return F.when(changed, eff_date).otherwise(F.col("t." + c)).alias(c)
+            # OUT-OF-ORDER GUARD (in-plan, zero extra scans): closing a
+            # version with valid_to earlier than its valid_from would
+            # corrupt the timeline — a late/backfill wave must go through
+            # scd2_merge_retro (q338), never be silently misapplied. The
+            # assertion rides the closing expression itself (CASE
+            # short-circuits per row, assert_true returns NULL when the
+            # order holds, coalesce then yields eff_date), so unchanged
+            # rows and in-order waves pay nothing.
+            guarded = F.coalesce(
+                F.assert_true(
+                    eff_date >= F.col("t.valid_from"),
+                    F.lit(
+                        "scd2 out-of-order wave: eff_date precedes the "
+                        "current version's valid_from — apply backfill "
+                        "batches through scd2_merge_retro"
+                    ),
+                ).cast("date"),
+                eff_date,
+            )
+            return F.when(changed, guarded).otherwise(F.col("t." + c)).alias(c)
         if c == "is_current":
             return (
                 F.when(changed, F.lit(False)).otherwise(F.col("t." + c)).alias(c)
@@ -906,7 +925,26 @@ def scd2_merge_multi(
 
     def _kept_col(c: str):
         if c == "valid_to":
-            return F.when(changed, eff_date).otherwise(F.col("t." + c)).alias(c)
+            # OUT-OF-ORDER GUARD (in-plan, zero extra scans): closing a
+            # version with valid_to earlier than its valid_from would
+            # corrupt the timeline — a late/backfill wave must go through
+            # scd2_merge_retro (q338), never be silently misapplied. The
+            # assertion rides the closing expression itself (CASE
+            # short-circuits per row, assert_true returns NULL when the
+            # order holds, coalesce then yields eff_date), so unchanged
+            # rows and in-order waves pay nothing.
+            guarded = F.coalesce(
+                F.assert_true(
+                    eff_date >= F.col("t.valid_from"),
+                    F.lit(
+                        "scd2 out-of-order wave: eff_date precedes the "
+                        "current version's valid_from — apply backfill "
+                        "batches through scd2_merge_retro"
+                    ),
+                ).cast("date"),
+                eff_date,
+            )
+            return F.when(changed, guarded).otherwise(F.col("t." + c)).alias(c)
         if c == "is_current":
             return (
                 F.when(changed, F.lit(False)).otherwise(F.col("t." + c)).alias(c)
@@ -1232,3 +1270,237 @@ def q336_scd2_hashdiff(spark, sf_dir) -> DataFrame:
         "is_current",
         "version",
     )
+
+
+_SCD2_RETRO_DATE = "2024-03-01"  # q338: late wave effective BETWEEN
+                                 # the init load and wave 1 — the
+                                 # backfill case every warehouse hits
+
+
+def scd2_merge_retro(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    attr: str,
+    eff_date,
+) -> DataFrame:
+    """RETROACTIVE SCD2 merge — apply a change batch whose effective date
+    may precede existing versions (the late-arriving/backfill wave
+    scd2_merge's out-of-order guard rejects).
+
+    Timeline-insertion semantics: the batch states the attribute's value
+    AS OF eff_date, so the version COVERING eff_date
+    (valid_from <= e < coalesce(valid_to, +inf)) splits in two —
+    [valid_from, e) keeps the old value, [e, old valid_to) takes the new
+    one and inherits the covering version's open/closed state — and every
+    later version is untouched (later waves are later information). A
+    covering version already holding the batch value is a NO-OP (no
+    phantom splits); keys absent from the target insert at [e, NULL);
+    version numbers are recomputed per key by valid_from order and
+    is_current is recomputed as valid_to IS NULL, so the invariant
+    (exactly one open version per key, versions dense in timeline order)
+    holds by construction. A batch dated before a key's ENTIRE history
+    has no covering version — asserted in-plan (raise, never silently
+    drop), mirroring scd2_merge's forward guard.
+
+    Plan: one key-hash join (change batch broadcasts under AQE) + a
+    per-key window for renumbering — window partitions are business keys
+    (bounded version counts), so there is no unsplittable hot partition
+    at 100 TB."""
+    from pyspark.sql import Window
+
+    j = target.alias("t").join(
+        source.alias("s"), F.col("t." + key) == F.col("s." + key), "full_outer"
+    )
+    covering = (
+        (F.col("t.valid_from") <= eff_date)
+        & (F.col("t.valid_to").isNull() | (eff_date < F.col("t.valid_to")))
+    )
+    changed = (
+        F.col("t." + key).isNotNull()
+        & F.col("s." + key).isNotNull()
+        & covering
+        & ~F.col("t." + attr).eqNullSafe(F.col("s." + attr))
+    )
+    # a matched key whose EARLIEST version starts after eff_date has no
+    # covering version: the batch predates all history — reject in-plan.
+    # The assertion lives in a FILTER (a projection-only guard gets
+    # pruned with its column): assert_true yields NULL when the order
+    # holds, coalesce(TRUE) keeps every row, a violation raises.
+    j = j.filter(
+        F.coalesce(
+            F.when(
+                F.col("s." + key).isNotNull() & (F.col("t.version") == 1),
+                F.assert_true(
+                    F.col("t.valid_from") <= eff_date,
+                    F.lit(
+                        "scd2_merge_retro: wave predates the key's "
+                        "entire history — no version covers eff_date"
+                    ),
+                ).cast("boolean"),
+            ),
+            F.lit(True),
+        )
+    )
+
+    def _kept_col(c: str):
+        if c == "valid_to":
+            return (
+                F.when(changed, eff_date)
+                .otherwise(F.col("t." + c))
+                .alias(c)
+            )
+        return F.col("t." + c).alias(c)
+
+    kept = j.filter(F.col("t." + key).isNotNull()).select(
+        *[_kept_col(c) for c in target.columns]
+    )
+    # the inserted slice [e, old valid_to) inherits the covering row's
+    # open/closed state — it IS the current version iff it split the
+    # open one
+    ins = j.filter(changed).select(
+        F.col("t." + key).alias(key),
+        F.col("s.name").alias("name"),
+        F.col("s." + attr).alias(attr),
+        eff_date.alias("valid_from"),
+        F.col("t.valid_to").alias("valid_to"),
+        F.col("t.is_current").alias("is_current"),
+        F.lit(0).alias("version"),
+    )
+    new = j.filter(F.col("t." + key).isNull()).select(
+        F.col("s." + key).alias(key),
+        F.col("s.name").alias("name"),
+        F.col("s." + attr).alias(attr),
+        eff_date.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.lit(0).alias("version"),
+    )
+    merged = kept.unionByName(ins).unionByName(new)
+    # drop zero-length versions (eff_date == covering valid_from means the
+    # retro value REPLACES that slice), then rebuild version numbers and
+    # is_current from the timeline itself
+    merged = merged.filter(
+        F.col("valid_to").isNull() | (F.col("valid_from") < F.col("valid_to"))
+    )
+    w = Window.partitionBy(key).orderBy("valid_from")
+    return merged.select(
+        key,
+        "name",
+        attr,
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        F.row_number().over(w).alias("version"),
+    )
+
+
+@query(
+    "q338_scd2_retro",
+    oracle=f"""
+    WITH changed1 AS (
+        SELECT c_custkey AS k FROM customer
+        WHERE c_custkey % 5 = 0 AND c_mktsegment <> 'BUILDING'
+    ),
+    retro_k AS (
+        -- retro wave: every 9th customer to 'MAIL'; AUTOMOBILE rows are
+        -- deliberate no-ops (the covering version already holds the value)
+        SELECT c_custkey AS k FROM customer
+        WHERE c_custkey % 9 = 0 AND c_mktsegment <> 'AUTOMOBILE'
+    )
+    -- version 1: truncated at the retro date where the late wave hits,
+    -- else closed by wave 1, else still current
+    SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg,
+           CAST(DATE '{_SCD2_INIT_DATE}' AS TIMESTAMP) AS valid_from,
+           CASE WHEN c_custkey IN (SELECT k FROM retro_k)
+                    THEN CAST(DATE '{_SCD2_RETRO_DATE}' AS TIMESTAMP)
+                WHEN c_custkey IN (SELECT k FROM changed1)
+                    THEN CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP)
+           END AS valid_to,
+           c_custkey NOT IN (SELECT k FROM retro_k)
+               AND c_custkey NOT IN (SELECT k FROM changed1) AS is_current,
+           1 AS version
+    FROM customer
+    UNION ALL
+    -- retro 'MAIL' slice: [retro, wave1) where wave 1 changed the key,
+    -- open-ended (and current) where it didn't
+    SELECT c_custkey, c_name, 'MAIL',
+           CAST(DATE '{_SCD2_RETRO_DATE}' AS TIMESTAMP),
+           CASE WHEN c_custkey IN (SELECT k FROM changed1)
+                    THEN CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP) END,
+           c_custkey NOT IN (SELECT k FROM changed1), 2
+    FROM customer WHERE c_custkey IN (SELECT k FROM retro_k)
+    UNION ALL
+    -- wave-1 'WEB' versions: untouched by the earlier-dated wave, but
+    -- renumbered where a retro slice landed beneath them
+    SELECT c_custkey, c_name, 'WEB',
+           CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP), NULL, TRUE,
+           CASE WHEN c_custkey IN (SELECT k FROM retro_k) THEN 3 ELSE 2 END
+    FROM customer WHERE c_custkey IN (SELECT k FROM changed1)
+    UNION ALL
+    -- wave-1 inserts: keys outside the retro batch, carried verbatim
+    SELECT c_custkey + 10000000, c_name || '-new', 'WEB',
+           CAST(DATE '{_SCD2_EFF_DATE}' AS TIMESTAMP), NULL, TRUE, 1
+    FROM customer WHERE c_custkey % 50 = 0
+    UNION ALL
+    -- retro inserts: brand-new keys entering at the RETRO date
+    SELECT c_custkey + 20000000, c_name || '-retro', 'MAIL',
+           CAST(DATE '{_SCD2_RETRO_DATE}' AS TIMESTAMP), NULL, TRUE, 1
+    FROM customer WHERE c_custkey % 100 = 0
+    """,
+)
+def q338_scd2_retro(spark, sf_dir) -> DataFrame:
+    """OUT-OF-ORDER (late-arriving) SCD2 wave — VERDICT r8 #5: after
+    q317's wave-1 merge (effective {_SCD2_EFF_DATE}), a BACKFILL batch
+    arrives dated {_SCD2_RETRO_DATE} — between the initial load and
+    wave 1. scd2_merge's in-plan guard rejects it (silent misordering is
+    the only wrong answer); scd2_merge_retro inserts it into the
+    timeline instead: the covering version splits at the retro date,
+    later versions stand (they are later information), version numbers
+    recompute by valid_from order. The batch hits every path: splits of
+    CLOSED versions (k%9 ∧ k%5 non-BUILDING → the 3-version chain
+    orig→MAIL→WEB), splits of the OPEN version (k%9 only → MAIL becomes
+    current), covering-value no-ops (AUTOMOBILE keys), untouched wave-1
+    inserts, and retro-dated NEW keys. Same managed-table build +
+    write-audit-publish as the rest of the family."""
+    tname = _scd2_build_wave1(spark, sf_dir, "t_q338")
+    c = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    retro = (
+        c.filter((k % 9 == 0) & (F.col("c_mktsegment") != "AUTOMOBILE"))
+        .select(
+            k.alias("k"),
+            F.col("c_name").alias("name"),
+            F.lit("MAIL").alias("seg"),
+        )
+        .unionByName(
+            c.filter(k % 9 == 0).filter(
+                F.col("c_mktsegment") == "AUTOMOBILE"
+            ).select(
+                k.alias("k"),
+                F.col("c_name").alias("name"),
+                F.lit("AUTOMOBILE").alias("seg"),  # covering no-op
+            )
+        )
+        .unionByName(
+            c.filter(k % 100 == 0).select(
+                (k + 20_000_000).alias("k"),
+                F.concat(F.col("c_name"), F.lit("-retro")).alias("name"),
+                F.lit("MAIL").alias("seg"),
+            )
+        )
+    )
+    merged = scd2_merge_retro(
+        spark.table(tname),
+        retro,
+        key="k",
+        attr="seg",
+        eff_date=F.to_date(F.lit(_SCD2_RETRO_DATE)),
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "eclypsium_etl_spark",
+        f"{tname}_retro_stage_{os.path.basename(sf_dir)}",
+    )
+    _scd2_publish(spark, tname, stage, merged)
+    return _scd2_final_view(spark, tname)

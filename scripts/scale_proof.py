@@ -841,10 +841,198 @@ def knn_triangle_kernel(spark, emb_path: str) -> dict:
     }
 
 
+
+def _build_ivf_planted(out: str, n: int, seed: int = 7) -> None:
+    """Planted-CLUSTER embedding fixture (VERDICT r8 #3): every recall
+    number in the registered IVF family rides the decorrelated noise
+    fixture, where k-means cells come out balanced — real embedding
+    corpora are CLUSTERED, so cells skew and the per-cell work
+    concentrates exactly where the data is densest. This generator
+    plants 8 clusters with Zipf-skewed sizes (the hot cluster holds 50%
+    of the corpus) around orthonormal 64-d directions, sigma=0.35
+    Gaussian spread, unit-normalized float32 — plus 24 held-out queries
+    (16 perturbed from the HOT cluster, 8 from the SMALLEST) so
+    hot-vs-cold search cost is measured separately. vec_ids are a
+    seeded permutation so the engine's first-k Lloyd init is spread
+    across clusters, not hostage to generation order."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    d, c = 64, 8
+    centers = np.linalg.qr(rng.standard_normal((d, c)))[0].T
+    shares = np.array([0.50, 0.20, 0.10, 0.07, 0.05, 0.04, 0.02, 0.02])
+    sizes = (shares * n).astype(int)
+    sizes[0] += n - sizes.sum()
+    pts, labs = [], []
+    for i, m in enumerate(sizes):
+        x = centers[i] + 0.35 * rng.standard_normal((m, d))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        pts.append(x)
+        labs.append(np.full(m, i))
+    x = np.vstack(pts).astype(np.float32)
+    lab = np.concatenate(labs)
+    perm = rng.permutation(n)
+    x, lab = x[perm], lab[perm]
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(x),
+            "planted": lab.astype(np.int64),
+        }
+    ).to_parquet(out, index=False)
+    # queries: 16 hot-cluster + 8 smallest-cluster perturbations
+    qrows = []
+    for qi in range(24):
+        src = 0 if qi < 16 else c - 1
+        v = centers[src] + 0.35 * rng.standard_normal(d)
+        v /= np.linalg.norm(v)
+        qrows.append((qi, v.astype(np.float32), src))
+    pd.DataFrame(
+        {
+            "query_id": [r[0] for r in qrows],
+            "embedding": [r[1] for r in qrows],
+            "planted": [r[2] for r in qrows],
+        }
+    ).to_parquet(out.replace(".parquet", "_q.parquet"), index=False)
+
+
+def run_ivf_skew(spark) -> dict:
+    """Skew-axis proof for the trained-IVF family (VERDICT r8 #3): on a
+    planted-cluster corpus at two scales (n, 4n), measure per cell-count
+    knob k: max-cell occupancy SHARE, per-query candidate counts for
+    hot-cluster vs cold-cluster queries (single probe — candidates = the
+    probed cell's population, the per-cell cost that degrades where data
+    is densest), and recall@3 vs exact brute force. The saturation axis:
+    at FIXED k=8 the hot cell tracks the planted 50% share, so hot-query
+    candidates grow ~4x with 4x rows (half the corpus per probe —
+    per-cell quadratics like q129's within-cell dedup grow 16x there);
+    the knob is k itself — Lloyd allocates centroids toward density, so
+    k=64 fragments the hot cluster and restores per-probe candidates.
+    This mirrors run_salt_growth/run_bucket_growth: fixed-knob ratios
+    are RECORDED ceilings, the knob row proves the remedy."""
+    from pyspark.sql import Window, functions as F
+
+    from eclypsium_etl_spark.functions import dot
+    from eclypsium_etl_spark.llm.clustering import (
+        assign_to_centroids,
+        kmeans_fit,
+    )
+
+    out = fixture_dir()
+    res = {}
+    for n in (20_000, 80_000):
+        path = f"{out}/ivf_planted_{n}.parquet"
+        if not os.path.exists(path):
+            _build_ivf_planted(path, n)
+        em = spark.read.parquet(path).select("vec_id", "embedding")
+        qs = spark.read.parquet(path.replace(".parquet", "_q.parquet"))
+        # exact brute-force top-3 per query (the recall denominator)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("vec_id")
+        )
+        exact3 = (
+            qs.select("query_id", F.col("embedding").alias("q_emb"))
+            .crossJoin(em)
+            .select(
+                "query_id",
+                "vec_id",
+                dot(F.col("q_emb"), F.col("embedding")).alias("sim"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("query_id", "vec_id")
+        )
+        exact3.cache()
+        exact3.count()
+        row = {"rows": n}
+        for k in (8, 64):
+            t0 = time.perf_counter()
+            _, cents_lazy = kmeans_fit(
+                spark, None, k=k, iterations=3, source=em
+            )
+            # pin the trained model (k x dim floats) so downstream
+            # actions don't re-run the Lloyd chain per reference — the
+            # engine's own driver-side model-state discipline
+            cents = spark.createDataFrame(
+                [(r["cent_id"], r["cent_emb"]) for r in cents_lazy.collect()],
+                "cent_id bigint, cent_emb array<float>",
+            )
+            asg = assign_to_centroids(em, cents).select("vec_id", "cent_id")
+            cell_counts = {
+                r["cent_id"]: r["cnt"]
+                for r in asg.groupBy("cent_id")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+            train_sec = round(time.perf_counter() - t0, 1)
+            max_cell = max(cell_counts.values())
+            # single-probe search: nearest cell per query, rerank inside
+            t1 = time.perf_counter()
+            qcell = assign_to_centroids(
+                qs.select(
+                    F.col("query_id").alias("vec_id"), "embedding"
+                ),
+                cents,
+            ).select(F.col("vec_id").alias("query_id"), "cent_id")
+            cand = (
+                qs.select(
+                    "query_id", F.col("embedding").alias("q_emb"), "planted"
+                )
+                .join(qcell, "query_id")
+                .join(asg, "cent_id")
+                .join(em, "vec_id")
+            )
+            ivf3 = (
+                cand.select(
+                    "query_id",
+                    "planted",
+                    "vec_id",
+                    dot(F.col("q_emb"), F.col("embedding")).alias("sim"),
+                )
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 3)
+            )
+            hits = (
+                ivf3.join(exact3, ["query_id", "vec_id"], "semi")
+                .groupBy()
+                .count()
+                .collect()[0][0]
+            )
+            search_sec = round(time.perf_counter() - t1, 1)
+            qc = {
+                r["query_id"]: (r["planted"], cell_counts[r["cent_id"]])
+                for r in qs.select("query_id", "planted")
+                .join(qcell, "query_id")
+                .collect()
+            }
+            hot = [c for p, c in qc.values() if p == 0]
+            cold = [c for p, c in qc.values() if p != 0]
+            row[f"k{k}"] = {
+                "max_cell_rows": max_cell,
+                "max_cell_share": round(max_cell / n, 3),
+                "hot_query_candidates_mean": round(sum(hot) / len(hot)),
+                "cold_query_candidates_mean": round(sum(cold) / len(cold)),
+                "recall_at3": round(hits / (3 * 24), 3),
+                "train_sec": train_sec,
+                "search_sec": search_sec,
+            }
+        exact3.unpersist()
+        res[f"n{n}"] = row
+    return res
+
+
 def main() -> int:
     from eclypsium_etl_spark.session import get_spark
 
     out = fixture_dir()
+    if "--ivf-skew" in sys.argv:
+        # targeted run: the IVF skew kernel builds its own planted
+        # fixtures and needs none of the 10x shards
+        os.makedirs(out, exist_ok=True)
+        spark = get_spark(app_name="scale-proof-ivf-skew")
+        print(json.dumps({"ivf_skew": run_ivf_skew(spark)}, indent=1))
+        return 0
     if "--rebuild" in sys.argv or not os.path.exists(f"{out}/_BUILT"):
         print(f"building 10x fixture at {out} ...", file=sys.stderr)
         build_fixture(out)
@@ -875,6 +1063,7 @@ def main() -> int:
     bucket_growth = run_bucket_growth(spark)
     tri_base = knn_triangle_kernel(spark, f"{out}/emb_triads_1x.parquet")
     tri_big = knn_triangle_kernel(spark, f"{out}/emb_triads_10x.parquet")
+    ivf_skew = run_ivf_skew(spark)
     er_entropy = run_er_entropy(spark)
     er_ladder = (
         run_er_ladder(spark)
@@ -1073,6 +1262,19 @@ def main() -> int:
             "fixed8_max_task_ratio_4x": salt_fixed_ratio,
             "salts32_restores_baseline_ratio": salt_knob_ratio,
             "semantics_invariant_and_knob_restores": salt_ok,
+        },
+        "ivf_trained_skew_axis": {
+            **ivf_skew,
+            "hot_candidates_fixed_k8_ratio_4x": round(
+                ivf_skew["n80000"]["k8"]["hot_query_candidates_mean"]
+                / max(ivf_skew["n20000"]["k8"]["hot_query_candidates_mean"], 1),
+                1,
+            ),
+            "hot_candidates_k64_restores_ratio": round(
+                ivf_skew["n80000"]["k64"]["hot_query_candidates_mean"]
+                / max(ivf_skew["n20000"]["k8"]["hot_query_candidates_mean"], 1),
+                1,
+            ),
         },
         "q161_bucket_growth_homogeneous": {
             **bucket_growth,

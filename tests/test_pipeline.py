@@ -283,3 +283,81 @@ def test_scd2_multiattr_full_noop_spawns_nothing(spark):
         assert not pred["is_current"]
         # ANY tracked column changed — never a full-tracked-set no-op
         assert pred["seg"] != row["seg"] or pred["nat"] != row["nat"]
+
+
+def test_scd2_out_of_order_wave_raises(spark):
+    """scd2_merge must REJECT a wave dated before the current version's
+    valid_from (VERDICT r8 #5: silent misordering is the only wrong
+    answer) — the in-plan assert_true fires only for rows the wave
+    actually changes, so in-order merges pay nothing."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors import PySparkException
+
+    from eclypsium_etl_spark.operators.incremental import scd2_merge
+
+    target = spark.createDataFrame(
+        [(1, "a", "X", "2024-06-01", None, True, 1)],
+        "k bigint, name string, seg string, valid_from string, "
+        "valid_to string, is_current boolean, version int",
+    ).select(
+        "k", "name", "seg",
+        F.to_date("valid_from").alias("valid_from"),
+        F.to_date("valid_to").alias("valid_to"),
+        "is_current", "version",
+    )
+    src = spark.createDataFrame([(1, "a", "Y")], "k bigint, name string, seg string")
+    late = scd2_merge(target, src, key="k", attr="seg",
+                      eff_date=F.to_date(F.lit("2024-03-01")))
+    with pytest.raises(PySparkException, match="out-of-order"):
+        late.collect()
+    # a backdated wave that changes NOTHING is harmless (guard rides the
+    # changed branch only)
+    noop = scd2_merge(
+        target,
+        spark.createDataFrame([(1, "a", "X")], "k bigint, name string, seg string"),
+        key="k", attr="seg", eff_date=F.to_date(F.lit("2024-03-01")),
+    )
+    assert noop.count() == 1
+
+
+def test_scd2_retro_boundary_replaces_covering_slice(spark):
+    """scd2_merge_retro at eff_date == the covering version's valid_from:
+    the zero-length old slice drops and the retro value REPLACES it,
+    versions stay dense, exactly one open version per key. Also pins the
+    predates-all-history rejection."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors import PySparkException
+
+    from eclypsium_etl_spark.operators.incremental import scd2_merge_retro
+
+    target = spark.createDataFrame(
+        [
+            (1, "a", "X", "2024-01-01", "2024-06-01", False, 1),
+            (1, "a", "Y", "2024-06-01", None, True, 2),
+        ],
+        "k bigint, name string, seg string, valid_from string, "
+        "valid_to string, is_current boolean, version int",
+    ).select(
+        "k", "name", "seg",
+        F.to_date("valid_from").alias("valid_from"),
+        F.to_date("valid_to").alias("valid_to"),
+        "is_current", "version",
+    )
+    src = spark.createDataFrame([(1, "a", "Z")], "k bigint, name string, seg string")
+    out = scd2_merge_retro(
+        target, src, key="k", attr="seg",
+        eff_date=F.to_date(F.lit("2024-01-01")),
+    ).orderBy("version").collect()
+    assert [(r.seg, str(r.valid_from), str(r.valid_to), r.is_current, r.version)
+            for r in out] == [
+        ("Z", "2024-01-01", "2024-06-01", False, 1),
+        ("Y", "2024-06-01", "None", True, 2),
+    ]
+    too_early = scd2_merge_retro(
+        target, src, key="k", attr="seg",
+        eff_date=F.to_date(F.lit("2023-01-01")),
+    )
+    with pytest.raises(PySparkException, match="predates"):
+        too_early.collect()
