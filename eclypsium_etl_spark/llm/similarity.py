@@ -1906,6 +1906,258 @@ def q331_pq_adc(spark, sf_dir) -> DataFrame:
     )
 
 
+# ---- rotation-PQ (q340): orthogonal transform before quantization ------
+# Sylvester-Hadamard rotation, scaled orthonormal: R[i][j] =
+# (-1)^popcount(i & j) / 8 for dim 64 (H H^T = 64 I). Chosen over a
+# LEARNED OPQ rotation deliberately: the alternating-SVD fit is not
+# relationally expressible (adjudicated like HNSW/streaming-maximin),
+# while the Hadamard rotation is the standard non-learned instantiation
+# of the same idea (FAISS's RandomRotation / "RR" OPQ fallback) AND is
+# exactly reproducible in both engines — signs are integers, /8 is a
+# power of two, and the fold order matches functions.dot, so the
+# rotated corpus is bit-identical cross-engine (verified).
+_ROT_EXPR_SPARK = (
+    "transform(sequence(0, 63), i -> CAST(aggregate("
+    " zip_with(embedding, sequence(0, 63),"
+    "  (v, j) -> CASE WHEN bit_count(i & j) % 2 = 0"
+    "   THEN CAST(v AS DOUBLE) ELSE -CAST(v AS DOUBLE) END),"
+    " CAST(0.0 AS DOUBLE), (acc, s) -> acc + s) / 8.0 AS FLOAT))"
+)
+_ROT_EXPR_SQL = (
+    "list_transform(range(64), i -> CAST(list_sum("
+    " list_transform(range(64), j -> CASE WHEN bit_count(i & j) % 2 = 0"
+    "  THEN CAST(embedding[j + 1] AS DOUBLE)"
+    "  ELSE -CAST(embedding[j + 1] AS DOUBLE) END)) / 8.0 AS FLOAT))"
+)
+
+
+def _q340_rotated(spark, sf_dir) -> DataFrame:
+    """The rotated corpus, materialized once per source stamp (the
+    production artifact: rotated vectors are what an OPQ/RR index
+    STORES; every consumer — two codebook trainings, the encode scan,
+    the query projection — then reads a flat parquet scan instead of
+    duplicating the rotation subtree into each unrolled Lloyd lineage,
+    the q335 plan-blowup guard). v1 + the rotation name in the key."""
+    import os
+    import tempfile
+
+    from ..io import materialize_once, source_stamp
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rot = em.select("vec_id", F.expr(_ROT_EXPR_SPARK).alias("embedding"))
+    src_pq = os.path.join(sf_dir, "embeddings.parquet")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "eclypsium_etl_spark",
+        f"q340_rot_hadamard_v1_{sf_dir.strip('/').replace('/', '_')}"
+        f"_{source_stamp(src_pq)}",
+    )
+    return materialize_once(spark, out, lambda p: rot.write.parquet(p))
+
+
+@query(
+    "q340_pq_rotated",
+    oracle=f"""
+    WITH rot AS MATERIALIZED (
+        SELECT vec_id, {_ROT_EXPR_SQL} AS embedding FROM embeddings
+    ),
+    rsub1 AS MATERIALIZED (
+        SELECT vec_id, list_slice(embedding, 1, 32) AS embedding FROM rot
+    ),
+    rsub2 AS MATERIALIZED (
+        SELECT vec_id, list_slice(embedding, 33, 64) AS embedding FROM rot
+    ),
+    {{ctes1}},
+    {{ctes2}},
+    codes AS (
+        SELECT e.vec_id, e.embedding,
+               a1.cent_id AS code1, c1.cent_emb AS ce1,
+               a2.cent_id AS code2, c2.cent_emb AS ce2
+        FROM embeddings e
+        JOIN r1_asg{_IVF_ITERS - 1} a1 ON a1.vec_id = e.vec_id
+        JOIN r1_cent{_IVF_ITERS - 1} c1 ON c1.cent_id = a1.cent_id
+        JOIN r2_asg{_IVF_ITERS - 1} a2 ON a2.vec_id = e.vec_id
+        JOIN r2_cent{_IVF_ITERS - 1} c2 ON c2.cent_id = a2.cent_id
+    ),
+    queries AS (
+        SELECT e.vec_id AS query_id, e.embedding AS q_emb,
+               list_slice(r.embedding, 1, 32) AS q1,
+               list_slice(r.embedding, 33, 64) AS q2
+        FROM embeddings e JOIN rot r ON r.vec_id = e.vec_id
+        WHERE e.vec_id < {_N_QUERIES}
+    ),
+    pq AS (
+        SELECT query_id, neighbor_id, code1, code2, approx_raw, exact_raw
+        FROM (
+            SELECT qu.query_id, c.vec_id AS neighbor_id, c.code1, c.code2,
+                   {dot_sql('c.ce1', 'qu.q1')} + {dot_sql('c.ce2', 'qu.q2')}
+                       AS approx_raw,
+                   {dot_sql('c.embedding', 'qu.q_emb')} AS exact_raw,
+                   row_number() OVER (
+                       PARTITION BY qu.query_id
+                       ORDER BY {dot_sql('c.ce1', 'qu.q1')}
+                                + {dot_sql('c.ce2', 'qu.q2')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM codes c JOIN queries qu ON c.vec_id <> qu.query_id
+        ) WHERE rn <= {_PQ_TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'c.embedding')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM queries q JOIN embeddings c ON c.vec_id <> q.query_id
+        ) WHERE rn <= {_PQ_TOP_K}
+    ),
+    matched AS (
+        SELECT p.query_id, COUNT(*) AS n_hit
+        FROM pq p JOIN exact e
+          ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+        GROUP BY p.query_id
+    )
+    SELECT p.query_id, p.neighbor_id, p.code1, p.code2,
+           round(p.approx_raw, 6) + 0.0 AS approx_sim,
+           round(p.exact_raw, 6) + 0.0 AS exact_sim,
+           round(COALESCE(m.n_hit, 0) / {float(_PQ_TOP_K)}, 6) AS recall
+    FROM pq p LEFT JOIN matched m ON m.query_id = p.query_id
+    """.format(
+        ctes1=_kmeans_oracle_ctes(
+            _PQ_CB_K, _IVF_ITERS, src_rel="rsub1", prefix="r1_"
+        ),
+        ctes2=_kmeans_oracle_ctes(
+            _PQ_CB_K, _IVF_ITERS, src_rel="rsub2", prefix="r2_"
+        ),
+    ),
+)
+def q340_pq_rotated(spark, sf_dir) -> DataFrame:
+    """ROTATION-PQ (OPQ's non-learned instantiation — VERDICT r8 #8's
+    "learned rotation before PQ" rung, adjudicated to the exactly-
+    reproducible Hadamard rotation; see _ROT_EXPR_SPARK's rationale):
+    the corpus is rotated by the orthonormal Sylvester-Hadamard matrix
+    BEFORE q331's subspace split, so each 32-d subvector mixes all 64
+    original coordinates — the energy-balancing effect a learned OPQ
+    rotation optimizes, obtained transform-side. Because the rotation
+    is orthogonal, dot products are preserved (⟨Rx, Ry⟩ = ⟨x, y⟩), so
+    the EXACT ground truth is computed on the ORIGINAL embeddings while
+    ADC scores live entirely in rotated space — the recall column
+    therefore measures the true end-to-end index quality including the
+    rotation's float round-trip.
+
+    Hashed data: per-subspace codes from codebooks trained ON THE
+    ROTATED slices (two more unrolled decimal-exact Lloyd chains over
+    materialized rotated relations), ADC approx vs exact scores, and
+    recall@{_PQ_TOP_K} — directly comparable against q331's unrotated
+    row to measure what the rotation buys on this corpus.
+
+    At 100 TB: the rotation is one scan-stage matvec (64 fused
+    multiply-adds per output dim, JVM-side whole-stage codegen, no
+    shuffle) writing the rotated table once — the same write-once memo
+    every consumer then scans (io.materialize_once); queries rotate at
+    lookup time (64×64 flops per query, driver-trivial)."""
+    from .clustering import kmeans_fit
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rot = _q340_rotated(spark, sf_dir)
+    folded = []
+    for i, (st, ln) in enumerate(_PQ_SUBS):
+        sub = rot.select(
+            "vec_id", F.slice("embedding", st, ln).alias("embedding")
+        )
+        _, cents = kmeans_fit(
+            spark, sf_dir, k=_PQ_CB_K, iterations=_IVF_ITERS, source=sub
+        )
+        folded.append(
+            cents.agg(
+                F.array_sort(
+                    F.collect_list(F.struct("cent_id", "cent_emb"))
+                ).alias(f"__cb{i}")
+            )
+        )
+    # encode in rotated space, carry the ORIGINAL vector for exact scoring
+    corpus = rot.select("vec_id", F.col("embedding").alias("r_emb")).join(
+        em, "vec_id"
+    )
+    for f in folded:
+        corpus = corpus.crossJoin(F.broadcast(f))
+    corpus = corpus.select(
+        "vec_id",
+        "embedding",
+        F.expr(_pq_best_expr("__cb0", *_PQ_SUBS[0], col="r_emb")).alias(
+            "__b0"
+        ),
+        F.expr(_pq_best_expr("__cb1", *_PQ_SUBS[1], col="r_emb")).alias(
+            "__b1"
+        ),
+    )
+    queries = em.filter(F.col("vec_id") < _N_QUERIES).join(
+        rot.select("vec_id", F.col("embedding").alias("r_emb")), "vec_id"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.slice("r_emb", *_PQ_SUBS[0]).alias("q1"),
+        F.slice("r_emb", *_PQ_SUBS[1]).alias("q2"),
+    )
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_raw"), F.asc("neighbor_id")
+    )
+    pq = (
+        corpus.join(
+            F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("__b0.cent_id").alias("code1"),
+            F.col("__b1.cent_id").alias("code2"),
+            (
+                dot(F.col("__b0.cent_emb"), F.col("q1"))
+                + dot(F.col("__b1.cent_emb"), F.col("q2"))
+            ).alias("approx_raw"),
+            dot(F.col("embedding"), F.col("q_emb")).alias("exact_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_approx))
+        .filter(F.col("rn") <= _PQ_TOP_K)
+        .drop("rn")
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
+    )
+    exact = (
+        em.join(
+            F.broadcast(queries.select("query_id", "q_emb")),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") <= _PQ_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    matched = (
+        pq.join(exact, ["query_id", "neighbor_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return pq.join(matched, "query_id", "left").select(
+        "query_id",
+        "neighbor_id",
+        "code1",
+        "code2",
+        F.round("approx_raw", 6).alias("approx_sim"),
+        F.round("exact_raw", 6).alias("exact_sim"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / float(_PQ_TOP_K), 6
+        ).alias("recall"),
+    )
+
+
 # ---- IVF-PQ end-to-end (q334): trained cells × subspace codebooks ------
 @query(
     "q334_ivfpq",

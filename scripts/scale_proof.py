@@ -946,7 +946,7 @@ def run_ivf_skew(spark) -> dict:
         exact3.cache()
         exact3.count()
         row = {"rows": n}
-        for k in (8, 64):
+        for k, probes in ((8, (1,)), (64, (1, 4))):
             t0 = time.perf_counter()
             _, cents_lazy = kmeans_fit(
                 spark, None, k=k, iterations=3, source=em
@@ -967,56 +967,68 @@ def run_ivf_skew(spark) -> dict:
             }
             train_sec = round(time.perf_counter() - t0, 1)
             max_cell = max(cell_counts.values())
-            # single-probe search: nearest cell per query, rerank inside
-            t1 = time.perf_counter()
-            qcell = assign_to_centroids(
-                qs.select(
-                    F.col("query_id").alias("vec_id"), "embedding"
-                ),
-                cents,
-            ).select(F.col("vec_id").alias("query_id"), "cent_id")
-            cand = (
-                qs.select(
-                    "query_id", F.col("embedding").alias("q_emb"), "planted"
-                )
-                .join(qcell, "query_id")
-                .join(asg, "cent_id")
-                .join(em, "vec_id")
+            # nprobe-cell search: rank cells per query, rerank inside the
+            # probed union — nprobe>1 for the big k proves recall is
+            # RECOVERABLE once the two knobs move together
+            w_cell = Window.partitionBy("query_id").orderBy(
+                F.desc("c_sim"), F.asc("cent_id")
             )
-            ivf3 = (
-                cand.select(
+            ranked_cells = (
+                qs.select(
                     "query_id",
+                    F.col("embedding").alias("q_emb"),
                     "planted",
-                    "vec_id",
-                    dot(F.col("q_emb"), F.col("embedding")).alias("sim"),
                 )
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= 3)
+                .crossJoin(F.broadcast(cents))
+                .select(
+                    "query_id",
+                    "q_emb",
+                    "planted",
+                    "cent_id",
+                    dot(F.col("q_emb"), F.col("cent_emb")).alias("c_sim"),
+                )
+                .withColumn("cell_rn", F.row_number().over(w_cell))
             )
-            hits = (
-                ivf3.join(exact3, ["query_id", "vec_id"], "semi")
-                .groupBy()
-                .count()
-                .collect()[0][0]
-            )
-            search_sec = round(time.perf_counter() - t1, 1)
-            qc = {
-                r["query_id"]: (r["planted"], cell_counts[r["cent_id"]])
-                for r in qs.select("query_id", "planted")
-                .join(qcell, "query_id")
-                .collect()
-            }
-            hot = [c for p, c in qc.values() if p == 0]
-            cold = [c for p, c in qc.values() if p != 0]
-            row[f"k{k}"] = {
-                "max_cell_rows": max_cell,
-                "max_cell_share": round(max_cell / n, 3),
-                "hot_query_candidates_mean": round(sum(hot) / len(hot)),
-                "cold_query_candidates_mean": round(sum(cold) / len(cold)),
-                "recall_at3": round(hits / (3 * 24), 3),
-                "train_sec": train_sec,
-                "search_sec": search_sec,
-            }
+            for nprobe in probes:
+                t1 = time.perf_counter()
+                probed = ranked_cells.filter(
+                    F.col("cell_rn") <= nprobe
+                ).select("query_id", "q_emb", "planted", "cent_id")
+                cand = probed.join(asg, "cent_id").join(em, "vec_id")
+                ivf3 = (
+                    cand.select(
+                        "query_id",
+                        "planted",
+                        "vec_id",
+                        dot(F.col("q_emb"), F.col("embedding")).alias("sim"),
+                    )
+                    .withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") <= 3)
+                )
+                hits = (
+                    ivf3.join(exact3, ["query_id", "vec_id"], "semi")
+                    .groupBy()
+                    .count()
+                    .collect()[0][0]
+                )
+                search_sec = round(time.perf_counter() - t1, 1)
+                qc = [
+                    (r["planted"], cell_counts[r["cent_id"]])
+                    for r in probed.select(
+                        "query_id", "planted", "cent_id"
+                    ).collect()
+                ]
+                hot = [c for pl, c in qc if pl == 0]
+                cold = [c for pl, c in qc if pl != 0]
+                row[f"k{k}_p{nprobe}"] = {
+                    "max_cell_rows": max_cell,
+                    "max_cell_share": round(max_cell / n, 3),
+                    "hot_query_candidates_mean": round(sum(hot) / len(hot)),
+                    "cold_query_candidates_mean": round(sum(cold) / len(cold)),
+                    "recall_at3": round(hits / (3 * 24), 3),
+                    "train_sec": train_sec,
+                    "search_sec": search_sec,
+                }
         exact3.unpersist()
         res[f"n{n}"] = row
     return res
@@ -1266,13 +1278,13 @@ def main() -> int:
         "ivf_trained_skew_axis": {
             **ivf_skew,
             "hot_candidates_fixed_k8_ratio_4x": round(
-                ivf_skew["n80000"]["k8"]["hot_query_candidates_mean"]
-                / max(ivf_skew["n20000"]["k8"]["hot_query_candidates_mean"], 1),
+                ivf_skew["n80000"]["k8_p1"]["hot_query_candidates_mean"]
+                / max(ivf_skew["n20000"]["k8_p1"]["hot_query_candidates_mean"], 1),
                 1,
             ),
             "hot_candidates_k64_restores_ratio": round(
-                ivf_skew["n80000"]["k64"]["hot_query_candidates_mean"]
-                / max(ivf_skew["n20000"]["k8"]["hot_query_candidates_mean"], 1),
+                ivf_skew["n80000"]["k64_p1"]["hot_query_candidates_mean"]
+                / max(ivf_skew["n20000"]["k8_p1"]["hot_query_candidates_mean"], 1),
                 1,
             ),
         },
