@@ -443,13 +443,24 @@ def q217_scan_file_metadata(spark, sf_dir) -> DataFrame:
     with zero I/O (it comes from the file listing, not file bytes), and
     the rollup is an ordinary two-phase hash aggregate over 3 distinct
     keys. The layout build is the same write-once memo q86 uses, so under
-    the harness this query is scan-only."""
+    the harness this query is scan-only.
+
+    Hive null convention: a NULL partition value writes to the directory
+    `o_orderstatus=__HIVE_DEFAULT_PARTITION__/` — decoding that marker
+    back to logical NULL is part of reading the path (nullif below);
+    without it the audit compares a phantom string group against the
+    data's NULL group (null-injection walk finding)."""
     partitioned_orders(spark, sf_dir)  # ensure the layout exists (memo)
     return (
         spark.read.parquet(partitioned_orders_path(sf_dir))
         .select(
-            F.regexp_extract(
-                F.col("_metadata.file_path"), r"o_orderstatus=([^/]+)/", 1
+            F.nullif(
+                F.regexp_extract(
+                    F.col("_metadata.file_path"),
+                    r"o_orderstatus=([^/]+)/",
+                    1,
+                ),
+                F.lit("__HIVE_DEFAULT_PARTITION__"),
             ).alias("o_orderstatus"),
             "o_totalprice",
         )

@@ -256,14 +256,11 @@ def q220_transpose(spark, sf_dir) -> DataFrame:
 @query(
     "q225_sql_pivot_unpivot",
     oracle="""
-    SELECT o_orderpriority, status, total FROM (
-        SELECT o_orderpriority,
-               CASE WHEN o_orderstatus = 'F' THEN 'F'
-                    WHEN o_orderstatus = 'O' THEN 'O'
-                    ELSE 'P' END AS status,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
-        FROM orders GROUP BY 1, 2
-    )
+    SELECT o_orderpriority, o_orderstatus AS status,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O', 'P')
+    GROUP BY 1, 2
     """,
 )
 def q225_sql_pivot_unpivot(spark, sf_dir) -> DataFrame:
@@ -272,7 +269,11 @@ def q225_sql_pivot_unpivot(spark, sf_dir) -> DataFrame:
     then unpivot straight back to long — a lossless round trip whenever
     every (priority, status) combination exists, because UNPIVOT's
     default EXCLUDE NULLS drops exactly the holes PIVOT manufactured.
-    The oracle is the direct GROUP BY the round trip must reproduce.
+    The oracle is the direct GROUP BY the round trip must reproduce —
+    WITH the pivot's IN-list stated as the filter it IS: a row whose
+    status is outside the list (including NULL) matches no pivot column
+    and drops. The earlier oracle's ELSE-'P' bucket silently swallowed
+    NULL statuses into 'P' (null-injection walk finding).
     Both rewrites happen at analysis time (PIVOT becomes aggregate-with-
     filters, UNPIVOT becomes Expand) — no extra shuffle beyond the one
     aggregate exchange."""
@@ -653,22 +654,40 @@ def q270_fixed_width_source(spark, sf_dir) -> DataFrame:
     width dump parallelizes by byte ranges with zero preprocessing.
     Numeric columns re-cast from their padded text; the oracle recomputes
     from the original table, so a one-column misalignment in EITHER
-    direction fails every downstream field's hash."""
+    direction fails every downstream field's hash.
+
+    NULL convention (the fixed-width standard): a NULL field renders as
+    ALL BLANKS and blanks parse back to NULL (nullif-on-trim before the
+    cast — a bare cast of '' raises under ANSI, the null-injection walk's
+    finding; and a bare F.concat would NULL-poison the whole LINE from
+    one null field, silently dropping the row). Inherent format
+    limitation, documented: an empty STRING field is indistinguishable
+    from NULL after the round-trip."""
     out = _tmpdir(f"q270_fw_{os.path.basename(sf_dir)}")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+
+    def fw(col, width):
+        return F.rpad(
+            F.coalesce(F.col(col).cast("string"), F.lit("")), width, " "
+        )
+
     line = F.concat(
-        F.rpad(F.col("o_orderkey").cast("string"), 12, " "),
-        F.rpad(F.col("o_orderstatus"), 2, " "),
-        F.rpad(F.col("o_totalprice").cast("string"), 12, " "),
-        F.rpad(F.col("o_orderpriority"), 16, " "),
+        fw("o_orderkey", 12),
+        fw("o_orderstatus", 2),
+        fw("o_totalprice", 12),
+        fw("o_orderpriority", 16),
     )
     o.select(line.alias("value")).write.mode("overwrite").text(out)
     raw = spark.read.text(out)
+
+    def field(start, width):
+        return F.nullif(F.trim(F.substring("value", start, width)), F.lit(""))
+
     return raw.select(
-        F.trim(F.substring("value", 1, 12)).cast("long").alias("o_orderkey"),
-        F.trim(F.substring("value", 13, 2)).alias("o_orderstatus"),
-        F.trim(F.substring("value", 15, 12)).cast("double").alias("o_totalprice"),
-        F.trim(F.substring("value", 27, 16)).alias("o_orderpriority"),
+        field(1, 12).cast("long").alias("o_orderkey"),
+        field(13, 2).alias("o_orderstatus"),
+        field(15, 12).cast("double").alias("o_totalprice"),
+        field(27, 16).alias("o_orderpriority"),
     )
 
 
@@ -790,14 +809,24 @@ def q273_mask_functions(spark, sf_dir) -> DataFrame:
     the name, digits-to-'*' on the phone, and a prefix-preserving mask
     (country code kept, rest masked) built by composition — the realistic
     policy shape. The oracle reproduces each with regexp_replace chains.
-    Scan-stage, zero shuffle, codegen."""
+    Scan-stage, zero shuffle, codegen.
+
+    NULL pin: Spark's format_string renders a NULL argument as the
+    4-char string 'null' (java.util.Formatter), so an unguarded build
+    would MASK A PHANTOM VALUE for rows with no nationality — and
+    diverge from SQL printf, which propagates NULL (the null-injection
+    walk's finding). The engine pins NULL-in → NULL-out: a missing
+    component means no phone to mask."""
     c = table(spark, sf_dir, "customer").withColumn(
         "phone",
-        F.format_string(
-            "%02d-%03d-%04d",
-            F.col("c_nationkey"),
-            F.col("c_custkey") % 1000,
-            (F.col("c_custkey") * 7) % 10000,
+        F.when(
+            F.col("c_nationkey").isNotNull(),
+            F.format_string(
+                "%02d-%03d-%04d",
+                F.col("c_nationkey"),
+                F.col("c_custkey") % 1000,
+                (F.col("c_custkey") * 7) % 10000,
+            ),
         ),
     )
     return c.select(
@@ -1030,6 +1059,7 @@ def q295_gdpr_purge(spark, sf_dir) -> DataFrame:
         SELECT o_orderkey, o_totalprice,
                CAST(epoch_us(o_orderdate) AS BIGINT) AS odate_us
         FROM orders WHERE o_orderkey % 10 = 0
+          AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
     ),
     ranked AS (
         SELECT *,
@@ -1053,13 +1083,22 @@ def q298_pareto_frontier(spark, sf_dir) -> DataFrame:
     everything cheaper (strictly — ties on price resolved by orderkey
     so the frontier is deterministic). O(n log n) via the sort the
     window needs anyway, versus O(n^2) for the naive dominator join —
-    at 100 TB that's the difference between a query and an outage. The
+    at 100 TB that's the difference between a query and an outage.
+    NULL metrics are PINNED ineligible (filtered on both sides): a row
+    with an unknown price can neither dominate nor sit on the frontier,
+    and leaving nulls in puts the divergent engine null sort order
+    (Spark NULLS FIRST vs DuckDB NULLS LAST on ASC) inside the running
+    max — the null-injection walk's finding. The
     global-order window is the documented q127 trade: for frontier
     candidates a pre-filter (per-partition local frontier, then global
     over survivors — frontier-of-frontiers is exact because domination
     is transitive) keeps the final window's input tiny. Dates compare
     as integer epoch micros (the q286 cross-engine discipline)."""
-    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 10 == 0)
+        & F.col("o_totalprice").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+    )
     pts = o.select(
         "o_orderkey",
         "o_totalprice",

@@ -623,7 +623,8 @@ _SCD2_W2_DATE = "2024-09-01"  # q324: effective date of the second wave
 _SCD2_TWO_WAVE_ORACLE = f"""
     WITH changed1 AS (
         SELECT c_custkey AS k FROM customer
-        WHERE c_custkey % 5 = 0 AND c_mktsegment <> 'BUILDING'
+        WHERE c_custkey % 5 = 0
+          AND c_mktsegment IS DISTINCT FROM 'BUILDING'
     ),
     w2 AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0)
     -- version 1: every original member; closed by whichever wave first
@@ -730,7 +731,8 @@ def scd2_tombstone(
     oracle=f"""
     WITH changed1 AS (
         SELECT c_custkey AS k FROM customer
-        WHERE c_custkey % 5 = 0 AND c_mktsegment <> 'BUILDING'
+        WHERE c_custkey % 5 = 0
+          AND c_mktsegment IS DISTINCT FROM 'BUILDING'
     ),
     del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 7 = 0)
     SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg,
@@ -1128,9 +1130,25 @@ def q333_scd2_multiattr(spark, sf_dir) -> DataFrame:
 
 # q336: the production hash-diff spelling of multi-attribute tracking.
 # Separator-joined string then md5 — engine-portable (BIGINT→string
-# renders identically; columns are non-null, so no concat_ws skip hazard).
+# renders identically). NULLS ARE ENCODED EXPLICITLY (coalesce to a
+# sentinel BEFORE joining): concat_ws SKIPS null fields, so without the
+# sentinel (NULL,'7') and ('7',NULL) — or NULL vs non-NULL against a
+# DuckDB || that NULL-poisons the whole digest — collide or diverge.
+# The registry-wide null-injection walk caught exactly that: a
+# nat-change on a NULL-seg row hashed as "unchanged" on the oracle side
+# (NULL digest on both) while the engine's skip produced differing
+# digests. The sentinel makes the digest total and identical on both
+# engines; non-null inputs hash exactly as before.
+_HD_NULL = "<NULL>"  # explicit-null marker (no escapes — portable)
 _HASHDIFF_SPARK = lambda seg, nat: F.md5(  # noqa: E731
-    F.concat_ws("|", seg, nat.cast("string"))
+    F.concat_ws(
+        "|",
+        F.coalesce(seg, F.lit(_HD_NULL)),
+        F.coalesce(nat.cast("string"), F.lit(_HD_NULL)),
+    )
+)
+_HD_SQL = lambda seg, nat: (  # noqa: E731
+    f"md5(COALESCE({seg}, '<NULL>') || '|' || COALESCE({nat}, '<NULL>'))"
 )
 
 
@@ -1149,14 +1167,14 @@ _HASHDIFF_SPARK = lambda seg, nat: F.md5(  # noqa: E731
     ),
     src_h AS (
         SELECT k, name, seg, nat,
-               md5(seg || '|' || CAST(nat AS VARCHAR)) AS hashdiff
+               {_HD_SQL('seg', 'CAST(nat AS VARCHAR)')} AS hashdiff
         FROM src
     ),
     tgt_h AS (
         SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg,
                CAST(c_nationkey AS BIGINT) AS nat,
-               md5(c_mktsegment || '|'
-                   || CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR))
+               {_HD_SQL('c_mktsegment',
+                        'CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR)')}
                    AS hashdiff
         FROM customer
     ),
@@ -1400,7 +1418,8 @@ def scd2_merge_retro(
     oracle=f"""
     WITH changed1 AS (
         SELECT c_custkey AS k FROM customer
-        WHERE c_custkey % 5 = 0 AND c_mktsegment <> 'BUILDING'
+        WHERE c_custkey % 5 = 0
+          AND c_mktsegment IS DISTINCT FROM 'BUILDING'
     ),
     retro_k AS (
         -- retro wave: every 9th customer to 'MAIL'; AUTOMOBILE rows are

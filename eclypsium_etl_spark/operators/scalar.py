@@ -498,15 +498,27 @@ def q256_from_csv_expr(spark, sf_dir) -> DataFrame:
     source columns and parsed straight back, so the oracle is the plain
     projection — any asymmetry between the packer and from_csv's parser
     (quoting, type coercion, field order) breaks the hash. Scan-stage
-    expression work; zero shuffle."""
+    expression work; zero shuffle.
+
+    NULL discipline: every field is coalesced to '' BEFORE concat_ws —
+    concat_ws SKIPS null arguments, so a bare pack of a null field
+    SHIFTS every later column one slot left (the null-injection walk
+    caught l_quantity landing in l_returnflag's slot); empty fields
+    keep positions and from_csv's default nullValue='' parses them
+    back to NULL symmetrically."""
     li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
     packed = li.select(
         F.concat_ws(
             ",",
-            F.col("l_orderkey"),
-            F.col("l_linenumber"),
-            F.col("l_returnflag"),
-            F.col("l_quantity"),
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit(""))
+                for c in (
+                    "l_orderkey",
+                    "l_linenumber",
+                    "l_returnflag",
+                    "l_quantity",
+                )
+            ],
         ).alias("rec")
     )
     parsed = packed.select(

@@ -318,7 +318,7 @@ _ED_BUCKETS = 8
         SELECT o_totalprice,
                ntile({_ED_BUCKETS})
                    OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
-        FROM orders
+        FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT bucket, COUNT(*) AS n,
            MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
@@ -334,8 +334,14 @@ def q185_histogram_equidepth(spark, sf_dir) -> DataFrame:
     the fixture-scale spelling; at 100 TB the same boundaries come from
     approx_percentile (t-digest, mergeable) without any global sort —
     the histogram needs the edges, not a total order. Tiebreak on
-    o_orderkey makes bucket assignment deterministic across engines."""
-    o = table(spark, sf_dir, "orders")
+    o_orderkey makes bucket assignment deterministic across engines.
+    NULL prices are PINNED out (filtered on both sides): a NULL has no
+    position in a value distribution — a histogram that ranks it would
+    also inherit the divergent engine null sort order (null-injection
+    walk finding); count NULLs separately (q157's profile) if needed."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     b = o.select(
         "o_totalprice",
         F.ntile(_ED_BUCKETS)

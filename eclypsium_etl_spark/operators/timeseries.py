@@ -196,8 +196,14 @@ def q92_cogroup(spark, sf_dir) -> DataFrame:
             )
         else:
             per_cust = (
+                # nullable Int64: SQL-NULL prices arrive as NaN — the
+                # plain int64 astype raises on them (null-injection walk
+                # finding); nullable cents skip NA in the sum, exactly
+                # SUM's semantics, and COUNT still counts the rows
                 o_pdf.assign(
-                    cents=(o_pdf["o_totalprice"] * 10_000).round().astype("int64")
+                    cents=(o_pdf["o_totalprice"] * 10_000)
+                    .round()
+                    .astype("Int64")
                 )
                 .groupby("o_custkey")
                 .agg(n_orders=("o_orderkey", "size"), cents=("cents", "sum"))

@@ -52,14 +52,22 @@ def q59_udf_scalar(spark, sf_dir) -> DataFrame:
 def _flag_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped custom aggregation (UDAF via applyInPandas). Sums are done
     in integer ten-thousandths (exact, order-independent) to match the
-    engine-side decimal(.,4) discipline bit-for-bit."""
-    cents = (pdf["l_extendedprice"] * 10_000).round().astype("int64")
+    engine-side decimal(.,4) discipline bit-for-bit.
+
+    NULL-correct like the SQL aggregates it mirrors: prices arrive as
+    NaN for SQL NULL — the nullable Int64 cents column skips them in
+    the sum (plain int64 astype RAISES on NaN, the crash the null-
+    injection walk caught), COUNT(*) still counts the rows, and an
+    all-null group yields NULL sums/maxes, not 0."""
+    cents = (pdf["l_extendedprice"] * 10_000).round().astype("Int64")
+    sp = cents.sum(min_count=1)
+    mx = pdf["l_extendedprice"].max()
     return pd.DataFrame(
         {
             "l_returnflag": [pdf["l_returnflag"].iloc[0]],
             "n_items": [len(pdf)],
-            "sum_price": [cents.sum() / 10_000.0],
-            "max_price": [pdf["l_extendedprice"].max()],
+            "sum_price": [None if pd.isna(sp) else sp / 10_000.0],
+            "max_price": [None if pd.isna(mx) else mx],
         }
     )
 

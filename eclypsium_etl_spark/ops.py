@@ -219,7 +219,7 @@ def global_running_sum(
     import tempfile
     import uuid
 
-    reserved = {"__pid", "__run", "__base"}
+    reserved = {"__pid", "__run", "__base", "__base_cnt"}
     if out_col in reserved or reserved & set(df.columns):
         raise ValueError(
             f"global_running_sum reserves {sorted(reserved)} internally; "
@@ -250,17 +250,39 @@ def global_running_sum(
     staged.withColumn("__run", F.sum(value_col).over(w)).write.parquet(scratch)
     atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     local = spark.read.parquet(scratch)
-    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__tot")).collect()
-    acc = 0
+    totals = local.groupBy("__pid").agg(
+        F.sum(value_col).alias("__tot"),
+        F.count(value_col).alias("__cnt"),
+    ).collect()
+    acc, acc_cnt = 0, 0
     base_rows = []
-    for p, t in sorted((r["__pid"], r["__tot"]) for r in totals):
-        base_rows.append((p, acc))
+    for p, t, n in sorted((r["__pid"], r["__tot"], r["__cnt"]) for r in totals):
+        base_rows.append((p, acc, acc_cnt))
         acc += t or 0
-    base = spark.createDataFrame(base_rows, "__pid int, __base long")
+        acc_cnt += n
+    base = spark.createDataFrame(
+        base_rows, "__pid int, __base long, __base_cnt long"
+    )
+    # NULL semantics must match the single global window EXACTLY: SQL's
+    # running SUM is NULL iff every value up to the current row is NULL.
+    # The per-partition __run is NULL for a partition-leading run of
+    # NULLs even when EARLIER partitions carried values (caught by the
+    # null-injection walk — and only when range sampling happens to put
+    # a null-value row at a partition head, which is why it flaked), so
+    # a NULL __run resolves to the base offset when any prior partition
+    # counted a value, and stays NULL only at the true global prefix.
+    run_g = (
+        F.when(
+            F.col("__run").isNull() & (F.col("__base_cnt") == 0),
+            F.lit(None).cast("long"),
+        )
+        .when(F.col("__run").isNull(), F.col("__base"))
+        .otherwise(F.col("__run") + F.col("__base"))
+    )
     return (
         local.join(F.broadcast(base), "__pid")
-        .withColumn(out_col, F.col("__run") + F.col("__base"))
-        .drop("__pid", "__run", "__base")
+        .withColumn(out_col, run_g)
+        .drop("__pid", "__run", "__base", "__base_cnt")
     )
 
 

@@ -8,23 +8,34 @@ schemas, deterministic ~5-9%% null masks on join keys, group keys,
 window-order columns and aggregate inputs) and runs the family's own
 registered queries AND oracles against it.
 
-Divergences found and PINNED by this sweep (engine keeps Spark's
-documented defaults; oracles state them explicitly so they hold on any
-fixture):
-  - ASC NULL ordering: Spark = NULLS FIRST, DuckDB = NULLS LAST
-    (default_null_order='nulls_last', both directions). Affected
-    oracles: q30 (rank/dense_rank ORDER BY o_orderstatus), q34
-    (ntile/percent_rank/cume_dist ORDER BY c_acctbal). q29's DESC
-    agrees (both NULLS LAST) and is pinned explicitly anyway.
-  - Everything else in the family agrees by both engines' shared ANSI
-    semantics: null join keys never match (inner/left/semi/anti),
-    GROUP BY places nulls in one group, COUNT(expr)/SUM/MIN/MAX/AVG
-    skip nulls, COUNT(DISTINCT) ignores nulls, ROLLUP/CUBE natural-null
-    keys coexist with the aggregated-out NULL markers as identical
-    multisets.
+The walk now covers the ENTIRE registry (every oracled query) — the
+masked tables feed far more than the q11-q34 core. Findings from the
+registry-wide walk, each fixed or pinned at its query:
+  - ASC NULL ordering (Spark NULLS FIRST vs DuckDB nulls_last): pinned
+    explicitly in q30/q34's oracles; q185 and q298 instead pin NULLs
+    OUT (no position in a value distribution / not skyline-eligible).
+  - concat_ws SKIPS null fields: q256's CSV packer shifted columns
+    (now coalesce-to-''), q336's hashdiff collided/diverged (now
+    sentinel-encoded on both engines).
+  - Whole-value NULL poisoning: q270's fixed-width F.concat dropped the
+    row and '' raised under ANSI cast (now blank-render + nullif-parse).
+  - format_string renders NULL as 'null' (Java) vs printf's NULL
+    propagation: q273 pins NULL-in → NULL-out.
+  - pandas int64 astype raises on NaN: q60/q92 use nullable Int64
+    (SUM-skip semantics preserved).
+  - Spark writes NULL partition values as __HIVE_DEFAULT_PARTITION__:
+    q217 decodes the marker back to logical NULL.
+  - PIVOT's IN-list is a filter (NULL status drops): q225's oracle now
+    states it instead of bucketing NULL into 'P'.
+  - Closed-form SCD2 oracles used null-poisoning <>: q324/q326/q329/
+    q336/q338 now use IS DISTINCT FROM, matching the null-safe kernels.
+  - Everything else agrees by shared ANSI semantics: null join keys
+    never match, GROUP BY places nulls in one group, aggregates skip
+    nulls, COUNT(DISTINCT) ignores nulls, ROLLUP/CUBE natural-null keys
+    coexist with aggregation markers as identical multisets.
 
 Gated behind SPARK_GRAFT_NULL_SWEEP=1 (builds the variant fixture
-once per source-fixture stamp under /tmp; ~2 min for the family):
+once per source-fixture stamp under /tmp; ~10 min for the registry):
 
     SPARK_GRAFT_NULL_SWEEP=1 python -m pytest tests/test_null_injection.py -q
 """
@@ -51,17 +62,9 @@ pytestmark = pytest.mark.skipif(
 
 QUERIES, ORACLE = registry.load_all()
 
-# The relational core per VERDICT r8 #2: joins, aggregates, windows.
-CORE = [
-    "q11_join_inner_hash", "q12_join_broadcast", "q13_join_left_outer",
-    "q14_join_semi", "q15_join_anti", "q16_join_multiway",
-    "q17_join_theta_range", "q18_join_asof", "q19_join_selfdedup",
-    "q20_agg_global", "q21_agg_groupby", "q22_agg_distinct",
-    "q23_agg_approx_distinct", "q24_agg_rollup", "q25_agg_cube",
-    "q26_agg_groupingsets", "q27_agg_having", "q28_agg_collect",
-    "q29_win_rownumber", "q30_win_rank", "q31_win_lag_lead",
-    "q32_win_running", "q33_win_range_frame", "q34_win_ntile_pct",
-]
+# Registry-wide: every oracled query runs against the null fixture
+# (q52's rows-only gate is the single exclusion, as in the driver walk).
+CORE = sorted(ORACLE)
 
 # Deterministic null masks. Every injected column is a join key, group
 # key, window-order column, or aggregate input somewhere in CORE; dates/

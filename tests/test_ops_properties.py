@@ -223,6 +223,40 @@ def test_global_running_sum_matches_single_window(spark):
         assert got == expected, f"mismatch at partitions={parts}"
 
 
+def test_global_running_sum_null_values_match_single_window(spark):
+    """NULL semantics of the two-phase prefix sum (null-injection walk,
+    round 9): SQL's running SUM is NULL iff every value up to the row is
+    NULL. The per-partition stage produced NULL for a partition-LEADING
+    null run even when earlier partitions carried values — sampling-
+    dependent (only bites when the range split puts a null-value row at
+    a partition head), so this pin forces nulls to land everywhere by
+    making every 3rd value NULL, including row 0, across many partition
+    counts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, None if i % 3 == 0 else (i * 37) % 11) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long")
+    w = Window.orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expected = {
+        r.id: r.run
+        for r in df.withColumn("run", F.sum("v").over(w)).collect()
+    }
+    assert expected[0] is None, "global leading-null prefix stays NULL"
+    for parts in (1, 7, 64):
+        got = {
+            r.id: r.run
+            for r in ops.global_running_sum(
+                df, ["id"], "v", "run", partitions=parts
+            ).collect()
+        }
+        assert got == expected, f"mismatch at partitions={parts}"
+
+
 def test_gap_fill_non_numeric_aggregates_survive(spark):
     """ADVICE r2: a non-numeric aggregate (first over a string) must not be
     coalesced with 0 — it stays NULL on gap days and intact on present
