@@ -578,7 +578,7 @@ def q266_str_to_map(spark, sf_dir) -> DataFrame:
     SELECT event_id,
            'T_' || COALESCE(event_type, 'none') AS type_upkey,
            CAST(floor(value) * 2 AS BIGINT) AS val_doubled,
-           (value >= 50) AS kept_big,
+           COALESCE(value >= 50, FALSE) AS kept_big,
            CAST(user_id + floor(value) AS BIGINT) AS zipped_sum
     FROM events
     """,
@@ -592,7 +592,12 @@ def q269_map_hofs(spark, sf_dir) -> DataFrame:
     scalar extractions (MapType doesn't value-hash across engines; the
     extracted entries prove each lambda ran). The oracle computes what
     each extraction must equal directly from the source columns.
-    Zero shuffle at any scale."""
+    Zero shuffle at any scale.
+
+    NULL pin: map_filter has FILTER semantics — an entry whose predicate
+    evaluates NULL (value >= 50 on a NULL value) is DROPPED, so the
+    presence-as-boolean extraction is FALSE, never NULL; the oracle
+    states it as COALESCE(value >= 50, FALSE) (null-injection walk)."""
     e = table(spark, sf_dir, "events")
     base = e.select(
         "event_id",

@@ -1196,7 +1196,8 @@ def q311_event_pmi(spark, sf_dir) -> DataFrame:
            round(mad.mad_v, 6) AS group_mad,
            round((d.value - d.med_v) / (1.4826 * nullif(mad.mad_v, 0)), 6)
                AS robust_z,
-           (abs((d.value - d.med_v) / (1.4826 * nullif(mad.mad_v, 0))) > 3.5)
+           COALESCE(abs((d.value - d.med_v)
+                         / (1.4826 * nullif(mad.mad_v, 0))) > 3.5, FALSE)
                AS is_outlier
     FROM dev d JOIN mad USING (event_type)
     """,
@@ -1215,7 +1216,13 @@ def q315_mad_robust_z(spark, sf_dir) -> DataFrame:
     where a majority shares the median value) is guarded with
     nullif on BOTH engines: division-by-zero semantics differ
     cross-engine (Spark non-ANSI NULL vs DuckDB inf), so degenerate
-    groups must produce NULL robust_z identically (ADVICE r4)."""
+    groups must produce NULL robust_z identically (ADVICE r4).
+    is_outlier is COALESCEd to FALSE on both sides: a missing
+    measurement (NULL value, or a degenerate MAD) is NOT an outlier —
+    and a nullable boolean is also the one type the pandas-based
+    canonicalizers render differently per engine (None vs NaN in an
+    object column), so the flag column stays total (null-injection
+    walk)."""
     e = table(spark, sf_dir, "events")
     med = e.groupBy("event_type").agg(F.median("value").alias("med_v"))
     dev = e.join(F.broadcast(med), "event_type").select(
@@ -1235,7 +1242,7 @@ def q315_mad_robust_z(spark, sf_dir) -> DataFrame:
         F.round("med_v", 6).alias("group_median"),
         F.round("mad_v", 6).alias("group_mad"),
         F.round(rz, 6).alias("robust_z"),
-        (F.abs(rz) > 3.5).alias("is_outlier"),
+        F.coalesce(F.abs(rz) > 3.5, F.lit(False)).alias("is_outlier"),
     )
 
 

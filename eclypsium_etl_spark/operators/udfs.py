@@ -336,9 +336,17 @@ def q233_udf_arrow_optimized(spark, sf_dir) -> DataFrame:
     pandas_udf / applyInArrow (vectorized compute) > THIS (Arrow
     transport, scalar Python compute) > legacy pickle UDF (never in a hot
     path). The kernel is string routing logic — trivially expressible as
-    an expression, chosen so the oracle checks the transport exactly."""
+    an expression, chosen so the oracle checks the transport exactly.
+
+    NULL discipline for row UDFs: SQL NULL arrives as Python None, and
+    an f-string happily renders it as the 6-char literal 'None:…' — a
+    phantom value no SQL expression would produce (null-injection walk
+    finding). Row UDFs must check None explicitly; NULL-in → NULL-out
+    here, matching the oracle's || propagation."""
     route = F.udf(
-        lambda et, uid: f"{et}:{uid % 100}", "string", useArrow=True
+        lambda et, uid: None if et is None else f"{et}:{uid % 100}",
+        "string",
+        useArrow=True,
     )
     e = table(spark, sf_dir, "events")
     return e.select("event_id", route("event_type", "user_id").alias("route_key"))

@@ -79,7 +79,10 @@ def _running_cents_fallback(spark, sf_dir) -> DataFrame:
     def track(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         batch = 0
         for pdf in pdfs:
-            batch += int((pdf["value"] * 10_000).round().astype("int64").sum())
+            # nullable Int64 — NaN-safe, NA-skipping (SUM semantics)
+            batch += int(
+                (pdf["value"] * 10_000).round().astype("Int64").sum()
+            )
         total = (state.get[0] if state.exists else 0) + batch
         state.update((total,))
         yield pd.DataFrame(
@@ -140,7 +143,10 @@ def q113_stream_transform_state(spark, sf_dir) -> DataFrame:
         def handleInputRows(self, key, rows, timerValues):
             batch = 0
             for pdf in rows:
-                batch += int((pdf["value"] * 10_000).round().astype("int64").sum())
+                # nullable Int64 — NaN-safe, NA-skipping (SUM semantics)
+                batch += int(
+                    (pdf["value"] * 10_000).round().astype("Int64").sum()
+                )
             prev = self._cents.get()
             total = (prev[0] if prev else 0) + batch
             self._cents.update((total,))

@@ -36,7 +36,12 @@ def _track_spend(
     # exact cents-style accumulation (matches the engine's decimal discipline)
     batch_cents = 0
     for pdf in pdfs:
-        batch_cents += int((pdf["value"] * 10_000).round().astype("int64").sum())
+        # nullable Int64: SQL-NULL values arrive as NaN and plain int64
+        # astype raises on them (null-injection walk); NA-skipping sum
+        # is exactly SUM's semantics
+        batch_cents += int(
+            (pdf["value"] * 10_000).round().astype("Int64").sum()
+        )
     # round, don't truncate: the stored double doesn't round-trip *10_000
     # exactly (0.0003*10_000 = 2.9999999999999996), truncation would drift
     prev_cents = round(state.get[0] * 10_000) if state.exists else 0

@@ -103,6 +103,16 @@ _MASKS = {
         CASE WHEN s_suppkey % 11 = 3 THEN NULL ELSE s_nationkey END
             AS s_nationkey
     """,
+    # v2: events joins the masked set — value (aggregate input across the
+    # timeseries/statistics family) and event_type (group/filter key,
+    # incl. the streaming oracles). ts / user_id / event_id stay clean:
+    # they anchor watermarks, frames and join keys identically on both
+    # engines and nulling them models a broken ingest, not late data.
+    "events": """
+        CASE WHEN event_id % 13 = 5 THEN NULL ELSE value END AS value,
+        CASE WHEN event_id % 31 = 9 THEN NULL ELSE event_type END
+            AS event_type
+    """,
 }
 
 
@@ -114,7 +124,7 @@ def _null_fixture_dir() -> str:
     out = os.path.join(
         tempfile.gettempdir(),
         "eclypsium_etl_spark",
-        f"nullfx_v1_{os.path.basename(SF_CHECK)}_{stamp}",
+        f"nullfx_v2_{os.path.basename(SF_CHECK)}_{stamp}",
     )
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):
@@ -168,6 +178,7 @@ def test_masks_actually_inject(duck_null):
         "lineitem": ["l_quantity", "l_discount", "l_returnflag",
                      "l_extendedprice"],
         "supplier": ["s_nationkey"],
+        "events": ["value", "event_type"],
     }
     for t, cols in checks.items():
         for c in cols:
