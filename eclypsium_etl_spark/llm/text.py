@@ -3735,3 +3735,102 @@ def q309_quota_apportion(spark, sf_dir) -> DataFrame:
             .alias("quota"),
         )
     )
+
+
+@query(
+    "q341_text_ingest_gate",
+    oracle="""
+    WITH raw AS (
+        -- deterministic defect injection (the q272 bad-record pattern):
+        -- the fixture is clean by construction, so the gate's input
+        -- models what a real crawl batch carries
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 3 THEN NULL
+                    WHEN doc_id % 13 = 5 THEN ''
+                    WHEN doc_id % 17 = 9 THEN '   ' || chr(9) || chr(10)
+                    ELSE text END AS text,
+               lang
+        FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, lang,
+               CASE WHEN text IS NULL THEN 'null_text'
+                    WHEN length(text) = 0 THEN 'empty'
+                    WHEN length(trim(text, ' ' || chr(9) || chr(10)
+                                      || chr(13))) = 0
+                        THEN 'whitespace_only'
+                    WHEN length(text) < 20 THEN 'too_short'
+                    ELSE 'ok' END AS verdict,
+               text
+        FROM raw
+    )
+    SELECT verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS n_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM gated
+    GROUP BY verdict
+    """,
+)
+def q341_text_ingest_gate(spark, sf_dir) -> DataFrame:
+    """TEXT INGEST QUALITY GATE — the quarantine stage every corpus
+    pipeline runs BEFORE the text family touches a document, and the
+    registered statement of the engine's ingest contract: NULL, empty,
+    whitespace-only and too-short texts are classified OUT at the door,
+    which is WHY the downstream tokenizers/shinglers/hashers (q62-q78,
+    q102+) may assume non-null text (the null-injection walk masks the
+    relational tables but not documents.text — this gate is the
+    documented reason). Defects are injected deterministically (the
+    q272 bad-record pattern: doc_id mod 11/13/17 arms produce each
+    defect class) because the fixture itself is clean, and the checked
+    output is the per-verdict audit summary (counts, char volume,
+    id range) — the report an ingest job publishes alongside its
+    quarantine sink.
+
+    Verdict order matters and is pinned by the CASE: NULL before
+    length (length(NULL) is NULL and would fall through every arm to a
+    phantom 'ok'), empty before whitespace-only (trim('') is '' too),
+    whitespace before too-short. The whitespace trim set is explicit
+    (space/tab/LF/CR) because Spark's trim() strips SPACES ONLY while
+    DuckDB's trim default differs — the cross-engine pin is the
+    explicit character set on both sides.
+
+    At 100 TB: one scan, zero shuffles before the 5-group aggregate;
+    the pass-through slice (verdict='ok') is the same scan with a
+    filter, so gate + quarantine + clean-write is a single read of the
+    batch (write-audit-publish: counts land next to the data)."""
+    d = table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    ws = " \t\n\r"
+    raw = d.select(
+        "doc_id",
+        "lang",
+        F.when(k % 11 == 3, F.lit(None))
+        .when(k % 13 == 5, F.lit(""))
+        .when(k % 17 == 9, F.concat(F.lit("   "), F.lit("\t"), F.lit("\n")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    verdict = (
+        F.when(F.col("text").isNull(), "null_text")
+        .when(F.length("text") == 0, "empty")
+        .when(
+            F.length(F.expr(f"trim(BOTH '{ws}' FROM text)")) == 0,
+            "whitespace_only",
+        )
+        .when(F.length("text") < 20, "too_short")
+        .otherwise("ok")
+    )
+    return (
+        raw.select("doc_id", verdict.alias("verdict"), "text")
+        .groupBy("verdict")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.length("text")), F.lit(0))
+            .cast("long")
+            .alias("n_chars"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+    )

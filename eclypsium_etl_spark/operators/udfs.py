@@ -55,12 +55,13 @@ def _flag_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     engine-side decimal(.,4) discipline bit-for-bit.
 
     NULL-correct like the SQL aggregates it mirrors: prices arrive as
-    NaN for SQL NULL — the nullable Int64 cents column skips them in
-    the sum (plain int64 astype RAISES on NaN, the crash the null-
-    injection walk caught), COUNT(*) still counts the rows, and an
-    all-null group yields NULL sums/maxes, not 0."""
-    cents = (pdf["l_extendedprice"] * 10_000).round().astype("Int64")
-    sp = cents.sum(min_count=1)
+    NaN for SQL NULL — dropna before the int64 cast skips them exactly
+    like SUM (a bare astype RAISES on NaN, the crash the null-injection
+    walk caught; dropna→int64 keeps plain-int speed where nullable
+    Int64 masked ops measurably drag), COUNT(*) still counts the rows,
+    and an all-null group yields NULL sums/maxes, not 0."""
+    cents = (pdf["l_extendedprice"] * 10_000).round().dropna().astype("int64")
+    sp = cents.sum() if len(cents) else None
     mx = pdf["l_extendedprice"].max()
     return pd.DataFrame(
         {

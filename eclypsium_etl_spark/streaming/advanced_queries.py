@@ -79,9 +79,14 @@ def _running_cents_fallback(spark, sf_dir) -> DataFrame:
     def track(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         batch = 0
         for pdf in pdfs:
-            # nullable Int64 — NaN-safe, NA-skipping (SUM semantics)
+            # dropna→int64 — NaN-safe, NA-skipping (SUM semantics)
+            # at plain-int speed (see stateful._track_spend)
             batch += int(
-                (pdf["value"] * 10_000).round().astype("Int64").sum()
+                (pdf["value"] * 10_000)
+                .round()
+                .dropna()
+                .astype("int64")
+                .sum()
             )
         total = (state.get[0] if state.exists else 0) + batch
         state.update((total,))
@@ -143,9 +148,13 @@ def q113_stream_transform_state(spark, sf_dir) -> DataFrame:
         def handleInputRows(self, key, rows, timerValues):
             batch = 0
             for pdf in rows:
-                # nullable Int64 — NaN-safe, NA-skipping (SUM semantics)
+                # dropna→int64 — NaN-safe, NA-skipping (SUM semantics)
                 batch += int(
-                    (pdf["value"] * 10_000).round().astype("Int64").sum()
+                    (pdf["value"] * 10_000)
+                    .round()
+                    .dropna()
+                    .astype("int64")
+                    .sum()
                 )
             prev = self._cents.get()
             total = (prev[0] if prev else 0) + batch

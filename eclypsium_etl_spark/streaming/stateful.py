@@ -36,11 +36,12 @@ def _track_spend(
     # exact cents-style accumulation (matches the engine's decimal discipline)
     batch_cents = 0
     for pdf in pdfs:
-        # nullable Int64: SQL-NULL values arrive as NaN and plain int64
-        # astype raises on them (null-injection walk); NA-skipping sum
-        # is exactly SUM's semantics
+        # SQL-NULL values arrive as NaN and plain int64 astype raises
+        # on them (null-injection walk); dropna-then-int64 keeps SUM's
+        # skip semantics at plain-int speed (nullable Int64 masked ops
+        # cost ~0.6s/batch at sf0.1 — measured in the r9 bench vigil)
         batch_cents += int(
-            (pdf["value"] * 10_000).round().astype("Int64").sum()
+            (pdf["value"] * 10_000).round().dropna().astype("int64").sum()
         )
     # round, don't truncate: the stored double doesn't round-trip *10_000
     # exactly (0.0003*10_000 = 2.9999999999999996), truncation would drift
