@@ -135,7 +135,9 @@ def _commit_dir(tmp: str, out: str, is_complete) -> None:
             pass
 
 
-def materialize_once(spark: SparkSession, out: str, write_fn) -> DataFrame:
+def materialize_once(
+    spark: SparkSession, out: str, write_fn, schema=None
+) -> DataFrame:
     """Write-once shared parquet intermediate (the memo discipline behind
     llm/dedup.shingles() and the q86 partitioned layout).
 
@@ -149,18 +151,29 @@ def materialize_once(spark: SparkSession, out: str, write_fn) -> DataFrame:
     crashed-writer replace path is lockfile-serialized in
     :func:`_commit_dir`.
 
-    ``write_fn(path)`` must write the parquet dataset at ``path``."""
+    ``write_fn(path)`` must write the parquet dataset at ``path``.
+
+    ``schema``: optional explicit read schema — REQUIRED for layouts
+    that can legitimately be EMPTY (a partitionBy write of zero rows
+    leaves no data files and no partition directories, so schema
+    inference fails with UNABLE_TO_INFER_SCHEMA; the empty-input walk's
+    finding, and this module's own header rule: never infer schemas in
+    production paths)."""
     import os
     import uuid
 
+    def _read():
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        return reader.parquet(out)
+
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):
-        return spark.read.parquet(out)
+        return _read()
     os.makedirs(os.path.dirname(out), exist_ok=True)
     tmp = f"{out}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     write_fn(tmp)
     _commit_dir(tmp, out, lambda: os.path.exists(done))
-    return spark.read.parquet(out)
+    return _read()
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

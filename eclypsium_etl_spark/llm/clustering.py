@@ -112,7 +112,17 @@ def maximin_seeds(spark, sf_dir, k: int) -> DataFrame:
     k-means|| batches several seeds per scan; the per-rung plan is
     unchanged."""
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    first = em.filter(F.col("vec_id") == 0).collect()[0]
+    first_rows = em.filter(F.col("vec_id") == 0).collect()
+    if not first_rows:
+        # documented PRECONDITION, not a crash: farthest-first seeding is
+        # model training — an empty corpus (or one missing the anchor
+        # vec_id 0) has no seeds to choose (empty-input walk: the bare
+        # collect()[0] died with an unrelatable IndexError)
+        raise ValueError(
+            "maximin_seeds: empty training corpus (no vec_id 0) — "
+            "farthest-first seeding requires at least one vector"
+        )
+    first = first_rows[0]
     chosen = [(first["vec_id"], first["embedding"])]
     schema = "vec_id bigint, embedding array<float>"
     for _ in range(k - 1):
@@ -135,8 +145,14 @@ def maximin_seeds(spark, sf_dir, k: int) -> DataFrame:
             )
             .orderBy(F.asc("worst"), F.asc("vec_id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not nxt:
+            raise ValueError(
+                f"maximin_seeds: corpus exhausted after {len(chosen)} "
+                f"seeds — fewer than k={k} distinct vectors"
+            )
+        nxt = nxt[0]
         chosen.append((nxt["vec_id"], nxt["embedding"]))
     return spark.createDataFrame(
         chosen, "cent_id bigint, cent_emb array<float>"

@@ -1290,8 +1290,10 @@ def q214_substring_spans(spark, sf_dir) -> DataFrame:
     SELECT CAST(n_exact AS BIGINT) AS n_exact,
            CAST(n_lsh AS BIGINT) AS n_lsh,
            CAST(tp AS BIGINT) AS tp,
-           round(CAST(tp AS DOUBLE) / n_lsh, 6) AS precision,
-           round(CAST(tp AS DOUBLE) / n_exact, 6) AS recall
+           CASE WHEN n_lsh = 0 THEN NULL
+                ELSE round(CAST(tp AS DOUBLE) / n_lsh, 6) END AS precision,
+           CASE WHEN n_exact = 0 THEN NULL
+                ELSE round(CAST(tp AS DOUBLE) / n_exact, 6) END AS recall
     FROM m
     """,
 )
@@ -1322,12 +1324,19 @@ def q287_dedup_eval(spark, sf_dir) -> DataFrame:
             "n_exact",
             "n_lsh",
             "tp",
-            F.round(F.col("tp").cast("double") / F.col("n_lsh"), 6).alias(
-                "precision"
-            ),
-            F.round(F.col("tp").cast("double") / F.col("n_exact"), 6).alias(
-                "recall"
-            ),
+            # no pairs at all (empty corpus / a shard with no dups):
+            # precision/recall are UNDEFINED — NULL on both engines,
+            # never an ANSI zero-division abort (empty-input walk)
+            F.when(F.col("n_lsh") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(F.col("tp").cast("double") / F.col("n_lsh"), 6)
+            )
+            .alias("precision"),
+            F.when(F.col("n_exact") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(F.col("tp").cast("double") / F.col("n_exact"), 6)
+            )
+            .alias("recall"),
         )
     )
 

@@ -76,6 +76,7 @@ def q69_multimodal_cols(spark, sf_dir) -> DataFrame:
            CAST(GROUPING(d.lang, d.source) AS INT) AS gid
     FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
     GROUP BY ROLLUP (d.lang, d.source)
+    HAVING COUNT(*) > 0
     """,
 )
 def q322_struct_rollup(spark, sf_dir) -> DataFrame:

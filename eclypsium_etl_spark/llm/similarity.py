@@ -926,9 +926,10 @@ def _probe_rung_sql(p: int) -> str:
     cells, rank candidates, count exact-top-k hits and candidates."""
     return f"""
         SELECT {p} AS nprobe,
-               round(SUM(n_hit) / {float(_LADDER_NQ * _IVF_TOP_K)}, 6)
+               round(COALESCE(SUM(n_hit), 0)
+                     / {float(_LADDER_NQ * _IVF_TOP_K)}, 6)
                    AS recall_at_{_IVF_TOP_K},
-               CAST(SUM(n_cand) AS BIGINT) AS candidates
+               CAST(COALESCE(SUM(n_cand), 0) AS BIGINT) AS candidates
         FROM (
             SELECT q.query_id,
                    (SELECT COUNT(*)

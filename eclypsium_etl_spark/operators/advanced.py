@@ -228,12 +228,14 @@ def partitioned_orders(spark, sf_dir) -> DataFrame:
     """orders laid out partitionBy(o_orderstatus) in the shared scratch
     area — the write-once intermediate behind q86 and q217, also pre-warmed
     by __spark_entry__.entry() so the harness's q86 run is scan-only."""
+    src = table(spark, sf_dir, "orders")
     return materialize_once(
         spark,
         partitioned_orders_path(sf_dir),
-        lambda path: table(spark, sf_dir, "orders")
-        .write.partitionBy("o_orderstatus")
-        .parquet(path),
+        lambda path: src.write.partitionBy("o_orderstatus").parquet(path),
+        # explicit read schema: an EMPTY orders slice writes no files and
+        # no partition dirs, and an inferring read would fail
+        schema=src.schema,
     )
 
 
@@ -450,9 +452,12 @@ def q217_scan_file_metadata(spark, sf_dir) -> DataFrame:
     back to logical NULL is part of reading the path (nullif below);
     without it the audit compares a phantom string group against the
     data's NULL group (null-injection walk finding)."""
-    partitioned_orders(spark, sf_dir)  # ensure the layout exists (memo)
+    # ensure the layout exists (memo); reuse its frame — the explicit
+    # schema keeps the read valid even for an EMPTY layout (no files to
+    # infer from; empty-input walk)
+    laid = partitioned_orders(spark, sf_dir)
     return (
-        spark.read.parquet(partitioned_orders_path(sf_dir))
+        laid
         .select(
             F.nullif(
                 F.regexp_extract(

@@ -123,7 +123,13 @@ def q23_agg_approx_distinct(spark, sf_dir) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("event_id").alias("n_events"),
     )
-    within = lambda a, n: (  # noqa: E731
+    # n = 0 (an empty slice — the "empty day" every pipeline meets) is a
+    # guarded branch, not a division: a sketch of nothing estimating 0 is
+    # exactly right (ANSI division by zero otherwise kills the job — the
+    # empty-input walk's finding)
+    within = lambda a, n: F.when(  # noqa: E731
+        F.col(n) == 0, F.col(a) == 0
+    ).otherwise(
         F.abs(F.col(a).cast("double") - F.col(n)) / F.col(n) <= 0.15
     )
     return agg.select(
@@ -140,9 +146,17 @@ def q23_agg_approx_distinct(spark, sf_dir) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
            {dsum_sql('o_totalprice')} AS total
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
 )
 def q24_agg_rollup(spark, sf_dir) -> DataFrame:
+    """Hierarchical subtotals. EMPTY-INPUT PIN (q24/q25/q26/q322): the
+    SQL standard (and DuckDB) emit the grand-total grouping-set row even
+    over zero input rows (a lone COUNT(*)=0 row); Spark's rollup/cube/
+    grouping-sets emit NOTHING — inconsistent with Spark's own global
+    aggregate, but engine-defined. The engine keeps Spark's behavior and
+    every family oracle states it as HAVING COUNT(*) > 0 (a no-op on any
+    non-empty input, where each grouping-set row aggregates >= 1 rows)."""
     o = table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"), dsum("o_totalprice").alias("total")
@@ -155,6 +169,7 @@ def q24_agg_rollup(spark, sf_dir) -> DataFrame:
     SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
            {davg_sql('c_acctbal')} AS avg_bal
     FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+    HAVING COUNT(*) > 0
     """,
 )
 def q25_agg_cube(spark, sf_dir) -> DataFrame:
@@ -171,6 +186,7 @@ def q25_agg_cube(spark, sf_dir) -> DataFrame:
            {dsum_sql('o_totalprice')} AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    HAVING COUNT(*) > 0
     """,
 )
 def q26_agg_groupingsets(spark, sf_dir) -> DataFrame:
@@ -268,11 +284,19 @@ def q222_hll_sketch_union(spark, sf_dir) -> DataFrame:
     return exact.crossJoin(merged).select(
         "n_docs",
         "n_sources",
-        (
+        # empty corpus: no sketches to union (NULL estimate) and an exact
+        # count of 0 — the merge law holds vacuously; the guard replaces
+        # the ANSI-fatal 0-division (empty-input walk)
+        F.when(
+            F.col("n_docs") == 0,
+            F.coalesce(F.col("est_docs"), F.lit(0.0)) == 0,
+        )
+        .otherwise(
             F.abs(F.col("est_docs").cast("double") - F.col("n_docs"))
             / F.col("n_docs")
             <= 0.15
-        ).alias("union_within_tol"),
+        )
+        .alias("union_within_tol"),
     )
 
 

@@ -238,15 +238,36 @@ def q220_transpose(spark, sf_dir) -> DataFrame:
     post-aggregation results of bounded width (here: 2 metrics × 5 fixed
     segments); transposing a fact table is a driver OOM by construction.
     The double-typed metric matrix is required — transpose unifies all
-    value columns to the least common type."""
+    value columns to the least common type.
+
+    SCHEMA STABILITY: transpose derives COLUMNS from data, so a missing
+    segment (an empty or filtered slice) would silently change the
+    output schema — the one failure mode a report contract can't absorb
+    (empty-input walk: zero rows transposed to a key-only frame). The
+    fix is the report-engineering standard: aggregate onto a FIXED
+    segment dimension (the same five names the oracle declares), so the
+    shape is constant and absent segments read 0 customers / NULL
+    balance."""
     from ..functions import dsum
 
+    segs = spark.createDataFrame(
+        [(x,) for x in
+         ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")],
+        "c_mktsegment string",
+    )
     c = table(spark, sf_dir, "customer")
+    agg = c.groupBy("c_mktsegment").agg(
+        F.count("*").cast("double").alias("n_customers"),
+        dsum("c_acctbal").alias("total_bal"),
+    )
     wide = (
-        c.groupBy("c_mktsegment")
-        .agg(
-            F.count("*").cast("double").alias("n_customers"),
-            dsum("c_acctbal").alias("total_bal"),
+        segs.join(agg, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            # COUNT of an absent group is 0; SUM stays NULL — exactly the
+            # oracle's FILTER semantics
+            F.coalesce("n_customers", F.lit(0.0)).alias("n_customers"),
+            "total_bal",
         )
         .orderBy("c_mktsegment")
     )

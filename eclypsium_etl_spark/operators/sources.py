@@ -147,7 +147,9 @@ def q05_sink_jdbc(spark, sf_dir) -> DataFrame:
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     )
     write_jdbc(df, url, "customer_q05", mode="overwrite", batch_size=1000)
-    hi = df.agg(F.max("c_custkey")).first()[0]
+    # MAX over an empty slice is NULL — a boundless 1 keeps the bounded
+    # JDBC read valid (zero rows come back either way; empty-input walk)
+    hi = df.agg(F.max("c_custkey")).first()[0] or 0
     back = read_jdbc(
         spark,
         url,
@@ -295,7 +297,10 @@ def q155_sink_dynamic_partition(spark, sf_dir) -> DataFrame:
         upd.write.mode("overwrite").partitionBy("source").parquet(out)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    back = spark.read.parquet(out)
+    # explicit read schema: an empty source slice writes no files/partition
+    # dirs and an inferring read fails (empty-input walk) — production
+    # readers of partitioned sinks always know their schema
+    back = spark.read.schema(d.schema).parquet(out)
     return back.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.when(F.col("n_chars") < 0, 1).otherwise(0)).alias("n_rewritten"),
@@ -690,11 +695,22 @@ def q245_analyze_stats(spark, sf_dir) -> DataFrame:
                 F.expr("nullif(min, 'NULL')").alias("min_val"),
                 F.expr("nullif(max, 'NULL')").alias("max_val"),
                 F.col("num_nulls").cast("int").alias("num_nulls"),
-                (
-                    F.abs(F.col("distinct_count").cast("double") - F.col("exact_nd"))
+                # empty table: ANALYZE records distinct_count 0 and the
+                # exact count is 0 — vacuously in-tolerance, never an
+                # ANSI zero-division abort (empty-input walk)
+                F.when(
+                    F.col("exact_nd") == 0,
+                    F.col("distinct_count").cast("double") == 0,
+                )
+                .otherwise(
+                    F.abs(
+                        F.col("distinct_count").cast("double")
+                        - F.col("exact_nd")
+                    )
                     / F.col("exact_nd")
                     <= 0.15
-                ).alias("nd_within_tol"),
+                )
+                .alias("nd_within_tol"),
             )
         )
     return reduce(DataFrame.unionByName, per_col)

@@ -475,8 +475,10 @@ def q153_rollup_multigrain(spark, sf_dir) -> DataFrame:
     SELECT (SELECT COUNT(*) FROM v) AS n_view,
            (SELECT COUNT(*) FROM c) AS n_click_after_view,
            (SELECT COUNT(*) FROM p) AS n_purchase_after_click,
-           round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
-                 / (SELECT COUNT(*) FROM v), 6) AS view_to_purchase
+           CASE WHEN (SELECT COUNT(*) FROM v) = 0 THEN NULL
+                ELSE round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                           / (SELECT COUNT(*) FROM v), 6)
+           END AS view_to_purchase
     """,
 )
 def q160_funnel(spark, sf_dir) -> DataFrame:
@@ -518,10 +520,18 @@ def q160_funnel(spark, sf_dir) -> DataFrame:
             "n_view",
             "n_click_after_view",
             "n_purchase_after_click",
-            F.round(
-                F.col("n_purchase_after_click").cast("double") / F.col("n_view"),
-                6,
-            ).alias("view_to_purchase"),
+            # empty funnel (no views): conversion is UNDEFINED — NULL on
+            # both engines, never an ANSI zero-division abort or a NaN
+            # (empty-input walk)
+            F.when(F.col("n_view") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.col("n_purchase_after_click").cast("double")
+                    / F.col("n_view"),
+                    6,
+                )
+            )
+            .alias("view_to_purchase"),
         )
     )
 

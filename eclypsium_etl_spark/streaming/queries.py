@@ -399,7 +399,13 @@ def q58_stream_foreachbatch(spark, sf_dir) -> DataFrame:
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
     )
-    return spark.read.parquet(out)
+    # the gate means a run can legitimately write NOTHING (every batch
+    # empty, or zero batches on an empty feed) — the sink's schema is
+    # still defined by the job, so the read-back declares it instead of
+    # inferring from files that may not exist (empty-input walk)
+    if not os.path.exists(out):
+        return spark.createDataFrame([], filtered.schema)
+    return spark.read.schema(filtered.schema).parquet(out)
 
 
 _DOCS_RAW = "doc_id long, text string, lang string, source string, n_chars long"
