@@ -997,3 +997,149 @@ def q321_stream_dedup_business_key(spark, sf_dir) -> DataFrame:
         .trigger(availableNow=True)
     )
     return spark.table(qname)
+
+
+@query(
+    "q342_stream_corpus_dedup",
+    oracle="""
+    WITH feed AS (
+        SELECT doc_id, text, CAST(doc_id % 2 AS INT) AS wave FROM documents
+        UNION ALL
+        -- wave-1 REPLAYS of wave-0 documents (new ids, same content):
+        -- must be rejected by the cross-batch index
+        SELECT doc_id + 10000000, text, 1 FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+        UNION ALL
+        -- intra-wave-0 copies: must lose the batch-local keep-lowest
+        SELECT doc_id + 20000000, text, 0 FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id % 50 = 0
+    )
+    SELECT doc_id, md5(text) AS digest, wave FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(text) ORDER BY wave, doc_id
+        ) AS rn
+        FROM feed
+    ) WHERE rn = 1
+    """,
+)
+def q342_stream_corpus_dedup(spark, sf_dir) -> DataFrame:
+    """STREAMING CORPUS INGESTION with dedup against a GROWING INDEX —
+    the ingest-time shape of q62's batch dedup, and the state pattern
+    q57/q321 can't model: dedup horizon is FOREVER, so the seen-set
+    lives in a managed catalog TABLE (unbounded, partitionable,
+    compactable — the production choice), not the streaming state store
+    (which a watermark must bound). Documents arrive as a file-replay
+    feed in two waves (evens then odds, explicit mtimes pinning the
+    file source's oldest-first order), each wave salted with
+    deterministic DUPLICATE INJECTIONS — wave 1 replays 10% of wave 0's
+    content under new ids (the re-crawl case; must be rejected by the
+    index), wave 0 carries intra-batch copies (must lose the
+    batch-local keep-lowest) — so both rejection paths are exercised at
+    EVERY fixture scale, not just where the corpus happens to carry
+    natural duplicates. Each micro-batch: (1) dedup WITHIN the batch
+    keeping the lowest doc_id per digest, (2) anti-join digests against
+    the index, (3) append the survivors. Re-delivered batch_ids are
+    no-ops (the q332 at-least-once lesson).
+
+    CACHE-COHERENCE lesson (found building this): a foreachBatch
+    handler that APPENDS to a catalog table it also READS must
+    refreshTable around the boundary — Spark's shared file-listing
+    cache otherwise serves the PREVIOUS batch's view, which here meant
+    batch 1's anti-join consulted an EMPTY index (admitting every
+    replay) and the final read returned zero rows while the data sat on
+    disk. q329 never hit this because its INSERT OVERWRITE publish
+    invalidates the listing; append-only sinks do not.
+
+    The admitted set has a closed form the oracle states: the argmin
+    per digest group under (arrival wave, doc_id) ordering — the whole
+    streaming pipeline (checkpointed scheduling, cross-batch index
+    reads, append-only publish) is differentially tested against the
+    batch dedup it must converge to.
+
+    At 100 TB: the index table is bucketed by digest (io.ensure_bucketed
+    — the anti-join then co-locates with zero exchange on the index
+    side), batches broadcast against it under AQE, and appends are
+    file-granular (no rewrite of history) — ingest cost is
+    O(batch × log index), never a rescan of the corpus."""
+    import shutil
+    import time
+
+    tname = "t_q342_index"
+    base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
+    os.makedirs(base, exist_ok=True)
+    loc = os.path.join(base, f"{tname}_tbl_{os.path.basename(sf_dir)}")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    spark.sql(
+        f"""
+        CREATE TABLE {tname} (
+            doc_id BIGINT, digest STRING, wave INT
+        ) USING parquet LOCATION '{loc}'
+        """
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    wave0 = d.filter(k % 2 == 0).unionByName(
+        d.filter((k % 2 == 0) & (k % 50 == 0)).select(
+            (k + 20_000_000).alias("doc_id"), "text"
+        )
+    )
+    wave1 = d.filter(k % 2 == 1).unionByName(
+        d.filter((k % 2 == 0) & (k % 10 == 0)).select(
+            (k + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    src = tempfile.mkdtemp(prefix="eclypsium_ingest_feed_")
+    t0 = time.time()
+    for i, wave in enumerate((wave0, wave1)):
+        staged = os.path.join(src, f"_stage_w{i}")
+        wave.withColumn("wave", F.lit(i)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"w{i}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        os.utime(dst, (t0 - 60 + 30 * i, t0 - 60 + 30 * i))
+
+    applied: set[int] = set()
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied:  # at-least-once replay is a no-op
+            return
+        applied.add(batch_id)
+        if batch_df.isEmpty():
+            return
+        # see docstring: append-only sinks must invalidate the shared
+        # file-listing cache or this batch reads the PREVIOUS batch's
+        # index view
+        spark.catalog.refreshTable(tname)
+        sig = batch_df.select(
+            "doc_id", F.md5("text").alias("digest"), "wave"
+        )
+        from pyspark.sql import Window
+
+        # (wave, doc_id) order, not doc_id alone: if the source ever
+        # coalesces several wave files into one batch (q329's coalescing
+        # note), the keeper must still be the EARLIEST-wave copy
+        keep = Window.partitionBy("digest").orderBy("wave", "doc_id")
+        local = (
+            sig.withColumn("rn", F.row_number().over(keep))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        admitted = local.join(
+            spark.table(tname).select("digest"), "digest", "left_anti"
+        )
+        admitted.select("doc_id", "digest", "wave").write.insertInto(tname)
+
+    feed = spark.readStream.schema(
+        "doc_id bigint, text string, wave int"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    run_available_now(
+        lambda name, ckpt: feed.writeStream.foreachBatch(ingest)
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    spark.catalog.refreshTable(tname)
+    return spark.table(tname)
