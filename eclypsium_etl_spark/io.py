@@ -85,22 +85,32 @@ def _commit_dir(tmp: str, out: str, is_complete) -> None:
     aside before deletion so the install itself stays atomic.
 
     ``is_complete()`` decides whether the current ``out`` is a finished,
-    usable layout (at minimum: the _SUCCESS marker written last)."""
+    usable layout (at minimum: the _SUCCESS marker written last).
+
+    The fast path defers to the lock: while a replace is in flight it
+    must not install into the window between the lock holder's
+    rename-aside and its own install (the holder's rename would then
+    fail, or — worse — a completeness check raced microseconds earlier
+    would let the holder discard a complete, possibly-being-read build).
+    The holder's install rename is additionally wrapped so that if a
+    racer's complete build does land first (the residual pre-lock-check
+    window), the holder keeps the racer's build instead of raising."""
     import os
     import shutil
     import time
     import uuid
 
+    lock = out + ".replace-lock"
     try:
-        os.rename(tmp, out)
-        return
+        if not os.path.exists(lock):
+            os.rename(tmp, out)
+            return
     except OSError:
         pass
     if is_complete():
         # raced: another process completed `out` first — use theirs
         shutil.rmtree(tmp, ignore_errors=True)
         return
-    lock = out + ".replace-lock"
     deadline = time.time() + 300.0
     while True:
         try:
@@ -127,7 +137,15 @@ def _commit_dir(tmp: str, out: str, is_complete) -> None:
             trash = f"{out}.stale-{uuid.uuid4().hex[:8]}"
             os.rename(out, trash)
             shutil.rmtree(trash, ignore_errors=True)
-        os.rename(tmp, out)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if is_complete():
+                # a pre-lock-check fast-path racer installed a complete
+                # build between our rename-aside and install: keep theirs
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            raise
     finally:
         try:
             os.unlink(lock)

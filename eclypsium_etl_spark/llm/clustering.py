@@ -819,6 +819,148 @@ def _skm_sums_sql(asg: str, name: str) -> str:
     )"""
 
 
+_SKM_STATE_FILE = "kmeans_model_state.json"
+_SKM_CENT_SCHEMA = "cent_id bigint, cent_emb array<float>"
+
+
+def _skm_load_state(ckpt: str, init_cents) -> dict:
+    """Load the streamed model's sidecar state from the checkpoint dir,
+    or initialize from ``init_cents``. The sidecar carries everything a
+    driver restart would otherwise lose: current centroids, the decimal
+    partial sums/counts, and the set of batch_ids already folded."""
+    import json
+    import os
+    from decimal import Decimal
+
+    p = os.path.join(ckpt, _SKM_STATE_FILE)
+    if os.path.exists(p):
+        with open(p) as f:
+            d = json.load(f)
+        return {
+            "cents": [(int(c), list(e)) for c, e in d["cents"]],
+            "sums": {
+                (int(c), int(dim)): (Decimal(sv), int(cn))
+                for c, dim, sv, cn in d["sums"]
+            },
+            "applied": set(d["applied"]),
+        }
+    return {"cents": list(init_cents), "sums": {}, "applied": set()}
+
+
+def _skm_save_state(ckpt: str, state: dict) -> None:
+    """Atomically persist the model sidecar (tmp + rename) INSIDE the
+    handler, before the batch commit: a crash after the save replays a
+    batch the ``applied`` set rejects; a crash before it replays onto
+    the pre-fold state — exactly-once either way. Decimals serialize as
+    strings (exact); floats round-trip exactly through json repr."""
+    import json
+    import os
+    import uuid
+
+    p = os.path.join(ckpt, _SKM_STATE_FILE)
+    tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+    d = {
+        "cents": [[c, list(e)] for c, e in state["cents"]],
+        "sums": [
+            [c, dim, str(sv), cn]
+            for (c, dim), (sv, cn) in state["sums"].items()
+        ],
+        "applied": sorted(state["applied"]),
+    }
+    with open(tmp, "w") as f:
+        json.dump(d, f)
+    os.replace(tmp, p)
+
+
+def stream_kmeans_fold(spark, src: str, init_cents, ckpt: str) -> list:
+    """Drain the file feed at ``src`` through the MacQueen fold with the
+    model state PERSISTED in the checkpoint's sidecar — the restartable
+    form of q332's handler (the r9 verdict's gap: a process-local
+    ``applied`` set survives within-process retries but not a driver
+    restart, and the replayed batch would double-count the ``sums +=``
+    partials). Returns the final centroid list.
+
+    Restart contract (pin-tested in tests/test_streaming.py): calling
+    this again on the SAME checkpoint after a crash — including the
+    crash window where the handler ran but Spark never recorded the
+    batch commit — resumes from the sidecar and folds each batch_id
+    exactly once."""
+    from decimal import Decimal  # noqa: F401  (sidecar round-trip)
+
+    import numpy as np
+
+    from ..streaming.queries import run_available_now
+
+    holder: dict = {}  # lazy-loaded so a restart reads the sidecar fresh
+
+    def update_model(batch_df: DataFrame, batch_id: int) -> None:
+        if "state" not in holder:
+            holder["state"] = _skm_load_state(ckpt, init_cents)
+        state = holder["state"]
+        # foreachBatch is at-least-once: within-process retries AND the
+        # one batch replayed after a driver restart re-invoke with the
+        # same batch_id; the accumulating partials are not idempotent,
+        # so exactly-once is derived from the PERSISTED applied set.
+        if batch_id in state["applied"]:
+            return
+        state["applied"].add(batch_id)
+        if not batch_df.isEmpty():
+            cents_df = spark.createDataFrame(
+                state["cents"], _SKM_CENT_SCHEMA
+            )
+            asg = assign_to_centroids(
+                batch_df.select("vec_id", "embedding"), cents_df
+            )
+            parts = (
+                asg.select(
+                    "cent_id", F.posexplode("embedding").alias("dim", "v")
+                )
+                .groupBy("cent_id", "dim")
+                .agg(
+                    F.sum(F.col("v").cast("decimal(28,12)")).alias("sv"),
+                    F.count("v").alias("cn"),
+                )
+                .collect()
+            )
+            from decimal import Decimal as _D
+
+            for r in parts:
+                key = (r["cent_id"], r["dim"])
+                sv, cn = state["sums"].get(key, (_D(0), 0))
+                state["sums"][key] = (sv + r["sv"], cn + r["cn"])
+            new_cents = []
+            for cid, emb in state["cents"]:
+                if (cid, 0) in state["sums"]:
+                    vec = [
+                        np.float32(
+                            float(state["sums"][(cid, d)][0])
+                            / state["sums"][(cid, d)][1]
+                        )
+                        for d in range(len(emb))
+                    ]
+                    new_cents.append((cid, [float(x) for x in vec]))
+                else:  # empty cell so far: carry the previous position
+                    new_cents.append((cid, emb))
+            state["cents"] = new_cents
+        _skm_save_state(ckpt, state)
+
+    feed = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_available_now(
+        lambda name, c: feed.writeStream.foreachBatch(update_model)
+        .queryName(name)
+        .option("checkpointLocation", c)
+        .trigger(availableNow=True),
+        ckpt=ckpt,
+    )
+    # zero-batch drain (empty feed): state never loaded — read sidecar
+    final = holder.get("state") or _skm_load_state(ckpt, init_cents)
+    return final["cents"]
+
+
 @query(
     "q332_stream_kmeans",
     oracle=f"""
@@ -895,17 +1037,15 @@ def q332_stream_kmeans(spark, sf_dir) -> DataFrame:
 
     At 100 TB: per-batch work is one scan of the batch + a k×dim-row
     aggregate (map-side combined, only partials shuffle); state lives
-    on the driver here (512 decimals) and in a state store or the
-    checkpoint at scale. The final full-corpus assignment is the one
-    corpus-sized pass, same as q327's sampled shape."""
+    in the CHECKPOINT's sidecar (k×dim decimals + the applied batch_id
+    set, persisted atomically inside the handler — stream_kmeans_fold),
+    so a driver restart resumes the model and the replayed batch folds
+    exactly once (the r9 verdict's double-count hazard, pin-tested).
+    The final full-corpus assignment is the one corpus-sized pass, same
+    as q327's sampled shape."""
     import os
     import tempfile
     import time
-    from decimal import Decimal
-
-    import numpy as np
-
-    from ..streaming.queries import run_available_now
 
     em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     src = tempfile.mkdtemp(prefix="eclypsium_skm_feed_")
@@ -927,70 +1067,11 @@ def q332_stream_kmeans(spark, sf_dir) -> DataFrame:
         .limit(_SKM_K)
         .collect()
     )
-    state = {
-        "cents": [(r["vec_id"], r["embedding"]) for r in init_rows],
-        "sums": {},  # (cent_id, dim) -> [Decimal sum, count]
-        "applied": set(),  # batch_ids already folded into the model
-    }
-    cent_schema = "cent_id bigint, cent_emb array<float>"
+    init_cents = [(r["vec_id"], r["embedding"]) for r in init_rows]
+    ckpt = tempfile.mkdtemp(prefix="eclypsium_ckpt_")
+    cents = stream_kmeans_fold(spark, src, init_cents, ckpt)
 
-    def update_model(batch_df: DataFrame, batch_id: int) -> None:
-        # foreachBatch is at-least-once: a task-failure-driven retry
-        # re-invokes the handler with the SAME batch_id, and the
-        # accumulating `sums` partials are not idempotent — replaying
-        # would double-count and silently corrupt the streamed model.
-        # Exactly-once per batch_id, the discipline q329's merge gets
-        # for free from no-op merges.
-        if batch_id in state["applied"]:
-            return
-        state["applied"].add(batch_id)
-        if batch_df.isEmpty():
-            return
-        cents_df = spark.createDataFrame(state["cents"], cent_schema)
-        asg = assign_to_centroids(
-            batch_df.select("vec_id", "embedding"), cents_df
-        )
-        parts = (
-            asg.select("cent_id", F.posexplode("embedding").alias("dim", "v"))
-            .groupBy("cent_id", "dim")
-            .agg(
-                F.sum(F.col("v").cast("decimal(28,12)")).alias("sv"),
-                F.count("v").alias("cn"),
-            )
-            .collect()
-        )
-        for r in parts:
-            key = (r["cent_id"], r["dim"])
-            sv, cn = state["sums"].get(key, (Decimal(0), 0))
-            state["sums"][key] = (sv + r["sv"], cn + r["cn"])
-        new_cents = []
-        for cid, emb in state["cents"]:
-            if (cid, 0) in state["sums"]:
-                vec = [
-                    np.float32(
-                        float(state["sums"][(cid, d)][0])
-                        / state["sums"][(cid, d)][1]
-                    )
-                    for d in range(len(emb))
-                ]
-                new_cents.append((cid, [float(x) for x in vec]))
-            else:  # empty cell so far: carry the previous position
-                new_cents.append((cid, emb))
-        state["cents"] = new_cents
-
-    feed = (
-        spark.readStream.schema("vec_id bigint, embedding array<float>")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    run_available_now(
-        lambda name, ckpt: feed.writeStream.foreachBatch(update_model)
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-    )
-
-    final_cents = spark.createDataFrame(state["cents"], cent_schema)
+    final_cents = spark.createDataFrame(cents, _SKM_CENT_SCHEMA)
     asg = assign_to_centroids(em, final_cents)
     sims = asg.join(F.broadcast(final_cents), "cent_id").select(
         "cent_id", dot(F.col("embedding"), F.col("cent_emb")).alias("sim")

@@ -852,6 +852,32 @@ def q329_stream_scd2(spark, sf_dir) -> DataFrame:
         # oldest-first, so wave order is pinned without sleeping
         os.utime(dst, (t0 - 60 + 30 * i, t0 - 60 + 30 * i))
 
+    feed = (
+        spark.readStream.schema("k bigint, name string, seg string, eff string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_available_now(
+        lambda name, ckpt: feed.writeStream.foreachBatch(
+            scd2_wave_handler(spark, tname, os.path.basename(sf_dir))
+        )
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    return _scd2_final_view(spark, tname)
+
+
+def scd2_wave_handler(spark, tname: str, tag: str):
+    """q329's foreachBatch handler as a reusable factory.
+
+    RESTART-IDEMPOTENT BY DATA: a batch replayed after a driver restart
+    re-runs scd2_merge against the already-merged table — every attr
+    compares eqNullSafe-equal, the merge classifies every row no-op, and
+    the publish swaps in an identical state (the forward out-of-order
+    guard never fires because it only evaluates on CHANGED rows).
+    Pin-tested in tests/test_streaming.py (commit-log deletion replay)."""
+
     base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
 
     def apply_wave(batch_df: DataFrame, batch_id: int) -> None:
@@ -867,23 +893,11 @@ def q329_stream_scd2(spark, sf_dir) -> DataFrame:
                 eff_date=F.to_date(F.lit(eff)),
             )
             stage = os.path.join(
-                base,
-                f"{tname}_stage_b{batch_id}_{eff}_{os.path.basename(sf_dir)}",
+                base, f"{tname}_stage_b{batch_id}_{eff}_{tag}"
             )
             _scd2_publish(spark, tname, stage, merged)
 
-    feed = (
-        spark.readStream.schema("k bigint, name string, seg string, eff string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    run_available_now(
-        lambda name, ckpt: feed.writeStream.foreachBatch(apply_wave)
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-    )
-    return _scd2_final_view(spark, tname)
+    return apply_wave
 
 
 def scd2_merge_multi(
@@ -1130,25 +1144,35 @@ def q333_scd2_multiattr(spark, sf_dir) -> DataFrame:
 
 # q336: the production hash-diff spelling of multi-attribute tracking.
 # Separator-joined string then md5 — engine-portable (BIGINT→string
-# renders identically). NULLS ARE ENCODED EXPLICITLY (coalesce to a
-# sentinel BEFORE joining): concat_ws SKIPS null fields, so without the
-# sentinel (NULL,'7') and ('7',NULL) — or NULL vs non-NULL against a
-# DuckDB || that NULL-poisons the whole digest — collide or diverge.
-# The registry-wide null-injection walk caught exactly that: a
-# nat-change on a NULL-seg row hashed as "unchanged" on the oracle side
-# (NULL digest on both) while the engine's skip produced differing
-# digests. The sentinel makes the digest total and identical on both
-# engines; non-null inputs hash exactly as before.
-_HD_NULL = "<NULL>"  # explicit-null marker (no escapes — portable)
+# renders identically). NULLS ARE ENCODED EXPLICITLY: concat_ws SKIPS
+# null fields, so without explicit encoding (NULL,'7') and ('7',NULL)
+# — or NULL vs non-NULL against a DuckDB || that NULL-poisons the whole
+# digest — collide or diverge. The registry-wide null-injection walk
+# caught exactly that. Encoding is COLLISION-FREE BY CONSTRUCTION
+# (r9 advice: a bare '<NULL>' sentinel collides with the literal string
+# '<NULL>', and an unescaped '|' separator lets ('a|b','c') collide
+# with ('a','b|c')): each column is length-prefixed —
+# NULL → 'N'; value v → 'V' || length(v) || ':' || v — so the decoder
+# consumes exactly length(v) chars and no value, including ones
+# containing 'N', '|', ':' or digits, can straddle a column boundary.
+# length() counts CHARS on both engines (Spark length / DuckDB length).
+def _hd_enc_spark(c):
+    return F.when(c.isNull(), F.lit("N")).otherwise(
+        F.concat(F.lit("V"), F.length(c).cast("string"), F.lit(":"), c)
+    )
+
+
 _HASHDIFF_SPARK = lambda seg, nat: F.md5(  # noqa: E731
-    F.concat_ws(
-        "|",
-        F.coalesce(seg, F.lit(_HD_NULL)),
-        F.coalesce(nat.cast("string"), F.lit(_HD_NULL)),
+    F.concat(
+        _hd_enc_spark(seg), F.lit("|"), _hd_enc_spark(nat.cast("string"))
     )
 )
+_HD_ENC_SQL = lambda c: (  # noqa: E731
+    f"CASE WHEN {c} IS NULL THEN 'N' "
+    f"ELSE 'V' || CAST(length({c}) AS VARCHAR) || ':' || {c} END"
+)
 _HD_SQL = lambda seg, nat: (  # noqa: E731
-    f"md5(COALESCE({seg}, '<NULL>') || '|' || COALESCE({nat}, '<NULL>'))"
+    f"md5({_HD_ENC_SQL(seg)} || '|' || {_HD_ENC_SQL(nat)})"
 )
 
 
@@ -1209,9 +1233,10 @@ def q336_scd2_hashdiff(spark, sf_dir) -> DataFrame:
     column itself is hashed data — a separator bug, a null-skip, or a
     cast-format divergence between engines shows up as a value
     mismatch, making the digest computation differentially tested, not
-    just trusted. md5 is engine-portable; '|' separation is explicit
-    because concat_ws SKIPS nulls (both columns here are non-null; a
-    production hashdiff must encode nulls explicitly first). Same
+    just trusted. md5 is engine-portable; each column is length-prefix
+    encoded (NULL → 'N', v → 'V'||length(v)||':'||v) so the digest is
+    total over nulls AND collision-free — no sentinel string or
+    separator char a value could forge (see _hd_enc_spark). Same
     managed-table build + staged publish as q317/q333."""
     import shutil
 
@@ -1324,8 +1349,32 @@ def scd2_merge_retro(
     Plan: one key-hash join (change batch broadcasts under AQE) + a
     per-key window for renumbering — window partitions are business keys
     (bounded version counts), so there is no unsplittable hot partition
-    at 100 TB."""
+    at 100 TB.
+
+    Schema contract: ``target`` must carry the SCD2 bookkeeping set
+    (valid_from, valid_to, is_current, version); every other target
+    column besides ``key``/``attr`` is PAYLOAD, derived from
+    target.columns (r9 advice — previously hardcoded to 'name'), and
+    ``source`` must carry the same payload columns so inserted slices
+    can populate them."""
     from pyspark.sql import Window
+
+    _scd2_cols = ("valid_from", "valid_to", "is_current", "version")
+    missing = [c for c in _scd2_cols if c not in target.columns]
+    if missing:
+        raise ValueError(
+            f"scd2_merge_retro: target lacks SCD2 columns {missing}"
+        )
+    payload = [
+        c
+        for c in target.columns
+        if c not in (key, attr) and c not in _scd2_cols
+    ]
+    lacking = [c for c in payload if c not in source.columns]
+    if lacking:
+        raise ValueError(
+            f"scd2_merge_retro: source lacks payload columns {lacking}"
+        )
 
     j = target.alias("t").join(
         source.alias("s"), F.col("t." + key) == F.col("s." + key), "full_outer"
@@ -1378,7 +1427,7 @@ def scd2_merge_retro(
     # open one
     ins = j.filter(changed).select(
         F.col("t." + key).alias(key),
-        F.col("s.name").alias("name"),
+        *[F.col("s." + p).alias(p) for p in payload],
         F.col("s." + attr).alias(attr),
         eff_date.alias("valid_from"),
         F.col("t.valid_to").alias("valid_to"),
@@ -1387,7 +1436,7 @@ def scd2_merge_retro(
     )
     new = j.filter(F.col("t." + key).isNull()).select(
         F.col("s." + key).alias(key),
-        F.col("s.name").alias("name"),
+        *[F.col("s." + p).alias(p) for p in payload],
         F.col("s." + attr).alias(attr),
         eff_date.alias("valid_from"),
         F.lit(None).cast("date").alias("valid_to"),
@@ -1404,7 +1453,7 @@ def scd2_merge_retro(
     w = Window.partitionBy(key).orderBy("valid_from")
     return merged.select(
         key,
-        "name",
+        *payload,
         attr,
         "valid_from",
         "valid_to",

@@ -155,10 +155,15 @@ _SHUFFLE_OVERRIDE_LOCK = threading.Lock()
 
 
 def run_available_now(
-    writer_builder, name: str | None = None
+    writer_builder, name: str | None = None, ckpt: str | None = None
 ) -> tuple[str, str]:
     """Start a stream with availableNow, block until it drains, return
     (query_name, checkpoint_dir).
+
+    ``ckpt``: reuse an existing checkpoint directory instead of a fresh
+    one — the restart-recovery path (a drain that resumes where a
+    previous drain stopped, replaying the one batch whose commit the
+    previous run may not have recorded).
 
     Streaming state partitioning: the number of state-store partitions is
     frozen from ``spark.sql.shuffle.partitions`` when a checkpoint is
@@ -183,7 +188,7 @@ def run_available_now(
     # back to the instantiated session so harnesses may call from executors
     spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     qname = name or f"s_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="eclypsium_ckpt_")
+    ckpt = ckpt or tempfile.mkdtemp(prefix="eclypsium_ckpt_")
     stream_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
     with _SHUFFLE_OVERRIDE_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1101,17 +1106,41 @@ def q342_stream_corpus_dedup(spark, sf_dir) -> DataFrame:
         os.rename(os.path.join(staged, part), dst)
         os.utime(dst, (t0 - 60 + 30 * i, t0 - 60 + 30 * i))
 
+    feed = spark.readStream.schema(
+        "doc_id bigint, text string, wave int"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    run_available_now(
+        lambda name, ckpt: feed.writeStream.foreachBatch(
+            corpus_ingest_handler(spark, tname)
+        )
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    spark.catalog.refreshTable(tname)
+    return spark.table(tname)
+
+
+def corpus_ingest_handler(spark, tname: str):
+    """q342's foreachBatch handler as a reusable factory (one handler
+    per stream start — the ``applied`` fast-path set is per-process).
+
+    RESTART-IDEMPOTENT BY DATA, not by the in-memory set: a batch
+    replayed after a driver restart (fresh process, empty ``applied``)
+    re-runs the anti-join against an index that already contains the
+    batch's survivors — every digest is rejected, nothing re-appends.
+    Pin-tested in tests/test_streaming.py (commit-log deletion replay)."""
     applied: set[int] = set()
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in applied:  # at-least-once replay is a no-op
+        if batch_id in applied:  # within-process at-least-once replay
             return
         applied.add(batch_id)
         if batch_df.isEmpty():
             return
-        # see docstring: append-only sinks must invalidate the shared
-        # file-listing cache or this batch reads the PREVIOUS batch's
-        # index view
+        # see q342's docstring: append-only sinks must invalidate the
+        # shared file-listing cache or this batch reads the PREVIOUS
+        # batch's index view
         spark.catalog.refreshTable(tname)
         sig = batch_df.select(
             "doc_id", F.md5("text").alias("digest"), "wave"
@@ -1132,14 +1161,4 @@ def q342_stream_corpus_dedup(spark, sf_dir) -> DataFrame:
         )
         admitted.select("doc_id", "digest", "wave").write.insertInto(tname)
 
-    feed = spark.readStream.schema(
-        "doc_id bigint, text string, wave int"
-    ).option("maxFilesPerTrigger", 1).parquet(src)
-    run_available_now(
-        lambda name, ckpt: feed.writeStream.foreachBatch(ingest)
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-    )
-    spark.catalog.refreshTable(tname)
-    return spark.table(tname)
+    return ingest

@@ -325,3 +325,268 @@ def test_dedup_within_watermark_reemits_after_horizon(spark, tmp_path):
     # duplicate (13:01) must NOT appear
     assert ("A", _t("13:05:00")) in rows and ("B", _t("12:55:00")) in rows
     assert ("C", _t("13:01:00")) not in rows
+
+
+# ---- restart-recovery pins for the foreachBatch family (r9 verdict #3) ----
+#
+# All three simulate the SAME crash: the handler ran for batch 0 and its
+# effects are durable, but the driver died before Spark recorded the
+# batch commit (delete <ckpt>/commits/0) — so a restart from the
+# checkpoint REPLAYS batch 0 into a fresh process (fresh handler, empty
+# in-memory guards) before processing the new data. The pin: final state
+# must equal a clean, uncrashed run's.
+
+
+def _stage_feed_file(df, src: str, name: str, mtime: float) -> None:
+    """Write df as one parquet file `name` in feed dir `src` with a
+    pinned mtime (the file source processes oldest-first)."""
+    import os
+    import shutil
+    import tempfile
+
+    staged = tempfile.mkdtemp(prefix="eclypsium_pin_stage_")
+    df.coalesce(1).write.mode("overwrite").parquet(staged)
+    part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    dst = os.path.join(src, name)
+    os.rename(os.path.join(staged, part), dst)
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(staged, ignore_errors=True)
+
+
+def _simulate_commit_loss(ckpt: str, batch_id: int = 0) -> None:
+    """Crash window: offsets/N written (batch ran) but commits/N never
+    recorded — the restart replays batch N. Hadoop's local FS keeps a
+    hidden CRC sidecar per metadata file; it must go too or the
+    replayed commit's rename collides on `.N.crc`."""
+    p = os.path.join(ckpt, "commits", str(batch_id))
+    assert os.path.exists(p), f"expected a recorded commit at {p}"
+    os.remove(p)
+    crc = os.path.join(ckpt, "commits", f".{batch_id}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_restart_replay_stream_kmeans_exactly_once(spark, tmp_path):
+    """q332's model fold across a driver restart: the replayed batch
+    must fold EXACTLY ONCE (the persisted-sidecar fix) — the final
+    centroids equal the uncrashed run's bit-for-bit, and the folded row
+    count equals the corpus (a double-count reads evens twice)."""
+    import json
+
+    from eclypsium_etl_spark.io import table
+    from eclypsium_etl_spark.llm.clustering import (
+        _SKM_K,
+        _SKM_STATE_FILE,
+        stream_kmeans_fold,
+    )
+
+    from .conftest import SF_SMOKE
+
+    em = table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    init = [
+        (r["vec_id"], r["embedding"])
+        for r in em.filter(F.col("vec_id") % 2 == 0)
+        .orderBy("vec_id")
+        .limit(_SKM_K)
+        .collect()
+    ]
+    t0 = time.time()
+
+    # clean reference: both batches, no crash
+    src_ref = str(tmp_path / "feed_ref")
+    os.makedirs(src_ref)
+    _stage_feed_file(em.filter(F.col("vec_id") % 2 == 0), src_ref, "b0.parquet", t0 - 60)
+    _stage_feed_file(em.filter(F.col("vec_id") % 2 == 1), src_ref, "b1.parquet", t0 - 30)
+    ckpt_ref = str(tmp_path / "ckpt_ref")
+    os.makedirs(ckpt_ref)
+    cents_ref = stream_kmeans_fold(spark, src_ref, init, ckpt_ref)
+
+    # crashed run: drain b0, lose its commit, add b1, restart
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    _stage_feed_file(em.filter(F.col("vec_id") % 2 == 0), src, "b0.parquet", t0 - 60)
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    stream_kmeans_fold(spark, src, init, ckpt)
+    _simulate_commit_loss(ckpt)
+    _stage_feed_file(em.filter(F.col("vec_id") % 2 == 1), src, "b1.parquet", t0 - 30)
+    cents = stream_kmeans_fold(spark, src, init, ckpt)  # fresh handler
+
+    assert cents == cents_ref
+    with open(os.path.join(ckpt, _SKM_STATE_FILE)) as f:
+        state = json.load(f)
+    folded = sum(cn for _, dim, _, cn in state["sums"] if dim == 0)
+    assert folded == em.count()  # every row folded exactly once
+
+
+def test_restart_replay_corpus_dedup_idempotent(spark, tmp_path):
+    """q342's ingest across a driver restart: the replayed batch's
+    anti-join re-rejects everything the pre-crash append admitted, so
+    the index holds each digest exactly once and matches the clean run."""
+    import tempfile
+
+    from eclypsium_etl_spark.io import table
+    from eclypsium_etl_spark.streaming.queries import (
+        corpus_ingest_handler,
+        run_available_now,
+    )
+
+    from .conftest import SF_SMOKE
+
+    d = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    w0 = d.filter(F.col("doc_id") % 2 == 0).withColumn("wave", F.lit(0))
+    w1 = d.filter(F.col("doc_id") % 2 == 1).withColumn("wave", F.lit(1))
+    t0 = time.time()
+
+    def mk_table(tname):
+        base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
+        os.makedirs(base, exist_ok=True)
+        loc = os.path.join(base, f"{tname}_tbl_pin")
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        spark.sql(
+            f"CREATE TABLE {tname} (doc_id BIGINT, digest STRING, wave INT)"
+            f" USING parquet LOCATION '{loc}'"
+        )
+
+    def drain(src, ckpt, tname):
+        feed = (
+            spark.readStream.schema("doc_id bigint, text string, wave int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_available_now(
+            lambda name, c: feed.writeStream.foreachBatch(
+                corpus_ingest_handler(spark, tname)
+            )
+            .queryName(name)
+            .option("checkpointLocation", c)
+            .trigger(availableNow=True),
+            ckpt=ckpt,
+        )
+        spark.catalog.refreshTable(tname)
+
+    # clean reference
+    mk_table("t_pin_dedup_ref")
+    src_ref = str(tmp_path / "feed_ref")
+    os.makedirs(src_ref)
+    _stage_feed_file(w0, src_ref, "w0.parquet", t0 - 60)
+    _stage_feed_file(w1, src_ref, "w1.parquet", t0 - 30)
+    ckpt_ref = str(tmp_path / "ckpt_ref")
+    os.makedirs(ckpt_ref)
+    drain(src_ref, ckpt_ref, "t_pin_dedup_ref")
+    ref = sorted(
+        (r.doc_id, r.digest, r.wave)
+        for r in spark.table("t_pin_dedup_ref").collect()
+    )
+
+    # crashed run
+    mk_table("t_pin_dedup")
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    _stage_feed_file(w0, src, "w0.parquet", t0 - 60)
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    drain(src, ckpt, "t_pin_dedup")
+    _simulate_commit_loss(ckpt)
+    _stage_feed_file(w1, src, "w1.parquet", t0 - 30)
+    drain(src, ckpt, "t_pin_dedup")  # fresh handler = fresh applied set
+
+    got = sorted(
+        (r.doc_id, r.digest, r.wave)
+        for r in spark.table("t_pin_dedup").collect()
+    )
+    assert got == ref
+    # each digest exactly once — replay appended nothing
+    n = spark.table("t_pin_dedup").count()
+    assert spark.table("t_pin_dedup").select("digest").distinct().count() == n
+
+
+def test_restart_replay_stream_scd2_noop_merge(spark, tmp_path):
+    """q329's merge across a driver restart: the replayed wave re-merges
+    against the already-merged table — every row classifies no-op (the
+    out-of-order guard must NOT fire on the eff_date == valid_from
+    replay) and the final history equals the clean run's."""
+    from eclypsium_etl_spark.io import table
+    from eclypsium_etl_spark.operators.incremental import (
+        _SCD2_EFF_DATE,
+        _SCD2_W2_DATE,
+        _scd2_create_init,
+        _scd2_final_view,
+        _scd2_wave1_batch,
+        _scd2_wave2_batch,
+        scd2_wave_handler,
+    )
+    from eclypsium_etl_spark.streaming.queries import run_available_now
+
+    from .conftest import SF_SMOKE
+
+    c = table(spark, SF_SMOKE, "customer")
+    waves = [
+        (_SCD2_EFF_DATE, _scd2_wave1_batch(c)),
+        (_SCD2_W2_DATE, _scd2_wave2_batch(c)),
+    ]
+    t0 = time.time()
+
+    def drain(src, ckpt, tname):
+        feed = (
+            spark.readStream.schema(
+                "k bigint, name string, seg string, eff string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_available_now(
+            lambda name, ck: feed.writeStream.foreachBatch(
+                scd2_wave_handler(spark, tname, "pin")
+            )
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True),
+            ckpt=ckpt,
+        )
+
+    # clean reference
+    _scd2_create_init(spark, SF_SMOKE, "t_pin_scd2_ref")
+    src_ref = str(tmp_path / "feed_ref")
+    os.makedirs(src_ref)
+    for i, (eff, wave) in enumerate(waves):
+        _stage_feed_file(
+            wave.withColumn("eff", F.lit(eff)),
+            src_ref,
+            f"w{i}.parquet",
+            t0 - 60 + 30 * i,
+        )
+    ckpt_ref = str(tmp_path / "ckpt_ref")
+    os.makedirs(ckpt_ref)
+    drain(src_ref, ckpt_ref, "t_pin_scd2_ref")
+    ref = sorted(
+        map(tuple, _scd2_final_view(spark, "t_pin_scd2_ref").collect())
+    )
+
+    # crashed run: wave 1 applied + published, commit lost, restart
+    _scd2_create_init(spark, SF_SMOKE, "t_pin_scd2")
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    _stage_feed_file(
+        waves[0][1].withColumn("eff", F.lit(waves[0][0])),
+        src,
+        "w0.parquet",
+        t0 - 60,
+    )
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    drain(src, ckpt, "t_pin_scd2")
+    _simulate_commit_loss(ckpt)
+    _stage_feed_file(
+        waves[1][1].withColumn("eff", F.lit(waves[1][0])),
+        src,
+        "w1.parquet",
+        t0 - 30,
+    )
+    drain(src, ckpt, "t_pin_scd2")
+
+    got = sorted(map(tuple, _scd2_final_view(spark, "t_pin_scd2").collect()))
+    assert got == ref
