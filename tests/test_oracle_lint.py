@@ -198,6 +198,11 @@ _DIV_WHITELIST: dict[str, set[str]] = {
     # and in stot the COALESCE'd sum of two such counts where at least
     # one side matched the FULL OUTER join — always >= 1
     "q332_stream_kmeans": {"cn"},
+    # norm = |2·anchor + vector| >= 2|anchor| − |vector| = 1 for
+    # unit-norm embeddings (triangle inequality) — never zero;
+    # tot.n = COUNT(*) of the corpus a probed row was drawn from, so
+    # the division only evaluates when the corpus is nonempty
+    "q343_ivf_clustered": {"norm", "tot.n"},
 }
 
 
