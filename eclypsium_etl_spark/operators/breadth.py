@@ -1428,3 +1428,120 @@ def q304_entity_resolution(spark, sf_dir) -> DataFrame:
         # planted truth: dirty ids are true_id + 1000000 by construction
         (F.col("master_id") == F.col("dirty_id") - 1000000).alias("correct"),
     )
+
+
+@query(
+    "q345_geohash_cell_join",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_id,
+               (user_id % 200) // 30 AS cell_lat,
+               ((user_id * 7) % 200) // 40 AS cell_lon,
+               {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon
+        FROM events WHERE event_id % 20 = 0
+    ),
+    stores AS (
+        SELECT store_id,
+               {_STORE_LAT_SQL} AS s_lat, {_STORE_LON_SQL} AS s_lon,
+               ((store_id % 5) * 50) // 30 AS s_cell_lat,
+               ((store_id // 5) * 50) // 40 AS s_cell_lon
+        FROM (SELECT UNNEST(range(0, 20)) AS store_id)
+    ),
+    expanded AS (
+        SELECT s.store_id, s.s_lat, s.s_lon,
+               s.s_cell_lat + d1.d AS e_cell_lat,
+               s.s_cell_lon + d2.d AS e_cell_lon
+        FROM stores s,
+             (SELECT UNNEST(range(-1, 2)) AS d) d1,
+             (SELECT UNNEST(range(-1, 2)) AS d) d2
+    ),
+    hits AS (
+        SELECT p.event_id, e.store_id, p.cell_lat, p.cell_lon,
+               round({_HAV_SQL.format(la1='p.lat', lo1='p.lon',
+                                      la2='e.s_lat', lo2='e.s_lon')}, 4)
+                   AS dist_km
+        FROM pts p JOIN expanded e
+          ON p.cell_lat = e.e_cell_lat AND p.cell_lon = e.e_cell_lon
+    )
+    SELECT event_id, store_id, cell_lat, cell_lon, dist_km FROM hits
+    WHERE dist_km <= {_GEO_RADIUS_KM}
+    """,
+)
+def q345_geohash_cell_join(spark, sf_dir) -> DataFrame:
+    """GEOHASH-CELL EQUI JOIN — q294's named-but-unregistered 100 TB
+    shape (VERDICT r9 #5a): the radius join re-expressed as a pure
+    HASH join on integer grid cells so the plan survives a big dim
+    side. q294's bounding-box theta join is fine while the store table
+    broadcasts, but a theta predicate against a LARGE dim degenerates
+    to a nested-loop; gridding both sides into fixed cells and
+    exploding the dim into its 3x3 neighborhood turns the same
+    candidate generation into a shuffle-on-cell-key equi join —
+    exactly q151's interval-bin trick in two dimensions, and the
+    standard geo pattern (Uber H3 / S2 cell joins) without a geo lib.
+
+    Coverage proof (no true hit can be lost): 25 km is at most
+    0.2249 deg of latitude (<= the 0.30 deg cell height) and at most
+    25/(111.19*cos(42 deg)) = 0.3026 deg of longitude at the fixture's
+    northernmost latitude (<= the 0.40 deg cell width), and
+    |a-b| <= w implies floor(a/w) differs from floor(b/w) by at most
+    1, so every true pair lands in the 3x3 neighborhood. Each (point,
+    store) pair joins in exactly ONE expanded cell (a point has one
+    cell; the neighborhood enumerates distinct cells), so no DISTINCT
+    is needed and the exact-haversine filter makes the result
+    row-identical to q294's.
+
+    Cross-engine exactness: cells are computed in INTEGER centidegrees
+    straight off the id-derived coordinates (user_id % 200 is the
+    hundredths-of-a-degree offset by construction), so no float floor
+    is ever taken; the only float work is the final haversine, which
+    follows q294's proven sin/cos/asin-on-identical-doubles + round(4)
+    discipline. At 100 TB both sides hash-partition on (cell_lat,
+    cell_lon); cell occupancy is bounded by geography (a city is many
+    cells), and a genuinely hot cell splits with AQE skew-join like
+    any other hot key — options a theta join never has."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    pts = e.select(
+        "event_id",
+        F.expr("(user_id % 200) div 30").alias("cell_lat"),
+        F.expr("((user_id * 7) % 200) div 40").alias("cell_lon"),
+        F.expr(_GEO_LAT_SQL).alias("lat"),
+        F.expr(_GEO_LON_SQL).alias("lon"),
+    )
+    d = spark.range(-1, 2).select(F.col("id").alias("d"))
+    stores = (
+        spark.range(0, 20)
+        .select(
+            F.col("id").alias("store_id"),
+            F.expr("40.0 + (id % 5) * 0.5").alias("s_lat"),
+            F.expr("-74.0 + CAST(id / 5 AS INT) * 0.5").alias("s_lon"),
+            F.expr("((id % 5) * 50) div 30").alias("s_cell_lat"),
+            F.expr("((id div 5) * 50) div 40").alias("s_cell_lon"),
+        )
+        .crossJoin(d.select(F.col("d").alias("dlat")))
+        .crossJoin(d.select(F.col("d").alias("dlon")))
+        .select(
+            "store_id",
+            "s_lat",
+            "s_lon",
+            (F.col("s_cell_lat") + F.col("dlat")).alias("e_cell_lat"),
+            (F.col("s_cell_lon") + F.col("dlon")).alias("e_cell_lon"),
+        )
+    )
+    hav = F.expr(
+        _HAV_SQL.format(la1="lat", lo1="lon", la2="s_lat", lo2="s_lon")
+    )
+    return (
+        pts.join(
+            F.broadcast(stores),
+            (F.col("cell_lat") == F.col("e_cell_lat"))
+            & (F.col("cell_lon") == F.col("e_cell_lon")),
+        )
+        .select(
+            "event_id",
+            "store_id",
+            "cell_lat",
+            "cell_lon",
+            F.round(hav, 4).alias("dist_km"),
+        )
+        .filter(F.col("dist_km") <= _GEO_RADIUS_KM)
+    )
