@@ -31,14 +31,48 @@ DEC = "decimal(28,4)"
 
 
 def dsum(c: Column | str) -> Column:
-    """Order-independent exact sum of a double column, returned as double."""
+    """Order-independent exact sum of a double column, returned as double.
+
+    The publish cast routes through STRING (decimal → string → double):
+    both engines' string→double parses are correctly rounded (Java
+    parseDouble / DuckDB fast_float), whereas DuckDB's direct
+    decimal→double cast double-rounds (int128→double, then ÷10^scale)
+    and drifts one ulp from Spark's single-rounded cast as soon as the
+    scaled integer exceeds 2^53 — found by the extremes battery (1e9
+    measures pushed group sums past 16 significant digits). For sums
+    within 2^53 quanta both paths give the identical double, so this is
+    a strict hardening, not a behavior change on benign data."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.sum(c.cast(DEC)).cast("double")
+    return F.sum(c.cast(DEC)).cast("string").cast("double")
 
 
 def dsum_sql(expr: str) -> str:
-    """DuckDB oracle twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE)"
+    """DuckDB oracle twin of :func:`dsum` (same text-bridge publish)."""
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS STRING) AS DOUBLE)"
+
+
+def dsum_str(c: Column | str) -> Column:
+    """:func:`dsum` with the INPUT cast bridged through string as well.
+
+    For addends that are LOSSY at scale 4 by construction (q90's
+    deviation products span 1e-4..1e18): above 2^53 scaled-integer mass
+    the engines' direct double→decimal casts round different things
+    (Spark the shortest decimal repr via BigDecimal.valueOf, DuckDB the
+    exact scaled binary). Bridging the input through a string makes BOTH
+    round the shortest repr, and their string→decimal tie modes agree
+    (half-away == Spark HALF_UP — probed: '2.00005'→2.0001, '-2.5'→-3 on
+    both). Costs a per-row string roundtrip, so it is NOT the default
+    dsum — use it only where the addend is lossy at the cast scale."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.sum(c.cast("string").cast(DEC)).cast("string").cast("double")
+
+
+def dsum_str_sql(expr: str) -> str:
+    """DuckDB oracle twin of :func:`dsum_str`."""
+    return (
+        f"CAST(CAST(SUM(CAST(CAST({expr} AS STRING) AS DECIMAL(28,4))) "
+        f"AS STRING) AS DOUBLE)"
+    )
 
 
 def davg(c: Column | str) -> Column:

@@ -62,7 +62,7 @@ def q108_conditional_agg(spark, sf_dir) -> DataFrame:
     "q109_pad_trim",
     oracle="""
     SELECT p_partkey,
-           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+           lpad(CAST(p_partkey AS STRING), 10, '0') AS key_padded,
            rpad(p_brand, 12, '.') AS brand_padded,
            trim('  ' || p_name || '  ') AS name_trimmed,
            ltrim(p_type, 'ELP') AS type_ltrimmed
@@ -144,8 +144,8 @@ def q168_variant_json(spark, sf_dir) -> DataFrame:
     "q173_sql_udf",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
-                     AS DECIMAL(18,6)) AS DOUBLE) AS charged
+           CAST(CAST(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                          AS DECIMAL(28,8)) AS STRING) AS DOUBLE) AS charged
     FROM lineitem WHERE l_returnflag = 'R'
     """,
 )
@@ -158,13 +158,17 @@ def q173_sql_udf(spark, sf_dir) -> DataFrame:
     reference's charged-amount formula) — define once in the catalog,
     optimizer sees straight through it. The oracle states the inlined
     expression, proving the function boundary adds nothing. (Output is
-    cast to DECIMAL at scale 6 — the scale where these products are
-    mathematically EXACT (2dp price × 2dp discount × 2dp tax), so the
-    double→decimal conversion never rounds. Casting or round()ing a
+    cast to DECIMAL at scale 8 — the scale where these products are
+    mathematically EXACT for any ≤4dp price × ≤2dp discount × ≤2dp tax
+    (scale 6 was exact only for 2dp prices; the extremes battery's 4dp
+    price made legitimate scale-6 ties and the engines' tie modes
+    differ), so the double→decimal conversion never rounds. Casting or round()ing a
     double at a scale with legitimate ties is the one operation the
     engines disagree on: Spark half-ups the shortest decimal repr,
     DuckDB rounds the scaled binary value — pick a lossless scale
-    instead.)"""
+    instead. The decimal→double publish routes through VARCHAR per the
+    functions.py publish rule: above 2^53 scaled-integer mass DuckDB's
+    direct cast double-rounds.)"""
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION charged_amount("
@@ -174,8 +178,10 @@ def q173_sql_udf(spark, sf_dir) -> DataFrame:
     return spark.sql(
         """
         SELECT l_orderkey, l_linenumber,
-               CAST(CAST(charged_amount(l_extendedprice, l_discount, l_tax)
-                         AS DECIMAL(18,6)) AS DOUBLE) AS charged
+               CAST(CAST(CAST(charged_amount(l_extendedprice, l_discount,
+                                             l_tax)
+                              AS DECIMAL(28,8)) AS STRING) AS DOUBLE)
+                   AS charged
         FROM lineitem WHERE l_returnflag = 'R'
         """
     )
@@ -189,8 +195,8 @@ def q173_sql_udf(spark, sf_dir) -> DataFrame:
     )
     SELECT o.o_orderstatus AS status,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o.o_totalprice * CAST(r.fee_rate AS DOUBLE)
-                         AS DECIMAL(28,6))) AS DOUBLE) AS fees
+           CAST(CAST(SUM(CAST(o.o_totalprice * CAST(r.fee_rate AS DOUBLE)
+                             AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS fees
     FROM orders o JOIN rates r ON r.status = o.o_orderstatus
     GROUP BY o.o_orderstatus
     """,
@@ -205,8 +211,9 @@ def q176_values_join(spark, sf_dir) -> DataFrame:
     literals type as DECIMAL in BOTH engines but with different
     precision rules, so the rate is cast to DOUBLE before the multiply —
     otherwise the per-row products differ in the last ulp and the sums
-    drift visibly apart. The per-term decimal cast uses scale 6, where
-    a 2dp price × 3dp rate product is exact — see q173's note.)"""
+    drift visibly apart. The per-term decimal cast uses scale 8, where
+    a ≤4dp price × 3dp rate product is exact — scale 6 tied on the
+    extremes battery's 4dp price; see q173's note.)"""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
@@ -216,8 +223,9 @@ def q176_values_join(spark, sf_dir) -> DataFrame:
         )
         SELECT o.o_orderstatus AS status,
                COUNT(*) AS n,
-               CAST(SUM(CAST(o.o_totalprice * CAST(r.fee_rate AS DOUBLE)
-                             AS DECIMAL(28,6))) AS DOUBLE) AS fees
+               CAST(CAST(SUM(CAST(o.o_totalprice * CAST(r.fee_rate AS DOUBLE)
+                                  AS DECIMAL(28,8))) AS STRING) AS DOUBLE)
+                   AS fees
         FROM orders o JOIN rates r ON r.status = o.o_orderstatus
         GROUP BY o.o_orderstatus
         """

@@ -1572,3 +1572,109 @@ def q338_scd2_retro(spark, sf_dir) -> DataFrame:
     )
     _scd2_publish(spark, tname, stage, merged)
     return _scd2_final_view(spark, tname)
+
+
+@query(
+    "q347_retractable_agg",
+    oracle=f"""
+    -- DIRECT aggregation of the changelog's FINAL state: survivors are
+    -- orders not deleted singly (%10) nor by their customer's purge
+    -- (%100), at their current (possibly updated) price. Deliberately
+    -- NOT the delta spelling the engine runs — the differential is the
+    -- maintained-by-retractions == recomputed-from-state equivalence.
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           {dsum_sql("CASE WHEN o_orderkey % 4 = 0 "
+                     "THEN o_totalprice + 100.0 ELSE o_totalprice END")}
+               AS total
+    FROM orders
+    -- null-safe survivorship: an event only FIRES on a non-NULL
+    -- residue (a changelog is keyed), so a NULL-keyed order is never
+    -- deleted nor purged and must survive; the bare <>-spelling would
+    -- silently drop NULL keys (found by the null battery, first pass)
+    WHERE NOT COALESCE(o_orderkey % 10 = 0, FALSE)
+      AND NOT COALESCE(o_custkey % 100 = 0 AND o_orderkey % 10 <> 0,
+                       FALSE)
+    GROUP BY o_custkey
+    """,
+)
+def q347_retractable_agg(spark, sf_dir) -> DataFrame:
+    """RETRACTABLE AGGREGATE — incremental materialized-view maintenance
+    under CDC, the Flink retract-stream / DBSP Z-set discipline: the
+    per-customer order MV (count, decimal-exact total) is maintained
+    purely from CHANGE DELTAS — an insert contributes (+1, +price), an
+    update retracts the before-image and asserts the after-image
+    ((-1, -old) + (+1, +new)), a delete retracts the current image
+    (-1, -current) — and the MV is the per-group SUM of deltas with
+    dead groups (count fallen to zero) dropped at merge. The base table
+    is never rescanned; that is the entire point of the operator, and
+    the oracle checks it by recomputing the SAME MV directly from the
+    final state in a deliberately different spelling — any retraction
+    bookkeeping error (missed before-image, double retraction, a dead
+    group surviving) diverges the hash.
+
+    Changelog (deterministic, q305's synthesis discipline, over orders):
+    seq1 I every order; seq2 U bumps o_orderkey%4==0 by +100.0; seq3 D
+    deletes o_orderkey%10==0 singly; seq4 purges every order of
+    customers o_custkey%100==0 (the GDPR/q295 shape) — purged customers
+    are exactly the groups whose count reaches zero and MUST vanish
+    from the MV, the path a naive groupBy-of-current-state never
+    exercises. Before-images ride the event (the Debezium envelope's
+    `before` field), so delta construction is a stateless map-side
+    projection — no window, no join against the MV.
+
+    100 TB posture: deltas partial-aggregate map-side (count/sum are
+    mergeable — q106's discipline); one shuffle on the group key merges
+    delta partials into the stored MV per micro-batch (foreachBatch,
+    q58), touching only groups the batch mentions (q301's
+    affected-partition discipline); zero-count groups delete at merge.
+    Decimal-exact sums make the fold order-independent, so retraction
+    arithmetic cannot drift from the direct recompute. Double-delete is
+    structurally impossible here (the purge retracts only orders the
+    singleton delete left alive: %10 survivors).
+
+    Null-battery finding (first pass, fixed): delete/purge events FIRE
+    on residue predicates, and a NULL key satisfies none of them — the
+    delta side therefore keeps a NULL-keyed order alive, while a bare
+    `% 10 <> 0` survivor spelling in the direct recompute drops it
+    (three-valued logic). The oracle spells survivorship with
+    NOT COALESCE(pred, FALSE) to mirror event semantics exactly; the
+    same rule applies to any event-sourced view recomputed from state."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new_price = F.when(
+        F.col("o_orderkey") % 4 == 0, F.col("o_totalprice") + 100.0
+    ).otherwise(F.col("o_totalprice"))
+
+    ins = o.select(
+        "o_custkey",
+        F.lit(1).alias("dn"),
+        F.col("o_totalprice").alias("dp"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 4 == 0)
+    upd_deltas = upd.select(
+        "o_custkey", F.lit(-1).alias("dn"), (-F.col("o_totalprice")).alias("dp")
+    ).unionByName(
+        upd.select(
+            "o_custkey",
+            F.lit(1).alias("dn"),
+            (F.col("o_totalprice") + 100.0).alias("dp"),
+        )
+    )
+    dele = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_custkey", F.lit(-1).alias("dn"), (-new_price).alias("dp")
+    )
+    purge = o.filter(
+        (F.col("o_custkey") % 100 == 0) & (F.col("o_orderkey") % 10 != 0)
+    ).select("o_custkey", F.lit(-1).alias("dn"), (-new_price).alias("dp"))
+
+    deltas = ins.unionByName(upd_deltas).unionByName(dele).unionByName(purge)
+    return (
+        deltas.groupBy("o_custkey")
+        .agg(
+            F.sum("dn").alias("n_orders"),
+            F.sum(F.col("dp").cast("decimal(28,4)")).cast("double").alias("total"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )

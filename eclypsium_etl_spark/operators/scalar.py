@@ -75,17 +75,24 @@ def q43_date_parts(spark, sf_dir) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            l_extendedprice * (1 + l_tax) AS gross,
-           round(l_extendedprice * (1 - l_discount), 6) AS net_rounded,
+           round(l_extendedprice * (1 - l_discount), 6) + 0.0 AS net_rounded,
            abs(l_quantity - 25) AS qty_dev,
-           sqrt(l_quantity) AS qty_sqrt,
-           round(ln(l_extendedprice), 6) AS log_price
+           CASE WHEN l_quantity >= 0 THEN sqrt(l_quantity) END AS qty_sqrt,
+           CASE WHEN l_extendedprice > 0
+                THEN round(ln(l_extendedprice), 6) END AS log_price
     FROM lineitem
     """,
 )
 def q44_math_expr(spark, sf_dir) -> DataFrame:
     """Arithmetic expressions (the reference's price*sold_quantity, :75,
     widened). Products/abs/sqrt are IEEE-exact cross-engine; ln() can
-    differ by 1 ulp → rounded to 6 dp on both sides."""
+    differ by 1 ulp → rounded to 6 dp on both sides. Domain edges are
+    GUARDED identically on both engines (extremes-battery finding:
+    DuckDB raises on sqrt of a negative / ln of a non-positive where
+    Spark yields NaN/NULL — an unguarded domain edge is a job-semantics
+    divergence, not a float nit), and net_rounded is normalized +0.0
+    because a negative price times a planted 100% discount reaches
+    IEEE -0.0 on one engine and 0.0 on the other."""
     li = table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -94,12 +101,18 @@ def q44_math_expr(spark, sf_dir) -> DataFrame:
         # round scale 6 > the value's intrinsic 4 decimals (2dp price × 2dp
         # discount): exact ties are impossible, so HALF_UP (Spark) and
         # half-even (DuckDB) agree. round(x, 2) here WOULD mismatch.
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
-            "net_rounded"
-        ),
+        (
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+            + 0.0
+        ).alias("net_rounded"),
         F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
-        F.sqrt("l_quantity").alias("qty_sqrt"),
-        F.round(F.log(F.col("l_extendedprice")), 6).alias("log_price"),
+        # domain guards spelled on BOTH engines: DuckDB hard-errors on
+        # sqrt(<0) / ln(<=0) where Spark yields NaN/NULL (extremes battery)
+        F.when(F.col("l_quantity") >= 0, F.sqrt("l_quantity")).alias("qty_sqrt"),
+        F.when(
+            F.col("l_extendedprice") > 0,
+            F.round(F.log(F.col("l_extendedprice")), 6),
+        ).alias("log_price"),
     )
 
 
@@ -383,7 +396,9 @@ def q210_struct_array_explode(spark, sf_dir) -> DataFrame:
     SELECT event_id,
            COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER),
                     -1) AS k_or_default,
-           CASE WHEN value = 0 THEN NULL ELSE round(100.0 / value, 6) END
+           CASE WHEN value = 0 THEN NULL
+                WHEN abs(100.0 / value) >= 1e7 THEN 100.0 / value
+                ELSE round(100.0 / value, 6) + 0.0 END
                AS inv_value,
            TRY_CAST(event_type AS INTEGER) AS type_as_int
     FROM events
@@ -407,7 +422,15 @@ def q211_try_expressions(spark, sf_dir) -> DataFrame:
             ),
             F.lit(-1),
         ).alias("k_or_default"),
-        F.round(F.expr("try_divide(100.0, value)"), 6).alias("inv_value"),
+        # -0.0 normalization (+0.0) and a round-bypass above 1e7, where a
+        # 6dp quantum is sub-ulp and double round() is engine-divergent:
+        # both found by the extremes battery (value=-1e9 -> -0.0 vs 0.0;
+        # value=1e-9 -> inverse 1e11 in the fuzzy-round zone)
+        F.expr(
+            "CASE WHEN abs(try_divide(100.0, value)) >= 1e7 "
+            "THEN try_divide(100.0, value) "
+            "ELSE round(try_divide(100.0, value), 6) + 0.0 END"
+        ).alias("inv_value"),
         F.expr("try_cast(event_type AS INT)").alias("type_as_int"),
     )
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions import dsum, dsum_sql
+from ..functions import dsum, dsum_sql, dsum_str, dsum_str_sql
 from ..io import table
 from ..registry import query
 
@@ -82,45 +82,115 @@ def q89_gapfill(spark, sf_dir) -> DataFrame:
 @query(
     "q90_stats_agg",
     oracle=f"""
-    WITH s AS (
-        SELECT l_returnflag,
-               COUNT(*) AS n,
-               {dsum_sql('l_quantity')} AS sx,
-               {dsum_sql('l_quantity * l_quantity')} AS sxx,
-               {dsum_sql('l_extendedprice')} AS sy,
-               {dsum_sql('l_quantity * l_extendedprice')} AS sxy
+    WITH p AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               round({dsum_sql('l_quantity')} / COUNT(*), 4) AS cx,
+               round({dsum_sql('l_extendedprice')} / COUNT(*), 4) AS cy
         FROM lineitem GROUP BY l_returnflag
+    ),
+    s AS (
+        SELECT l.l_returnflag, p.n,
+               {dsum_str_sql('(l.l_quantity - p.cx) * (l.l_quantity - p.cx)')}
+                   AS sdxx,
+               {dsum_str_sql('l.l_quantity - p.cx')} AS sdx,
+               {dsum_str_sql('l.l_extendedprice - p.cy')} AS sdy,
+               {dsum_str_sql(
+                   '(l.l_quantity - p.cx) * (l.l_extendedprice - p.cy)')}
+                   AS sdxy
+        FROM lineitem l JOIN p
+          ON p.l_returnflag IS NOT DISTINCT FROM l.l_returnflag
+        GROUP BY l.l_returnflag, p.n
     )
     SELECT l_returnflag, n,
-           round((sxx - sx * sx / n) / (n - 1), 4) AS var_qty,
-           round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
-           round((sxy - sx * sy / n) / (n - 1), 4) AS covar_qty_price
+           CASE WHEN abs((sdxx - sdx * sdx / n) / (n - 1)) >= 1e9
+                THEN CAST(CAST((sdxx - sdx * sdx / n) / (n - 1) AS REAL)
+                          AS DOUBLE)
+                ELSE round((sdxx - sdx * sdx / n) / (n - 1), 4) + 0.0 END
+               AS var_qty,
+           CASE WHEN sqrt(CASE WHEN (sdxx - sdx * sdx / n) / (n - 1) < 0
+                               THEN 0
+                               ELSE (sdxx - sdx * sdx / n) / (n - 1) END) >= 1e9
+                THEN CAST(CAST(sqrt((sdxx - sdx * sdx / n) / (n - 1)) AS REAL)
+                          AS DOUBLE)
+                ELSE round(sqrt(CASE WHEN (sdxx - sdx * sdx / n) / (n - 1) < 0
+                                     THEN 0
+                                     ELSE (sdxx - sdx * sdx / n) / (n - 1) END),
+                           6) END
+               AS stddev_qty,
+           CASE WHEN abs((sdxy - sdx * sdy / n) / (n - 1)) >= 1e9
+                THEN CAST(CAST((sdxy - sdx * sdy / n) / (n - 1) AS REAL)
+                          AS DOUBLE)
+                ELSE round((sdxy - sdx * sdy / n) / (n - 1), 4) + 0.0 END
+               AS covar_qty_price
     FROM s
     """,
 )
 def q90_stats_agg(spark, sf_dir) -> DataFrame:
-    """Variance / stddev / covariance via explicit moment sums with the
-    decimal discipline — order-independent and therefore deterministic at
-    any parallelism, unlike the built-in one-pass implementations whose
-    float accumulation is partition-order-dependent. (Built-ins
-    var_samp/stddev/covar_samp produce the same values within float noise;
-    these formulas are the hash-stable form.)"""
+    """Variance / stddev / covariance via SHIFTED (two-pass, mean-pivot)
+    moment sums with the decimal discipline — order-independent and
+    therefore deterministic at any parallelism, unlike the built-in
+    one-pass implementations whose float accumulation is partition-
+    order-dependent. The pivot (per-group mean, rounded to 4dp so the
+    constant is cross-engine exact) centers the deviations, which kills
+    the catastrophic cancellation of the raw-moments form: the extremes
+    battery showed raw `sxy - sx*sy/n` cancelling ~30x at 1e19 scale,
+    where a sub-ulp difference in how the engines evaluate the product
+    (FMA contraction) surfaces as a visible covariance divergence.
+    Shifted, the correction term is ~|group|*5e-5 — absorbed — and every
+    numerator is a pure decimal-exact sum. The pivot join is null-safe
+    (NULL is a legitimate group) and broadcasts (<=flag-cardinality
+    rows). sqrt is guarded with greatest(var, 0): the correction can
+    push a constant group's variance to -1e-12, which DuckDB's sqrt
+    raises on. (Built-ins produce the same values within float noise;
+    these formulas are the hash-stable form at any magnitude.)"""
     li = table(spark, sf_dir, "lineitem")
-    s = li.groupBy("l_returnflag").agg(
+    piv = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
         F.count("*").alias("n"),
-        dsum("l_quantity").alias("sx"),
-        dsum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
-        dsum("l_extendedprice").alias("sy"),
-        dsum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+        F.round(dsum("l_quantity") / F.count("*"), 4).alias("cx"),
+        F.round(dsum("l_extendedprice") / F.count("*"), 4).alias("cy"),
     )
-    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
-    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    j = li.join(
+        F.broadcast(piv), F.col("l_returnflag").eqNullSafe(F.col("rf"))
+    )
+    dx = F.col("l_quantity") - F.col("cx")
+    dy = F.col("l_extendedprice") - F.col("cy")
+    # dsum_str, not dsum: deviation products are lossy at scale 4 by
+    # construction (they span 1e-4..1e18 under extreme measures), so the
+    # INPUT cast must bridge through string — see functions.dsum_str
+    s = j.groupBy("l_returnflag", "n").agg(
+        dsum_str(dx * dx).alias("sdxx"),
+        dsum_str(dx).alias("sdx"),
+        dsum_str(dy).alias("sdy"),
+        dsum_str(dx * dy).alias("sdxy"),
+    )
+    var = (
+        F.col("sdxx") - F.col("sdx") * F.col("sdx") / F.col("n")
+    ) / (F.col("n") - 1)
+    cov = (
+        F.col("sdxy") - F.col("sdx") * F.col("sdy") / F.col("n")
+    ) / (F.col("n") - 1)
+    std = F.sqrt(F.when(var < 0, F.lit(0.0)).otherwise(var))
+    # publish contract: statistics whose deviation products exceed 2^53
+    # quanta are not bit-reproducible across engines (sub-ulp FMA /
+    # shortest-vs-unique double-repr artifacts, measured at 1e-15
+    # relative on the extremes fixture) — above 1e9 the output squashes
+    # through float32 (a canonical, correctly-rounded 7-significant-
+    # digit publish on both engines, absorbing that noise); below, the
+    # usual 4dp/6dp rounds apply and uniform-fixture values are
+    # unchanged bit-for-bit
+    def _pub(c, scale):
+        return F.when(
+            F.abs(c) >= 1e9, c.cast("float").cast("double")
+        ).otherwise(F.round(c, scale) + 0.0)
+
     return s.select(
         "l_returnflag",
         "n",
-        F.round(var, 4).alias("var_qty"),
-        F.round(F.sqrt(var), 6).alias("stddev_qty"),
-        F.round(cov, 4).alias("covar_qty_price"),
+        _pub(var, 4).alias("var_qty"),
+        F.when(std >= 1e9, std.cast("float").cast("double"))
+        .otherwise(F.round(std, 6))
+        .alias("stddev_qty"),
+        _pub(cov, 4).alias("covar_qty_price"),
     )
 
 
@@ -900,15 +970,15 @@ _DECAY_HALF_LIFE_H = 24.0  # exponential half-life, hours
     WITH mx AS (SELECT MAX(ts) AS now FROM events),
     w AS (
         SELECT user_id,
-               round(CAST(value * exp(
+               CAST(value AS DECIMAL(28,4)) * CAST(exp(
                    -ln(2) * CAST(epoch_us(mx.now) - epoch_us(ts) AS DOUBLE)
                    / ({_DECAY_HALF_LIFE_H} * 3600.0 * 1e6)
-               ) AS DECIMAL(28,10)) , 10) AS wv
+               ) AS DECIMAL(9,8)) AS wv
         FROM events CROSS JOIN mx
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           round(CAST(SUM(wv) AS DOUBLE), 6) AS decayed_value
+           CAST(CAST(SUM(wv) AS STRING) AS DOUBLE) AS decayed_value
     FROM w GROUP BY user_id
     """,
 )
@@ -920,9 +990,17 @@ def q286_time_decay_agg(spark, sf_dir) -> DataFrame:
     passes a literal as-of timestamp), then summed per user. Float
     discipline: the per-event weighted value is computed in double
     (exp on identical inputs agrees cross-engine, the q67 ln precedent),
-    immediately quantized to DECIMAL(28,10), and SUMMED IN DECIMAL — so
-    the per-user fold is order-independent despite every addend being
-    irrational. One shuffle (the user rollup, map-side combined); the
+    the decay FACTOR — not the product — is quantized to
+    DECIMAL(9,8) (a [0,1] double is crisp at scale 8: quantum >> ulp, so
+    both engines round the same expansion), the weighted value is the
+    EXACT decimal product value(28,4) x factor(9,8), SUMMED IN DECIMAL,
+    and published through the string bridge — so the per-user fold is
+    order-independent despite every addend being irrational, no post-sum
+    round() exists to hit a decimal tie, and no double->decimal cast
+    ever sees a past-2^53 scaled integer (the two q286 findings of the
+    extremes battery: a final round(·,6) tie, then sub-ulp input-cast
+    divergence on 1e9-value products). The 1e-8 factor quantum is the
+    operator's documented weight resolution. One shuffle (the user rollup, map-side combined); the
     'now' scalar rides in as a broadcast 1-row aggregate. The decay
     trick at 100 TB: because exp factors multiply, yesterday's decayed
     totals re-age by ONE multiplication — store (total, as_of) and fold
@@ -932,22 +1010,30 @@ def q286_time_decay_agg(spark, sf_dir) -> DataFrame:
     age_us = (
         F.unix_micros("now") - F.unix_micros("ts")
     ).cast("double")
-    wv = F.round(
-        (
-            F.col("value")
-            * F.exp(
-                -F.log(F.lit(2.0)) * age_us / (_DECAY_HALF_LIFE_H * 3600.0 * 1e6)
-            )
-        ).cast("decimal(28,10)"),
-        10,
-    )
+    # the FACTOR (<=1, crisp at any decimal scale) is quantized, not the
+    # value*factor PRODUCT: a 1e9 value puts the product's scaled integer
+    # past 2^53, where the engines' double->decimal input casts round
+    # different texts (Spark the shortest repr, DuckDB the exact binary)
+    # and diverge sub-ulp — the extremes battery's q286 finding. The
+    # decimal x decimal multiply and the sum are then exact, and the
+    # string-bridge publish of an exact decimal is correctly rounded on
+    # both engines at any magnitude.
+    factor = F.exp(
+        -F.log(F.lit(2.0)) * age_us / (_DECAY_HALF_LIFE_H * 3600.0 * 1e6)
+    ).cast("decimal(9,8)")
+    wv = F.col("value").cast("decimal(28,4)") * factor
     return (
         e.crossJoin(F.broadcast(now))
         .select("user_id", wv.alias("wv"))
         .groupBy("user_id")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("wv").cast("double"), 6).alias("decayed_value"),
+            # the decimal sum is exact and its double cast is
+            # nearest-even on both engines (the dsum discipline); a
+            # final round(x, 6) REINTRODUCED ties — the exact sum can
+            # legitimately end in ...5 at the 7th place, and the
+            # engines' double-round tie modes differ (extremes battery)
+            F.sum("wv").cast("string").cast("double").alias("decayed_value"),
         )
     )
 

@@ -203,8 +203,13 @@ def q34_win_ntile_pct(spark, sf_dir) -> DataFrame:
         FROM events GROUP BY user_id, date_trunc('day', ts)
     )
     SELECT user_id, day, total,
-           round((total - lag(total) OVER w)
-                 / abs(lag(total) OVER w), 6) AS pct_change
+           CASE WHEN abs((total - lag(total) OVER w)
+                         / abs(NULLIF(lag(total) OVER w, 0))) >= 1e7
+                THEN (total - lag(total) OVER w)
+                     / abs(NULLIF(lag(total) OVER w, 0))
+                ELSE round((total - lag(total) OVER w)
+                           / abs(NULLIF(lag(total) OVER w, 0)), 6) END
+               AS pct_change
     FROM m WHERE user_id < 20
     WINDOW w AS (PARTITION BY user_id ORDER BY day)
     """,
@@ -216,18 +221,26 @@ def q188_pct_change(spark, sf_dir) -> DataFrame:
     window share the user_id key family (one exchange then a co-
     partitioned sort); the first period's change is honestly NULL, never
     zero-filled. abs() in the denominator keeps the sign meaning 'grew'
-    even off a negative base."""
+    even off a negative base; a ZERO base yields NULL (NULLIF guard on
+    both engines — without it Spark-4 ANSI fails the whole job, the
+    extremes battery's first-pass finding here)."""
     e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     m = e.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total"))
     w = Window.partitionBy("user_id").orderBy("day")
     prev = F.lag("total").over(w)
+    # zero base -> NULL (a pct change off zero is undefined; under
+    # Spark-4 ANSI an unguarded /0 FAILS THE JOB — extremes battery),
+    # and above 1e7 the 6dp quantum is sub-ulp so round() is bypassed
+    pct = (F.col("total") - prev) / F.abs(F.nullif(prev, F.lit(0.0)))
     return m.select(
         "user_id",
         "day",
         "total",
-        F.round((F.col("total") - prev) / F.abs(prev), 6).alias("pct_change"),
+        F.when(F.abs(pct) >= 1e7, pct)
+        .otherwise(F.round(pct, 6))
+        .alias("pct_change"),
     )
 
 
