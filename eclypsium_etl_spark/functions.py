@@ -61,16 +61,27 @@ def dsum_str(c: Column | str) -> Column:
     exact scaled binary). Bridging the input through a string makes BOTH
     round the shortest repr, and their string→decimal tie modes agree
     (half-away == Spark HALF_UP — probed: '2.00005'→2.0001, '-2.5'→-3 on
-    both). Costs a per-row string roundtrip, so it is NOT the default
-    dsum — use it only where the addend is lossy at the cast scale."""
+    both). The bridge is taken per-row ONLY above 1e11 (the scale-4
+    crisp ceiling is 2^53·1e-4 ≈ 9e11; below it both engines' direct
+    casts already round the same expansion), so benign-magnitude data
+    pays no per-row string cost — the branch condition is the same
+    double on both engines, hence the same branch (found by the bench
+    vigil: the unconditional bridge tripled q90's sf0.1 wall). Use it
+    only where the addend is lossy at the cast scale by construction;
+    plain dsum elsewhere."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.sum(c.cast("string").cast(DEC)).cast("string").cast("double")
+    bridged = F.when(F.abs(c) < 1e11, c.cast(DEC)).otherwise(
+        c.cast("string").cast(DEC)
+    )
+    return F.sum(bridged).cast("string").cast("double")
 
 
 def dsum_str_sql(expr: str) -> str:
     """DuckDB oracle twin of :func:`dsum_str`."""
     return (
-        f"CAST(CAST(SUM(CAST(CAST({expr} AS STRING) AS DECIMAL(28,4))) "
+        f"CAST(CAST(SUM(CASE WHEN abs({expr}) < 1e11 "
+        f"THEN CAST({expr} AS DECIMAL(28,4)) "
+        f"ELSE CAST(CAST({expr} AS STRING) AS DECIMAL(28,4)) END) "
         f"AS STRING) AS DOUBLE)"
     )
 
