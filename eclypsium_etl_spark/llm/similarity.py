@@ -3237,3 +3237,152 @@ def q343_ivf_clustered(spark, sf_dir) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# q348 binary quantization: one sign bit per dimension, packed into two
+# 32-bit halves (a signed-BIGINT-safe spelling of a 64-bit word; SUM of
+# distinct powers of two == bitwise OR, and each half stays < 2^32).
+# Zero is quantized to bit 0 (x > 0 strictly) — an exact float compare,
+# identical cross-engine.
+# Hamming candidate depth before exact rerank: 15x the final k. A 64-bit
+# code is SHORT for binary quantization (production uses dim-matched
+# 512-1024-bit codes); on dense near-tie bands (the planted-cluster
+# geometry: ~250 vectors within cosine 0.88-0.93 of a hot query) the
+# measured screen recall is 0.38 at 3x, 0.64 at 10x, 0.82 at 15x — the
+# depth buys back what the short code cannot resolve, still reading 50x
+# less than a full float rerank.
+_BQ_RERANK = 15 * _PQ_TOP_K
+
+
+def _bq_pack_expr(lo: int, hi: int) -> str:
+    """Spark-side packed word over embedding dims [lo, hi)."""
+    return (
+        f"aggregate(filter(sequence({lo}, {hi - 1}), "
+        f"i -> element_at(embedding, i + 1) > 0), "
+        f"CAST(0 AS BIGINT), (a, i) -> a + shiftleft(CAST(1 AS BIGINT), i - {lo}))"
+    )
+
+
+def _bq_pack_sql(lo: int, hi: int) -> str:
+    """DuckDB twin of :func:`_bq_pack_expr`."""
+    return (
+        f"CAST(list_sum(list_transform(range({lo}, {hi}), "
+        f"i -> CASE WHEN embedding[i + 1] > 0 "
+        f"THEN 1::BIGINT << (i - {lo}) ELSE 0::BIGINT END)) AS BIGINT)"
+    )
+
+
+@query(
+    "q348_sim_binary_hamming",
+    oracle=f"""
+    WITH packed AS (
+        SELECT vec_id, embedding,
+               {_bq_pack_sql(0, 32)} AS w_lo,
+               {_bq_pack_sql(32, 64)} AS w_hi
+        FROM embeddings
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, w_lo AS q_lo,
+               w_hi AS q_hi
+        FROM packed WHERE vec_id < {_N_QUERIES}
+    ),
+    cand AS (
+        SELECT qu.query_id, c.vec_id AS neighbor_id,
+               bit_count(xor(c.w_lo, qu.q_lo))
+                   + bit_count(xor(c.w_hi, qu.q_hi)) AS hamming,
+               round({dot_sql('c.embedding', 'qu.q_emb')}, 6) + 0.0
+                   AS exact_sim
+        FROM packed c JOIN queries qu ON c.vec_id <> qu.query_id
+    ),
+    screened AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY hamming, neighbor_id) AS rn_h
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, hamming, exact_sim FROM (
+        SELECT query_id, neighbor_id, hamming, exact_sim,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY exact_sim DESC, neighbor_id) AS rn_e
+        FROM screened WHERE rn_h <= {_BQ_RERANK}
+    ) WHERE rn_e <= {_PQ_TOP_K}
+    """,
+)
+def q348_sim_binary_hamming(spark, sf_dir) -> DataFrame:
+    """BINARY-QUANTIZED ANN — the 1-bit rung under q130's int8: each
+    embedding keeps only its per-dimension SIGN, packed into two 32-bit
+    halves of a 64-bit word (SUM of distinct powers of two == bitwise
+    OR, signed-BIGINT-safe), so the candidate scan compares vectors
+    with TWO XOR+POPCOUNT instructions instead of a 64-float dot —
+    64 bits/vector vs 256 bytes, a 32× memory-bandwidth lever, and the
+    reason binary embeddings are the production cold-tier for
+    billion-vector search. Hamming distance approximates angle for
+    roughly-isotropic vectors (sign-random-projection LSH, Charikar
+    2002: P[sign mismatch] = theta/pi per dimension); ranking quality
+    is recovered by an exact-cosine RERANK of the top-75
+    Hamming candidates (15x the final k — the standard
+    screen-then-rerank contract, same shape as the IVF family's
+    probe-then-rerank).
+
+    Plan: the query set (with its own packed words) broadcasts; the
+    corpus packs in the scan (JVM-side HOFs, no UDF) and never
+    shuffles; bit_count(xor()) is whole-stage-codegen integer work;
+    two per-query row_number heads (Hamming screen, exact rerank) ride
+    one window exchange. At 100 TB the packed words are a materialized
+    64-bit column — the scan reads 8 bytes/vector and the float
+    embeddings are fetched only for the 75-row rerank set
+    (column pruning does this for free: exact_sim is the only
+    consumer). Cross-engine exactness: the sign test (x > 0) is an
+    exact float compare, packing is integer arithmetic, Hamming is
+    integer, and the rerank dot follows q64's proven left-fold
+    discipline; ties in Hamming and in exact_sim both break on
+    neighbor_id. Zero vectors pack to 0 and simply rank by popcount of
+    the query — no guard needed (q136 validates upstream)."""
+    return binary_hamming_topk(table(spark, sf_dir, "embeddings"))
+
+
+def binary_hamming_topk(em: DataFrame) -> DataFrame:
+    """q348's kernel over any (vec_id, embedding) frame — factored out
+    so the recall pin can run it on the planted-cluster geometry, where
+    sign-projection actually has signal to preserve (on the decorrelated
+    noise fixture every cosine is near zero and ANY screen's top-k is
+    noise-rank roulette)."""
+    packed = em.select(
+        "vec_id",
+        "embedding",
+        F.expr(_bq_pack_expr(0, 32)).alias("w_lo"),
+        F.expr(_bq_pack_expr(32, 64)).alias("w_hi"),
+    )
+    queries = packed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+    )
+    hamming = F.bit_count(
+        F.col("w_lo").bitwiseXOR(F.col("q_lo"))
+    ) + F.bit_count(F.col("w_hi").bitwiseXOR(F.col("q_hi")))
+    w_h = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    w_e = Window.partitionBy("query_id").orderBy(
+        F.desc("exact_sim"), F.asc("neighbor_id")
+    )
+    return (
+        packed.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            hamming.alias("hamming"),
+            (F.round(dot(F.col("embedding"), F.col("q_emb")), 6) + 0.0).alias(
+                "exact_sim"
+            ),
+        )
+        .withColumn("rn_h", F.row_number().over(w_h))
+        .filter(F.col("rn_h") <= _BQ_RERANK)
+        .withColumn("rn_e", F.row_number().over(w_e))
+        .filter(F.col("rn_e") <= _PQ_TOP_K)
+        .select("query_id", "neighbor_id", "hamming", "exact_sim")
+    )

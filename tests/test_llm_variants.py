@@ -342,3 +342,42 @@ def test_q328_neighbors_come_from_query_cell(spark):
         # symmetric int8: |approx - exact| bounded by dim * scale/2 per
         # term; on unit 64-d vectors a loose but real bound is 0.05
         assert abs(r.approx_sim - r.exact_sim) < 0.05
+
+
+def test_binary_hamming_recall_vs_exact(spark):
+    """q348's Hamming screen + exact rerank must recover most of the
+    exact top-k ON CLUSTERED GEOMETRY (the q343 planted corpus) — sign
+    random projection preserves angle where there IS angle structure;
+    on the decorrelated noise fixture all cosines are ~0 and any
+    screen's top-k is noise-rank roulette (measured ~0.36, barely above
+    the 15/49 random baseline — geometry, not the operator), so the pin
+    runs where the operator's value proposition is testable."""
+    from eclypsium_etl_spark.llm.similarity import (
+        binary_hamming_topk,
+        clustered_corpus,
+    )
+
+    em = clustered_corpus(spark, SF_SMOKE).cache()
+    rows = em.collect()
+    vecs = {r.vec_id: r.embedding for r in rows}
+    qids = sorted(vecs)[:10]
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    exact = {}
+    for q in qids:
+        ranked = sorted(
+            ((cos(vecs[q], vecs[n]), -n) for n in vecs if n != q),
+            reverse=True,
+        )[:5]
+        exact[q] = {-neg for _, neg in ranked}
+    approx = {}
+    for r in binary_hamming_topk(em).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    em.unpersist()
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, f"binary-Hamming recall too low: {mean_recall:.2f}"
