@@ -3933,3 +3933,224 @@ def q344_posting_hot_shards(spark, sf_dir) -> DataFrame:
         )
         .select("token", "df", "shard_id", "shard_df", "postings")
     )
+
+
+# q349 hybrid retrieval: BM25 constants + candidate/final depths.
+_RRF_K1 = 1.2     # BM25 tf saturation
+_RRF_B = 0.75     # BM25 length normalization
+_RRF_C = 60       # RRF damping constant (Cormack et al. 2009)
+_RRF_NQ = 5       # query documents: doc_id < 5
+_RRF_DEPTH = 20   # per-modality candidate depth fed into the fusion
+_RRF_TOP = 10     # fused results per query
+
+
+@query(
+    "q349_hybrid_rrf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               SUM(dl) * 1.0 / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    idf AS (
+        SELECT t.token,
+               ln(1.0 + (s.n_docs - COUNT(DISTINCT t.doc_id) + 0.5)
+                        / (COUNT(DISTINCT t.doc_id) + 0.5)) AS idf
+        FROM tf t CROSS JOIN stats s
+        GROUP BY t.token, s.n_docs
+    ),
+    qtok AS (
+        SELECT DISTINCT doc_id AS query_id, token FROM tok
+        WHERE doc_id < {_RRF_NQ}
+    ),
+    sparse AS (
+        SELECT q.query_id, t.doc_id,
+               round(SUM(i.idf * t.tf * ({_RRF_K1} + 1.0)
+                     / (t.tf + {_RRF_K1} * (1.0 - {_RRF_B}
+                        + {_RRF_B} * d.dl / s.avgdl))), 6) AS score
+        FROM qtok q
+        JOIN tf t ON t.token = q.token AND t.doc_id <> q.query_id
+        JOIN idf i ON i.token = q.token
+        JOIN dl d ON d.doc_id = t.doc_id
+        CROSS JOIN stats s
+        GROUP BY q.query_id, t.doc_id
+    ),
+    r_sparse AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS r_s
+        FROM sparse QUALIFY r_s <= {_RRF_DEPTH}
+    ),
+    dense AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               round({{dot}}, 6) AS sim
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_RRF_NQ}
+    ),
+    r_dense AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, doc_id) AS r_d
+        FROM dense QUALIFY r_d <= {_RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+               COALESCE(s.doc_id, d.doc_id) AS doc_id,
+               s.r_s, d.r_d,
+               COALESCE(1.0 / ({_RRF_C} + s.r_s), 0.0)
+                   + COALESCE(1.0 / ({_RRF_C} + d.r_d), 0.0) AS rrf
+        FROM r_sparse s
+        FULL OUTER JOIN r_dense d
+          ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, r_s, r_d, round(rrf, 6) AS rrf_score
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf DESC, doc_id) AS rn
+        FROM fused
+    ) WHERE rn <= {_RRF_TOP}
+    """.replace("{dot}", "list_sum(list_transform(list_zip(q.embedding, c.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"),
+)
+def q349_hybrid_rrf(spark, sf_dir) -> DataFrame:
+    """HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION — the production
+    RAG-retrieval shape: a BM25 sparse ranking (Robertson-Sparck Jones;
+    k1=1.2, b=0.75) and a dense cosine ranking over the SAME corpus are
+    fused per query as RRF = Σ 1/(60 + rank) (Cormack, Clarke &
+    Buettcher 2009 — rank fusion beats score fusion because ranks are
+    scale-free, so the two modalities need no calibration). Query set =
+    the first 5 documents (their text drives the sparse side, their
+    aligned embedding the dense side); each modality contributes its
+    top-20, a full-outer join unions the candidate sets (a doc found by
+    only one modality still fuses, with the other term 0), and the
+    fused top-10 is emitted with both source ranks carried as data.
+
+    Determinism: ranks are integers, RRF terms are exact rationals in
+    double (integer denominators), and the only transcendental — the
+    BM25 idf ln — is rounded at 6dp inside a score whose magnitude
+    keeps the quantum far above ulp; rank ties break on doc_id in every
+    window on both engines. Scale: the sparse side is a posting join on
+    token (q159's family — hash-shuffle on the key, df-bounded), the
+    dense side is q64's broadcast-queries scan; both rank windows are
+    WindowGroupLimit-capped at 20 before the fusion join, so the
+    full-outer join is per-query-bounded (≤40 rows per query) no matter
+    the corpus size. BM25's per-doc work is scan-stage arithmetic; avgdl
+    is a 1-row broadcast aggregate. At 100 TB you materialize the
+    sparse index (q159/q344) and ANN-screen the dense side (q72/q348);
+    the fusion stage is unchanged — it only ever sees 2·depth rows per
+    query."""
+    d = table(spark, sf_dir, "documents")
+    em = table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+    from ..functions import dot
+
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"),
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "token",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    qtok = (
+        tok.filter(F.col("doc_id") < _RRF_NQ)
+        .select(F.col("doc_id").alias("query_id"), "token")
+        .distinct()
+    )
+    sparse = (
+        qtok.join(
+            tf.withColumnRenamed("doc_id", "doc_id"),
+            on="token",
+        )
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(idf, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * F.col("tf")
+                    * (_RRF_K1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + _RRF_K1
+                        * (1.0 - _RRF_B + _RRF_B * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    r_sparse = (
+        sparse.withColumn("r_s", F.row_number().over(w_s))
+        .filter(F.col("r_s") <= _RRF_DEPTH)
+        .select("query_id", "doc_id", "r_s")
+    )
+    queries = em.filter(F.col("vec_id") < _RRF_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    dense = (
+        em.withColumnRenamed("vec_id", "doc_id")
+        .join(F.broadcast(queries), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(dot(F.col("embedding"), F.col("q_emb")), 6).alias("sim"),
+        )
+    )
+    w_d = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("doc_id"))
+    r_dense = (
+        dense.withColumn("r_d", F.row_number().over(w_d))
+        .filter(F.col("r_d") <= _RRF_DEPTH)
+        .select("query_id", "doc_id", "r_d")
+    )
+    fused = (
+        r_sparse.join(r_dense, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            "r_s",
+            "r_d",
+            (
+                F.coalesce(1.0 / (_RRF_C + F.col("r_s")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_C + F.col("r_d")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(w_f))
+        .filter(F.col("rn") <= _RRF_TOP)
+        .select(
+            "query_id",
+            "doc_id",
+            "r_s",
+            "r_d",
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )

@@ -159,6 +159,10 @@ _DIV_WHITELIST: dict[str, set[str]] = {
     "q131_mixture_temperature": {"n_tokens", "t.tot"},
     "q140_ngram_decontaminate": {"c.n_grams"},
     "q143_regression_agg": {"n"},
+    # avgdl = SUM(dl)/COUNT(*) over per-doc token counts; string_split
+    # yields >= 1 token even for '' so dl >= 1, hence avgdl >= 1
+    # whenever the CROSS JOINed stats row exists at all
+    "q349_hybrid_rrf": {"s.avgdl"},
     "q147_anomaly_zscore": {"n"},
     "q149_boilerplate_grams": {"p.n_grams"},
     "q178_embedding_pool": {"n"},
