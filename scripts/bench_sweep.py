@@ -28,6 +28,8 @@ from eclypsium_etl_spark import registry  # noqa: E402
 
 def main() -> None:
     rnd = sys.argv[1] if len(sys.argv) > 1 else "X"
+    warm_only = "--warm-only" in sys.argv  # refresh pass at a tree whose
+    # memos already exist (the r9 "refresh the warm sweep" pattern)
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
@@ -39,7 +41,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = registry.ordered_queries()
-    for label in ("cold", "warm"):
+    for label in (("warm",) if warm_only else ("cold", "warm")):
         times: dict[str, float] = {}
         t_pass = time.perf_counter()
         fails = []
