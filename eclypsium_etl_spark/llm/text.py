@@ -4154,3 +4154,374 @@ def q349_hybrid_rrf(spark, sf_dir) -> DataFrame:
             F.round("rrf", 6).alias("rrf_score"),
         )
     )
+
+
+# ---- q352: hybrid RRF over MATERIALIZED retrieval indexes -----------------
+
+_RRF_SCREEN = 15 * _RRF_DEPTH  # q348's measured rerank-depth rule at k=20
+
+
+def _rrf_sparse_index(spark, sf_dir) -> DataFrame:
+    """Materialized tf-bearing sharded posting index — q344's adaptive
+    hot-token layout extended with the per-posting term frequency a
+    BM25 scorer needs (what a real sparse index stores per posting).
+    Landed once per fixture via io.materialize_once (the shingles
+    memo discipline — standing in for the catalog index table a
+    cluster would maintain); every q352 run thereafter is scan-only
+    on the index side.
+
+    Unlike q344's registered layout, NO hapax floor: dropping df<2
+    terms is a retrieval-quality knob, and q349-equivalence (which
+    scores every term) requires keeping them. The adaptive width
+    W(t) = ceil(n_docs·B/df) is floor-free either way — cold tokens
+    keep one monolithic shard, Zipf-hot tokens split into ~df/B
+    bounded shards, so no per-token partition is unsplittable at
+    100 TB. Shard reassembly is LOSSLESS for scoring: the BM25 join
+    keys on token alone, and the shard column only shapes layout."""
+    import os
+    import tempfile
+
+    from ..io import materialize_once, source_stamp
+
+    d = table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "eclypsium_etl_spark",
+        f"rrfidx_{sf_dir.strip('/').replace('/', '_')}"
+        f"_{source_stamp(f'{sf_dir}/documents.parquet')}",
+    )
+
+    def write(path: str) -> None:
+        tok = d.repartition("doc_id").select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        tf = tok.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+        n_docs = d.agg(F.count("*").alias("n_docs"))
+        widths = (
+            tf.groupBy("token")
+            .agg(F.count("*").alias("df"))
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "token",
+                "df",
+                F.expr(f"(n_docs * {_HOT_SHARD_B} + df - 1) DIV df").alias("w"),
+            )
+        )
+        (
+            tf.join(widths, "token")
+            .select(
+                "token",
+                "df",
+                F.expr("doc_id DIV w").cast("long").alias("shard_id"),
+                "doc_id",
+                "tf",
+            )
+            .repartition("token")
+            .write.parquet(path)
+        )
+
+    return materialize_once(
+        spark,
+        out,
+        write,
+        schema="token string, df bigint, shard_id bigint, doc_id bigint, tf bigint",
+    )
+
+
+def _rrf_dense_index(spark, sf_dir) -> DataFrame:
+    """Materialized binary-quantized embedding table — q348's cold-tier
+    layout landed as columns: the packed 64-bit sign word (two
+    signed-safe 32-bit halves) NEXT TO the float embedding, so the
+    Hamming screen reads 8 bytes/vector and column pruning fetches the
+    floats only for the rerank set."""
+    import os
+    import tempfile
+
+    from ..io import materialize_once, source_stamp
+    from .similarity import _bq_pack_expr
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "eclypsium_etl_spark",
+        f"bqidx_{sf_dir.strip('/').replace('/', '_')}"
+        f"_{source_stamp(f'{sf_dir}/embeddings.parquet')}",
+    )
+
+    def write(path: str) -> None:
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.expr(_bq_pack_expr(0, 32)).alias("w_lo"),
+            F.expr(_bq_pack_expr(32, 64)).alias("w_hi"),
+            "embedding",
+        ).write.parquet(path)
+
+    return materialize_once(
+        spark,
+        out,
+        write,
+        schema="vec_id bigint, w_lo bigint, w_hi bigint, embedding array<float>",
+    )
+
+
+def hybrid_rrf_indexed(spark, sf_dir, screen_depth: int | None) -> DataFrame:
+    """q349's hybrid BM25+dense RRF pipeline re-expressed over the two
+    materialized indexes. ``screen_depth=None`` disables the dense
+    Hamming screen (exact scan through the index layout) — in that
+    configuration the composition is STRUCTURALLY q349 and the results
+    are row-identical (pinned in tests/test_llm_variants.py); the
+    registered q352 runs the production screen at 15× the fusion
+    depth (q348's measured rerank rule)."""
+    from pyspark.sql import Window
+
+    from ..functions import dot
+
+    idx = _rrf_sparse_index(spark, sf_dir)
+    # doc lengths recovered exactly from the index (dl = Σ tf per doc —
+    # possible only because the index keeps every term; a floored index
+    # would need the separate norms file real engines carry)
+    dl = idx.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"),
+    )
+    d = table(spark, sf_dir, "documents")
+    qtok = (
+        d.filter(F.col("doc_id") < _RRF_NQ)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .distinct()
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sparse = (
+        qtok.join(idx, "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    idf
+                    * F.col("tf")
+                    * (_RRF_K1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + _RRF_K1
+                        * (1.0 - _RRF_B + _RRF_B * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    r_sparse = (
+        sparse.withColumn("r_s", F.row_number().over(w_s))
+        .filter(F.col("r_s") <= _RRF_DEPTH)
+        .select("query_id", "doc_id", "r_s")
+    )
+
+    pk = _rrf_dense_index(spark, sf_dir)
+    bq = pk.filter(F.col("vec_id") < _RRF_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+    )
+    cand = pk.withColumnRenamed("vec_id", "doc_id").join(
+        F.broadcast(bq), F.col("doc_id") != F.col("query_id")
+    )
+    if screen_depth is not None:
+        hamming = F.bit_count(
+            F.col("w_lo").bitwiseXOR(F.col("q_lo"))
+        ) + F.bit_count(F.col("w_hi").bitwiseXOR(F.col("q_hi")))
+        w_h = Window.partitionBy("query_id").orderBy(
+            F.asc("hamming"), F.asc("doc_id")
+        )
+        cand = (
+            cand.withColumn("hamming", hamming)
+            .withColumn("rn_h", F.row_number().over(w_h))
+            .filter(F.col("rn_h") <= screen_depth)
+        )
+    dense = cand.select(
+        "query_id",
+        "doc_id",
+        F.round(dot(F.col("embedding"), F.col("q_emb")), 6).alias("sim"),
+    )
+    w_d = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("doc_id"))
+    r_dense = (
+        dense.withColumn("r_d", F.row_number().over(w_d))
+        .filter(F.col("r_d") <= _RRF_DEPTH)
+        .select("query_id", "doc_id", "r_d")
+    )
+
+    fused = r_sparse.join(r_dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "r_s",
+        "r_d",
+        (
+            F.coalesce(1.0 / (_RRF_C + F.col("r_s")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_C + F.col("r_d")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(w_f))
+        .filter(F.col("rn") <= _RRF_TOP)
+        .select(
+            "query_id",
+            "doc_id",
+            "r_s",
+            "r_d",
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )
+
+
+from ..functions import dot_sql as _dot_sql  # noqa: E402
+from .similarity import _bq_pack_sql  # noqa: E402  (no import cycle: similarity does not import text)
+
+
+@query(
+    "q352_hybrid_rrf_indexed",
+    oracle=f"""
+    -- q349's sparse CTEs verbatim (the index path must reproduce the
+    -- direct BM25 recompute), dense side through the q348 binary
+    -- screen at depth {_RRF_SCREEN} before the exact top-{_RRF_DEPTH} rerank.
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               SUM(dl) * 1.0 / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    idf AS (
+        SELECT t.token,
+               ln(1.0 + (s.n_docs - COUNT(DISTINCT t.doc_id) + 0.5)
+                        / (COUNT(DISTINCT t.doc_id) + 0.5)) AS idf
+        FROM tf t CROSS JOIN stats s
+        GROUP BY t.token, s.n_docs
+    ),
+    qtok AS (
+        SELECT DISTINCT doc_id AS query_id, token FROM tok
+        WHERE doc_id < {_RRF_NQ}
+    ),
+    sparse AS (
+        SELECT q.query_id, t.doc_id,
+               round(SUM(i.idf * t.tf * ({_RRF_K1} + 1.0)
+                     / (t.tf + {_RRF_K1} * (1.0 - {_RRF_B}
+                        + {_RRF_B} * d.dl / s.avgdl))), 6) AS score
+        FROM qtok q
+        JOIN tf t ON t.token = q.token AND t.doc_id <> q.query_id
+        JOIN idf i ON i.token = q.token
+        JOIN dl d ON d.doc_id = t.doc_id
+        CROSS JOIN stats s
+        GROUP BY q.query_id, t.doc_id
+    ),
+    r_sparse AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS r_s
+        FROM sparse QUALIFY r_s <= {_RRF_DEPTH}
+    ),
+    packed AS (
+        SELECT vec_id, embedding,
+               {_bq_pack_sql(0, 32)} AS w_lo,
+               {_bq_pack_sql(32, 64)} AS w_hi
+        FROM embeddings
+    ),
+    bq AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, w_lo AS q_lo,
+               w_hi AS q_hi
+        FROM packed WHERE vec_id < {_RRF_NQ}
+    ),
+    cand AS (
+        SELECT qu.query_id, c.vec_id AS doc_id,
+               bit_count(xor(c.w_lo, qu.q_lo))
+                   + bit_count(xor(c.w_hi, qu.q_hi)) AS hamming,
+               round({_dot_sql('c.embedding', 'qu.q_emb')}, 6) AS sim
+        FROM packed c JOIN bq qu ON c.vec_id <> qu.query_id
+    ),
+    screened AS (
+        SELECT query_id, doc_id, sim FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY hamming, doc_id) AS rn_h
+            FROM cand
+        ) WHERE rn_h <= {_RRF_SCREEN}
+    ),
+    r_dense AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, doc_id) AS r_d
+        FROM screened QUALIFY r_d <= {_RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+               COALESCE(s.doc_id, d.doc_id) AS doc_id,
+               s.r_s, d.r_d,
+               COALESCE(1.0 / ({_RRF_C} + s.r_s), 0.0)
+                   + COALESCE(1.0 / ({_RRF_C} + d.r_d), 0.0) AS rrf
+        FROM r_sparse s
+        FULL OUTER JOIN r_dense d
+          ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, r_s, r_d, round(rrf, 6) AS rrf_score
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf DESC, doc_id) AS rn
+        FROM fused
+    ) WHERE rn <= {_RRF_TOP}
+    """,
+)
+def q352_hybrid_rrf_indexed(spark, sf_dir) -> DataFrame:
+    """HYBRID RRF AT THE MATERIALIZED-INDEX SPELLING — q349's own
+    docstring names this as its 100 TB plan (VERDICT r10 #7), now
+    registered as ONE composition: the BM25 side reads the landed
+    tf-bearing sharded posting index (q344's adaptive hot-token layout
+    + per-posting tf; doc lengths recovered as Σtf per doc), the dense
+    side reads the landed binary-quantized table (q348's packed sign
+    words next to the floats), screens by XOR+POPCOUNT Hamming at 15×
+    the fusion depth (q348's measured rerank rule), exact-reranks the
+    survivors, and fuses both top-20 rankings with RRF exactly as q349
+    does. Nothing in the fusion stage changed — it only ever sees
+    2·depth rows per query.
+
+    Equivalence contract (the q345/q346 demonstration pattern, with
+    the honest asterisk an approximate screen forces): the SPARSE
+    ranking is row-identical to q349's BY CONSTRUCTION (shard
+    reassembly keys on token and loses nothing; the index keeps every
+    term), and with the screen DISABLED the whole composition is
+    structurally q349 — pinned row-identical in
+    tests/test_llm_variants.py via hybrid_rrf_indexed(screen_depth=
+    None). WITH the screen, the dense candidate set is approximate
+    with the measured recall of q348's 64-bit code (0.82 at 15× on
+    clustered geometry; lower on the isotropic noise fixture, where
+    ANY sign-projection screen is near-blind) — so the registered
+    query is oracled against ITS OWN exact SQL spelling (screen
+    included), the honest differential for an approximate operator
+    (q72/q343's IVF discipline).
+
+    Scale economics vs q349: the sparse side pays a token-key join
+    against bounded posting shards instead of re-exploding the corpus
+    (build cost amortized across every query thereafter — the memo is
+    the catalog index table), and the dense scan reads 8 bytes/vector
+    for the screen with floats fetched only for the 300-row rerank set
+    (column pruning does it for free). 100 TB retrieval is exactly
+    this shape: index once, screen cheap, rerank tiny, fuse ranks."""
+    return hybrid_rrf_indexed(spark, sf_dir, screen_depth=_RRF_SCREEN)

@@ -1674,7 +1674,11 @@ def q347_retractable_agg(spark, sf_dir) -> DataFrame:
         deltas.groupBy("o_custkey")
         .agg(
             F.sum("dn").alias("n_orders"),
-            F.sum(F.col("dp").cast("decimal(28,4)")).cast("double").alias("total"),
+            # publish via the dsum string bridge — the standing rule for
+            # decimal->double publishes (Spark's direct cast happens to be
+            # single-rounded, but the oracle side already spells dsum_sql;
+            # keep both spellings on the one documented discipline)
+            dsum("dp").alias("total"),
         )
         .filter(F.col("n_orders") > 0)
     )

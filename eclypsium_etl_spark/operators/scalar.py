@@ -75,7 +75,10 @@ def q43_date_parts(spark, sf_dir) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            l_extendedprice * (1 + l_tax) AS gross,
-           round(l_extendedprice * (1 - l_discount), 6) + 0.0 AS net_rounded,
+           CASE WHEN abs(l_extendedprice * (1 - l_discount)) >= 1e7
+                THEN l_extendedprice * (1 - l_discount)
+                ELSE round(l_extendedprice * (1 - l_discount), 6) + 0.0
+           END AS net_rounded,
            abs(l_quantity - 25) AS qty_dev,
            CASE WHEN l_quantity >= 0 THEN sqrt(l_quantity) END AS qty_sqrt,
            CASE WHEN l_extendedprice > 0
@@ -92,7 +95,10 @@ def q44_math_expr(spark, sf_dir) -> DataFrame:
     Spark yields NaN/NULL — an unguarded domain edge is a job-semantics
     divergence, not a float nit), and net_rounded is normalized +0.0
     because a negative price times a planted 100% discount reaches
-    IEEE -0.0 on one engine and 0.0 on the other."""
+    IEEE -0.0 on one engine and 0.0 on the other. Above |x| >= 1e7 the
+    6dp round quantum is sub-ulp (double has <7 fractional digits of
+    precision there), so round() is bypassed on BOTH engines — the same
+    branch q188/q210/q211 carry — instead of trusting repr ties."""
     li = table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -101,10 +107,15 @@ def q44_math_expr(spark, sf_dir) -> DataFrame:
         # round scale 6 > the value's intrinsic 4 decimals (2dp price × 2dp
         # discount): exact ties are impossible, so HALF_UP (Spark) and
         # half-even (DuckDB) agree. round(x, 2) here WOULD mismatch.
-        (
+        F.when(
+            F.abs(F.col("l_extendedprice") * (1 - F.col("l_discount"))) >= 1e7,
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        )
+        .otherwise(
             F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
             + 0.0
-        ).alias("net_rounded"),
+        )
+        .alias("net_rounded"),
         F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
         # domain guards spelled on BOTH engines: DuckDB hard-errors on
         # sqrt(<0) / ln(<=0) where Spark yields NaN/NULL (extremes battery)

@@ -142,8 +142,32 @@ def q90_stats_agg(spark, sf_dir) -> DataFrame:
     rows). sqrt is guarded with greatest(var, 0): the correction can
     push a constant group's variance to -1e-12, which DuckDB's sqrt
     raises on. (Built-ins produce the same values within float noise;
-    these formulas are the hash-stable form at any magnitude.)"""
-    li = table(spark, sf_dir, "lineitem")
+    these formulas are the hash-stable form at any magnitude.)
+
+    Two passes are inherent to the shifted form (the pivot must exist
+    before the deviations), but both passes feed from a memoized
+    3-column projection (io.materialize_once, the shingles discipline)
+    rather than re-scanning the full-width lineitem parquet twice —
+    the VERDICT r10 #4 trim; values and hash are unchanged because the
+    projection is a column subset, not a transformation."""
+    import os
+    import tempfile
+
+    from ..io import materialize_once, source_stamp
+
+    proj = os.path.join(
+        tempfile.gettempdir(),
+        "eclypsium_etl_spark",
+        f"q90proj_{sf_dir.strip('/').replace('/', '_')}"
+        f"_{source_stamp(f'{sf_dir}/lineitem.parquet')}",
+    )
+    li = materialize_once(
+        spark,
+        proj,
+        lambda path: table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .write.parquet(path),
+    )
     piv = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
         F.count("*").alias("n"),
         F.round(dsum("l_quantity") / F.count("*"), 4).alias("cx"),

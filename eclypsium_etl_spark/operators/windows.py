@@ -208,7 +208,7 @@ def q34_win_ntile_pct(spark, sf_dir) -> DataFrame:
                 THEN (total - lag(total) OVER w)
                      / abs(NULLIF(lag(total) OVER w, 0))
                 ELSE round((total - lag(total) OVER w)
-                           / abs(NULLIF(lag(total) OVER w, 0)), 6) END
+                           / abs(NULLIF(lag(total) OVER w, 0)), 6) + 0.0 END
                AS pct_change
     FROM m WHERE user_id < 20
     WINDOW w AS (PARTITION BY user_id ORDER BY day)
@@ -239,7 +239,7 @@ def q188_pct_change(spark, sf_dir) -> DataFrame:
         "day",
         "total",
         F.when(F.abs(pct) >= 1e7, pct)
-        .otherwise(F.round(pct, 6))
+        .otherwise(F.round(pct, 6) + 0.0)
         .alias("pct_change"),
     )
 
@@ -274,4 +274,83 @@ def q189_win_first_last_nth(spark, sf_dir) -> DataFrame:
         F.first("event_type").over(w).alias("first_type"),
         F.last("event_type").over(w_full).alias("last_type"),
         F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
+@query(
+    "q350_global_rank_ranged",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           ntile(4)       OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cum_dist
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal NULLS FIRST, c_custkey)
+    """,
+)
+def q350_global_rank_ranged(spark, sf_dir) -> DataFrame:
+    """RANGE-PARTITIONED GLOBAL DISTRIBUTION FUNCTIONS — the scale
+    spelling of the q34/q180/q185/q262 single-reducer window family
+    (VERDICT r10 #2, the last named-but-unregistered scale path).
+    q34's direct spelling (`Window.orderBy` with no partition) moves
+    EVERY row to one task — fine for a 15k-row dimension, fatal for a
+    fact table. This query computes the identical ntile/percent_rank/
+    cume_dist triple with NO unpartitioned WindowExec anywhere in the
+    plan (pinned in tests/test_plan_shapes.py):
+
+    1. global row_number via ops.global_running_sum of a literal 1 —
+       repartitionByRange on the total order, per-partition running
+       count (a partitioned window), one tiny row per partition to the
+       driver for base offsets, broadcast back. The corpus never
+       converges on one task.
+    2. rank / peers from the row numbers with a window partitioned by
+       the ORDER VALUE (tie groups): rank = min(rn) over peers,
+       count_le = max(rn) over peers. Tie-group size is the only
+       per-task concentration and is bounded by value multiplicity,
+       not corpus size.
+    3. the distribution functions in closed form from (rn, rank,
+       count_le, N): percent_rank = (rank-1)/(N-1) (0.0 when N=1,
+       Spark's own convention), cume_dist = count_le/N, and ntile(k)
+       by its size formula — the first N mod k buckets get
+       floor(N/k)+1 rows — which reproduces engine ntile exactly
+       because rn is the same total order (c_custkey tiebreak).
+
+    Result is ROW-IDENTICAL to q34 by construction (same oracle text —
+    the equivalence IS the demonstration, the q345/q346 pattern). N
+    arrives via a broadcast 1-row crossJoin (the audited family), never
+    a driver collect of data rows. NULL acctbals sort first on both
+    engines (pinned NULLS FIRST) and form one peer group, exactly as a
+    global window treats them."""
+    from .. import ops
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    staged = c.withColumn("__one", F.lit(1).cast("long"))
+    rn_df = ops.global_running_sum(
+        staged, ["c_acctbal", "c_custkey"], "__one", "rn"
+    ).drop("__one")
+    total = rn_df.agg(F.count("*").alias("__n"))
+    j = rn_df.crossJoin(F.broadcast(total))
+
+    peers = Window.partitionBy("c_acctbal")
+    rank = F.min("rn").over(peers)
+    count_le = F.max("rn").over(peers)
+    n = F.col("__n")
+    i = F.col("rn")
+    # ntile(k): q = N div k rows per bucket, the first r = N mod k
+    # buckets take one extra. Buckets of rows i <= r*(q+1) have width
+    # q+1; the rest width q (q >= 1 whenever any row lands there).
+    k = F.lit(4).cast("long")
+    qsz = (n / k).cast("long")  # floor: n, k nonnegative
+    r = n % k
+    threshold = r * (qsz + 1)
+    tile = F.when(
+        i <= threshold, ((i - 1) / (qsz + 1)).cast("long") + 1
+    ).otherwise(r + ((i - threshold - 1) / qsz).cast("long") + 1)
+    pct_rank = F.when(n > 1, (rank - 1) / (n - 1)).otherwise(F.lit(0.0))
+    return j.select(
+        "c_custkey",
+        "c_acctbal",
+        tile.cast("long").alias("quartile"),
+        pct_rank.cast("double").alias("pct_rank"),
+        (count_le / n).cast("double").alias("cum_dist"),
     )

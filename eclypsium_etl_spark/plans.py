@@ -89,3 +89,35 @@ def exchange_partitioning(df: DataFrame) -> str:
             r"Exchange (?:hash|range)partitioning\([^)]*\)", plan
         )
     )
+
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of WindowExec nodes with NO partition spec — the
+    single-reducer anti-pattern ("No Partition Defined for Window
+    operation" at runtime: ALL rows move to one task). A physical
+    Window node prints as `Window [exprs], [partCols], [orderCols]`
+    when partitioned and `Window [exprs], [orderCols]` when not, so a
+    node with fewer than three top-level bracket groups is global.
+    WindowGroupLimit nodes (rank-pushdown helpers) are excluded — they
+    carry their own bracket shape and never sort globally on their own."""
+    plan = physical_plan(df)
+    n = 0
+    for line in plan.splitlines():
+        stripped = line.strip()
+        if "WindowGroupLimit" in stripped:
+            continue
+        m = re.search(r"\bWindow\s+\[", stripped)
+        if not m:
+            continue
+        seg = stripped[m.end() - 1 :]
+        depth, groups = 0, 0
+        for ch in seg:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups < 3:
+            n += 1
+    return n

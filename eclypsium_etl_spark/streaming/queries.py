@@ -1162,3 +1162,274 @@ def corpus_ingest_handler(spark, tname: str):
         admitted.select("doc_id", "digest", "wave").write.insertInto(tname)
 
     return ingest
+
+
+# ---- q351: streaming retractable materialized view ------------------------
+
+_MV_PTS = 16  # MV partition fan-out (pt = custkey mod 16; NULL key -> -1)
+
+
+def retractable_mv_create(spark, tname: str, loc: str) -> None:
+    """(Re)create the managed MV table for the retractable-aggregate
+    stream: one row per live group carrying the running (count,
+    decimal-exact sum) AND the group's applied-sequence high watermark
+    (`last_seq`), partitioned by a bounded key hash (`pt`) so a
+    micro-batch's merge rewrites ONLY the partitions it touches."""
+    import shutil
+
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    spark.sql(
+        f"""
+        CREATE TABLE {tname} (
+            o_custkey BIGINT, n_orders BIGINT, total_dec DECIMAL(28,4),
+            last_seq INT, pt INT
+        ) USING parquet PARTITIONED BY (pt) LOCATION '{loc}'
+        """
+    )
+
+
+def _mv_pt(col):
+    return F.coalesce(F.pmod(col, F.lit(_MV_PTS)), F.lit(-1)).cast("int")
+
+
+def retractable_mv_handler(spark, tname: str):
+    """q351's foreachBatch merge as a reusable factory.
+
+    RESTART-IDEMPOTENT BY DATA (not by a process-local applied set —
+    the q332 lesson): every MV row stores the highest delta sequence
+    folded into it, and the merge drops batch rows whose seq is <= the
+    group's watermark. A batch replayed after a driver restart — the
+    crash window where the merge committed but Spark never recorded
+    the batch commit — finds every group already at-or-above its seq
+    and degenerates to a no-op; a crash BEFORE the merge commit replays
+    into the pre-batch state and applies exactly once. Groups whose
+    count reaches zero are dropped at merge (their watermark goes with
+    them); replaying their retraction re-derives n<=0 and drops them
+    again, so tombstone loss is harmless under this feed's per-key
+    monotone sequencing (a general CDC feed that can re-insert a key
+    AFTER its group died should keep zero-count tombstones instead —
+    documented contract, same trade Flink's changelog GC makes).
+
+    Scale posture: batch deltas partial-aggregate map-side before ONE
+    shuffle on the group key; the MV side of the merge reads only the
+    `pt` partitions the batch mentions (partition-pruned scan), and the
+    dynamic-overwrite publish rewrites only those partitions — merge
+    cost is O(batch + touched partitions), never a rescan of the MV."""
+    from ..functions import DEC
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # append/overwrite sinks that also READ the table must
+        # invalidate the shared file-listing cache (q342's lesson)
+        spark.catalog.refreshTable(tname)
+        mv = spark.table(tname)
+        d0 = batch_df.groupBy("o_custkey", "seq").agg(
+            F.sum("dn").alias("dn"),
+            F.sum(F.col("dp").cast(DEC)).alias("dp"),
+        )
+        hw = mv.select(F.col("o_custkey").alias("k"), "last_seq")
+        # per-(group, seq) watermark gate — null-safe: a NULL-keyed
+        # group is one group, and a plain equi-join would treat it as
+        # forever-new and double-count it on every replay
+        fresh = (
+            d0.join(hw, d0["o_custkey"].eqNullSafe(hw["k"]), "left")
+            .filter(F.col("seq") > F.coalesce(F.col("last_seq"), F.lit(-1)))
+            .groupBy(d0["o_custkey"])
+            .agg(
+                F.sum("dn").alias("dn"),
+                F.sum("dp").alias("dp"),
+                F.max("seq").alias("mseq"),
+            )
+        )
+        if fresh.isEmpty():  # pure replay of an already-merged batch
+            return
+        pts = [
+            r["pt"]
+            for r in fresh.select(_mv_pt(F.col("o_custkey")).alias("pt"))
+            .distinct()
+            .collect()
+        ]  # bounded: <= _MV_PTS + 1 driver-side rows
+        cur = mv.filter(F.col("pt").isin(pts))
+        d = fresh.select(
+            F.col("o_custkey").alias("dk"), "dn", "dp", "mseq"
+        )
+        m = cur.join(d, cur["o_custkey"].eqNullSafe(d["dk"]), "full_outer")
+        merged = (
+            m.select(
+                F.coalesce(cur["o_custkey"], d["dk"]).alias("o_custkey"),
+                (
+                    F.coalesce(cur["n_orders"], F.lit(0))
+                    + F.coalesce(d["dn"], F.lit(0))
+                )
+                .cast("long")
+                .alias("n_orders"),
+                (
+                    F.coalesce(cur["total_dec"], F.lit(0).cast(DEC))
+                    + F.coalesce(d["dp"], F.lit(0).cast(DEC))
+                )
+                .cast(DEC)
+                .alias("total_dec"),
+                F.greatest(
+                    F.coalesce(cur["last_seq"], F.lit(-1)),
+                    F.coalesce(d["mseq"], F.lit(-1)),
+                )
+                .cast("int")
+                .alias("last_seq"),
+            )
+            .filter(F.col("n_orders") > 0)  # dead groups drop at merge
+            .withColumn("pt", _mv_pt(F.col("o_custkey")))
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.select(
+                "o_custkey", "n_orders", "total_dec", "last_seq", "pt"
+            ).write.insertInto(tname, overwrite=True)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        spark.catalog.refreshTable(tname)
+
+    return merge
+
+
+def retractable_mv_waves(spark, sf_dir) -> list[DataFrame]:
+    """q347's deterministic changelog, split into its four sequenced
+    waves (I / U-retract+assert / D / purge), each a (o_custkey, dn,
+    dp, seq) delta frame — before-images ride the event, so delta
+    construction is a stateless map-side projection."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new_price = F.when(
+        F.col("o_orderkey") % 4 == 0, F.col("o_totalprice") + 100.0
+    ).otherwise(F.col("o_totalprice"))
+    ins = o.select(
+        "o_custkey", F.lit(1).cast("int").alias("dn"),
+        F.col("o_totalprice").alias("dp"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 4 == 0)
+    upd_deltas = upd.select(
+        "o_custkey", F.lit(-1).cast("int").alias("dn"),
+        (-F.col("o_totalprice")).alias("dp"),
+    ).unionByName(
+        upd.select(
+            "o_custkey", F.lit(1).cast("int").alias("dn"),
+            (F.col("o_totalprice") + 100.0).alias("dp"),
+        )
+    )
+    dele = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_custkey", F.lit(-1).cast("int").alias("dn"),
+        (-new_price).alias("dp"),
+    )
+    purge = o.filter(
+        (F.col("o_custkey") % 100 == 0) & (F.col("o_orderkey") % 10 != 0)
+    ).select(
+        "o_custkey", F.lit(-1).cast("int").alias("dn"),
+        (-new_price).alias("dp"),
+    )
+    return [
+        w.withColumn("seq", F.lit(i).cast("int"))
+        for i, w in enumerate((ins, upd_deltas, dele, purge))
+    ]
+
+
+def retractable_mv_drain(spark, tname: str, src: str, ckpt: str | None = None):
+    """Drain the delta-wave feed at ``src`` into the MV table through
+    the retractable merge; reusing ``ckpt`` is the restart path."""
+    feed = (
+        spark.readStream.schema("o_custkey bigint, dn int, dp double, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return run_available_now(
+        lambda name, c: feed.writeStream.foreachBatch(
+            retractable_mv_handler(spark, tname)
+        )
+        .queryName(name)
+        .option("checkpointLocation", c)
+        .trigger(availableNow=True),
+        ckpt=ckpt,
+    )
+
+
+@query(
+    "q351_stream_retractable_mv",
+    oracle=f"""
+    -- q347's closed form: DIRECT aggregation of the changelog's FINAL
+    -- state — deliberately NOT the delta spelling the stream runs; the
+    -- differential is maintained-by-retractions == recomputed-from-state,
+    -- now across checkpointed micro-batch delivery and a partitioned
+    -- catalog MV instead of q347's single batch fold.
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           {dsum_sql("CASE WHEN o_orderkey % 4 = 0 "
+                     "THEN o_totalprice + 100.0 ELSE o_totalprice END")}
+               AS total
+    FROM orders
+    WHERE NOT COALESCE(o_orderkey % 10 = 0, FALSE)
+      AND NOT COALESCE(o_custkey % 100 = 0 AND o_orderkey % 10 <> 0,
+                       FALSE)
+    GROUP BY o_custkey
+    """,
+)
+def q351_stream_retractable_mv(spark, sf_dir) -> DataFrame:
+    """STREAMING RETRACTABLE MATERIALIZED VIEW — q347's production twin
+    (VERDICT r10 #6): the same retraction algebra (insert (+1,+p),
+    update (-1,-old)+(+1,+new), delete (-1,-current)), but the deltas
+    arrive as a checkpointed file-replay CDC feed (4 sequenced waves,
+    maxFilesPerTrigger=1 — the q342 staging discipline) and the MV
+    lives in a managed catalog TABLE that each micro-batch MERGES into
+    via foreachBatch (q58), not a one-shot batch fold. Dead groups
+    (count to zero — the purge wave's whole point) drop at merge.
+
+    What the batch twin cannot exercise and this does: (a) cross-batch
+    state — each wave's merge reads the PREVIOUS waves' MV through the
+    catalog (with the q342 refreshTable cache-coherence rule); (b)
+    at-least-once delivery — exactly-once is derived from a PER-GROUP
+    sequence watermark stored in the MV row itself (data-level, the
+    q332 sidecar's table-backed analog; restart pin in
+    tests/test_streaming.py); (c) partition-scoped publish — the MV is
+    partitioned by a bounded key hash and each merge dynamic-overwrites
+    ONLY the partitions the batch touches (q301's affected-partition
+    discipline made physical).
+
+    The oracle recomputes the MV directly from the changelog's final
+    state in a different spelling (q347's closed form, including its
+    null-battery survivorship lesson: events FIRE on non-NULL residues,
+    so NULL-keyed orders survive everything). Decimal-exact delta sums
+    make the maintained fold order- and batching-independent, so the
+    equivalence is bit-for-bit; the total publishes through the dsum
+    string bridge on both sides (the standing decimal->double rule)."""
+    import shutil
+    import time
+
+    tname = "t_q351_mv"
+    base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
+    os.makedirs(base, exist_ok=True)
+    loc = os.path.join(base, f"{tname}_tbl_{os.path.basename(sf_dir)}")
+    retractable_mv_create(spark, tname, loc)
+
+    src = tempfile.mkdtemp(prefix="eclypsium_mv_feed_")
+    t0 = time.time()
+    for i, wave in enumerate(retractable_mv_waves(spark, sf_dir)):
+        staged = os.path.join(src, f"_stage_w{i}")
+        wave.coalesce(1).write.mode("overwrite").parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"w{i}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        os.utime(dst, (t0 - 120 + 30 * i, t0 - 120 + 30 * i))
+        shutil.rmtree(staged, ignore_errors=True)
+
+    retractable_mv_drain(spark, tname, src)
+    spark.catalog.refreshTable(tname)
+    return spark.table(tname).select(
+        "o_custkey",
+        "n_orders",
+        # publish the stored decimal through the string bridge — the
+        # same single-rounded parse dsum_sql's oracle side takes
+        F.col("total_dec").cast("string").cast("double").alias("total"),
+    )

@@ -381,3 +381,28 @@ def test_binary_hamming_recall_vs_exact(spark):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.6, f"binary-Hamming recall too low: {mean_recall:.2f}"
+
+
+def test_q352_unscreened_is_row_identical_to_q349(spark):
+    """The materialized-index composition with the dense screen DISABLED
+    is structurally q349 (same BM25 addends via lossless shard
+    reassembly, same exact dense scan, same fusion): row-identical —
+    the q345/q346 equivalence-demonstration pattern at the retrieval
+    spelling. The registered q352 then only differs by the declared
+    approximate screen."""
+    from eclypsium_etl_spark.llm.text import hybrid_rrf_indexed, q349_hybrid_rrf
+
+    key = lambda r: (r["query_id"], r["doc_id"])  # noqa: E731
+    a = sorted(
+        (r.asDict() for r in q349_hybrid_rrf(spark, SF_SMOKE).collect()),
+        key=lambda d: (d["query_id"], d["doc_id"]),
+    )
+    b = sorted(
+        (
+            r.asDict()
+            for r in hybrid_rrf_indexed(spark, SF_SMOKE, screen_depth=None).collect()
+        ),
+        key=lambda d: (d["query_id"], d["doc_id"]),
+    )
+    assert len(a) > 0
+    assert a == b

@@ -792,3 +792,36 @@ def test_q322_struct_rollup_prunes_text_column(spark):
     docs = [s for s in read_schemas if "lang" in s]
     assert docs and all("text" not in s for s in docs)
     assert "Expand" in plan
+
+
+def test_q350_no_unpartitioned_window(spark):
+    """q350 is the scale spelling of the q34 global-rank family: the
+    whole point is that NO WindowExec in its plan is global (the direct
+    spelling moves every row to one task — the bench tail's 'No
+    Partition Defined' warnings). Also sanity-checks the detector on
+    q34 itself, which HAS the single-reducer window by design."""
+    from eclypsium_etl_spark.plans import unpartitioned_window_count
+
+    assert unpartitioned_window_count(
+        QUERIES["q350_global_rank_ranged"](spark, SF_CHECK)
+    ) == 0
+    assert unpartitioned_window_count(
+        QUERIES["q34_win_ntile_pct"](spark, SF_CHECK)
+    ) >= 1
+
+
+def test_q350_row_identical_to_q34(spark):
+    """The equivalence IS the demonstration (q345/q346 pattern): the
+    two-phase ranged spelling must reproduce the direct global window
+    bit-for-bit — same ntile buckets, same double pct_rank/cume_dist."""
+    a = sorted(
+        QUERIES["q34_win_ntile_pct"](spark, SF_CHECK).collect(),
+        key=lambda r: r["c_custkey"],
+    )
+    b = sorted(
+        QUERIES["q350_global_rank_ranged"](spark, SF_CHECK).collect(),
+        key=lambda r: r["c_custkey"],
+    )
+    assert len(a) == len(b) and len(a) > 0
+    for ra, rb in zip(a, b):
+        assert ra.asDict() == rb.asDict()

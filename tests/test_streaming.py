@@ -590,3 +590,59 @@ def test_restart_replay_stream_scd2_noop_merge(spark, tmp_path):
 
     got = sorted(map(tuple, _scd2_final_view(spark, "t_pin_scd2").collect()))
     assert got == ref
+
+
+def test_restart_replay_retractable_mv_exactly_once(spark, tmp_path):
+    """q351's merge across a driver restart: the crash window (merge
+    committed, batch commit lost) REPLAYS the update wave into a fresh
+    process — the per-group last_seq watermark must make it a no-op, so
+    the final MV equals a clean uncrashed run's bit-for-bit (a
+    double-applied retract+assert wave shifts every %4 group's total by
+    +100 and is unmissable)."""
+    from eclypsium_etl_spark.streaming.queries import (
+        retractable_mv_create,
+        retractable_mv_drain,
+        retractable_mv_waves,
+    )
+
+    from .conftest import SF_SMOKE
+
+    waves = retractable_mv_waves(spark, SF_SMOKE)
+    t0 = time.time()
+
+    def final_rows(tname):
+        spark.catalog.refreshTable(tname)
+        return sorted(
+            (
+                r["o_custkey"],
+                r["n_orders"],
+                str(r["total_dec"]),
+                r["last_seq"],
+            )
+            for r in spark.table(tname).collect()
+        )
+
+    # clean reference: all four waves, no crash
+    src_ref = str(tmp_path / "mv_feed_ref")
+    os.makedirs(src_ref)
+    for i, w in enumerate(waves):
+        _stage_feed_file(w, src_ref, f"w{i}.parquet", t0 - 120 + 10 * i)
+    retractable_mv_create(spark, "t_q351_pin_ref", str(tmp_path / "mv_ref"))
+    retractable_mv_drain(spark, "t_q351_pin_ref", src_ref)
+    ref = final_rows("t_q351_pin_ref")
+    assert len(ref) > 0
+
+    # crashed run: drain waves 0-1, lose batch 1's commit, add waves
+    # 2-3, restart from the same checkpoint (fresh handler)
+    src = str(tmp_path / "mv_feed")
+    os.makedirs(src)
+    for i in (0, 1):
+        _stage_feed_file(waves[i], src, f"w{i}.parquet", t0 - 120 + 10 * i)
+    retractable_mv_create(spark, "t_q351_pin", str(tmp_path / "mv_crash"))
+    _, ckpt = retractable_mv_drain(spark, "t_q351_pin", src)
+    _simulate_commit_loss(ckpt, 1)
+    for i in (2, 3):
+        _stage_feed_file(waves[i], src, f"w{i}.parquet", t0 - 120 + 10 * i)
+    retractable_mv_drain(spark, "t_q351_pin", src, ckpt=ckpt)
+
+    assert final_rows("t_q351_pin") == ref
