@@ -303,17 +303,17 @@ def q350_global_rank_ranged(spark, sf_dir) -> DataFrame:
        count (a partitioned window), one tiny row per partition to the
        driver for base offsets, broadcast back. The corpus never
        converges on one task.
-    2. rank / peers from the row numbers with a window partitioned by
-       the ORDER VALUE (tie groups): rank = min(rn) over peers,
-       count_le = max(rn) over peers. Tie-group size is the only
-       per-task concentration and is bounded by value multiplicity,
-       not corpus size.
-    3. the distribution functions in closed form from (rn, rank,
-       count_le, N): percent_rank = (rank-1)/(N-1) (0.0 when N=1,
-       Spark's own convention), cume_dist = count_le/N, and ntile(k)
-       by its size formula — the first N mod k buckets get
-       floor(N/k)+1 rows — which reproduces engine ntile exactly
-       because rn is the same total order (c_custkey tiebreak).
+    2. the distribution functions in closed form from (rn, N): the
+       window's ORDER BY carries the unique c_custkey tiebreak, so the
+       peer class of every row is just itself and rank == row_number —
+       percent_rank = (rn-1)/(N-1) (0.0 when N=1, Spark's own
+       convention), cume_dist = rn/N, and ntile(k) by its size formula
+       (the first N mod k buckets get floor(N/k)+1 rows), which
+       reproduces engine ntile exactly because rn is the same total
+       order. (For a value-only ordering, rank/cume_dist instead come
+       from a tie-group window partitioned by the order VALUE —
+       min(rn)/max(rn) over peers — whose per-task concentration is
+       bounded by value multiplicity, not corpus size.)
 
     Result is ROW-IDENTICAL to q34 by construction (same oracle text —
     the equivalence IS the demonstration, the q345/q346 pattern). N
@@ -331,11 +331,8 @@ def q350_global_rank_ranged(spark, sf_dir) -> DataFrame:
     total = rn_df.agg(F.count("*").alias("__n"))
     j = rn_df.crossJoin(F.broadcast(total))
 
-    peers = Window.partitionBy("c_acctbal")
-    rank = F.min("rn").over(peers)
-    count_le = F.max("rn").over(peers)
     n = F.col("__n")
-    i = F.col("rn")
+    i = F.col("rn")  # == rank == count_le: the total order has no peers
     # ntile(k): q = N div k rows per bucket, the first r = N mod k
     # buckets take one extra. Buckets of rows i <= r*(q+1) have width
     # q+1; the rest width q (q >= 1 whenever any row lands there).
@@ -346,11 +343,11 @@ def q350_global_rank_ranged(spark, sf_dir) -> DataFrame:
     tile = F.when(
         i <= threshold, ((i - 1) / (qsz + 1)).cast("long") + 1
     ).otherwise(r + ((i - threshold - 1) / qsz).cast("long") + 1)
-    pct_rank = F.when(n > 1, (rank - 1) / (n - 1)).otherwise(F.lit(0.0))
+    pct_rank = F.when(n > 1, (i - 1) / (n - 1)).otherwise(F.lit(0.0))
     return j.select(
         "c_custkey",
         "c_acctbal",
         tile.cast("long").alias("quartile"),
         pct_rank.cast("double").alias("pct_rank"),
-        (count_le / n).cast("double").alias("cum_dist"),
+        (i / n).cast("double").alias("cum_dist"),
     )

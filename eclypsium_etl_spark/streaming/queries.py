@@ -1183,7 +1183,7 @@ def retractable_mv_create(spark, tname: str, loc: str) -> None:
         f"""
         CREATE TABLE {tname} (
             o_custkey BIGINT, n_orders BIGINT, total_dec DECIMAL(28,4),
-            last_seq INT, pt INT
+            nn BIGINT, last_seq INT, pt INT
         ) USING parquet PARTITIONED BY (pt) LOCATION '{loc}'
         """
     )
@@ -1225,9 +1225,19 @@ def retractable_mv_handler(spark, tname: str):
         # invalidate the shared file-listing cache (q342's lesson)
         spark.catalog.refreshTable(tname)
         mv = spark.table(tname)
+        # nnd maintains SUM's three-valued semantics under retraction:
+        # the MV total must publish NULL iff ZERO non-NULL values remain
+        # in the group (SQL SUM over all-NULLs), and a coalesce-to-0
+        # merge cannot tell "no delta" from "NULL-valued delta" — so
+        # each event also carries +/-1 against the group's count of
+        # non-NULL values (insert of a NULL price contributes 0). Found
+        # by the null battery on this query's first pass: a NULL-priced
+        # survivor's group published 0.0 where the oracle says NULL.
+        nnd = F.when(F.col("dp").isNotNull(), F.col("dn")).otherwise(F.lit(0))
         d0 = batch_df.groupBy("o_custkey", "seq").agg(
             F.sum("dn").alias("dn"),
             F.sum(F.col("dp").cast(DEC)).alias("dp"),
+            F.sum(nnd).alias("dnn"),
         )
         hw = mv.select(F.col("o_custkey").alias("k"), "last_seq")
         # per-(group, seq) watermark gate — null-safe: a NULL-keyed
@@ -1240,6 +1250,7 @@ def retractable_mv_handler(spark, tname: str):
             .agg(
                 F.sum("dn").alias("dn"),
                 F.sum("dp").alias("dp"),
+                F.sum("dnn").alias("dnn"),
                 F.max("seq").alias("mseq"),
             )
         )
@@ -1253,7 +1264,7 @@ def retractable_mv_handler(spark, tname: str):
         ]  # bounded: <= _MV_PTS + 1 driver-side rows
         cur = mv.filter(F.col("pt").isin(pts))
         d = fresh.select(
-            F.col("o_custkey").alias("dk"), "dn", "dp", "mseq"
+            F.col("o_custkey").alias("dk"), "dn", "dp", "dnn", "mseq"
         )
         m = cur.join(d, cur["o_custkey"].eqNullSafe(d["dk"]), "full_outer")
         merged = (
@@ -1271,6 +1282,12 @@ def retractable_mv_handler(spark, tname: str):
                 )
                 .cast(DEC)
                 .alias("total_dec"),
+                (
+                    F.coalesce(cur["nn"], F.lit(0))
+                    + F.coalesce(d["dnn"], F.lit(0))
+                )
+                .cast("long")
+                .alias("nn"),
                 F.greatest(
                     F.coalesce(cur["last_seq"], F.lit(-1)),
                     F.coalesce(d["mseq"], F.lit(-1)),
@@ -1287,7 +1304,7 @@ def retractable_mv_handler(spark, tname: str):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             merged.select(
-                "o_custkey", "n_orders", "total_dec", "last_seq", "pt"
+                "o_custkey", "n_orders", "total_dec", "nn", "last_seq", "pt"
             ).write.insertInto(tname, overwrite=True)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
@@ -1430,6 +1447,11 @@ def q351_stream_retractable_mv(spark, sf_dir) -> DataFrame:
         "o_custkey",
         "n_orders",
         # publish the stored decimal through the string bridge — the
-        # same single-rounded parse dsum_sql's oracle side takes
-        F.col("total_dec").cast("string").cast("double").alias("total"),
+        # same single-rounded parse dsum_sql's oracle side takes — and
+        # as NULL when no non-NULL value remains in the group (SUM's
+        # three-valued contract, maintained via the nn counter)
+        F.when(
+            F.col("nn") > 0,
+            F.col("total_dec").cast("string").cast("double"),
+        ).alias("total"),
     )
