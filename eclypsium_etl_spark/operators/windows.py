@@ -77,17 +77,27 @@ def q30_win_rank(spark, sf_dir) -> DataFrame:
     "q31_win_lag_lead",
     oracle="""
     SELECT event_id, user_id, ts,
-           lag(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
-           CAST(COALESCE(date_diff('second',
-               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts),
+           lag(ts)  OVER w AS prev_ts,
+           lead(ts) OVER w AS next_ts,
+           CAST(COALESCE(
+               CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT),
                -1) AS BIGINT) AS gap_sec
     FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
 def q31_win_lag_lead(spark, sf_dir) -> DataFrame:
     """lag/lead for session-gap detection — the building block for
-    sessionization (q55's batch oracle uses exactly this)."""
+    sessionization (q55's batch oracle uses exactly this).
+
+    gap_sec is FLOOR-of-epoch on both engines (the q33 discipline):
+    Spark's timestamp->long cast is a floorDiv of microseconds, while
+    DuckDB's date_diff('second') truncates toward zero — they disagree
+    by 1 exactly when one endpoint is pre-epoch with a fractional
+    second (time-boundary battery finding: a 1 microsecond gap straddling
+    1970-01-01 read as 1 s vs 0 s). Floor semantics also keep the gap
+    monotone in the timestamps, which truncation does not."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)

@@ -23,18 +23,25 @@ column (measures, keys and text stay clean — those are other axes):
     inert under the pinned-UTC config, exactly the point — the PLAIN
     driver walk runs on the host timezone, where a DST-gap instant is
     the classic session-TZ landmine
-  - far past (1900) with sub-second precision, far future (2199 —
-    inside the TIMESTAMP(NANOS) range, which the fixture decode may
-    carry) and, on dates, 9998-12-31 (so +90-day arithmetic stays
-    inside the calendar) and the Gregorian adoption date 1582-10-15
-    (both engines are proleptic; pinned so a regression to hybrid-
-    calendar handling would surface)
+  - far past (1700, 1900 — the latter with sub-second precision) and
+    far future (2199, 2250), spanning centuries in both directions
+    while staying inside the Arrow nanosecond envelope (below)
 
 Deliberately OUT of scope (documented ingest-contract boundaries, the
-extremes battery's q341 pattern): timestamps outside 0001..9999 or the
-ns-overflow band past 2262 (engine-defined overflow/error, a numeric
-gate at the door), leap seconds (not representable in either engine),
-and NULL timestamps (the null axis owns those).
+extremes battery's q341 pattern):
+  - timestamps outside the ARROW NANOSECOND ENVELOPE (1677-09-21 ..
+    2262-04-11): the first battery pass planted 1582-10-15 and
+    9998-12-31 and measured the real boundary — every Arrow crossing
+    overflows int64 nanoseconds, which means (a) the engine's own
+    Arrow-batched operators (q92's cogroup applyInPandas died in the
+    worker) and (b) BOTH harness sides of the differential itself
+    (Spark toPandas AND DuckDB fetchdf materialize pandas ns
+    timestamps). The pandas/Arrow interchange is the de-facto
+    envelope of the whole ecosystem, so out-of-envelope event times
+    are a numeric ingest gate at the door (same as the extremes
+    battery's 1e20 decimal bound), not a processing input.
+  - leap seconds (not representable in either engine) and NULL
+    timestamps (the null axis owns those).
 
 Gated behind SPARK_GRAFT_TIME_SWEEP=1 (builds the variant fixture once
 per source-fixture stamp under /tmp):
@@ -73,6 +80,34 @@ RUN_ONLY = {
     "q245_analyze_stats",  # DESC EXTENDED literals for the 50-row t_q244
 }
 
+# (d) THE central streaming finding of this axis, demonstrated in
+# test_watermark_poisoning_demonstrated_and_gated below: event-time
+# watermarking carries a BOUNDED-DISORDER PRECONDITION. A single
+# far-out-of-range event time in an early micro-batch advances the
+# watermark past every subsequent benign row (far-future plant), and a
+# far-past plant in a later batch is itself beyond the delay — either
+# way the watermark contract DROPS the rows, by design, and the batch
+# oracle (which cannot see micro-batch boundaries) diverges on row
+# count. That is the specified semantics of watermarking working as
+# documented, not a defect; the production answer is an event-time
+# ingest gate (bound event times against stream progress, route
+# violations to a DLQ) — the q341 gate-at-the-door pattern. On this
+# axis the multi-batch watermark family is therefore RUN-ONLY: the
+# streams must still RUN to completion with poisoned inputs (no crash,
+# state still bounded — that part IS checked).
+WATERMARK_BOUNDED_DISORDER = {
+    "q57_stream_dedup_state",
+    "q101_stream_stream_join",
+    "q259_stream_append_final",
+    "q274_stream_outer_join",
+    "q281_stream_chained_windows",
+    "q293_stream_session_final",
+    "q306_stream_full_outer_join",
+    "q320_stream_join_asym_watermark",
+    "q321_stream_dedup_business_key",
+}
+RUN_ONLY |= WATERMARK_BOUNDED_DISORDER
+
 GREEN = sorted(set(ORACLE) - set(PRECONDITION) - RUN_ONLY)
 
 # Residue masks per table (row keys mirror the extremes battery).
@@ -96,8 +131,8 @@ _MASKS = {
              WHEN o_orderkey % 59 = 1 THEN TIMESTAMP '2024-02-29 00:00:00'
              WHEN o_orderkey % 59 = 2 THEN TIMESTAMP '2023-12-31 00:00:00'
              WHEN o_orderkey % 59 = 3 THEN TIMESTAMP '2024-01-01 00:00:00'
-             WHEN o_orderkey % 59 = 4 THEN TIMESTAMP '9998-12-31 00:00:00'
-             WHEN o_orderkey % 59 = 5 THEN TIMESTAMP '1582-10-15 00:00:00'
+             WHEN o_orderkey % 59 = 4 THEN TIMESTAMP '2250-06-01 00:00:00'
+             WHEN o_orderkey % 59 = 5 THEN TIMESTAMP '1700-01-01 00:00:00'
              ELSE o_orderdate END AS o_orderdate
     """,
     "lineitem": """
@@ -123,7 +158,7 @@ def _time_fixture_dir() -> str:
     out = os.path.join(
         tempfile.gettempdir(),
         "eclypsium_etl_spark",
-        f"timefx_v1_{os.path.basename(SF_CHECK)}_{stamp}",
+        f"timefx_v2_{os.path.basename(SF_CHECK)}_{stamp}",
     )
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):
@@ -180,8 +215,8 @@ def test_instants_actually_planted(duck_time):
         ("events", "ts < TIMESTAMP '1950-01-01'"),
         ("events", "ts > TIMESTAMP '2199-01-01'"),
         ("orders", "o_orderdate = TIMESTAMP '2024-02-29 00:00:00'"),
-        ("orders", "o_orderdate = TIMESTAMP '9998-12-31 00:00:00'"),
-        ("orders", "o_orderdate = TIMESTAMP '1582-10-15 00:00:00'"),
+        ("orders", "o_orderdate = TIMESTAMP '2250-06-01 00:00:00'"),
+        ("orders", "o_orderdate = TIMESTAMP '1700-01-01 00:00:00'"),
         ("lineitem", "l_shipdate = TIMESTAMP '2024-02-29 00:00:00'"),
         ("lineitem", "l_shipdate > TIMESTAMP '2199-01-01'"),
         ("lineitem", "l_shipdate = TIMESTAMP '1970-01-01 00:00:00'"),
@@ -212,3 +247,95 @@ def test_time_run_only(name, spark, time_fx):
 def test_time_preconditions_raise(name, spark, time_fx):
     with pytest.raises(Exception, match=PRECONDITION[name]):
         QUERIES[name](spark, time_fx).collect()
+
+
+def test_watermark_poisoning_demonstrated_and_gated(spark, tmp_path):
+    """The mechanism behind WATERMARK_BOUNDED_DISORDER, isolated and
+    measured (all three facts verified against recentProgress /
+    numRowsDroppedByWatermark):
+
+    1. the INITIAL watermark is EPOCH ZERO, not -inf — any event time
+       at or before 1970-01-01 00:00:00 is born late and silently
+       dropped by a watermarked stateful operator in its very first
+       micro-batch (this is what removed the battery's 567 pre/at-epoch
+       plants from q57: 3 residue classes x 189 rows, matched exactly
+       by the reported numRowsDroppedByWatermark);
+    2. late-row filtering in batch N uses the watermark as of batch
+       N-1's START (one batch of extra lag beyond the documented
+       next-batch advancement) — so a far-future poison row in batch 0
+       starts dropping benign rows at batch 2, not batch 1;
+    3. an event-time ingest gate (the q341 pattern: bound event times
+       to the declared envelope BEFORE the watermark sees them)
+       restores exact batch equivalence for everything inside the
+       envelope — but cannot resurrect at/pre-epoch rows, which the
+       initial watermark outlaws structurally: the gate's lower bound
+       must therefore be > epoch, not merely the Arrow floor."""
+    import time as _time
+
+    from pyspark.sql import functions as SF
+
+    from eclypsium_etl_spark.streaming.queries import run_available_now
+
+    t0 = _time.time()
+
+    def rows(ids, base):
+        return spark.createDataFrame(
+            [(i, f"2024-01-01 12:{base + k:02d}:00") for k, i in enumerate(ids)],
+            "event_id long, ts_s string",
+        ).select("event_id", SF.col("ts_s").cast("timestamp").alias("ts"))
+
+    def one(i, ts):
+        return spark.createDataFrame(
+            [(i, ts)], "event_id long, ts_s string"
+        ).select("event_id", SF.col("ts_s").cast("timestamp").alias("ts"))
+
+    poison = one(99, "2199-01-01 00:00:00")
+    pre_epoch = one(98, "1969-12-31 23:59:59")
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    for name, df, mt in (
+        ("b0.parquet", rows([1, 2, 3], 0).unionByName(poison).unionByName(pre_epoch), t0 - 90),
+        ("b1.parquet", rows([4, 5, 6], 3), t0 - 60),
+        ("b2.parquet", rows([7, 8, 9], 6), t0 - 30),
+    ):
+        staged = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        os.rename(os.path.join(staged, part), os.path.join(src, name))
+        os.utime(os.path.join(src, name), (mt, mt))
+
+    def drain(gate: bool) -> set[int]:
+        feed = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        if gate:  # the ingest gate: event times bounded BEFORE the watermark
+            feed = feed.filter(
+                SF.col("ts") < SF.lit("2100-01-01").cast("timestamp")
+            )
+        dedup = feed.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        qname, _ = run_available_now(
+            lambda name, ckpt: dedup.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+        return {r["event_id"] for r in spark.table(qname).collect()}
+
+    ungated = drain(gate=False)
+    gated = drain(gate=True)
+
+    # fact 1: the pre-epoch row dies in batch 0 against the initial
+    # epoch-zero watermark — in BOTH runs (no gate can save it)
+    assert 98 not in ungated and 98 not in gated
+    # fact 2: the poison kills batch 2's benign rows (batch 1 survives
+    # on the one-batch filter lag) — the stream silently loses data
+    assert {1, 2, 3, 4, 5, 6} <= ungated
+    assert not ({7, 8, 9} & ungated), f"expected b2 dropped, got {ungated}"
+    # fact 3: gated, the same feed is exact for the in-envelope rows
+    assert gated == {1, 2, 3, 4, 5, 6, 7, 8, 9}
