@@ -1455,3 +1455,200 @@ def q351_stream_retractable_mv(spark, sf_dir) -> DataFrame:
             F.col("total_dec").cast("string").cast("double"),
         ).alias("total"),
     )
+
+
+# ---- q353/q354: the event-time ingest contract, registered ----------------
+
+# The declared event-time envelope (q353/q354). Lower bound EXCLUSIVE
+# epoch: the TIME battery measured Spark's INITIAL watermark at epoch
+# zero, so at/pre-epoch event times are born late and silently dropped
+# by every watermarked stateful operator — an Arrow-floor lower bound
+# is not enough. Upper bound: a pinned literal horizon here for
+# determinism; production uses wall-clock + slack (the corrupt-device-
+# clock guard) refreshed per batch.
+_ET_LO = "1970-01-01 00:00:00"
+_ET_HI = "2100-01-01 00:00:00"
+
+
+@query(
+    "q353_event_time_gate",
+    oracle=f"""
+    WITH raw AS (
+        -- deterministic defect injection (the q341/q272 pattern): the
+        -- fixture is clean by construction, so the gate's input models
+        -- what a real device-clock-afflicted feed carries
+        SELECT event_id, user_id,
+               CASE WHEN event_id % 11 = 3
+                        THEN TIMESTAMP '1969-12-31 23:59:59'
+                    WHEN event_id % 13 = 5
+                        THEN TIMESTAMP '{_ET_LO}'
+                    WHEN event_id % 17 = 9
+                        THEN TIMESTAMP '2199-06-01 00:00:00'
+                    WHEN event_id % 19 = 11 THEN NULL
+                    ELSE ts END AS ts
+        FROM events
+    ),
+    gated AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN ts IS NULL THEN 'null_ts'
+                    WHEN ts <= TIMESTAMP '{_ET_LO}' THEN 'at_or_pre_epoch'
+                    WHEN ts >= TIMESTAMP '{_ET_HI}' THEN 'beyond_horizon'
+                    ELSE 'ok' END AS verdict
+        FROM raw
+    )
+    SELECT verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS first_event,
+           CAST(MAX(event_id) AS BIGINT) AS last_event,
+           MIN(ts) AS min_ts,
+           MAX(ts) AS max_ts
+    FROM gated
+    GROUP BY verdict
+    """,
+)
+def q353_event_time_gate(spark, sf_dir) -> DataFrame:
+    """EVENT-TIME INGEST GATE — the temporal twin of q341's text gate,
+    and the registered production answer to the TIME battery's two
+    measured streaming findings (BASELINE.md round-11 table): (1) the
+    initial watermark is EPOCH ZERO, so at/pre-epoch event times are
+    silently dropped by watermarked operators from their first batch —
+    the gate's lower bound is therefore EXCLUSIVE of epoch, not the
+    Arrow floor; (2) one far-future event time poisons the watermark
+    and drops every subsequent benign row — the gate's horizon bound is
+    the guard (pinned literal here for determinism; production derives
+    it from wall-clock + slack per batch). NULL event times are gated
+    too: a watermark column must be non-null. Defects are injected
+    deterministically (event_id mod 11/13/17/19 arms) because the
+    fixture is clean; the checked output is the per-verdict audit
+    summary (count, id range, ts range) an ingest job publishes beside
+    its quarantine sink. Verdict order pinned by the CASE: NULL first
+    (a NULL ts would three-valued-fall-through every bound), pre-epoch
+    before horizon. At 100 TB: one scan, zero pre-aggregate shuffles;
+    the pass-through slice is the same scan filtered verdict='ok'."""
+    e = table(spark, sf_dir, "events")
+    k = F.col("event_id")
+    raw = e.select(
+        "event_id",
+        "user_id",
+        F.when(k % 11 == 3, F.lit("1969-12-31 23:59:59").cast("timestamp"))
+        .when(k % 13 == 5, F.lit(_ET_LO).cast("timestamp"))
+        .when(k % 17 == 9, F.lit("2199-06-01 00:00:00").cast("timestamp"))
+        .when(k % 19 == 11, F.lit(None).cast("timestamp"))
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+    )
+    verdict = (
+        F.when(F.col("ts").isNull(), "null_ts")
+        .when(F.col("ts") <= F.lit(_ET_LO).cast("timestamp"), "at_or_pre_epoch")
+        .when(F.col("ts") >= F.lit(_ET_HI).cast("timestamp"), "beyond_horizon")
+        .otherwise("ok")
+    )
+    return raw.select("event_id", "user_id", "ts", verdict.alias("verdict")).groupBy(
+        "verdict"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("event_id").cast("long").alias("first_event"),
+        F.max("event_id").cast("long").alias("last_event"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+@query(
+    "q354_stream_gated_watermark",
+    oracle=f"""
+    -- the gate restores exact batch equivalence on a POISONED feed:
+    -- the stream side injects out-of-envelope rows (far-future poison
+    -- in wave 0, pre-epoch in wave 1) that the gate removes before the
+    -- watermark sees them, so the registered result is simply the
+    -- gated batch SELECT — poison never appears, benign rows never
+    -- drop. (Ungated, the same feed loses whole batches: measured and
+    -- pinned in tests/test_time_boundaries.py.)
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    WHERE ts > TIMESTAMP '{_ET_LO}' AND ts < TIMESTAMP '{_ET_HI}'
+    """,
+)
+def q354_stream_gated_watermark(spark, sf_dir) -> DataFrame:
+    """GATED WATERMARK STREAM — q353's gate applied where it matters:
+    in front of a watermarked stateful operator on a POISONED
+    multi-batch feed, registered so the production pattern (gate ->
+    watermark -> stateful op) is itself oracle-checked, not just
+    battery-demonstrated. The feed replays events in THREE time-ordered
+    waves (ntile(3) over (ts, event_id) at staging — a bounded one-shot
+    sort, the fixture-staging exception; production logs arrive roughly
+    time-ordered, which is exactly the bounded-disorder contract
+    event-time streaming requires), salted with one far-future poison
+    row in wave 0 (the corrupt device clock — ungated it would advance
+    the watermark and drop wave 2 wholesale via the one-batch-lag late
+    filter) and one pre-epoch row in wave 1 (born late vs the epoch-
+    zero initial watermark even though no benign watermark ever passed
+    it). The gate removes both BEFORE withWatermark, so the stream's
+    output equals the gated batch SELECT exactly — each benign event
+    exactly once through dropDuplicatesWithinWatermark. Time-ordered
+    waves keep cross-batch disorder at zero, so the 10-minute delay is
+    about intra-batch jitter, not history span."""
+    import time as _time
+
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    w = Window.orderBy("ts", "event_id")
+    staged = e.withColumn("__wave", F.ntile(3).over(w) - 1)
+
+    def poison(eid: int, ts: str, wave: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(eid, ts, -1, "poison", 0.0, wave)],
+            "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, __wave int",
+        ).select(
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "__wave",
+        )
+
+    feed_df = staged.unionByName(
+        poison(1_000_000_001, "2199-06-01 00:00:00", 0)
+    ).unionByName(poison(1_000_000_002, "1969-12-31 23:59:59", 1))
+
+    src = tempfile.mkdtemp(prefix="eclypsium_gated_feed_")
+    t0 = _time.time()
+    for i in range(3):
+        stage = os.path.join(src, f"_stage_w{i}")
+        feed_df.filter(F.col("__wave") == i).drop("__wave").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"w{i}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (t0 - 90 + 30 * i, t0 - 90 + 30 * i))
+
+    feed = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    gated = feed.filter(
+        (F.col("ts") > F.lit(_ET_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(_ET_HI).cast("timestamp"))
+    )
+    deduped = gated.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    qname, _ = run_available_now(
+        lambda name, ckpt: deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    return spark.table(qname).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )

@@ -163,6 +163,8 @@ _DIV_WHITELIST: dict[str, set[str]] = {
     # yields >= 1 token even for '' so dl >= 1, hence avgdl >= 1
     # whenever the CROSS JOINed stats row exists at all
     "q349_hybrid_rrf": {"s.avgdl"},
+    # same avgdl, same audit: q352 reuses q349's sparse CTEs verbatim
+    "q352_hybrid_rrf_indexed": {"s.avgdl"},
     "q147_anomaly_zscore": {"n"},
     "q149_boilerplate_grams": {"p.n_grams"},
     "q178_embedding_pool": {"n"},
