@@ -1301,3 +1301,62 @@ def q316_benford_audit(spark, sf_dir) -> DataFrame:
             F.round(freq - benford, 6).alias("deviation"),
         )
     )
+
+
+@query(
+    "q355_equidepth_ranged",
+    oracle=f"""
+    WITH b AS (
+        SELECT o_totalprice,
+               ntile({_ED_BUCKETS})
+                   OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    SELECT bucket, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM b GROUP BY bucket
+    """,
+)
+def q355_equidepth_ranged(spark, sf_dir) -> DataFrame:
+    """EQUI-DEPTH HISTOGRAM AT THE RANGED SPELLING — q185 is the
+    CORPUS-SIZED member of the single-reducer global-window family
+    (orders is a fact table; its global ntile is exactly the
+    one-executor sort q350's docstring calls fatal at 100 TB), and its
+    declared scale path was approx_percentile — approximate boundaries,
+    a different result. This registers the EXACT scale path instead:
+    global row_number from ops.global_running_sum (repartitionByRange,
+    per-partition running count, broadcast base offsets — no
+    unpartitioned WindowExec anywhere, pinned in
+    tests/test_plan_shapes.py), bucket from ops.ntile_from_rn's closed
+    form, then the same partitioned group-by. Row-identical to q185 by
+    construction (same oracle text — the q345/q346 equivalence
+    demonstration), so the planner keeps exact equi-depth boundaries
+    at any scale; approx_percentile remains the cheaper option when
+    approximate edges suffice, now as a choice rather than a
+    necessity. NULL prices pinned out on both sides (q185's
+    null-battery lesson)."""
+    from .. import ops
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select("o_orderkey", "o_totalprice")
+    )
+    staged = o.withColumn("__one", F.lit(1).cast("long"))
+    rn_df = ops.global_running_sum(
+        staged, ["o_totalprice", "o_orderkey"], "__one", "rn"
+    ).drop("__one")
+    total = rn_df.agg(F.count("*").alias("__n"))
+    j = rn_df.crossJoin(F.broadcast(total))
+    bucket = ops.ntile_from_rn(F.col("rn"), F.col("__n"), _ED_BUCKETS)
+    return (
+        j.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )

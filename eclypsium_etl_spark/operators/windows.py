@@ -343,16 +343,7 @@ def q350_global_rank_ranged(spark, sf_dir) -> DataFrame:
 
     n = F.col("__n")
     i = F.col("rn")  # == rank == count_le: the total order has no peers
-    # ntile(k): q = N div k rows per bucket, the first r = N mod k
-    # buckets take one extra. Buckets of rows i <= r*(q+1) have width
-    # q+1; the rest width q (q >= 1 whenever any row lands there).
-    k = F.lit(4).cast("long")
-    qsz = (n / k).cast("long")  # floor: n, k nonnegative
-    r = n % k
-    threshold = r * (qsz + 1)
-    tile = F.when(
-        i <= threshold, ((i - 1) / (qsz + 1)).cast("long") + 1
-    ).otherwise(r + ((i - threshold - 1) / qsz).cast("long") + 1)
+    tile = ops.ntile_from_rn(i, n, 4)
     pct_rank = F.when(n > 1, (i - 1) / (n - 1)).otherwise(F.lit(0.0))
     return j.select(
         "c_custkey",

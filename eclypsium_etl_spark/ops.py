@@ -668,3 +668,24 @@ def blocked_candidate_pairs(
             ["dirty_id", "master_id"]
         )
     )
+
+
+def ntile_from_rn(i: Column, n: Column, k: int) -> Column:
+    """Closed-form ntile(k) from a 1-based GLOBAL row number ``i`` and
+    total count ``n`` — engine ntile semantics on both Spark and DuckDB:
+    the first n mod k buckets take floor(n/k)+1 rows, the rest
+    floor(n/k). With a distributed row number (global_running_sum of a
+    literal 1) this turns the single-reducer global-ntile window into
+    scan-stage integer math — the q350/q355 scale spelling. Returns a
+    LONG 1..k. When n < k every row lands in its own bucket (q >= 1 in
+    the otherwise-branch whenever any row reaches it, so the integer
+    division is safe)."""
+    kk = F.lit(k).cast("long")
+    q = (n / kk).cast("long")  # floor: n, k nonnegative
+    r = n % kk
+    threshold = r * (q + 1)
+    return (
+        F.when(i <= threshold, ((i - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(r + ((i - threshold - 1) / q).cast("long") + 1)
+        .cast("long")
+    )

@@ -825,3 +825,25 @@ def test_q350_row_identical_to_q34(spark):
     assert len(a) == len(b) and len(a) > 0
     for ra, rb in zip(a, b):
         assert ra.asDict() == rb.asDict()
+
+
+def test_q355_no_unpartitioned_window_and_identical_to_q185(spark):
+    """q355 is the exact scale spelling of the family's CORPUS-SIZED
+    member: zero global WindowExec nodes (q185's direct ntile has one),
+    and the histogram is row-identical to the direct spelling."""
+    from eclypsium_etl_spark.plans import unpartitioned_window_count
+
+    df = QUERIES["q355_equidepth_ranged"](spark, SF_CHECK)
+    assert unpartitioned_window_count(df) == 0
+    assert unpartitioned_window_count(
+        QUERIES["q185_histogram_equidepth"](spark, SF_CHECK)
+    ) >= 1
+    a = sorted(
+        (r.asDict() for r in QUERIES["q185_histogram_equidepth"](spark, SF_CHECK).collect()),
+        key=lambda d: d["bucket"],
+    )
+    b = sorted(
+        (r.asDict() for r in df.collect()),
+        key=lambda d: d["bucket"],
+    )
+    assert len(a) > 0 and a == b
