@@ -95,10 +95,15 @@ def q44_math_expr(spark, sf_dir) -> DataFrame:
     Spark yields NaN/NULL — an unguarded domain edge is a job-semantics
     divergence, not a float nit), and net_rounded is normalized +0.0
     because a negative price times a planted 100% discount reaches
-    IEEE -0.0 on one engine and 0.0 on the other. Above |x| >= 1e7 the
-    6dp round quantum is sub-ulp (double has <7 fractional digits of
-    precision there), so round() is bypassed on BOTH engines — the same
-    branch q188/q210/q211 carry — instead of trusting repr ties."""
+    IEEE -0.0 on one engine and 0.0 on the other. Above |x| >= 1e7,
+    round(x, 6) is bypassed on BOTH engines — the q188-precedent guard
+    against HALF_UP (Spark) vs half-even (DuckDB) divergence on
+    representational ties, which densify as the 6dp quantum nears
+    ulp(x) (round(x, 6) only becomes a true identity above ~4.5e9,
+    where ulp exceeds the 1e-6 quantum — NOT at 1e7). The output
+    contract is deliberate and documented: net_rounded publishes
+    UNROUNDED for |x| >= 1e7; both engines take the same branch, so
+    the differential holds (ADVICE r11 correction)."""
     li = table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",

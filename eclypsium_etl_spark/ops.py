@@ -286,6 +286,76 @@ def global_running_sum(
     )
 
 
+def global_running_max(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global running MAX over STRICTLY-PRECEDING rows in a
+    total order — global_running_sum's sibling, and the kernel of the
+    skyline/frontier family (q298 → q359): a row's ``out_col`` is the
+    max of ``value_col`` over every row earlier in the order, NULL for
+    the global first row (exactly ``max(v) OVER (ORDER BY ...
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``).
+
+    Same two-phase shape and the same scratch-pin discipline as
+    global_running_sum (range-boundary sampling is recomputed per job;
+    without the pin the per-partition job and the totals job could
+    disagree on membership): (1) repartitionByRange on the order, (2)
+    per-partition strict-preceding running max — an ordinary
+    partitioned window, parallel — pinned to disk, (3) ONE tiny row per
+    partition (its full max) to the driver, prefix-maxed, (4) broadcast
+    base offsets joined back; the global value is greatest(local run,
+    base), which Spark's null-skipping greatest resolves correctly at
+    every boundary (partition-leading rows have NULL local run; the
+    first partition has NULL base). Unlike the sum kernel, max is
+    order-insensitive and exact for ANY orderable type — no integral
+    restriction."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    reserved = {"__pid", "__run", "__base"}
+    if out_col in reserved or reserved & set(df.columns):
+        raise ValueError(
+            f"global_running_max reserves {sorted(reserved)} internally; "
+            f"rename out_col/input columns that collide"
+        )
+    spark = df.sparkSession
+    parts = partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+    staged = ranged.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scratch = os.path.join(
+        tempfile.gettempdir(), "eclypsium_etl_spark", f"runmax_{uuid.uuid4().hex[:12]}"
+    )
+    staged.withColumn("__run", F.max(value_col).over(w)).write.parquet(scratch)
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    local = spark.read.parquet(scratch)
+    vtype = dict(df.dtypes)[value_col]
+    totals = local.groupBy("__pid").agg(F.max(value_col).alias("__tot")).collect()
+    best = None
+    base_rows = []
+    for p, t in sorted((r["__pid"], r["__tot"]) for r in totals):
+        base_rows.append((p, best))
+        if t is not None and (best is None or t > best):
+            best = t
+    base = spark.createDataFrame(base_rows, f"__pid int, __base {vtype}")
+    return (
+        local.join(F.broadcast(base), "__pid")
+        .withColumn(out_col, F.greatest(F.col("__run"), F.col("__base")))
+        .drop("__pid", "__run", "__base")
+    )
+
+
 def sessionize(
     df: DataFrame, key: str, ts_col: str, gap: str = "INTERVAL 30 MINUTES",
     tiebreak: str | None = None,
@@ -679,13 +749,20 @@ def ntile_from_rn(i: Column, n: Column, k: int) -> Column:
     scan-stage integer math — the q350/q355 scale spelling. Returns a
     LONG 1..k. When n < k every row lands in its own bucket (q >= 1 in
     the otherwise-branch whenever any row reaches it, so the integer
-    division is safe)."""
+    division is safe). All divisions use Spark's integral DIV
+    (IntegralDivide, registered as the ``div`` function) — long-exact
+    at ANY row count, unlike double-division-then-cast, which silently
+    loses integers above 2^53 (ADVICE r11)."""
+
+    def _div(a: Column, b: Column) -> Column:
+        return F.call_function("div", a.cast("long"), b.cast("long"))
+
     kk = F.lit(k).cast("long")
-    q = (n / kk).cast("long")  # floor: n, k nonnegative
+    q = _div(n, kk)  # floor: n, k nonnegative
     r = n % kk
     threshold = r * (q + 1)
     return (
-        F.when(i <= threshold, ((i - 1) / (q + 1)).cast("long") + 1)
-        .otherwise(r + ((i - threshold - 1) / q).cast("long") + 1)
+        F.when(i <= threshold, _div(i - 1, q + 1) + 1)
+        .otherwise(r + _div(i - threshold - 1, q) + 1)
         .cast("long")
     )

@@ -315,10 +315,14 @@ def ordered_queries() -> dict[str, QueryFn]:
     #3: the driver has never executed the shipped spelling) come first,
     most-recently-changed first and oldest-evidence first within a
     change round — so leftover walk budget re-greens rewrites instead of
-    re-proving untouched queries. Within each remaining class the
-    _CHEAP_FIRST profile order is preserved (cheapest-first, so the
-    budget greens the maximum count); names missing from the profile
-    append in registration order. The classes come from the driver's own
+    re-proving untouched queries. The remaining (unchanged-green) class
+    orders OLDEST driver evidence first (VERDICT r11 #7: rows that
+    predate several rounds are the weakest link in the evidence chain —
+    the walk's leftover budget now refreshes them before re-proving
+    last round's rows), with the _CHEAP_FIRST profile order breaking
+    ties within an evidence round (cheapest-first, so the budget greens
+    the maximum count); names missing from the profile append in
+    registration order. The classes come from the driver's own
     CORRECTNESS_r*.json at load time, so the walk self-adapts every
     round without a manual re-tier."""
     q, _ = load_all()
@@ -333,4 +337,5 @@ def ordered_queries() -> dict[str, QueryFn]:
     stale = [n for n in green if stale_round.get(n, 0) > rows[n][0]]
     stale.sort(key=lambda n: (-stale_round[n], rows[n][0], pos[n]))
     fresh = [n for n in green if n not in set(stale)]
+    fresh.sort(key=lambda n: (rows[n][0], pos[n]))
     return {n: q[n] for n in red + never + stale + fresh}

@@ -24,6 +24,7 @@ shapes; only the source/sink bindings change.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import threading
 import uuid
@@ -1420,14 +1421,29 @@ def q351_stream_retractable_mv(spark, sf_dir) -> DataFrame:
     so NULL-keyed orders survive everything). Decimal-exact delta sums
     make the maintained fold order- and batching-independent, so the
     equivalence is bit-for-bit; the total publishes through the dsum
-    string bridge on both sides (the standing decimal->double rule)."""
+    string bridge on both sides (the standing decimal->double rule).
+
+    Exactly-once SCOPE (ADVICE r11): the per-group sequence watermark
+    covers the merge-committed-but-offset-lost replay window — the
+    common restart case, pinned in tests/test_streaming.py. It does
+    NOT make the publish itself atomic: dynamic-partition overwrite to
+    a plain parquet table deletes and reinstalls partitions
+    non-transactionally, so a crash INSIDE one merge's commit can lose
+    already-committed groups (and their watermarks) in the partitions
+    being swapped; full crash atomicity across partitions needs a
+    transactional table format (Delta/Iceberg), where the same merge
+    algebra drops in unchanged. The catalog table name is suffixed
+    with the fixture basename (like its LOCATION already was), so
+    concurrent sessions on different fixtures no longer clobber each
+    other's MV."""
+    import re
     import shutil
     import time
 
-    tname = "t_q351_mv"
+    tname = f"t_q351_mv_{re.sub(r'[^A-Za-z0-9_]', '_', os.path.basename(sf_dir))}"
     base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
     os.makedirs(base, exist_ok=True)
-    loc = os.path.join(base, f"{tname}_tbl_{os.path.basename(sf_dir)}")
+    loc = os.path.join(base, f"{tname}_tbl")
     retractable_mv_create(spark, tname, loc)
 
     src = tempfile.mkdtemp(prefix="eclypsium_mv_feed_")
@@ -1441,7 +1457,12 @@ def q351_stream_retractable_mv(spark, sf_dir) -> DataFrame:
         os.utime(dst, (t0 - 120 + 30 * i, t0 - 120 + 30 * i))
         shutil.rmtree(staged, ignore_errors=True)
 
-    retractable_mv_drain(spark, tname, src)
+    try:
+        retractable_mv_drain(spark, tname, src)
+    finally:
+        # the feed dir is consumed by the drain; leaving it leaked one
+        # mkdtemp per run (ADVICE r11)
+        shutil.rmtree(src, ignore_errors=True)
     spark.catalog.refreshTable(tname)
     return spark.table(tname).select(
         "o_custkey",
@@ -1575,8 +1596,11 @@ def q354_stream_gated_watermark(spark, sf_dir) -> DataFrame:
     multi-batch feed, registered so the production pattern (gate ->
     watermark -> stateful op) is itself oracle-checked, not just
     battery-demonstrated. The feed replays events in THREE time-ordered
-    waves (ntile(3) over (ts, event_id) at staging — a bounded one-shot
-    sort, the fixture-staging exception; production logs arrive roughly
+    waves (global ntile(3) over (ts, event_id) at staging, spelled
+    SHUFFLE-SAFE via ops.global_running_sum + ops.ntile_from_rn —
+    VERDICT r11 #4: the rig now obeys the same single-reducer ban the
+    registry pins, and the closed form reproduces engine ntile exactly
+    on the same total order; production logs arrive roughly
     time-ordered, which is exactly the bounded-disorder contract
     event-time streaming requires), salted with one far-future poison
     row in wave 0 (the corrupt device clock — ungated it would advance
@@ -1590,7 +1614,7 @@ def q354_stream_gated_watermark(spark, sf_dir) -> DataFrame:
     about intra-batch jitter, not history span."""
     import time as _time
 
-    from pyspark.sql import Window
+    from .. import ops
 
     # a 20% slice (event_id % 5 = 0, mirrored in the oracle): the
     # demonstration needs multi-batch watermark state, not the whole
@@ -1601,8 +1625,23 @@ def q354_stream_gated_watermark(spark, sf_dir) -> DataFrame:
         .filter(F.col("event_id") % 5 == 0)
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
-    w = Window.orderBy("ts", "event_id")
-    staged = e.withColumn("__wave", F.ntile(3).over(w) - 1)
+    rn_df = ops.global_running_sum(
+        e.withColumn("__one", F.lit(1).cast("long")),
+        ["ts", "event_id"],
+        "__one",
+        "__rn",
+    ).drop("__one")
+    total = rn_df.agg(F.count("*").alias("__n"))
+    staged = (
+        rn_df.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__wave",
+            (ops.ntile_from_rn(F.col("__rn"), F.col("__n"), 3) - 1).cast(
+                "int"
+            ),
+        )
+        .drop("__rn", "__n")
+    )
 
     def poison(eid: int, ts: str, wave: int) -> DataFrame:
         return spark.createDataFrame(
@@ -1658,13 +1697,18 @@ def q354_stream_gated_watermark(spark, sf_dir) -> DataFrame:
     deduped = gated.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    qname, _ = run_available_now(
-        lambda name, ckpt: deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-    )
+    try:
+        qname, _ = run_available_now(
+            lambda name, ckpt: deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+    finally:
+        # the staged feed is fully drained into the memory sink; leaving
+        # it leaked one mkdtemp per run (the q351 ADVICE r11 lesson)
+        shutil.rmtree(src, ignore_errors=True)
     return spark.table(qname).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
