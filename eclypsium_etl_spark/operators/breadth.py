@@ -1115,11 +1115,11 @@ def q298_pareto_frontier(spark, sf_dir) -> DataFrame:
     and leaving nulls in puts the divergent engine null sort order
     (Spark NULLS FIRST vs DuckDB NULLS LAST on ASC) inside the running
     max — the null-injection walk's finding. The
-    global-order window is the documented q127 trade: for frontier
-    candidates a pre-filter (per-partition local frontier, then global
-    over survivors — frontier-of-frontiers is exact because domination
-    is transitive) keeps the final window's input tiny. Dates compare
-    as integer epoch micros (the q286 cross-engine discipline)."""
+    global-order window is the documented q127 trade; the scale path
+    (frontier-of-frontiers, exact because domination is transitive) is
+    REGISTERED as the row-identical ranged twin q359_pareto_ranged.
+    Dates compare as integer epoch micros (the q286 cross-engine
+    discipline)."""
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderkey") % 10 == 0)
         & F.col("o_totalprice").isNotNull()
@@ -1137,6 +1137,69 @@ def q298_pareto_frontier(spark, sf_dir) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, -1)
     )
     ranked = pts.withColumn("best_date_cheaper", F.max("odate_us").over(w))
+    return ranked.filter(
+        F.col("best_date_cheaper").isNull()
+        | (F.col("odate_us") > F.col("best_date_cheaper"))
+    ).select("o_orderkey", "o_totalprice", "odate_us")
+
+
+@query(
+    "q359_pareto_ranged",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(epoch_us(o_orderdate) AS BIGINT) AS odate_us
+        FROM orders WHERE o_orderkey % 10 = 0
+          AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    ),
+    ranked AS (
+        SELECT *,
+               MAX(odate_us) OVER (
+                   ORDER BY o_totalprice ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_date_cheaper
+        FROM pts
+    )
+    SELECT o_orderkey, o_totalprice,
+           CAST(odate_us AS BIGINT) AS odate_us
+    FROM ranked
+    WHERE best_date_cheaper IS NULL OR odate_us > best_date_cheaper
+    """,
+)
+def q359_pareto_ranged(spark, sf_dir) -> DataFrame:
+    """2-D PARETO FRONTIER AT THE RANGED SPELLING — q298's docstring
+    names frontier-of-frontiers (per-partition skyline → merged
+    skyline, exact because domination is transitive) as its scale
+    path; VERDICT r11 #3 asked for it REGISTERED. This is that
+    algorithm made exact AND fully distributed via
+    ops.global_running_max: range-partition on the total order
+    (price, orderkey), per-slice strict-preceding running max of the
+    date — the LOCAL skyline test, parallel — then the merge step is
+    not a survivors-to-one-task global window but a broadcast of each
+    slice's date maximum, prefix-maxed in pid order (num_partitions
+    driver rows): a point survives globally iff its date beats
+    greatest(local strict-preceding max, best date of ALL cheaper
+    slices) — transitivity collapses the cross-slice check to one
+    scalar per slice. Zero unpartitioned WindowExec (pinned in
+    tests/test_plan_shapes.py) and row-identical to q298 by
+    construction (same oracle text, the q350/q355 equivalence
+    pattern). NULL metrics pinned ineligible on both sides; dates
+    compare as integer epoch micros (q286 discipline)."""
+    from .. import ops
+
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 10 == 0)
+        & F.col("o_totalprice").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+    )
+    pts = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.unix_micros("o_orderdate").alias("odate_us"),
+    )
+    ranked = ops.global_running_max(
+        pts, ["o_totalprice", "o_orderkey"], "odate_us", "best_date_cheaper"
+    )
     return ranked.filter(
         F.col("best_date_cheaper").isNull()
         | (F.col("odate_us") > F.col("best_date_cheaper"))

@@ -912,7 +912,8 @@ def q208_gap_audit(spark, sf_dir) -> DataFrame:
     100 TB the same lead runs per range-partition with a tiny
     boundary-pair fixup join (the q127 two-phase discipline) — gap
     detection needs only adjacent pairs, never a total materialized
-    sort on one node."""
+    sort on one node. REGISTERED as the row-identical ranged twin
+    q358_gap_audit_ranged."""
     from pyspark.sql import Window as W
 
     e = table(spark, sf_dir, "events").filter(F.col("event_id") % 97 != 0)
@@ -922,6 +923,93 @@ def q208_gap_audit(spark, sf_dir) -> DataFrame:
     )
     return (
         g.select(
+            (F.col("event_id") + 1).alias("gap_start"),
+            (F.col("next_id") - 1).alias("gap_end"),
+        )
+        .filter(F.col("gap_end") >= F.col("gap_start"))
+        .withColumn("n_missing", F.col("gap_end") - F.col("gap_start") + 1)
+    )
+
+
+@query(
+    "q358_gap_audit_ranged",
+    oracle="""
+    WITH present AS (
+        SELECT event_id FROM events WHERE event_id % 97 <> 0
+    ),
+    gaps AS (
+        SELECT event_id + 1 AS gap_start,
+               lead(event_id) OVER (ORDER BY event_id) - 1 AS gap_end
+        FROM present
+    )
+    SELECT gap_start, gap_end, gap_end - gap_start + 1 AS n_missing
+    FROM gaps WHERE gap_end >= gap_start
+    """,
+)
+def q358_gap_audit_ranged(spark, sf_dir) -> DataFrame:
+    """GAPS-AND-ISLANDS AT THE RANGED SPELLING — q208's docstring names
+    this scale path (per-range-partition lead + a tiny boundary fixup,
+    the q127 two-phase discipline); VERDICT r11 #2 asked for it
+    REGISTERED. Row-identical to q208 by construction (same oracle
+    text — the q350/q355 equivalence-demonstration pattern), with zero
+    unpartitioned WindowExec (pinned in tests/test_plan_shapes.py):
+
+    1. repartitionByRange on event_id, stamp spark_partition_id, PIN to
+       a scratch parquet (range-boundary sampling is recomputed per
+       job — the global_running_sum discipline; the fixup join and the
+       lead job must see the SAME membership).
+    2. lead(event_id) per partition — parallel; only each partition's
+       LAST row lacks a successor.
+    3. boundary fixup: ONE tiny row per partition (its min id) to the
+       driver, each partition's successor-head computed in pid order
+       (range partitioning makes pid order = value order), broadcast
+       back; partition-tail rows coalesce their successor from it. The
+       global last row keeps NULL and falls out of the gap filter —
+       exactly what a global lead yields.
+
+    At 100 TB the corpus never converges on one task: the only
+    movement is the range shuffle, and the fixup is num_partitions
+    rows."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile as _tempfile
+    import uuid
+
+    ids = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 97 != 0)
+        .select("event_id")
+    )
+    parts = spark.sparkContext.defaultParallelism
+    staged = ids.repartitionByRange(parts, F.col("event_id")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    scratch = _os.path.join(
+        _tempfile.gettempdir(),
+        "eclypsium_etl_spark",
+        f"gaps_{uuid.uuid4().hex[:12]}",
+    )
+    staged.write.parquet(scratch)
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    local = spark.read.parquet(scratch)
+    w = Window.partitionBy("__pid").orderBy("event_id")
+    g = local.withColumn("next_local", F.lead("event_id").over(w))
+    heads = sorted(
+        (r["__pid"], r["__head"])
+        for r in local.groupBy("__pid")
+        .agg(F.min("event_id").alias("__head"))
+        .collect()
+    )
+    succ = [
+        (pid, heads[i + 1][1] if i + 1 < len(heads) else None)
+        for i, (pid, _h) in enumerate(heads)
+    ]
+    succ_df = spark.createDataFrame(succ, "__pid int, __next_head long")
+    return (
+        g.join(F.broadcast(succ_df), "__pid")
+        .withColumn("next_id", F.coalesce("next_local", "__next_head"))
+        .select(
             (F.col("event_id") + 1).alias("gap_start"),
             (F.col("next_id") - 1).alias("gap_end"),
         )

@@ -847,3 +847,92 @@ def test_q355_no_unpartitioned_window_and_identical_to_q185(spark):
         key=lambda d: d["bucket"],
     )
     assert len(a) > 0 and a == b
+
+
+def test_q356_no_unpartitioned_window_and_identical_to_q180(spark):
+    """q356 closes the VERDICT r11 #1 gap: the curriculum manifest with
+    zero global WindowExec nodes (q180's direct ntile has one), and the
+    shard manifest row-identical to the direct spelling."""
+    from eclypsium_etl_spark.plans import unpartitioned_window_count
+
+    df = QUERIES["q356_curriculum_ranged"](spark, SF_CHECK)
+    assert unpartitioned_window_count(df) == 0
+    assert unpartitioned_window_count(
+        QUERIES["q180_curriculum_order"](spark, SF_CHECK)
+    ) >= 1
+    a = sorted(
+        (r.asDict() for r in QUERIES["q180_curriculum_order"](spark, SF_CHECK).collect()),
+        key=lambda d: d["shard"],
+    )
+    b = sorted((r.asDict() for r in df.collect()), key=lambda d: d["shard"])
+    assert len(a) > 0 and a == b
+
+
+def test_q357_no_unpartitioned_window_and_identical_to_q262(spark):
+    """q357: character coverage with zero global WindowExec nodes
+    (q262's direct cumulative window has one), row-identical."""
+    from eclypsium_etl_spark.plans import unpartitioned_window_count
+
+    df = QUERIES["q357_char_coverage_ranged"](spark, SF_CHECK)
+    assert unpartitioned_window_count(df) == 0
+    assert unpartitioned_window_count(
+        QUERIES["q262_char_coverage"](spark, SF_CHECK)
+    ) >= 1
+    a = sorted(
+        (r.asDict() for r in QUERIES["q262_char_coverage"](spark, SF_CHECK).collect()),
+        key=lambda d: d["c"],
+    )
+    b = sorted((r.asDict() for r in df.collect()), key=lambda d: d["c"])
+    assert len(a) > 0 and a == b
+
+
+def test_q358_no_unpartitioned_window_and_identical_to_q208(spark):
+    """q358: gaps-and-islands via per-range-partition lead + boundary
+    fixup — zero global WindowExec (q208's direct lead has one), and
+    the gap list row-identical to the direct spelling."""
+    from eclypsium_etl_spark.plans import unpartitioned_window_count
+
+    df = QUERIES["q358_gap_audit_ranged"](spark, SF_CHECK)
+    assert unpartitioned_window_count(df) == 0
+    assert unpartitioned_window_count(
+        QUERIES["q208_gap_audit"](spark, SF_CHECK)
+    ) >= 1
+    a = sorted(
+        (r.asDict() for r in QUERIES["q208_gap_audit"](spark, SF_CHECK).collect()),
+        key=lambda d: d["gap_start"],
+    )
+    b = sorted((r.asDict() for r in df.collect()), key=lambda d: d["gap_start"])
+    assert len(a) > 0 and a == b
+
+
+def test_q359_no_unpartitioned_window_and_identical_to_q298(spark):
+    """q359: frontier-of-frontiers via ops.global_running_max — zero
+    global WindowExec (q298's direct running max has one), and the
+    skyline row-identical to the direct spelling."""
+    from eclypsium_etl_spark.plans import unpartitioned_window_count
+
+    df = QUERIES["q359_pareto_ranged"](spark, SF_CHECK)
+    assert unpartitioned_window_count(df) == 0
+    assert unpartitioned_window_count(
+        QUERIES["q298_pareto_frontier"](spark, SF_CHECK)
+    ) >= 1
+    a = sorted(
+        (r.asDict() for r in QUERIES["q298_pareto_frontier"](spark, SF_CHECK).collect()),
+        key=lambda d: d["o_orderkey"],
+    )
+    b = sorted((r.asDict() for r in df.collect()), key=lambda d: d["o_orderkey"])
+    assert len(a) > 0 and a == b
+
+
+def test_q360_one_lazy_plan_no_global_windows(spark):
+    """The RAG capstone composes chunk→pool→retrieve→fuse as ONE lazy
+    DAG: every window is query-partitioned (zero unpartitioned
+    WindowExec) and both retrieval sides broadcast the query rows."""
+    from eclypsium_etl_spark.plans import (
+        physical_plan,
+        unpartitioned_window_count,
+    )
+
+    df = QUERIES["q360_rag_capstone"](spark, SF_CHECK)
+    assert unpartitioned_window_count(df) == 0
+    assert physical_plan(df).count("BroadcastHashJoin") >= 1
