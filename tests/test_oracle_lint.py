@@ -165,11 +165,19 @@ _DIV_WHITELIST: dict[str, set[str]] = {
     "q349_hybrid_rrf": {"s.avgdl"},
     # same avgdl, same audit: q352 reuses q349's sparse CTEs verbatim
     "q352_hybrid_rrf_indexed": {"s.avgdl"},
+    # chunk-granular avgdl = SUM(dl)/COUNT(*) over per-chunk token
+    # counts; ctok filters chunk_text <> '' and string_split yields
+    # >= 1 token, so dl >= 1 and avgdl >= 1 (q349's audit at chunk
+    # granularity)
+    "q360_rag_capstone": {"s.avgdl"},
     "q147_anomaly_zscore": {"n"},
     "q149_boilerplate_grams": {"p.n_grams"},
     "q178_embedding_pool": {"n"},
     "q184_token_entropy": {"tot.total"},
     "q262_char_coverage": {"tot.total"},
+    # same cumulative-total audit as q262: total = SUM over cnt rows of
+    # n >= 1, and the division only evaluates when cnt is non-empty
+    "q357_char_coverage_ranged": {"tot.total"},
     "q303_goertzel_tones": {"n"},
     "q90_stats_agg": {"n"},
     "q74_text_quality": {"n_tok"},  # token count of nonempty fixture text
