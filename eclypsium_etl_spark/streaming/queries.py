@@ -1638,11 +1638,20 @@ def q354_stream_gated_watermark(spark, sf_dir) -> DataFrame:
     # ops.ntile_from_rn, the q350 kernel) stays the right tool when
     # wave SIZES must be exactly equal, which this rig never needed
     # (it paid ~8 fixture-pointless jobs for that equality)
-    b1, b2 = e.agg(
+    bounds = e.agg(
         F.expr(
             "approx_percentile(ts, array(0.3333333, 0.6666667), 10000)"
         ).alias("b")
     ).collect()[0]["b"]
+    if bounds is None:
+        # empty slice (the empty-input battery): boundaries are
+        # irrelevant — the waves carry only the explicitly-tagged
+        # poison rows — but the CASE below still needs literals
+        from datetime import datetime as _dt
+
+        b1 = b2 = _dt(1970, 1, 1)
+    else:
+        b1, b2 = bounds
     staged = e.withColumn(
         "__wave",
         F.when(F.col("ts") <= F.lit(b1), 0)
