@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions import davg, davg_sql
 from ..io import table
-from ..registry import query
+from ..registry import ORACLE, query
 
 
 @query(
@@ -4819,8 +4819,15 @@ def q360_rag_capstone(spark, sf_dir) -> DataFrame:
     binary screen or q72's IVF cells when the pooled table outgrows a
     broadcast scan. Fusion cost is rank-depth-bounded, independent of
     corpus size."""
-    from pyspark.sql import Window as W
+    return _rag_chain(spark, sf_dir, _rag_chunk_tf(spark, sf_dir))
 
+
+def _rag_chunk_tf(spark, sf_dir) -> DataFrame:
+    """q360's inline tf relation: q138's chunker (the registered
+    function, called not re-spelled) exploded to per-chunk term
+    frequencies — the whole sparse side derives from this one relation
+    (dl as SUM(tf) per chunk, the q352 recovery trick; df/idf and the
+    query vocabulary as token groupings)."""
     from .prep import q138_doc_chunking
 
     chunks = q138_doc_chunking(spark, sf_dir).filter(
@@ -4831,10 +4838,23 @@ def q360_rag_capstone(spark, sf_dir) -> DataFrame:
         "chunk_id",
         F.explode(F.split("chunk_text", " ")).alias("token"),
     )
-    tf = ctok.groupBy("doc_id", "chunk_id", "token").agg(
+    return ctok.groupBy("doc_id", "chunk_id", "token").agg(
         F.count("*").alias("tf")
     )
-    dl = ctok.groupBy("doc_id", "chunk_id").agg(F.count("*").alias("dl"))
+
+
+def _rag_chain(spark, sf_dir, tf: DataFrame) -> DataFrame:
+    """The q360/q361 retrieval chain over a chunk-granular tf relation
+    (doc_id, chunk_id, token, tf): BM25 with max-passage aggregation on
+    the sparse side, pooled-vector exact top-k on the dense side, RRF
+    fusion, hard-negative selection. Both callers share this plan; they
+    differ only in WHERE tf comes from (inline explode vs the landed
+    posting index), which is exactly the q349 -> q352 equivalence."""
+    from pyspark.sql import Window as W
+
+    dl = tf.groupBy("doc_id", "chunk_id").agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
     stats = dl.agg(
         F.count("*").alias("n_chunks"),
         (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"),
@@ -4853,7 +4873,7 @@ def q360_rag_capstone(spark, sf_dir) -> DataFrame:
         )
     )
     qtok = (
-        ctok.filter(F.col("doc_id") < _RRF_NQ)
+        tf.filter(F.col("doc_id") < _RRF_NQ)
         .select(F.col("doc_id").alias("query_id"), "token")
         .distinct()
     )
@@ -4955,3 +4975,57 @@ def q360_rag_capstone(spark, sf_dir) -> DataFrame:
             F.round("rrf", 6).alias("rrf_score"),
         )
     )
+
+
+def _rag_chunk_index(spark, sf_dir) -> DataFrame:
+    """q361's landed chunk posting index — the q344 tf-bearing posting
+    shape at chunk granularity, written ONCE per fixture generation
+    (io.materialize_once, keyed on the documents parquet's source
+    stamp) and read back as the sparse side's only input. Postings
+    carry (token, shard, doc_id, chunk_id, tf); the shard column is
+    the bounded token-hash layout q344's hot-shard adaptivity starts
+    from, so a cluster deployment can bucket/cluster the landed table
+    by it. Build cost amortizes across every query thereafter — the
+    100 TB retrieval economics q352 documents."""
+    import os
+    import tempfile
+
+    from ..io import materialize_once, source_stamp
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "eclypsium_etl_spark",
+        f"q361idx_{sf_dir.strip('/').replace('/', '_')}"
+        f"_{source_stamp(f'{sf_dir}/documents.parquet')}",
+    )
+    return materialize_once(
+        spark,
+        out,
+        lambda path: _rag_chunk_tf(spark, sf_dir)
+        .withColumn("shard", F.pmod(F.hash("token"), F.lit(32)).cast("int"))
+        .repartition("shard")
+        .write.parquet(path),
+    ).select("doc_id", "chunk_id", "token", "tf")
+
+
+@query(
+    "q361_rag_capstone_indexed",
+    oracle=ORACLE["q360_rag_capstone"],
+)
+def q361_rag_capstone_indexed(spark, sf_dir) -> DataFrame:
+    """q360 AT THE MATERIALIZED-INDEX SPELLING — the q349 -> q352
+    discipline applied to the capstone: the sparse side reads the
+    LANDED chunk posting index (_rag_chunk_index, the q344 tf-bearing
+    posting shape with a bounded token-hash shard column) instead of
+    re-exploding the chunk corpus per query batch; doc lengths are
+    recovered as SUM(tf) per chunk from the index itself (q352's
+    recovery trick), so the index is the sparse side's ONLY input.
+    Row-identical to q360 by construction — the index keeps every
+    (chunk, token, tf) posting and the chain is the shared _rag_chain
+    plan — and oracled against the SAME full stage-replay SQL, so the
+    equivalence is hash-checked, not asserted. This is the capstone's
+    production shape: chunk + embed + index ONCE at ingest (write-once
+    memo standing in for the catalog index table), then every query
+    batch pays a token-key join against bounded posting shards and a
+    broadcast of the query rows."""
+    return _rag_chain(spark, sf_dir, _rag_chunk_index(spark, sf_dir))

@@ -170,6 +170,8 @@ _DIV_WHITELIST: dict[str, set[str]] = {
     # >= 1 token, so dl >= 1 and avgdl >= 1 (q349's audit at chunk
     # granularity)
     "q360_rag_capstone": {"s.avgdl"},
+    # q361 runs q360's oracle verbatim (landed-index equivalence)
+    "q361_rag_capstone_indexed": {"s.avgdl"},
     "q147_anomaly_zscore": {"n"},
     "q149_boilerplate_grams": {"p.n_grams"},
     "q178_embedding_pool": {"n"},

@@ -936,3 +936,22 @@ def test_q360_one_lazy_plan_no_global_windows(spark):
     df = QUERIES["q360_rag_capstone"](spark, SF_CHECK)
     assert unpartitioned_window_count(df) == 0
     assert physical_plan(df).count("BroadcastHashJoin") >= 1
+
+
+def test_q361_identical_to_q360_and_no_global_windows(spark):
+    """The landed-index capstone must reproduce the inline capstone
+    bit-for-bit (q349->q352 equivalence discipline), with every window
+    query-partitioned."""
+    from eclypsium_etl_spark.plans import unpartitioned_window_count
+
+    df = QUERIES["q361_rag_capstone_indexed"](spark, SF_CHECK)
+    assert unpartitioned_window_count(df) == 0
+    a = sorted(
+        (r.asDict() for r in QUERIES["q360_rag_capstone"](spark, SF_CHECK).collect()),
+        key=lambda d: (d["query_id"], d["neg_id"]),
+    )
+    b = sorted(
+        (r.asDict() for r in df.collect()),
+        key=lambda d: (d["query_id"], d["neg_id"]),
+    )
+    assert len(a) > 0 and a == b
