@@ -312,8 +312,14 @@ def global_running_max(
     every boundary (partition-leading rows have NULL local run; the
     first partition has NULL base). Unlike the sum kernel, max is
     order-insensitive and exact for ANY orderable type — no integral
-    restriction."""
+    restriction. Float NaN follows SPARK ordering (NaN is the greatest
+    double, per both MAX and greatest): the driver-side prefix fold
+    special-cases NaN so a NaN partition maximum bases every later
+    partition, matching what a single unpartitioned window would
+    produce (ADVICE r12 — Python's ``nan > x`` is always False, which
+    would otherwise silently drop the NaN from the prefix)."""
     import atexit
+    import math
     import os
     import shutil
     import tempfile
@@ -342,11 +348,20 @@ def global_running_max(
     local = spark.read.parquet(scratch)
     vtype = dict(df.dtypes)[value_col]
     totals = local.groupBy("__pid").agg(F.max(value_col).alias("__tot")).collect()
+    def _is_nan(x) -> bool:
+        return isinstance(x, float) and math.isnan(x)
+
     best = None
     base_rows = []
     for p, t in sorted((r["__pid"], r["__tot"]) for r in totals):
         base_rows.append((p, best))
-        if t is not None and (best is None or t > best):
+        # Spark max/greatest order: NaN > everything; adopt t when it is
+        # NaN (unless best already is), else ordinary Python comparison.
+        if t is not None and (
+            best is None
+            or (_is_nan(t) and not _is_nan(best))
+            or (not _is_nan(best) and not _is_nan(t) and t > best)
+        ):
             best = t
     base = spark.createDataFrame(base_rows, f"__pid int, __base {vtype}")
     return (

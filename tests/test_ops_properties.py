@@ -257,6 +257,50 @@ def test_global_running_sum_null_values_match_single_window(spark):
         assert got == expected, f"mismatch at partitions={parts}"
 
 
+def test_global_running_max_nan_matches_single_window(spark):
+    """NaN semantics of the two-phase prefix max (ADVICE r12): Spark's
+    MAX/greatest order NaN as the GREATEST double, but Python's
+    ``nan > x`` is always False — an unguarded driver-side prefix fold
+    would drop a NaN partition maximum and mis-base every partition
+    after it. Force NaNs to land mid-stream across several partition
+    counts and pin bit-identity against the one-partition global
+    window (NaN compared by isnan, not ==)."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, float("nan") if i in (700, 2100) else float((i * 37) % 11))
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double")
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    expected = {
+        r.id: r.run
+        for r in df.withColumn("run", F.max("v").over(w)).collect()
+    }
+
+    def _same(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return a == b
+
+    for parts in (1, 7, 64):
+        got = {
+            r.id: r.run
+            for r in ops.global_running_max(
+                df, ["id"], "v", "run", partitions=parts
+            ).collect()
+        }
+        bad = [i for i in expected if not _same(got[i], expected[i])]
+        assert not bad, f"mismatch at partitions={parts}: ids {bad[:5]}"
+        # every row after the first NaN must carry NaN (Spark order)
+        assert math.isnan(got[701]) and math.isnan(got[4999])
+
+
 def test_gap_fill_non_numeric_aggregates_survive(spark):
     """ADVICE r2: a non-numeric aggregate (first over a string) must not be
     coalesced with 0 — it stays NULL on gap days and intact on present
