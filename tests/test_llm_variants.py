@@ -4,12 +4,10 @@ hash families): checked by recall against the exact kernels instead."""
 from __future__ import annotations
 
 from eclypsium_etl_spark.llm.dedup import minhash_lsh_ml_pairs, q63_dedup_near
-from eclypsium_etl_spark.llm.multimodal import decode_media
 from eclypsium_etl_spark.llm.similarity import lsh_pairs, q65_sim_pairs
 
 from .conftest import SF_SMOKE
 
-import pytest
 
 
 def test_minhash_ml_recall(spark):
@@ -53,9 +51,40 @@ def test_shingles_short_docs_yield_empty(spark):
     assert sizes == [0, 0, 1, 2]
 
 
-def test_real_decode_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "image/png")
+def test_q77_decode_is_a_real_container_roundtrip():
+    """q77's decode stage must read features FROM the parsed RIFF/WAVE
+    header, not from the raw blob length: hand it a container whose
+    header frame count disagrees with a naive len(blob) and check the
+    decoder reports the header's truth (this pins the real-codec
+    respelling that retired the r1–r12 fake_decode stub)."""
+    import io
+    import wave
+
+    import pandas as pd
+
+    from eclypsium_etl_spark.llm.multimodal import (
+        _TEXT_WAV_RATE,
+        decode_asset_batches,
+        encode_text_wav_batches,
+    )
+
+    payload = "héllo wörld"  # multi-byte UTF-8: bytes != chars
+    enc = list(
+        encode_text_wav_batches(
+            iter([pd.DataFrame({"doc_id": [7], "text": [payload]})])
+        )
+    )[0]
+    blob = enc["asset"][0]
+    with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+        assert w.getframerate() == _TEXT_WAV_RATE
+        assert w.getsampwidth() == 1 and w.getnchannels() == 1
+    dec = list(
+        decode_asset_batches(iter([enc]))
+    )[0]
+    raw = payload.encode("utf-8")
+    assert dec["n_bytes"][0] == len(raw)  # from the header, byte units
+    assert dec["head_hex"][0] == raw[:1].hex()
+    assert dec["rate"][0] == _TEXT_WAV_RATE
 
 
 def test_decontaminate_emits_shingleless_docs(spark, tmp_path):
