@@ -56,9 +56,16 @@ def q138_doc_chunking(spark, sf_dir) -> DataFrame:
     shuffle, no UDF, and chunk count scales with the doc, not the corpus.
     At 100 TB this runs as the projection of the corpus scan and writes
     straight back out partitioned however the index wants it."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
+    return chunk_docs(table(spark, sf_dir, "documents"))
+
+
+def chunk_docs(docs: DataFrame) -> DataFrame:
+    """q138's chunker kernel over ANY documents-shaped relation
+    (doc_id, text) — factored so the streaming ingest path (q362) can
+    chunk one micro-batch with exactly the corpus chunker (same
+    constants, same slice arithmetic), keeping the incrementally built
+    index token-identical to a from-scratch q138 pass."""
+    d = docs.select("doc_id", F.split("text", " ").alias("toks"))
     return (
         d.select(
             "doc_id",

@@ -4830,10 +4830,15 @@ def _rag_chunk_tf(spark, sf_dir) -> DataFrame:
     query vocabulary as token groupings)."""
     from .prep import q138_doc_chunking
 
-    chunks = q138_doc_chunking(spark, sf_dir).filter(
-        F.col("chunk_text") != ""
-    )
-    ctok = chunks.select(
+    return _tf_of_chunks(q138_doc_chunking(spark, sf_dir))
+
+
+def _tf_of_chunks(chunks: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, chunk_text) → per-chunk term frequencies
+    (doc_id, chunk_id, token, tf); empty chunks dropped on both sides —
+    factored from _rag_chunk_tf so the streaming ingest (q362) builds
+    each micro-batch's postings with exactly the corpus kernel."""
+    ctok = chunks.filter(F.col("chunk_text") != "").select(
         "doc_id",
         "chunk_id",
         F.explode(F.split("chunk_text", " ")).alias("token"),
@@ -4843,13 +4848,50 @@ def _rag_chunk_tf(spark, sf_dir) -> DataFrame:
     )
 
 
-def _rag_chain(spark, sf_dir, tf: DataFrame) -> DataFrame:
-    """The q360/q361 retrieval chain over a chunk-granular tf relation
-    (doc_id, chunk_id, token, tf): BM25 with max-passage aggregation on
-    the sparse side, pooled-vector exact top-k on the dense side, RRF
-    fusion, hard-negative selection. Both callers share this plan; they
-    differ only in WHERE tf comes from (inline explode vs the landed
-    posting index), which is exactly the q349 -> q352 equivalence."""
+def _rag_pooled(em: DataFrame) -> DataFrame:
+    """(doc, embedding) → pooled dense vectors (doc, vec): q178's
+    per-dim decimal-exact mean rounded to 9dp (+0.0 normalizing -0.0),
+    reassembled in dimension order. Factored from _rag_chain so the
+    streaming ingest (q362) pools each arriving doc's embedding group
+    with exactly the query-time kernel — per-doc pooling never crosses
+    docs, so incremental and global pooling are value-identical."""
+    pool = (
+        em.select("doc", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("doc", (F.col("pos") + 1).alias("j"))
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("x").cast("double").cast(_CAP_DEC)).cast(
+                        "double"
+                    )
+                    / F.count("*"),
+                    9,
+                )
+                + 0.0
+            ).alias("v")
+        )
+    )
+    return pool.groupBy("doc").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(j, v))), s -> s.v)"
+        ).alias("vec")
+    )
+
+
+def _rag_chain(
+    spark, sf_dir, tf: DataFrame, pooled: DataFrame | None = None
+) -> DataFrame:
+    """The q360/q361/q362 retrieval chain over a chunk-granular tf
+    relation (doc_id, chunk_id, token, tf): BM25 with max-passage
+    aggregation on the sparse side, pooled-vector exact top-k on the
+    dense side, RRF fusion, hard-negative selection. All callers share
+    this plan; they differ only in WHERE the sides come from (inline
+    explode vs the landed posting index vs the streaming-maintained
+    tables), which is exactly the q349 -> q352 equivalence. `pooled`
+    overrides the dense side with a pre-materialized (doc, vec)
+    relation — it must carry _rag_pooled's exact values (per-dim
+    decimal-exact mean rounded to 9dp), which per-doc incremental
+    pooling preserves because a doc's pool never crosses docs."""
     from pyspark.sql import Window as W
 
     dl = tf.groupBy("doc_id", "chunk_id").agg(
@@ -4910,30 +4952,12 @@ def _rag_chain(spark, sf_dir, tf: DataFrame) -> DataFrame:
         .select("query_id", "doc_id", "r_s")
     )
 
-    em = table(spark, sf_dir, "embeddings").select(
-        (F.col("vec_id") / _CAP_PC).cast("long").alias("doc"), "embedding"
-    )
-    pool = (
-        em.select("doc", F.posexplode("embedding").alias("pos", "x"))
-        .groupBy("doc", (F.col("pos") + 1).alias("j"))
-        .agg(
-            (
-                F.round(
-                    F.sum(F.col("x").cast("double").cast(_CAP_DEC)).cast(
-                        "double"
-                    )
-                    / F.count("*"),
-                    9,
-                )
-                + 0.0
-            ).alias("v")
+    if pooled is None:
+        em = table(spark, sf_dir, "embeddings").select(
+            (F.col("vec_id") / _CAP_PC).cast("long").alias("doc"),
+            "embedding",
         )
-    )
-    pooled = pool.groupBy("doc").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(j, v))), s -> s.v)"
-        ).alias("vec")
-    )
+        pooled = _rag_pooled(em)
     bq = pooled.filter(F.col("doc") < _RRF_NQ).select(
         F.col("doc").alias("query_id"), F.col("vec").alias("qvec")
     )
@@ -4992,10 +5016,15 @@ def _rag_chunk_index(spark, sf_dir) -> DataFrame:
 
     from ..io import materialize_once, source_stamp
 
+    # Memo key folds in the chunker constants and a posting-layout
+    # version token alongside the source stamp (ADVICE r12): a later
+    # change to _CAP_S/_CAP_W or the posting columns on a machine with
+    # an unchanged fixture must MISS the memo, not serve a stale index.
     out = os.path.join(
         tempfile.gettempdir(),
         "eclypsium_etl_spark",
-        f"q361idx_{sf_dir.strip('/').replace('/', '_')}"
+        f"q361idx_v1_w{_CAP_W}s{_CAP_S}"
+        f"_{sf_dir.strip('/').replace('/', '_')}"
         f"_{source_stamp(f'{sf_dir}/documents.parquet')}",
     )
     return materialize_once(

@@ -172,6 +172,13 @@ _DIV_WHITELIST: dict[str, set[str]] = {
     "q360_rag_capstone": {"s.avgdl"},
     # q361 runs q360's oracle verbatim (landed-index equivalence)
     "q361_rag_capstone_indexed": {"s.avgdl"},
+    # q362 runs q360's oracle verbatim (incremental == rebuild)
+    "q362_stream_rag_index": {"s.avgdl"},
+    # n_total = COUNT(*) over the inner join of two full-corpus
+    # assignments; the division sits on rows CROSS JOINed with the five
+    # query vectors, which exist only when the corpus is non-empty, so
+    # every evaluated division has n_total >= 1
+    "q364_ivf_retrain_drift": {"m.n_total"},
     "q147_anomaly_zscore": {"n"},
     "q149_boilerplate_grams": {"p.n_grams"},
     "q178_embedding_pool": {"n"},

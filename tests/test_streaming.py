@@ -646,3 +646,62 @@ def test_restart_replay_retractable_mv_exactly_once(spark, tmp_path):
     retractable_mv_drain(spark, "t_q351_pin", src, ckpt=ckpt)
 
     assert final_rows("t_q351_pin") == ref
+
+
+def test_restart_replay_rag_index_per_side_idempotent(spark):
+    """q362's incremental RAG index across restarts: (1) a fully
+    replayed batch (fresh process → fresh applied set) appends nothing
+    to either table; (2) a crash BETWEEN the two appends — postings
+    landed, pool lost — replays into a fill of ONLY the missing side,
+    because each side anti-joins its OWN table (idempotence by data,
+    per side; two plain parquet tables have no cross-table
+    transaction)."""
+    import shutil
+    import tempfile
+
+    from eclypsium_etl_spark.io import table
+    from eclypsium_etl_spark.streaming.queries import (
+        rag_index_handler,
+        rag_index_tables,
+    )
+
+    from .conftest import SF_SMOKE
+
+    tpost, tpool = rag_index_tables(spark, SF_SMOKE)
+    d = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    w0 = d.filter(F.col("doc_id") % 3 == 0)
+
+    rag_index_handler(spark, tpost, tpool, SF_SMOKE)(w0, 0)
+    spark.catalog.refreshTable(tpost)
+    spark.catalog.refreshTable(tpool)
+    post0 = spark.table(tpost).count()
+    pool0 = sorted(
+        (r.doc, tuple(r.vec)) for r in spark.table(tpool).collect()
+    )
+    assert post0 > 0 and pool0
+
+    # (1) full-batch replay after restart: fresh handler, same batch
+    rag_index_handler(spark, tpost, tpool, SF_SMOKE)(w0, 0)
+    spark.catalog.refreshTable(tpost)
+    spark.catalog.refreshTable(tpool)
+    assert spark.table(tpost).count() == post0
+    assert len(spark.table(tpool).collect()) == len(pool0)
+
+    # (2) crash between appends: postings landed, pool lost — wipe the
+    # pool table's files on disk and replay the batch
+    pool_loc = os.path.join(
+        tempfile.gettempdir(), "eclypsium_etl_spark", f"{tpool}_tbl"
+    )
+    shutil.rmtree(pool_loc)
+    os.makedirs(pool_loc)
+    spark.catalog.refreshTable(tpool)
+    assert spark.table(tpool).count() == 0
+
+    rag_index_handler(spark, tpost, tpool, SF_SMOKE)(w0, 0)
+    spark.catalog.refreshTable(tpost)
+    spark.catalog.refreshTable(tpool)
+    assert spark.table(tpost).count() == post0, "landed side re-appended"
+    refilled = sorted(
+        (r.doc, tuple(r.vec)) for r in spark.table(tpool).collect()
+    )
+    assert refilled == pool0, "missing side not refilled bit-identically"
