@@ -1275,3 +1275,166 @@ def q307_time_weighted_avg(spark, sf_dir) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+_FUNNEL_GAP_US = 2 * 86_400 * 1_000_000  # bounded step gap: 2 days, in µs
+
+
+@query(
+    "q363_pattern_funnel_varlen",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               row_number() OVER w AS rn,
+               epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS new_run
+        FROM events
+        WHERE ts IS NOT NULL AND event_id IS NOT NULL
+          AND user_id IS NOT NULL AND event_type IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT *, SUM(new_run) OVER (
+            PARTITION BY user_id ORDER BY rn
+        ) AS run_id
+        FROM seq
+    ),
+    b AS (
+        SELECT user_id, run_id, MIN(rn) AS b_start, MAX(rn) AS b_end,
+               COUNT(*) AS n_clicks, MAX(gap_us) AS max_gap_us
+        FROM runs WHERE event_type = 'click'
+        GROUP BY user_id, run_id
+    )
+    SELECT a.user_id, a.event_id AS a_event_id, c.event_id AS c_event_id,
+           b.n_clicks,
+           (epoch_us(c.ts) - epoch_us(a.ts)) // 1000000 AS span_sec
+    FROM b
+    JOIN runs a ON a.user_id = b.user_id AND a.rn = b.b_start - 1
+               AND a.event_type = 'view'
+    JOIN runs c ON c.user_id = b.user_id AND c.rn = b.b_end + 1
+               AND c.event_type = 'purchase'
+    WHERE b.max_gap_us <= {_FUNNEL_GAP_US} AND c.gap_us <= {_FUNNEL_GAP_US}
+    """,
+)
+def q363_pattern_funnel_varlen(spark, sf_dir) -> DataFrame:
+    """VARIABLE-LENGTH sequential pattern (VERDICT r12 #4) — the
+    MATCH_RECOGNIZE shape ``A B+ C WITHIN gap`` that q172's fixed lag
+    chain cannot express: per user, in strict (ts, event_id) event
+    order, one 'view' (A) immediately followed by a maximal CONTIGUOUS
+    run of one-or-more 'click's (B+), immediately followed by a
+    'purchase' (C), with EVERY adjacent step — A→B₁, Bᵢ→Bᵢ₊₁, Bₙ→C —
+    inside a bounded 2-day gap. One output row per match: the anchor
+    ids, the run length (the variable part), and the exact whole-match
+    span in seconds.
+
+    Spelling: gaps-and-islands (q126/q139's kernel), not recursion —
+    the lag→flag→running-sum chain assigns run ids, each 'click' island
+    folds to (start, end, length, max adjacent gap) in one partial
+    aggregate, and the A/C anchors attach by rn-adjacency equi-joins.
+    Everything rides ONE user_id exchange family: the windows, the
+    island fold, and both anchor joins co-partition, so at 100 TB this
+    is a single shuffle of the events table regardless of match length
+    — where a naive self-join-per-B approach is O(pattern length)
+    shuffles and a regex backtracker is not expressible at all.
+    max(gap) folds A→B₁ for free: B₁'s lag-gap IS the step from the
+    row before the island, which the a-join then pins to be the A.
+
+    Scope adjudication (why this and not more): bounded-gap
+    A B+ C — and any fixed alternation of anchors and + / * runs — fits
+    the islands algebra because each variable-length segment is
+    CONTIGUOUS, so it folds to one aggregate row before anchors join.
+    Unbounded regex over rows with arbitrary nesting/backtracking
+    (e.g. (A B*)+ with cross-group conditions) is inherently
+    sequential per key — that is applyInPandasWithState territory
+    (q87's family), at per-user-state cost, and deliberately stays out
+    of this operator. NULL-keyed rows (ts/ids/type) are excluded up
+    front: a total order is the pattern's precondition, and Spark
+    (NULLS FIRST) and ANSI engines (NULLS LAST) disagree on where
+    NULL sorts — survivorship here must not hinge on that.
+
+    Reference anchor: the reference pipeline's sequential
+    extract→transform→load gating (mercadolibre_pipeline_dag.py:147)
+    has no row-pattern engine; this is net-new capability the Spark
+    build adds (SURVEY.md §2 extensions)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    runs = seq.withColumn(
+        "run_id",
+        F.sum("new_run").over(
+            Window.partitionBy("user_id")
+            .orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    b = (
+        runs.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "run_id")
+        .agg(
+            F.min("rn").alias("b_start"),
+            F.max("rn").alias("b_end"),
+            F.count("*").alias("n_clicks"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .filter(F.col("max_gap_us") <= _FUNNEL_GAP_US)
+    )
+    a = runs.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("a_user_id"),
+        F.col("rn").alias("a_rn"),
+        F.col("event_id").alias("a_event_id"),
+        F.unix_micros("ts").alias("a_us"),
+    )
+    c = runs.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("gap_us") <= _FUNNEL_GAP_US)
+    ).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("rn").alias("c_rn"),
+        F.col("event_id").alias("c_event_id"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    return (
+        b.join(
+            a,
+            (F.col("user_id") == F.col("a_user_id"))
+            & (F.col("a_rn") == F.col("b_start") - 1),
+        )
+        .join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("c_rn") == F.col("b_end") + 1),
+        )
+        .select(
+            "user_id",
+            "a_event_id",
+            "c_event_id",
+            "n_clicks",
+            F.expr("(c_us - a_us) div 1000000").alias("span_sec"),
+        )
+    )

@@ -955,3 +955,18 @@ def test_q361_identical_to_q360_and_no_global_windows(spark):
         key=lambda d: (d["query_id"], d["neg_id"]),
     )
     assert len(a) > 0 and a == b
+
+
+def test_q363_windows_all_user_partitioned(spark):
+    """q363's variable-length funnel must ride the user_id exchange
+    family end-to-end: zero unpartitioned WindowExec (the islands
+    windows and both anchor joins all key on user_id), and the match
+    set non-empty with genuinely variable-length runs at the check
+    fixture (n_clicks > 1 somewhere — otherwise the pattern degenerates
+    to q172's fixed shape and the + quantifier is untested)."""
+    from eclypsium_etl_spark.plans import unpartitioned_window_count
+
+    df = QUERIES["q363_pattern_funnel_varlen"](spark, SF_CHECK)
+    assert unpartitioned_window_count(df) == 0
+    rows = df.collect()
+    assert rows and max(r.n_clicks for r in rows) > 1
