@@ -3386,3 +3386,203 @@ def binary_hamming_topk(em: DataFrame) -> DataFrame:
         .filter(F.col("rn_e") <= _PQ_TOP_K)
         .select("query_id", "neighbor_id", "hamming", "exact_sim")
     )
+
+
+# ---- q364: incremental IVF re-training drift check -------------------------
+
+_DRIFT_W0_PRED = "vec_id % 2 = 0"  # epoch-0 corpus: the first ingest wave
+
+
+def _ivf_probe_hits(spark, sf_dir, asg: DataFrame) -> DataFrame:
+    """(query_id, n_hit) for the 5 standard query vectors: single-probe
+    IVF top-{k} hits against the exact brute-force top-{k} — the recall
+    numerator q364 differences across model epochs. Same probe/exact
+    shapes as _ivf_search_with_recall, reduced to the per-query count
+    (queries with ZERO hits still emit a row — the drift check must see
+    a recall collapse, not lose the row)."""
+    queries = asg.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cent_id").alias("q_cent"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
+    )
+    ivf = (
+        asg.join(
+            F.broadcast(queries),
+            (F.col("cent_id") == F.col("q_cent"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _IVF_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    em = table(spark, sf_dir, "embeddings")
+    exact = (
+        em.join(
+            F.broadcast(queries.select("query_id", "q_emb")),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_emb"), F.col("embedding")).alias("sim_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _IVF_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    matched = (
+        ivf.join(exact, ["query_id", "neighbor_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return queries.select("query_id").join(matched, "query_id", "left").select(
+        "query_id", F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit")
+    )
+
+
+@query(
+    "q364_ivf_retrain_drift",
+    oracle=f"""
+    WITH {_kmeans_oracle_ctes(_N_CENTROIDS, _IVF_ITERS, train_pred=_DRIFT_W0_PRED, prefix="s")},
+    {_kmeans_oracle_ctes(_N_CENTROIDS, _IVF_ITERS, prefix="f")},
+    a0 AS (SELECT * FROM sasg_full),
+    a1 AS (SELECT * FROM fasg{_IVF_ITERS - 1}),
+    moved AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN a0.cent_id <> a1.cent_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS moved_n
+        FROM a0 JOIN a1 USING (vec_id)
+    ),
+    q0 AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS q_cent
+           FROM a0 WHERE vec_id >= 100 AND vec_id < 105),
+    q1 AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS q_cent
+           FROM a1 WHERE vec_id >= 100 AND vec_id < 105),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'c.embedding')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM q0 q JOIN embeddings c ON c.vec_id <> q.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    ivf0 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'a.embedding')} DESC,
+                                a.vec_id
+                   ) AS rn
+            FROM q0 q JOIN a0 a
+              ON a.cent_id = q.q_cent AND a.vec_id <> q.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    ivf1 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {dot_sql('q.q_emb', 'a.embedding')} DESC,
+                                a.vec_id
+                   ) AS rn
+            FROM q1 q JOIN a1 a
+              ON a.cent_id = q.q_cent AND a.vec_id <> q.query_id
+        ) WHERE rn <= {_IVF_TOP_K}
+    ),
+    h0 AS (SELECT i.query_id, COUNT(*) AS n FROM ivf0 i
+           JOIN exact e USING (query_id, neighbor_id) GROUP BY i.query_id),
+    h1 AS (SELECT i.query_id, COUNT(*) AS n FROM ivf1 i
+           JOIN exact e USING (query_id, neighbor_id) GROUP BY i.query_id)
+    SELECT q.query_id,
+           round(COALESCE(h0.n, 0) / {float(_IVF_TOP_K)}, 6) AS recall_stale,
+           round(COALESCE(h1.n, 0) / {float(_IVF_TOP_K)}, 6)
+               AS recall_retrained,
+           round((COALESCE(h1.n, 0) - COALESCE(h0.n, 0))
+                 / {float(_IVF_TOP_K)}, 6) AS recall_delta,
+           m.moved_n,
+           round(m.moved_n * 1.0 / m.n_total, 6) AS moved_frac
+    FROM (SELECT query_id FROM q0) q
+    LEFT JOIN h0 USING (query_id)
+    LEFT JOIN h1 USING (query_id)
+    CROSS JOIN moved m
+    """,
+)
+def q364_ivf_retrain_drift(spark, sf_dir) -> DataFrame:
+    """INCREMENTAL IVF RE-TRAINING DRIFT CHECK (VERDICT r12 #5) — the
+    two-epoch production shape the one-shot trainers (q319/q327) don't
+    exercise: epoch 0 trains the coarse quantizer on the FIRST INGEST
+    WAVE only ({_DRIFT_W0_PRED} — kmeans_fit's train_where, the q327
+    sample-training path) and serves the grown corpus with that STALE
+    model; epoch 1 re-trains on the full corpus. The drift between them
+    is measured as oracled DATA, per the q325 calibration discipline
+    (quality numbers ride in the hashed result, never in prose):
+    recall@{_IVF_TOP_K} per standard query under the stale vs the
+    re-trained model (and their delta), plus the re-assignment delta —
+    how many vectors change cells on re-train (moved_n, moved_frac),
+    which is exactly the index-rebuild cost the re-train cadence has to
+    amortize. Both Lloyd chains, both probes, and the brute-force
+    reference are replicated in closed form by the oracle (two
+    prefix-namespaced unrolled CTE chains), so a drift-measurement bug
+    — stale model accidentally re-trained, probe against the wrong
+    epoch's cells, moved-count off by the join width — fails the hash.
+
+    On THIS fixture the numbers read as near-orthogonal-noise numbers
+    (the q319 rationale): recall is low by construction and re-training
+    moves many cells because cluster structure is weak; the CONTRACT is
+    the measurement, which is corpus-independent. At 100 TB the same
+    query runs as: epoch-0 centroids from the shipped index, epoch-1
+    centroids from the re-train job, moved_frac computed map-side on
+    the co-partitioned (old, new) assignment join — and its value is
+    what gates whether the re-shard (q193's rebalance) is worth
+    scheduling this cadence."""
+    from .clustering import kmeans, kmeans_fit
+
+    asg0, _ = kmeans_fit(
+        spark,
+        sf_dir,
+        k=_N_CENTROIDS,
+        iterations=_IVF_ITERS,
+        train_where=F.expr(_DRIFT_W0_PRED),
+    )
+    asg1 = kmeans(spark, sf_dir, k=_N_CENTROIDS, iterations=_IVF_ITERS)
+
+    moved = (
+        asg0.select("vec_id", F.col("cent_id").alias("c0"))
+        .join(asg1.select("vec_id", F.col("cent_id").alias("c1")), "vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(F.when(F.col("c0") != F.col("c1"), 1).otherwise(0))
+            .cast("long")
+            .alias("moved_n"),
+        )
+    )
+    h0 = _ivf_probe_hits(spark, sf_dir, asg0).withColumnRenamed("n_hit", "h0")
+    h1 = _ivf_probe_hits(spark, sf_dir, asg1).withColumnRenamed("n_hit", "h1")
+    k = float(_IVF_TOP_K)
+    return (
+        h0.join(h1, "query_id")
+        .crossJoin(F.broadcast(moved))
+        .select(
+            "query_id",
+            F.round(F.col("h0") / k, 6).alias("recall_stale"),
+            F.round(F.col("h1") / k, 6).alias("recall_retrained"),
+            F.round((F.col("h1") - F.col("h0")) / k, 6).alias("recall_delta"),
+            "moved_n",
+            F.round(F.col("moved_n") * 1.0 / F.col("n_total"), 6).alias(
+                "moved_frac"
+            ),
+        )
+    )
