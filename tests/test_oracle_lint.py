@@ -407,6 +407,7 @@ def test_bench_compact_line_stays_small():
         ambient_load_1m=[31.97, 31.97],
         load_1m=[31.97] * 10,
         contended=True,
+        min_total=9999.123,
     )
     line = json.dumps(rec, separators=(",", ":"))
     assert len(line) < 1500, f"compact bench line too long: {len(line)}"
@@ -415,6 +416,9 @@ def test_bench_compact_line_stays_small():
     assert parsed["value"] == 12345.678
     assert parsed["contended"] is True
     assert parsed["unit"] == "sec"
+    # the noise-robust composite must ride in the driver line itself
+    # (VERDICT r12 #1b) so gate adjudication needs no sidecar
+    assert parsed["min_total"] == 9999.123
     assert "queries" not in parsed, "per-query map belongs in the sidecar"
 
 
