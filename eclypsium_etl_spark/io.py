@@ -70,6 +70,22 @@ def source_stamp(path: str) -> str:
     return f"{int(st.st_mtime)}_{st.st_size}"
 
 
+def fixture_suffix(sf_dir: str) -> str:
+    """Catalog-safe per-fixture suffix for managed table names and
+    locations: the sanitized fixture basename PLUS a short hash of the
+    RAW basename, so sanitization collisions ('sf0.1' vs 'sf0_1') can
+    never alias two fixtures' tables (ADVICE r12, the q351 rule)."""
+    import hashlib
+    import os
+    import re
+
+    raw = os.path.basename(sf_dir)
+    return (
+        f"{re.sub(r'[^A-Za-z0-9_]', '_', raw)}"
+        f"_{hashlib.sha1(raw.encode()).hexdigest()[:8]}"
+    )
+
+
 def _commit_dir(tmp: str, out: str, is_complete) -> None:
     """Atomically install the COMPLETE build at ``tmp`` as ``out``.
 

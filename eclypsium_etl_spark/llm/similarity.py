@@ -231,7 +231,16 @@ def q72_sim_ivf(spark, sf_dir) -> DataFrame:
     )
     # the cell assignment IS one k-means assignment step — same kernel,
     # same deterministic tiebreak, one definition (clustering.py)
-    assigned = assign_to_centroids(em, cents)
+    return ivf_cell_topk(assign_to_centroids(em, cents))
+
+
+def ivf_cell_topk(assigned: DataFrame, top_k: int = 3) -> DataFrame:
+    """q72's single-probe cell scan over ANY (vec_id, embedding,
+    cent_id) assignment relation: the 5 standard query vectors probe
+    their own cell, top-k by (sim DESC, vec_id ASC). Factored so the
+    streaming-maintained assignment table (q365) searches with exactly
+    the batch spelling — the query half of the incremental == rebuild
+    equivalence."""
     queries = assigned.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
     ).select(
@@ -252,7 +261,7 @@ def q72_sim_ivf(spark, sf_dir) -> DataFrame:
             dot(F.col("q_emb"), F.col("embedding")).alias("sim_raw"),
         )
         .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") <= top_k)
         .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
     )
 

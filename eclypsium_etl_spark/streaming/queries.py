@@ -1436,19 +1436,15 @@ def q351_stream_retractable_mv(spark, sf_dir) -> DataFrame:
     with the fixture basename (like its LOCATION already was), so
     concurrent sessions on different fixtures no longer clobber each
     other's MV."""
-    import hashlib
-    import re
     import shutil
     import time
 
+    from ..io import fixture_suffix
+
     # Sanitizing the basename alone can alias distinct fixtures ('sf0.1'
-    # and 'sf0_1' both sanitize to 'sf0_1' — ADVICE r12); a short stable
-    # hash of the RAW basename keeps table name AND location unique.
-    raw = os.path.basename(sf_dir)
-    tname = (
-        f"t_q351_mv_{re.sub(r'[^A-Za-z0-9_]', '_', raw)}"
-        f"_{hashlib.sha1(raw.encode()).hexdigest()[:8]}"
-    )
+    # and 'sf0_1' both sanitize to 'sf0_1' — ADVICE r12); fixture_suffix
+    # adds a hash of the RAW basename so name AND location stay unique.
+    tname = f"t_q351_mv_{fixture_suffix(sf_dir)}"
     base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
     os.makedirs(base, exist_ok=True)
     loc = os.path.join(base, f"{tname}_tbl")
@@ -1751,16 +1747,11 @@ def rag_index_tables(spark, sf_dir: str) -> tuple[str, str]:
     deployment clusters/buckets by it) and the pooled dense side (one
     exact q178-pooled vector per document group). Names and locations
     carry the sanitized fixture basename PLUS a short hash of the raw
-    basename (the q351 ADVICE r12 rule) so concurrent sessions on
-    distinct fixtures can never alias."""
-    import hashlib
-    import re
+    basename (io.fixture_suffix — the q351 ADVICE r12 rule) so
+    concurrent sessions on distinct fixtures can never alias."""
+    from ..io import fixture_suffix
 
-    raw = os.path.basename(sf_dir)
-    suf = (
-        f"{re.sub(r'[^A-Za-z0-9_]', '_', raw)}"
-        f"_{hashlib.sha1(raw.encode()).hexdigest()[:8]}"
-    )
+    suf = fixture_suffix(sf_dir)
     base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
     os.makedirs(base, exist_ok=True)
     tpost, tpool = f"t_q362_post_{suf}", f"t_q362_pool_{suf}"
@@ -1846,17 +1837,17 @@ def rag_index_handler(spark, tpost: str, tpool: str, sf_dir: str):
     return ingest
 
 
-def rag_index_feed(spark, sf_dir: str) -> str:
-    """Stage the document corpus as a _RAG_WAVES-file arrival feed
-    (doc_id mod wave, explicit mtimes pinning oldest-first file-source
-    order — the q342/q351 replay discipline). Returns the feed dir."""
+def wave_feed(df: DataFrame, key_col: str, n_waves: int, prefix: str) -> str:
+    """Stage ANY keyed relation as an n_waves-file arrival feed
+    (key mod wave, explicit mtimes pinning oldest-first file-source
+    order — the q342/q351 replay discipline). Returns the feed dir;
+    caller removes it after the stream drains."""
     import time
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    src = tempfile.mkdtemp(prefix="eclypsium_ragidx_feed_")
+    src = tempfile.mkdtemp(prefix=prefix)
     t0 = time.time()
-    for i in range(_RAG_WAVES):
-        wave = d.filter(F.col("doc_id") % _RAG_WAVES == i)
+    for i in range(n_waves):
+        wave = df.filter(F.col(key_col) % n_waves == i)
         staged = os.path.join(src, f"_stage_w{i}")
         wave.coalesce(1).write.mode("overwrite").parquet(staged)
         part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
@@ -1865,6 +1856,17 @@ def rag_index_feed(spark, sf_dir: str) -> str:
         os.utime(dst, (t0 - 120 + 30 * i, t0 - 120 + 30 * i))
         shutil.rmtree(staged, ignore_errors=True)
     return src
+
+
+def rag_index_feed(spark, sf_dir: str) -> str:
+    """q362's feed: the document corpus as a _RAG_WAVES-file arrival
+    sequence (doc_id mod wave)."""
+    return wave_feed(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        _RAG_WAVES,
+        "eclypsium_ragidx_feed_",
+    )
 
 
 @query(
@@ -1935,3 +1937,123 @@ def q362_stream_rag_index(spark, sf_dir) -> DataFrame:
         spark.table(tpost).select("doc_id", "chunk_id", "token", "tf"),
         pooled=spark.table(tpool).select("doc", "vec"),
     )
+
+
+# ---- q365: streaming IVF vector ingest (frozen coarse quantizer) ----------
+
+
+def ivf_ingest_table(spark, sf_dir: str) -> str:
+    """(Re)create the managed cell-assignment table q365's streaming
+    vector ingest maintains: (vec_id, embedding) rows with their
+    nearest-centroid cell, PARTITIONED BY cent_id — the landed layout
+    q72's docstring names for 100 TB ("the assigned table would be
+    written partitioned by cent_id so a query touches one partition").
+    Fixture-suffix naming per the q351/q362 anti-aliasing rule."""
+    from ..io import fixture_suffix
+
+    suf = fixture_suffix(sf_dir)
+    base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
+    os.makedirs(base, exist_ok=True)
+    tasg = f"t_q365_asg_{suf}"
+    loc = os.path.join(base, f"{tasg}_tbl")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {tasg}")
+    spark.sql(
+        f"CREATE TABLE {tasg} (vec_id BIGINT, embedding ARRAY<FLOAT>, "
+        f"cent_id BIGINT) USING parquet PARTITIONED BY (cent_id) "
+        f"LOCATION '{loc}'"
+    )
+    return tasg
+
+
+def ivf_ingest_handler(spark, tasg: str, cents: DataFrame):
+    """q365's foreachBatch handler: assign each arriving vector batch
+    to the FROZEN coarse quantizer (clustering.assign_to_centroids —
+    the zero-corpus-shuffle scan-stage argmax) and APPEND to the
+    cell-partitioned assignment table. Restart-idempotent by data: the
+    batch anti-joins the table's vec_ids before appending (the q362
+    discipline; single table, so the crash window is just
+    replay-after-commit-lost). Assignment is per-vector with frozen
+    centroids, so incremental ingest and a from-scratch batch assign
+    are value-identical — that equivalence is what the oracle checks."""
+    from ..llm.clustering import assign_to_centroids
+
+    applied: set[int] = set()
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied:
+            return
+        applied.add(batch_id)
+        if batch_df.isEmpty():
+            return
+        spark.catalog.refreshTable(tasg)
+        new = batch_df.join(
+            spark.table(tasg).select("vec_id"), "vec_id", "left_anti"
+        )
+        (
+            assign_to_centroids(new, cents)
+            .select("vec_id", "embedding", "cent_id")
+            .write.insertInto(tasg)
+        )
+
+    return ingest
+
+
+@query(
+    "q365_stream_ivf_ingest",
+    oracle=ORACLE["q72_sim_ivf"],
+)
+def q365_stream_ivf_ingest(spark, sf_dir) -> DataFrame:
+    """STREAMING VECTOR INGEST into a landed IVF index — q362's
+    incremental-maintenance discipline applied to the DENSE retrieval
+    side: embeddings arrive as micro-batches (3-wave file replay,
+    maxFilesPerTrigger=1), each batch is assigned to the FROZEN coarse
+    quantizer (the epoch-0 centroid set — re-training cadence is
+    q364's drift check, deliberately a separate op) and APPENDED to a
+    managed table PARTITIONED BY cent_id, then the single-probe top-k
+    search runs over the accumulated table with exactly the batch
+    spelling (ivf_cell_topk). Oracled against q72's from-scratch
+    assign+search SQL, so "incremental == rebuild" is hash-checked:
+    nearest-centroid assignment is per-vector under frozen centroids,
+    the one property that makes vector-index maintenance append-only.
+
+    At 100 TB this is the production ANN ingest path: new embedding
+    partitions arrive daily, each pays one scan-stage argmax against a
+    broadcast centroid array (zero corpus shuffle — assign_to_centroids'
+    plan pin), appends land file-granular inside their cent_id
+    partition, and a query still touches only its probed cells. The
+    companion ops complete the lifecycle: q364 measures WHEN to
+    re-train (recall drift), q323/q325 how many cells to probe, q331's
+    PQ codes what to store inside the cell."""
+    em = table(spark, sf_dir, "embeddings")
+    cents = em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    tasg = ivf_ingest_table(spark, sf_dir)
+    src = wave_feed(
+        em.select("vec_id", "embedding"),
+        "vec_id",
+        3,
+        "eclypsium_ivfing_feed_",
+    )
+    feed = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    try:
+        run_available_now(
+            lambda name, ckpt: feed.writeStream.foreachBatch(
+                ivf_ingest_handler(spark, tasg, cents)
+            )
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    spark.catalog.refreshTable(tasg)
+
+    from ..llm.similarity import ivf_cell_topk
+
+    return ivf_cell_topk(spark.table(tasg))

@@ -705,3 +705,51 @@ def test_restart_replay_rag_index_per_side_idempotent(spark):
         (r.doc, tuple(r.vec)) for r in spark.table(tpool).collect()
     )
     assert refilled == pool0, "missing side not refilled bit-identically"
+
+
+def test_restart_replay_ivf_ingest_idempotent(spark):
+    """q365's streaming vector ingest across a restart: a fully
+    replayed batch (fresh handler, same wave) assigns and appends
+    NOTHING — the vec_id anti-join makes the append idempotent by
+    data — and the accumulated assignment equals a from-scratch batch
+    assign of the same vectors under the frozen centroids."""
+    from eclypsium_etl_spark.io import table
+    from eclypsium_etl_spark.llm.clustering import assign_to_centroids
+    from eclypsium_etl_spark.streaming.queries import (
+        ivf_ingest_handler,
+        ivf_ingest_table,
+    )
+
+    from .conftest import SF_SMOKE
+
+    em = table(spark, SF_SMOKE, "embeddings")
+    cents = em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+    tasg = ivf_ingest_table(spark, SF_SMOKE)
+    w0 = em.select("vec_id", "embedding").filter(F.col("vec_id") % 3 == 0)
+
+    ivf_ingest_handler(spark, tasg, cents)(w0, 0)
+    spark.catalog.refreshTable(tasg)
+    got0 = sorted(
+        (r.vec_id, r.cent_id) for r in spark.table(tasg).collect()
+    )
+    assert got0
+
+    # restart replay: fresh handler (fresh applied-set), same batch
+    ivf_ingest_handler(spark, tasg, cents)(w0, 0)
+    spark.catalog.refreshTable(tasg)
+    assert (
+        sorted((r.vec_id, r.cent_id) for r in spark.table(tasg).collect())
+        == got0
+    ), "replayed batch must append nothing"
+
+    # incremental == batch: same frozen centroids, one-shot assign
+    ref = sorted(
+        (r.vec_id, r.cent_id)
+        for r in assign_to_centroids(w0, cents)
+        .select("vec_id", "cent_id")
+        .collect()
+    )
+    assert got0 == ref
