@@ -5058,3 +5058,429 @@ def q361_rag_capstone_indexed(spark, sf_dir) -> DataFrame:
     batch pays a token-key join against bounded posting shards and a
     broadcast of the query rows."""
     return _rag_chain(spark, sf_dir, _rag_chunk_index(spark, sf_dir))
+
+
+# ---- q366: CDC document-revision re-index (copy-on-write MERGE) -----------
+
+_REV_MOD, _REV_REM = 10, 7  # revised cohort: doc_id % 10 == 7
+_REV_MARKER = "zzrevised zzedition zzaddendum"  # 3 fresh vocabulary tokens
+_Q366_SHARDS = 32
+
+# The oracle is q360's full stage-replay SQL pointed at the REVISED
+# corpus: one new CTE rewrites the revised cohort's text exactly as the
+# Spark side does, and the chunker CTE reads it instead of documents.
+# Everything downstream (tf, BM25 stats, fusion) recomputes from scratch
+# — which is precisely the claim q366 must prove: the incrementally
+# MERGED index retrieves identically to a full rebuild of the revised
+# corpus.
+_Q366_ORACLE = (
+    ORACLE["q360_rag_capstone"]
+    .replace("FROM documents", "FROM revd")
+    .replace(
+        "WITH t AS",
+        f"WITH revd AS (SELECT doc_id, CASE WHEN doc_id % {_REV_MOD} = "
+        f"{_REV_REM} THEN text || ' {_REV_MARKER}' ELSE text END AS text "
+        "FROM documents),\n    t AS",
+    )
+)
+
+
+def _post_of(docs: DataFrame) -> DataFrame:
+    """documents-shaped relation → sharded chunk postings (the q344
+    tf-bearing layout q361/q362 land): chunk → per-chunk tf → bounded
+    token-hash shard."""
+    from .prep import chunk_docs
+
+    return (
+        _tf_of_chunks(chunk_docs(docs))
+        .withColumn(
+            "shard", F.pmod(F.hash("token"), F.lit(_Q366_SHARDS)).cast("int")
+        )
+        .select("doc_id", "chunk_id", "token", "tf", "shard")
+    )
+
+
+@query("q366_rag_index_cdc", oracle=_Q366_ORACLE)
+def q366_rag_index_cdc(spark, sf_dir) -> DataFrame:
+    """CDC DOCUMENT-REVISION RE-INDEX — the update path the append-only
+    ingest (q362) deliberately lacks: a cohort of existing documents is
+    REVISED (text changes), and the landed posting index must converge
+    to the revised corpus without a full rebuild. The maintenance is a
+    copy-on-write MERGE at shard-partition granularity:
+
+      1. seed the managed posting table with the original corpus
+         (q361's landed layout, PARTITIONED BY the token-hash shard);
+      2. the CDC batch re-chunks ONLY the revised documents;
+      3. affected shards = shards holding the revised docs' OLD
+         postings ∪ shards their NEW postings hash into;
+      4. replacement content for those shards (surviving old rows via
+         doc_id anti-join ∪ new postings) is MATERIALIZED to staging
+         first — the read must complete before the table mutates;
+      5. dynamic-partition INSERT OVERWRITE rewrites exactly the
+         affected shard partitions (partitions absent from the
+         replacement are dropped explicitly — a shard whose only
+         postings belonged to revised docs must empty, not linger).
+
+    Retrieval then runs the shared _rag_chain over the merged index,
+    oracled against q360's full stage-replay SQL pointed at the REVISED
+    corpus — "merged == rebuilt" is hash-checked end-to-end through
+    BM25 stats (df/idf/avgdl all shift with the revision), fusion and
+    hard-negative selection. The dense side is untouched by design:
+    text revisions without re-embedding is the standard lag window in
+    production RAG stacks (the embedding refresh is q364's re-train
+    cadence problem).
+
+    At 100 TB: this is Delta/Iceberg MERGE economics without the log —
+    rewrite cost is proportional to affected partitions, not corpus
+    size; the staging materialization IS the copy-on-write file
+    rewrite, and a transactional table format would make step 5's
+    drop+overwrite one atomic commit. The reference's daily full
+    re-extract (mercadolibre_pipeline_dag.py:65) is the degenerate
+    form: every partition affected, every day."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..io import fixture_suffix
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # managed posting table, seeded with the ORIGINAL corpus
+    suf = fixture_suffix(sf_dir)
+    base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
+    os.makedirs(base, exist_ok=True)
+    tpost = f"t_q366_post_{suf}"
+    loc = os.path.join(base, f"{tpost}_tbl")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {tpost}")
+    spark.sql(
+        f"CREATE TABLE {tpost} (doc_id BIGINT, chunk_id BIGINT, "
+        f"token STRING, tf BIGINT, shard INT) USING parquet "
+        f"PARTITIONED BY (shard) LOCATION '{loc}'"
+    )
+    _post_of(docs).write.insertInto(tpost)
+    spark.catalog.refreshTable(tpost)
+
+    # CDC batch: the revised cohort with its new text
+    revised = docs.filter(F.col("doc_id") % _REV_MOD == _REV_REM).select(
+        "doc_id", F.concat("text", F.lit(" " + _REV_MARKER)).alias("text")
+    )
+    new_post = _post_of(revised)
+    cur = spark.table(tpost)
+    rev_ids = revised.select("doc_id")
+    affected = sorted(
+        r["shard"]
+        for r in (
+            cur.join(rev_ids, "doc_id", "semi")
+            .select("shard")
+            .union(new_post.select("shard"))
+            .distinct()
+            .collect()
+        )
+    )  # bounded by the shard-layout width — a manifest read, not data
+
+    if affected:  # empty CDC batch (e.g. zero-row corpus): nothing to merge
+        surviving = cur.filter(F.col("shard").isin(affected)).join(
+            rev_ids, "doc_id", "left_anti"
+        )
+        _cow_overwrite_shards(
+            spark,
+            tpost,
+            affected,
+            surviving.select(
+                "doc_id", "chunk_id", "token", "tf", "shard"
+            ).unionByName(new_post),
+        )
+    spark.catalog.refreshTable(tpost)
+
+    return _rag_chain(
+        spark, sf_dir, spark.table(tpost).select("doc_id", "chunk_id", "token", "tf")
+    )
+
+
+def _cow_overwrite_shards(
+    spark, tpost: str, affected: list, rep_df: DataFrame
+) -> None:
+    """Copy-on-write rewrite of the ``affected`` shard partitions of
+    ``tpost`` with ``rep_df``'s content (columns in table order, shard
+    last): materialize the replacement to staging FIRST (the read must
+    finish before the table mutates), dynamic-partition INSERT
+    OVERWRITE the partitions present in it, and explicitly drop
+    affected partitions the replacement no longer contains (dynamic
+    overwrite cannot empty a partition). Shared by the CDC revision
+    (q366) and compliance-purge (q368) merge paths."""
+    import shutil
+    import tempfile
+
+    import os
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="eclypsium_cow_")
+    try:
+        rep_df.write.mode("overwrite").parquet(staging)
+        present: set = set()
+        # a zero-row replacement writes no part files (only _SUCCESS) —
+        # nothing to read back or insert; every affected shard empties
+        if any(f.endswith(".parquet") for f in os.listdir(staging)):
+            rep = spark.read.parquet(staging)
+            mode_key = "spark.sql.sources.partitionOverwriteMode"
+            old_mode = spark.conf.get(mode_key, "static")
+            spark.conf.set(mode_key, "dynamic")
+            try:
+                rep.select(
+                    "doc_id", "chunk_id", "token", "tf", "shard"
+                ).write.mode("overwrite").insertInto(tpost)
+            finally:
+                spark.conf.set(mode_key, old_mode)
+            present = {
+                r["shard"] for r in rep.select("shard").distinct().collect()
+            }
+        for s in set(affected) - present:
+            spark.sql(
+                f"ALTER TABLE {tpost} DROP IF EXISTS PARTITION (shard={s})"
+            )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+# ---- q367: phrase query over positional chunk postings --------------------
+
+_PHR_TOP_P = 5  # phrases tracked (top corpus bigrams)
+_PHR_TOP_K = 3  # docs returned per phrase
+
+
+@query(
+    "q367_phrase_positional",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, greatest(len(toks) - 1, 0),
+                                      {_CAP_S})) AS start
+        FROM t
+    ),
+    chunks AS (
+        SELECT doc_id, start // {_CAP_S} AS chunk_id,
+               array_to_string(list_slice(toks, start + 1,
+                                          start + {_CAP_W}), ' ') AS chunk_text
+        FROM s
+    ),
+    ptok AS (
+        SELECT doc_id, chunk_id,
+               unnest(ctoks) AS token,
+               unnest(generate_series(1, len(ctoks))) AS pos
+        FROM (SELECT doc_id, chunk_id, string_split(chunk_text, ' ') AS ctoks
+              FROM chunks WHERE chunk_text <> '')
+    ),
+    big AS (
+        SELECT a.doc_id, a.token || ' ' || b.token AS phrase
+        FROM ptok a JOIN ptok b
+          ON a.doc_id = b.doc_id AND a.chunk_id = b.chunk_id
+         AND b.pos = a.pos + 1
+    ),
+    topp AS (
+        SELECT phrase FROM (
+            SELECT phrase,
+                   row_number() OVER (ORDER BY COUNT(*) DESC, phrase) AS rn
+            FROM big GROUP BY phrase
+        ) WHERE rn <= {_PHR_TOP_P}
+    ),
+    occ AS (
+        SELECT phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM big JOIN topp USING (phrase) GROUP BY 1, 2
+    )
+    SELECT phrase, doc_id, n_occ, rnk FROM (
+        SELECT phrase, doc_id, n_occ,
+               row_number() OVER (
+                   PARTITION BY phrase ORDER BY n_occ DESC, doc_id
+               ) AS rnk
+        FROM occ
+    ) WHERE rnk <= {_PHR_TOP_K}
+    """,
+)
+def q367_phrase_positional(spark, sf_dir) -> DataFrame:
+    """PHRASE QUERY OVER POSITIONAL POSTINGS — the capability the
+    tf-bearing posting family (q159/q318/q344, the q361/q362 landed
+    index) cannot express: "A immediately followed by B" needs token
+    POSITIONS, not frequencies. The chunk corpus (q138's chunker)
+    explodes to positional postings (doc_id, chunk_id, pos, token) —
+    the classic positional inverted index — and a phrase occurrence is
+    the pos+1 adjacency SELF-JOIN on (doc_id, chunk_id, pos): all three
+    join keys are equi (Catalyst folds ``b.pos = a.pos + 1`` into an
+    equi-key), so occurrences co-partition with the postings and never
+    fan out. The corpus's top-{_PHR_TOP_P} bigrams (count DESC, phrase
+    ASC — deterministic) stand in for a query workload; each returns
+    its top-{_PHR_TOP_K} documents by phrase frequency.
+
+    Chunk overlap note: the {_CAP_W}/{_CAP_S} overlapping chunker
+    counts a bigram instance once per chunk containing it — a property
+    of chunk-scoped retrieval (q360's max-passage has the same view),
+    replayed identically by the oracle.
+
+    At 100 TB: positions multiply posting volume by ~1 (one row per
+    token either way — tf rows collapse duplicates, positional rows
+    don't, typically ~1.1-1.3×), and the adjacency join is
+    partition-local under the (doc_id, chunk_id) layout; a landed
+    deployment shards by token like q344 and keeps (doc, chunk, pos)
+    sorted within shard so a phrase probe is two shard reads + a merge
+    — the economics Lucene's position lists encode. The top-phrase
+    selection is one exchange on the bigram key; the per-phrase doc
+    ranking is rank-depth-bounded like q349's fusion."""
+    from .prep import chunk_docs
+
+    chunks = chunk_docs(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).filter(F.col("chunk_text") != "")
+    ptok = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.posexplode(F.split("chunk_text", " ")).alias("pos", "token"),
+    )
+    a, b = ptok.alias("a"), ptok.alias("b")
+    big = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.chunk_id") == F.col("b.chunk_id"))
+        & (F.col("b.pos") == F.col("a.pos") + 1),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.concat(F.col("a.token"), F.lit(" "), F.col("b.token")).alias(
+            "phrase"
+        ),
+    )
+    topp = (
+        big.groupBy("phrase")
+        .count()
+        .orderBy(F.desc("count"), F.asc("phrase"))
+        .limit(_PHR_TOP_P)
+        .select("phrase")
+    )
+    occ = (
+        big.join(F.broadcast(topp), "phrase")
+        .groupBy("phrase", "doc_id")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("phrase").orderBy(F.desc("n_occ"), F.asc("doc_id"))
+    return (
+        occ.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PHR_TOP_K)
+        .select("phrase", "doc_id", "n_occ", "rnk")
+    )
+
+
+# ---- q368: compliance purge (right-to-be-forgotten) from the index --------
+
+_PURGE_MOD, _PURGE_REM = 10, 3  # purged cohort: doc_id % 10 == 3
+
+# q360's stage-replay SQL over the corpus MINUS the purged cohort, on
+# BOTH retrieval sides: the chunker CTE reads the kept documents, and
+# the pooled CTE drops the cohort's dense vectors. A purged doc must
+# vanish as candidate AND as query (doc 3 is one of the 5 standard
+# query docs — the query-set shift is part of what the oracle checks).
+_Q368_ORACLE = (
+    ORACLE["q360_rag_capstone"]
+    .replace(
+        "FROM documents",
+        f"FROM documents WHERE doc_id % {_PURGE_MOD} <> {_PURGE_REM}",
+    )
+    .replace(
+        "pooled AS (SELECT doc, list(v ORDER BY j) AS vec "
+        "FROM pool GROUP BY doc)",
+        f"pooled AS (SELECT doc, list(v ORDER BY j) AS vec FROM pool "
+        f"WHERE doc % {_PURGE_MOD} <> {_PURGE_REM} GROUP BY doc)",
+    )
+)
+
+
+@query("q368_rag_index_purge", oracle=_Q368_ORACLE)
+def q368_rag_index_purge(spark, sf_dir) -> DataFrame:
+    """COMPLIANCE PURGE (right-to-be-forgotten) from the landed
+    retrieval index — the DELETE path completing the index-maintenance
+    triad: q362 appends new documents, q366 merges revisions, q368
+    REMOVES a cohort so thoroughly that retrieval is indistinguishable
+    from an index never containing it. Training-data pipelines carry a
+    legal version of this op: a takedown/opt-out list arrives, and
+    every derived asset — postings, dense vectors, query sets — must
+    converge to the corpus-minus-cohort state without a full rebuild.
+
+    Maintenance is the q366 copy-on-write merge with an empty insert
+    set: affected shards = shards holding the cohort's postings;
+    replacement = the anti-joined survivors; _cow_overwrite_shards
+    rewrites exactly those partitions (and DROPs any shard the cohort
+    monopolized). The dense side filters the cohort out of the pooled
+    relation — and because doc 3 is one of the 5 standard query docs,
+    the purge also shrinks the QUERY set, which the oracle (q360's
+    replay over the kept corpus, pooled CTE filtered identically)
+    verifies end-to-end: BM25 stats shift (n_chunks, df, avgdl), ranks
+    close over the vacated positions, and no fused row references the
+    cohort in either role.
+
+    At 100 TB: purge cost is proportional to the cohort's posting
+    footprint (affected partitions), not corpus size — the same
+    economics as q366; a transactional format adds the atomic commit
+    and, for parquet-level hard deletion, compaction of the rewritten
+    files IS the erasure (q235's pass). The anti-join keys on the
+    takedown manifest, which is broadcast-sized by construction."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..io import fixture_suffix
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    suf = fixture_suffix(sf_dir)
+    base = os.path.join(tempfile.gettempdir(), "eclypsium_etl_spark")
+    os.makedirs(base, exist_ok=True)
+    tpost = f"t_q368_post_{suf}"
+    loc = os.path.join(base, f"{tpost}_tbl")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {tpost}")
+    spark.sql(
+        f"CREATE TABLE {tpost} (doc_id BIGINT, chunk_id BIGINT, "
+        f"token STRING, tf BIGINT, shard INT) USING parquet "
+        f"PARTITIONED BY (shard) LOCATION '{loc}'"
+    )
+    _post_of(docs).write.insertInto(tpost)
+    spark.catalog.refreshTable(tpost)
+
+    purged = docs.filter(
+        F.col("doc_id") % _PURGE_MOD == _PURGE_REM
+    ).select("doc_id")
+    cur = spark.table(tpost)
+    affected = sorted(
+        r["shard"]
+        for r in cur.join(purged, "doc_id", "semi")
+        .select("shard")
+        .distinct()
+        .collect()
+    )
+    if affected:
+        surviving = cur.filter(F.col("shard").isin(affected)).join(
+            purged, "doc_id", "left_anti"
+        )
+        _cow_overwrite_shards(
+            spark,
+            tpost,
+            affected,
+            surviving.select("doc_id", "chunk_id", "token", "tf", "shard"),
+        )
+    spark.catalog.refreshTable(tpost)
+
+    em = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            (F.col("vec_id") / _CAP_PC).cast("long").alias("doc"),
+            "embedding",
+        )
+        .filter(F.col("doc") % _PURGE_MOD != _PURGE_REM)
+    )
+    return _rag_chain(
+        spark,
+        sf_dir,
+        spark.table(tpost).select("doc_id", "chunk_id", "token", "tf"),
+        pooled=_rag_pooled(em),
+    )

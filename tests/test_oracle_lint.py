@@ -174,6 +174,10 @@ _DIV_WHITELIST: dict[str, set[str]] = {
     "q361_rag_capstone_indexed": {"s.avgdl"},
     # q362 runs q360's oracle verbatim (incremental == rebuild)
     "q362_stream_rag_index": {"s.avgdl"},
+    # q366/q368 run q360's oracle over the revised/kept corpus — same
+    # avgdl guard: stats row exists only when the corpus is non-empty
+    "q366_rag_index_cdc": {"s.avgdl"},
+    "q368_rag_index_purge": {"s.avgdl"},
     # n_total = COUNT(*) over the inner join of two full-corpus
     # assignments; the division sits on rows CROSS JOINed with the five
     # query vectors, which exist only when the corpus is non-empty, so

@@ -970,3 +970,18 @@ def test_q363_windows_all_user_partitioned(spark):
     assert unpartitioned_window_count(df) == 0
     rows = df.collect()
     assert rows and max(r.n_clicks for r in rows) > 1
+
+
+def test_q367_adjacency_join_is_equi(spark):
+    """q367's positional phrase lookup must plan the pos+1 adjacency as
+    an EQUI join (Catalyst folds ``b.pos = a.pos + 1`` into a join
+    key): no BroadcastNestedLoopJoin / CartesianProduct anywhere, and
+    the result non-degenerate at the check fixture (phrases exist with
+    occurrences spread over >1 doc)."""
+    df = QUERIES["q367_phrase_positional"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len({r.phrase for r in rows}) == 5
+    assert len({(r.phrase, r.doc_id) for r in rows}) > 5
