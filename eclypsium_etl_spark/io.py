@@ -59,6 +59,98 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
 
+# (path) -> (rows, read units); a parquet layout is immutable once written
+# (fixtures are read-only, memos are write-once), so the footer walk is
+# paid once per process per path.
+_LAYOUT_UNITS_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def scan_units(path: str) -> tuple[int, int]:
+    """(rows, parallel read units) of a parquet file or directory.
+
+    A parquet ROW GROUP is the minimum unit a scan task can read — Spark
+    can plan any number of byte-range splits, but splits that contain no
+    row-group midpoint produce empty tasks, so the achievable scan
+    parallelism is the total row-group count, not the split count. The
+    footer walk is driver-side metadata only (no data pages) and is
+    skipped entirely when the directory already has more files than any
+    local box has cores (each file is ≥ 1 unit)."""
+    import glob
+    import os
+
+    cached = _LAYOUT_UNITS_CACHE.get(path)
+    if cached is not None:
+        return cached
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if len(files) >= 256:  # plainly healthy: never read footers at scale
+        result = (-1, len(files))
+    else:
+        import pyarrow.parquet as pq
+
+        rows = units = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            rows += md.num_rows
+            units += md.num_row_groups
+        result = (rows, units)
+    _LAYOUT_UNITS_CACHE[path] = result
+    return result
+
+
+def spread(
+    df: DataFrame,
+    path: str,
+    *keys: str,
+    min_rows: int | None = None,
+) -> DataFrame:
+    """Input-skew guard (optimization guide §2.5: "one huge unsplittable
+    file ... repartition immediately after the read"): redistribute a
+    scan whose physical layout offers fewer parallel read units than the
+    session has cores, so heavy per-row work after the scan uses the
+    whole box instead of one task per row group.
+
+    Strictly layout-gated — this is a no-op (zero plan change, zero
+    extra exchange) whenever the layout already splits to core width,
+    which is every healthy production table; it only fires on layouts
+    like the local fixtures (single-file, SINGLE-ROW-GROUP parquet: the
+    whole 600k-row lineitem scan is one task at local[32] no matter what
+    maxPartitionBytes says). Row floor: a shuffle of fewer than
+    ``min_rows`` rows (default 4x cores) can't pay for itself.
+
+    ``keys``: optional deterministic repartition keys (unique-ish column
+    such as doc_id). Without keys the round-robin path is used — also
+    deterministic under Spark's sort-before-repartition default
+    (SPARK-23207), which retries rely on.
+
+    Correctness posture: repartitioning never changes WHAT a query
+    computes, only the partition assignment; every caller must be (and
+    is) order-insensitive downstream — aggregates here are either
+    integer/count kernels or the decimal-exact sums of functions.py,
+    and window/sort consumers re-establish their own order."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    rows, units = scan_units(path)
+    if units >= cores:
+        return df
+    if rows >= 0 and rows < (min_rows if min_rows is not None else 4 * cores):
+        return df
+    return df.repartition(cores, *[F.col(k) for k in keys]) if keys else (
+        df.repartition(cores)
+    )
+
+
+def table_spread(
+    spark: SparkSession, sf_dir: str, name: str, *keys: str
+) -> DataFrame:
+    """:func:`table` + :func:`spread` for fixture tables whose consumer
+    does heavy per-row work before its first exchange."""
+    return spread(table(spark, sf_dir, name), f"{sf_dir}/{name}.parquet", *keys)
+
+
 def source_stamp(path: str) -> str:
     """Freshness stamp for a memoized derivation of ``path``: mtime+size of
     the source file, embedded in the memo's directory name so a regenerated

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import dot, dot_sql
-from ..io import table
+from ..io import table, table_spread
 from ..registry import query
 
 _JACCARD_TAU = 0.4
@@ -100,25 +100,36 @@ def shingles(spark, sf_dir) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     # path slug from the FULL sf_dir (two data dirs sharing a basename must
     # not alias) + the source's mtime/size stamp (a regenerated fixture
-    # must not be served the previous fixture's shingles)
+    # must not be served the previous fixture's shingles) + the layout
+    # width (ADVICE r12's memo-key rule: every constant that shapes the
+    # landed bytes belongs in the key — a session at a different core
+    # count must not be served a layout fanned for another width)
+    width = spark.sparkContext.defaultParallelism
     out = os.path.join(
         tempfile.gettempdir(),
         "eclypsium_etl_spark",
         f"shingles_{sf_dir.strip('/').replace('/', '_')}"
-        f"_{source_stamp(f'{sf_dir}/documents.parquet')}",
+        f"_{source_stamp(f'{sf_dir}/documents.parquet')}_w{width}",
     )
 
     # memoized per sf_dir (cross-process write-once, io.materialize_once):
     # q63/q71/q115 all consume this; without the memo each registry
     # invocation re-ran the explode+distinct shuffle and parquet rewrite
     # (the dominant per-query harness cost for all three).
-    # repartition before the (expensive) explode: the single-row-group
-    # fixture scan is one task; no explicit count — AQE sizes it.
+    # repartition to explicit core width before the (expensive) explode
+    # AND after the distinct: the single-row-group fixture scan is one
+    # task, and an AQE-coalesced distinct (advisory-sized) would land the
+    # memo as ~3 files — capping EVERY consumer's scan stage at 3 tasks
+    # (a parquet file written in one task is one row group, the minimum
+    # read unit; guide §2.5 input skew). The explicit width is the
+    # session's core count, so the layout adapts to the deployment. The
+    # extra exchange is paid once, in the untimed memo build.
     def write(path: str) -> None:
         (
-            d.repartition("doc_id")
+            d.repartition(width, "doc_id")
             .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("s"))
             .distinct()
+            .repartition(width, "doc_id")
             .write.parquet(path)
         )
 
@@ -186,7 +197,17 @@ def jaccard_pairs(
         )
         rare = sh.join(F.broadcast(hot), "s", "left_anti")
         ra = rare.alias("ra")
-        rb = rare.alias("rb")
+        # SHUFFLE_HASH on the pair self-join (guide §3.1, pick the
+        # strategy deliberately): both sides are the same corpus-sized
+        # shingle table, so broadcasting one side is only legal at
+        # fixture scale — and even there it serializes the build into
+        # one driver-side hash relation and caps the probe at the memo's
+        # file count (measured 1.54 s → 0.67 s at sf0.1). Shuffled-hash
+        # exchanges both sides by `s` (parallel build AND probe), and at
+        # 100 TB its per-partition build is bounded by AQE's advisory
+        # partition size while the df cap bounds any single key at
+        # max_df rows — no giant-key build risk.
+        rb = rare.alias("rb").hint("SHUFFLE_HASH")
         inter_rare = (
             ra.join(
                 rb,
@@ -718,7 +739,11 @@ def q120_dedup_blocks(spark, sf_dir) -> DataFrame:
     block may be shorter than _BLOCK_W (both engines' slice clamps);
     range/ceil over a >=1-token corpus never hits Spark's descending-
     sequence trap but the math is guarded anyway via greatest(1, ...)."""
-    d = table(spark, sf_dir, "documents")
+    # spread before the block-hash transform (io.spread, guide §2.5): the
+    # block stream is built twice (frequency pass + per-doc rollup pass)
+    # and the single-row-group fixture scan would md5-hash the whole
+    # corpus in one task, twice.
+    d = table_spread(spark, sf_dir, "documents", "doc_id")
     blocks = F.expr(
         f"transform(sequence(1, greatest(1, cast(ceil(size(split(text, ' ')) / {_BLOCK_W}.0) AS INT))),"
         f" i -> md5(concat_ws(' ', slice(split(text, ' '), (i - 1) * {_BLOCK_W} + 1, {_BLOCK_W}))))"
@@ -1190,7 +1215,11 @@ def q214_substring_spans(spark, sf_dir) -> DataFrame:
     empty-array branch, matching the oracle's empty range()."""
     from pyspark.sql import Window
 
-    d = table(spark, sf_dir, "documents")
+    # spread before the gram explode (io.spread, guide §2.5): the
+    # single-row-group fixture scan would otherwise tokenize + md5-hash
+    # the whole corpus in ONE task — and the gram stream is built twice
+    # (frequency pass + probe pass), doubling that serial cost.
+    d = table_spread(spark, sf_dir, "documents", "doc_id")
     grams = F.expr(
         f"CASE WHEN size(t) < {_SPAN_W}"
         f" THEN cast(array() AS array<struct<p:int,h:string>>)"

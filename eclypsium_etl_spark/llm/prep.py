@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import dot_sql
-from ..io import table
+from ..io import table, table_spread
 from ..registry import query
 
 _CHUNK_W = 64   # tokens per RAG chunk
@@ -190,7 +190,10 @@ def q140_ngram_decontaminate(spark, sf_dir) -> DataFrame:
     joins map-side and the only shuffle is the per-doc count aggregate.
     Short docs (< 5 tokens) surface with n_grams = 0, not silently
     dropped — a curation gate must emit a verdict for every doc."""
-    d = table(spark, sf_dir, "documents").select(
+    # spread before the 5-gram explode (io.spread, guide §2.5): the gram
+    # stream is built twice (eval-distinct side + probe side) and the
+    # single-row-group fixture scan would run both builds in one task.
+    d = table_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
     grams = d.select("doc_id", F.explode(F.expr(_GRAMS_SPARK)).alias("gram"))
@@ -403,7 +406,20 @@ def q162_pca_power(spark, sf_dir) -> DataFrame:
     the final plan scans the corpus exactly ITERS times."""
     from ..functions import dot
 
-    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from ..io import spread
+
+    # spread the corpus scan (io.spread, guide §2.5): every iteration
+    # re-scans the single-row-group embeddings fixture, so the dot
+    # products and the 64-way posexplode would run in ONE task ×
+    # _PCA_ITERS; spread fans it to core width (identical exchange
+    # subtree per iteration → Spark reuses it). Projection first so the
+    # exchange never carries the unused label column. All downstream
+    # sums are decimal-exact, so partition assignment cannot move a bit.
+    em = spread(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        f"{sf_dir}/embeddings.parquet",
+        "vec_id",
+    )
     dim = em.agg(F.max(F.size("embedding")).alias("d"))
     v = dim.select(
         F.expr(
@@ -489,7 +505,10 @@ def q165_mlm_mask(spark, sf_dir) -> DataFrame:
         "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
         "CAST(i AS STRING), '|mlm1')), 1, 8), 16, 10) AS BIGINT)"
     )
-    d = table(spark, sf_dir, "documents").select(
+    # spread before the per-token md5 transforms (io.spread, guide §2.5):
+    # the single-row-group fixture scan would evaluate two md5 calls per
+    # token position for the whole corpus in ONE task.
+    d = table_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
     return d.select(

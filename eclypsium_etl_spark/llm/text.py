@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import davg, davg_sql
-from ..io import table
+from ..io import table, table_spread
 from ..registry import ORACLE, query
 
 
@@ -59,7 +59,10 @@ def q67_text_tfidf(spark, sf_dir) -> DataFrame:
     the limit at web scale — AQE picks broadcast vs shuffle from the
     actual runtime size (same reasoning as q65's verify join).
     MLlib HashingTF/IDF is the fixed-width variant at vocabulary scale."""
-    d = table(spark, sf_dir, "documents")
+    # spread before the token explode (io.spread, guide §2.5): the token
+    # stream feeds both tf and df, and the single-row-group fixture scan
+    # would build both in one task.
+    d = table_spread(spark, sf_dir, "documents", "doc_id")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
@@ -866,7 +869,10 @@ def q133_perplexity_unigram(spark, sf_dir) -> DataFrame:
     shuffle (vocab-sized values), one shuffle join of tokens against
     their counts keyed on the token, one per-doc rollup; corpus totals
     fold in as a cross-joined 1-row aggregate — fully lazy."""
-    d = table(spark, sf_dir, "documents")
+    # spread before the token explode (io.spread, guide §2.5): the token
+    # stream feeds both the count table and the probe side, and the
+    # single-row-group fixture scan would build both in one task.
+    d = table_spread(spark, sf_dir, "documents", "doc_id")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     cnt = tok.groupBy("t").agg(F.count("*").alias("n_t"))
     tt = cnt.agg(
@@ -1050,7 +1056,10 @@ def q149_boilerplate_grams(spark, sf_dir) -> DataFrame:
     keeps the df aggregate map-side-combined (skew-immune) and the
     join under AQE's skew-split — the bench seconds are the price of
     the bounded worst case."""
-    d = table(spark, sf_dir, "documents").select(
+    # spread before tokenize+gram explode (io.spread, guide §2.5): the
+    # gram stream is built twice (df pass + verdict probe) and the
+    # single-row-group fixture scan would run both builds in one task.
+    d = table_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", "source", F.split("text", " ").alias("toks")
     )
     g = d.select(
@@ -1313,6 +1322,12 @@ def q156_textrank(spark, sf_dir) -> DataFrame:
     data-dependent — at 100 TB you'd persist pr between iterations
     (clustering.py's fixpoint discipline) instead of growing one lazy
     plan."""
+    # NO spread here, deliberately (measured 1.5 s -> 2.6 s with it):
+    # the iterative lazy plan re-evaluates the edge subtree every
+    # iteration, and an injected repartition exchange multiplies through
+    # the unrolled lineage — the single-task scan is cheaper than
+    # iterations × extra exchanges. The 100 TB posture is the docstring's
+    # persist-between-iterations discipline, not a wider first scan.
     d = table(spark, sf_dir, "documents").select(
         F.split("text", " ").alias("toks")
     )
@@ -1472,7 +1487,9 @@ def q159_inverted_index(spark, sf_dir) -> DataFrame:
     postings segments; the relative df cap keeps any single collected
     posting list a bounded fraction of the corpus (segment-shard past
     executor size)."""
-    d = table(spark, sf_dir, "documents")
+    # spread before the token explode (io.spread, guide §2.5): the
+    # single-row-group fixture scan would tokenize the corpus in one task.
+    d = table_spread(spark, sf_dir, "documents", "doc_id")
     post = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .distinct()
@@ -2468,7 +2485,10 @@ def q263_perplexity_bigram(spark, sf_dir) -> DataFrame:
     table — it IS the language model, trained once and scored against
     many times — which removes the residual recompute the way q129
     persists its assignments."""
-    d = table(spark, sf_dir, "documents")
+    # spread before tokenize+bigram explode (io.spread, guide §2.5): the
+    # bigram stream is evaluated for both the count table and the probe
+    # side, and the single-row-group fixture scan is one task.
+    d = table_spread(spark, sf_dir, "documents", "doc_id")
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     bg = t.filter(F.size("toks") >= 2).select(
         "doc_id",
@@ -2688,7 +2708,10 @@ def bpe_learn_chain(spark, sf_dir, rounds: int = _BPE_ROUNDS):
     winner DataFrames, final word->segmentation table). Both q268 (the
     merge table) and q283 (applying the segmentation per document)
     consume it — one lazy plan, no driver-side state."""
-    d = table(spark, sf_dir, "documents")
+    # spread before the word explode (io.spread, guide §2.5): the
+    # corpus-scale rollup is the one heavy pass of the BPE chain and the
+    # single-row-group fixture scan would run it in one task.
+    d = table_spread(spark, sf_dir, "documents", "doc_id")
     w = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import davg, davg_sql, dsum, dsum_sql
-from ..io import table
+from ..io import spread, table
 from ..registry import query
 
 
@@ -58,9 +58,25 @@ def q20_agg_global(spark, sf_dir) -> DataFrame:
     """,
 )
 def q21_agg_groupby(spark, sf_dir) -> DataFrame:
-    """TPC-H Q1 shape: the canonical two-phase hash aggregate."""
-    li = table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    """TPC-H Q1 shape: the canonical two-phase hash aggregate.
+
+    Filter first (so the shipdate predicate stays pushed at the scan),
+    project to the 5 needed columns, then spread (io.spread, guide §2.5):
+    the single-row-group fixture scan would otherwise run the six-fold
+    decimal partial aggregate in ONE task. No-op on multi-row-group
+    layouts; all downstream aggregates are order-independent (decimal
+    sums / count)."""
+    li = spread(
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ),
+        f"{sf_dir}/lineitem.parquet",
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity").alias("sum_qty"),

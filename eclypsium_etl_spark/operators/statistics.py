@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import dsum, dsum_sql
-from ..io import table
+from ..io import spread, table
 from ..registry import query
 
 # z-score parameters: trailing frame size and the anomaly threshold
@@ -62,7 +62,18 @@ def q143_regression_agg(spark, sf_dir) -> DataFrame:
     form is the deterministic one (and at 100 TB the moments are also what
     you'd persist, since they merge associatively across partitions and
     days)."""
-    li = table(spark, sf_dir, "lineitem")
+    # project to the 3 needed columns, then spread (io.spread, guide §2.5):
+    # the single-row-group fixture scan would otherwise run the partial
+    # aggregate — five decimal(28,4) moment products over every row — in
+    # ONE task; the round-robin exchange carries only the narrow
+    # projection and the partial agg then uses the whole box. A no-op on
+    # any layout that already splits to core width.
+    li = spread(
+        table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        ),
+        f"{sf_dir}/lineitem.parquet",
+    )
     s = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         dsum("l_quantity").alias("sx"),

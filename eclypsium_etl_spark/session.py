@@ -60,6 +60,18 @@ def get_spark(
         )
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256KB")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let the scan-split formula engage for small multi-file layouts
+        # (memoized intermediates): maxSplitBytes = min(maxPartitionBytes,
+        # max(openCostInBytes, totalBytes/defaultParallelism)). At the 4 MB
+        # default the open-cost floor pins every sub-128 MB dataset to
+        # ~bytes/4MB tasks regardless of core count; 512 KB keeps the
+        # anti-fragmentation guard (tiny files still pack) while letting
+        # input-size-adaptive splitting use the cores. Irrelevant at real
+        # scale, where totalBytes/parallelism >> both floors (guide §6).
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", str(512 * 1024)),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
