@@ -121,10 +121,13 @@ def spread(
     maxPartitionBytes says). Row floor: a shuffle of fewer than
     ``min_rows`` rows (default 4x cores) can't pay for itself.
 
-    ``keys``: optional deterministic repartition keys (unique-ish column
-    such as doc_id). Without keys the round-robin path is used — also
-    deterministic under Spark's sort-before-repartition default
-    (SPARK-23207), which retries rely on.
+    ``keys``: deterministic repartition keys (a high-cardinality column
+    such as doc_id). PREFER keys: the keyless round-robin path — while
+    also deterministic under Spark's sort-before-repartition default
+    (SPARK-23207), which retries rely on — pays that defensive sort
+    INSIDE the single scan task this guard exists to relieve (measured
+    on q21: 1.4-2.1 s round-robin vs 0.8 s hash-keyed). Every current
+    caller passes a key.
 
     Correctness posture: repartitioning never changes WHAT a query
     computes, only the partition assignment; every caller must be (and

@@ -65,14 +65,18 @@ def q143_regression_agg(spark, sf_dir) -> DataFrame:
     # project to the 3 needed columns, then spread (io.spread, guide §2.5):
     # the single-row-group fixture scan would otherwise run the partial
     # aggregate — five decimal(28,4) moment products over every row — in
-    # ONE task; the round-robin exchange carries only the narrow
-    # projection and the partial agg then uses the whole box. A no-op on
-    # any layout that already splits to core width.
+    # ONE task; the exchange carries only the narrow projection and the
+    # partial agg then uses the whole box. Keyed on l_extendedprice
+    # (high-cardinality) rather than round-robin: keyless repartition
+    # pays a sort-before-repartition inside the single scan task
+    # (SPARK-23207), measured 1.3-1.8 s round-robin vs 1.0-1.5 s hashed.
+    # A no-op on any layout that already splits to core width.
     li = spread(
         table(spark, sf_dir, "lineitem").select(
             "l_returnflag", "l_quantity", "l_extendedprice"
         ),
         f"{sf_dir}/lineitem.parquet",
+        "l_extendedprice",
     )
     s = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),

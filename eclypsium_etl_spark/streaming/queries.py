@@ -493,6 +493,11 @@ def q137_stream_curation(spark, sf_dir) -> DataFrame:
     survivors = spark.table(qname).select("norm_hash").distinct()
     from pyspark.sql import Window as W
 
+    # NO spread on the batch re-canonicalization side, deliberately
+    # (measured 1.8-2.0 s plain vs 2.0-2.6 s spread, same harness): the
+    # per-doc normalize+quality cost is small next to the drain, and the
+    # extra exchange ahead of the row_number window + semi-join costs
+    # more than the single-task scan saves.
     d = (
         table(spark, sf_dir, "documents")
         .withColumn("norm_hash", F.md5(norm))

@@ -272,13 +272,11 @@ def test_q143_regression_single_aggregate(spark):
     df = QUERIES["q143_regression_agg"](spark, SF_CHECK)
     plan = plans.physical_plan(df)
     assert plan.count("HashAggregate") >= 2 and "partial_" in plan
-    assert plan.count("Exchange hashpartitioning") == 1
-    # everything beyond the one aggregate shuffle can only be the
-    # spread redistribute, never a second keyed shuffle
-    assert (
-        plans.shuffle_count(df) - plan.count("Exchange RoundRobinPartitioning")
-        == 1
-    )
+    # everything beyond the one aggregate shuffle (ENSURE_REQUIREMENTS)
+    # can only be the explicit spread redistribute (REPARTITION_BY_NUM),
+    # never a second requirement-driven shuffle
+    assert plan.count("ENSURE_REQUIREMENTS") == 1
+    assert plans.shuffle_count(df) - plan.count("REPARTITION_BY_NUM") == 1
 
 
 def test_q144_lateral_decorrelated(spark):
