@@ -139,6 +139,30 @@ def _load_1m() -> float | None:
         return None
 
 
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat — the hypervisor-steal
+    counter. On a shared host, steal is the inflation loadavg cannot
+    see: the r13 vigil measured identical code reading 59 s and 68 s
+    totals on an ambient-0.1 box purely from neighbor steal (a 32-way
+    CPU burn returned only 80% of wall·cores during the slow window).
+    Deltas between samples give steal%% per bench iteration."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(a: tuple[int, int] | None, b: tuple[int, int] | None) -> float | None:
+    """Steal share of all jiffies between two _cpu_jiffies samples."""
+    if a is None or b is None or b[1] <= a[1]:
+        return None
+    return round(100.0 * (b[0] - a[0]) / (b[1] - a[1]), 1)
+
+
 def compact_record(
     total: float,
     n_queries: int,
@@ -148,6 +172,7 @@ def compact_record(
     contended: bool,
     detail: str = "BENCH_DETAIL.json",
     min_total: float | None = None,
+    steal_pct: list[float | None] | None = None,
 ) -> dict:
     """The ONE machine-readable stdout line. Deliberately small: the
     driver's tail capture keeps only the last ~2,000 chars of output, and
@@ -171,6 +196,7 @@ def compact_record(
         "ambient_load_1m": ambient_load_1m[-1] if ambient_load_1m else None,
         "ambient_load_1m_samples": ambient_load_1m,
         "load_1m": load_1m,
+        "steal_pct": steal_pct,
         "contended": contended,
         "detail": detail,
     }
@@ -236,6 +262,8 @@ def main() -> None:
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     load_1m: list[float | None] = []
+    steal_pct: list[float | None] = []
+    jiff = _cpu_jiffies()
     for _ in range(BENCH_N):
         load_1m.append(_load_1m())
         for name in HEADLINE:
@@ -248,6 +276,9 @@ def main() -> None:
             samples[name].append(dt)
             if os.environ.get("SPARK_GRAFT_BENCH_DEBUG"):
                 print(f"  iter {len(samples[name])} {name} {dt:.2f}s", file=sys.stderr)
+        jiff_next = _cpu_jiffies()
+        steal_pct.append(_steal_pct(jiff, jiff_next))
+        jiff = jiff_next
 
     times = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items() if ts
@@ -287,6 +318,7 @@ def main() -> None:
         "ambient_load_1m": ambient_load,
         "ambient_load_1m_samples": ambient_samples,
         "load_1m": load_1m,
+        "steal_pct": steal_pct,
         "contended": contended,
         "contended_threshold_1m": CONTENDED_LOAD_1M,
         "sf": sf,
@@ -319,7 +351,7 @@ def main() -> None:
         json.dump(detail, f, indent=1)
     compact = compact_record(
         total, len(times), sf, ambient_samples, load_1m, contended,
-        detail=name, min_total=min_total,
+        detail=name, min_total=min_total, steal_pct=steal_pct,
     )
     print(json.dumps(compact, separators=(",", ":")))
 

@@ -196,27 +196,31 @@ def jaccard_pairs(
             .select("s")
         )
         rare = sh.join(F.broadcast(hot), "s", "left_anti")
-        ra = rare.alias("ra")
-        # SHUFFLE_HASH on the pair self-join (guide §3.1, pick the
-        # strategy deliberately): both sides are the same corpus-sized
-        # shingle table, so broadcasting one side is only legal at
-        # fixture scale — and even there it serializes the build into
-        # one driver-side hash relation and caps the probe at the memo's
-        # file count (measured 1.54 s → 0.67 s at sf0.1). Shuffled-hash
-        # exchanges both sides by `s` (parallel build AND probe), and at
-        # 100 TB its per-partition build is bounded by AQE's advisory
-        # partition size while the df cap bounds any single key at
-        # max_df rows — no giant-key build risk.
-        rb = rare.alias("rb").hint("SHUFFLE_HASH")
+        # Pair generation WITHOUT a self-join (guide §2.4, remove
+        # shuffles outright): group the rare shingle table once by `s`
+        # (collect_list is bounded by the df cap — ≤ max_df doc ids per
+        # key, so no giant-key buffer), then explode the ordered
+        # combinations JVM-side. The r13 self-join spelling (SHUFFLE_HASH
+        # after a measured 1.54 s → 0.67 s over broadcast) exchanged the
+        # corpus-sized table TWICE by `s` and built a hash relation per
+        # partition; this shape exchanges it ONCE and emits the identical
+        # pair multiset (proven row-identical on the sf0.1 corpus,
+        # 1,130,536 pairs; measured 1.2–2.2 s self-join vs 1.0–2.0 s
+        # grouped-explode, and one fewer corpus shuffle at any scale).
+        # sort_array makes doc_a < doc_b by construction (shingle sets
+        # are distinct per doc, so ids within a key are unique).
+        dps = rare.groupBy("s").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ds")
+        )
+        pair_structs = (
+            "flatten(transform(ds, (a, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), "
+            "b -> struct(a AS doc_a, b AS doc_b))))"
+        )
         inter_rare = (
-            ra.join(
-                rb,
-                (F.col("ra.s") == F.col("rb.s"))
-                & (F.col("ra.doc_id") < F.col("rb.doc_id")),
-            )
-            .groupBy(
-                F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b")
-            )
+            dps.select(F.explode(F.expr(pair_structs)).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .groupBy("doc_a", "doc_b")
             .count()
             .withColumnRenamed("count", "rc")
         )

@@ -59,10 +59,12 @@ def q67_text_tfidf(spark, sf_dir) -> DataFrame:
     the limit at web scale — AQE picks broadcast vs shuffle from the
     actual runtime size (same reasoning as q65's verify join).
     MLlib HashingTF/IDF is the fixed-width variant at vocabulary scale."""
-    # spread before the token explode (io.spread, guide §2.5): the token
-    # stream feeds both tf and df, and the single-row-group fixture scan
-    # would build both in one task.
-    d = table_spread(spark, sf_dir, "documents", "doc_id")
+    # NO spread before this token explode, deliberately: the clean-box
+    # bench (steal 0.0-0.4%) read 0.82/0.81 s plain vs 0.93/0.86 s with
+    # the spread exchange — the single split+explode is cheaper than an
+    # extra corpus exchange, because tf/df aggregation shuffles by
+    # token/doc anyway and parallelizes there.
+    d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
@@ -869,10 +871,11 @@ def q133_perplexity_unigram(spark, sf_dir) -> DataFrame:
     shuffle (vocab-sized values), one shuffle join of tokens against
     their counts keyed on the token, one per-doc rollup; corpus totals
     fold in as a cross-joined 1-row aggregate — fully lazy."""
-    # spread before the token explode (io.spread, guide §2.5): the token
-    # stream feeds both the count table and the probe side, and the
-    # single-row-group fixture scan would build both in one task.
-    d = table_spread(spark, sf_dir, "documents", "doc_id")
+    # NO spread before this token explode, deliberately: the clean-box
+    # bench read 0.70/0.65 s plain vs 0.80/0.70 s spread — both consumers
+    # re-shuffle by token/doc immediately, so the guard only added an
+    # exchange.
+    d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     cnt = tok.groupBy("t").agg(F.count("*").alias("n_t"))
     tt = cnt.agg(
@@ -1487,9 +1490,11 @@ def q159_inverted_index(spark, sf_dir) -> DataFrame:
     postings segments; the relative df cap keeps any single collected
     posting list a bounded fraction of the corpus (segment-shard past
     executor size)."""
-    # spread before the token explode (io.spread, guide §2.5): the
-    # single-row-group fixture scan would tokenize the corpus in one task.
-    d = table_spread(spark, sf_dir, "documents", "doc_id")
+    # NO spread before this token explode, deliberately: the clean-box
+    # bench read 0.69/0.56 s plain vs 0.70/0.67 s spread — the distinct
+    # right after the explode already shuffles and parallelizes the
+    # aggregate work; the guard only added an exchange.
+    d = table(spark, sf_dir, "documents")
     post = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .distinct()
