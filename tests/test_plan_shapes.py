@@ -265,7 +265,8 @@ def test_q142_knn_graph_distributed(spark):
 def test_q143_regression_single_aggregate(spark):
     """The six moment sums ride ONE two-phase hash aggregate — the whole
     regression costs the same shuffle as q90's variance. The r13
-    io.spread input-skew guard may add ONE round-robin redistribute
+    io.spread input-skew guard may add ONE explicit keyed repartition
+    (REPARTITION_BY_NUM, hash on l_extendedprice)
     directly after the scan (layout-gated: it exists only when the
     source parquet has fewer row groups than the box has cores); the
     aggregate itself must still be a single hash exchange."""
