@@ -392,34 +392,55 @@ def q162_pca_power(spark, sf_dir) -> DataFrame:
     fixes the eigenvector sign.
 
     Scale shape per iteration: one broadcast of the (dim-sized) v vector,
-    one corpus scan computing scores s_i = x_i·v JVM-side, one
-    posexplode + 64-key aggregate for u = Σ s_i·x_i — the corpus never
-    shuffles, only (dim, partial-sum) rows do. The eigenvalue estimate is
-    ‖u‖ of the last iteration. Nothing touches the driver; v re-enters
-    the plan as a 1-row cross join, not a collect.
+    one pass over the materialized corpus computing scores s_i = x_i·v
+    JVM-side, one posexplode + 64-key aggregate for u = Σ s_i·x_i — the
+    corpus never shuffles, only (dim, partial-sum) rows do. The
+    eigenvalue estimate is ‖u‖ of the last iteration. Nothing touches
+    the driver; v re-enters the plan as a 1-row cross join, not a
+    collect.
 
-    Plan-shape note: each iteration reduces u in ONE aggregate row
-    carrying BOTH the sorted loadings array and ‖u‖ — with norm and
-    loadings as two separate aggregates (the original shape), every
-    level had two consumers of its sub-lineage and the unrolled lazy
-    plan re-evaluated iteration 1's corpus scan 2^ITERS times; fused,
-    the final plan scans the corpus exactly ITERS times."""
+    Iteration discipline (r14, guide §5): the per-step iterate `red`
+    (ONE row: sorted loadings + ‖u‖) is localCheckpoint'ed each
+    iteration, so iteration k's plan starts from k-1's materialized
+    result instead of embedding the whole prior lineage in its
+    broadcast side (the r13 unrolled shape re-planned and re-evaluated
+    every earlier iteration per step — exchange reuse is runtime-lucky
+    under AQE, not guaranteed). The projected corpus is
+    localCheckpoint'ed ONCE and re-read by all {_PCA_ITERS} passes —
+    the standard persist-the-input discipline of iterative ML (MLlib
+    does exactly this), paid fresh inside every invocation, never
+    shared across runs. localCheckpoint (executor-local, not
+    fault-tolerant) is the deliberate choice: the iterate is one row
+    and the corpus copy is reconstructible by re-running the query.
+    Measured (plans/r14/EXP_iterative.md): 1.5-1.6 s unrolled →
+    1.3-1.5 s checkpointed at sf0.1, and the final plan drops from 4
+    parquet scans (one per unrolled level) to zero — prior-iteration
+    subtrees no longer appear downstream."""
     from ..functions import dot
 
     from ..io import spread
 
-    # spread the corpus scan (io.spread, guide §2.5): every iteration
-    # re-scans the single-row-group embeddings fixture, so the dot
-    # products and the 64-way posexplode would run in ONE task ×
-    # _PCA_ITERS; spread fans it to core width (identical exchange
-    # subtree per iteration → Spark reuses it). Projection first so the
-    # exchange never carries the unused label column. All downstream
-    # sums are decimal-exact, so partition assignment cannot move a bit.
+    # spread the corpus scan (io.spread, guide §2.5): the single-row-
+    # group embeddings fixture materializes as ONE task — and the
+    # checkpointed blocks inherit that width, so every iteration's dot
+    # products and 64-way posexplode would run serially ×{_PCA_ITERS}.
+    # spread fans the materialization to core width once; on any
+    # healthy layout it is a no-op. Re-measured under the checkpointed
+    # respell (VERDICT r13 #2, steal-free A/B in
+    # plans/r14/EXP_iterative.md): spread 1.33-1.66 s vs no-spread
+    # 1.23-1.49 s at the 2k-row fixture — the ~0.1 s is one exchange +
+    # 32-task scheduling against trivially small per-task work, kept
+    # anyway because the guard exists for exactly this degenerate
+    # layout at real scale (single-task iterations over a 100 TB
+    # corpus), where the one bounded exchange is noise. Projection
+    # first so neither the exchange nor the checkpoint carries the
+    # unused label column. All downstream sums are decimal-exact, so
+    # partition assignment cannot move a bit.
     em = spread(
         table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
         f"{sf_dir}/embeddings.parquet",
         "vec_id",
-    )
+    ).localCheckpoint(eager=True)
     dim = em.agg(F.max(F.size("embedding")).alias("d"))
     v = dim.select(
         F.expr(
@@ -445,7 +466,7 @@ def q162_pca_power(spark, sf_dir) -> DataFrame:
             F.sqrt(
                 F.sum((F.col("u") * F.col("u")).cast(_PCA_DEC)).cast("double")
             ).alias("nrm"),
-        )
+        ).localCheckpoint(eager=True)  # cut the per-step lineage (1 row)
         v = red.select(F.expr("transform(a, st -> st.u / nrm)").alias("v"))
     return (
         red.select(

@@ -1322,15 +1322,28 @@ def q156_textrank(spark, sf_dir) -> DataFrame:
     no dangling-mass term. Scale shape: edges/outw/pr are all vocab-keyed
     tables co-partitioned on the join key; one iteration = one join +
     one aggregate shuffle, and the iteration count is fixed, not
-    data-dependent — at 100 TB you'd persist pr between iterations
-    (clustering.py's fixpoint discipline) instead of growing one lazy
-    plan."""
-    # NO spread here, deliberately (measured 1.5 s -> 2.6 s with it):
-    # the iterative lazy plan re-evaluates the edge subtree every
-    # iteration, and an injected repartition exchange multiplies through
-    # the unrolled lineage — the single-task scan is cheaper than
-    # iterations × extra exchanges. The 100 TB posture is the docstring's
-    # persist-between-iterations discipline, not a wider first scan.
+    data-dependent.
+
+    Iteration discipline (r14, guide §5 — the persist-between-
+    iterations posture this docstring used to defer to 100 TB): the
+    graph tables (edges, outw, nn) are localCheckpoint'ed once, so the
+    corpus explode+count runs exactly once per invocation and each
+    iteration joins against materialized vocab-sized RDDs instead of
+    re-embedding the whole edge subtree (the r13 unrolled plan carried
+    44 parquet scans / 233 operators and re-planned them every
+    invocation). The per-step pr stays LAZY: each pr_k appears exactly
+    once in pr_{k+1}'s tree, so the 3-step tail is a linear chain over
+    the checkpointed tables — measured equal-or-faster than eagerly
+    checkpointing pr each step (plans/r14/EXP_iterative.md: 0.98-1.32 s
+    vs 0.95-1.42 s, both well under the 1.27-1.96 s unrolled shape).
+    localCheckpoint is executor-local and recomputed fresh inside every
+    invocation — nothing is shared across runs."""
+    # NO spread here, deliberately — re-measured under the checkpointed
+    # respell (the r13 verdict was measured on the unrolled plan): the
+    # edge build's heavy aggregation parallelizes at its own groupBy
+    # exchange, so fanning the scan first only adds an exchange
+    # (plans/r14/EXP_iterative.md: 1.12-1.54 s with spread vs
+    # 0.98-1.32 s without).
     d = table(spark, sf_dir, "documents").select(
         F.split("text", " ").alias("toks")
     )
@@ -1346,9 +1359,15 @@ def q156_textrank(spark, sf_dir) -> DataFrame:
     e1 = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    edges = e1.groupBy("u", "v").agg(F.count("*").alias("w"))
-    outw = edges.groupBy("u").agg(F.sum("w").cast("long").alias("ow"))
-    nn = outw.agg(F.count("*").alias("n"))
+    edges = e1.groupBy("u", "v").agg(F.count("*").alias("w")).localCheckpoint(
+        eager=True
+    )
+    outw = (
+        edges.groupBy("u")
+        .agg(F.sum("w").cast("long").alias("ow"))
+        .localCheckpoint(eager=True)
+    )
+    nn = outw.agg(F.count("*").alias("n")).localCheckpoint(eager=True)
     pr = outw.crossJoin(nn).select(
         F.col("u").alias("node"), (F.lit(1.0) / F.col("n")).alias("pr")
     )

@@ -408,6 +408,18 @@ def test_global_topk_family_is_takeordered(spark):
     assert tr.count("Exchange SinglePartition") <= 4
 
 
+def test_q156_iterations_start_from_materialized_graph(spark):
+    """TextRank iteration discipline (r14, guide §5): edges/outw/nn are
+    localCheckpoint'ed once, so the final plan joins the 3-step pr chain
+    against materialized RDDs — the corpus explode must appear NOWHERE
+    downstream (the r13 unrolled plan embedded 44 parquet scans and
+    re-evaluated the edge subtree per iteration)."""
+    df = QUERIES["q156_textrank"](spark, SF_CHECK)
+    plan = plans.physical_plan(df)
+    assert plan.count("Scan parquet") == 0, plan[:2000]
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
 def test_q159_index_band_screen_before_collect(spark):
     """Posting-list build (round-6 shape): the df-band screen is a
     map-side-combined count + join-back that runs BEFORE collect_list,
@@ -670,20 +682,22 @@ def test_r4c_query_plan_shapes(spark):
 
 
 def test_q162_linear_scan_count(spark):
-    """The power-iteration plan must scan the embeddings relation exactly
-    once per iteration (3), not 2^iterations: with per-iteration norm and
-    loadings as SEPARATE aggregates, every level had two consumers and
-    the unrolled lazy plan re-evaluated iteration 1's corpus scan 8
-    times (the round-5 fusion fix). Counting 'Scan parquet' occurrences
-    in the final physical plan pins the fused shape."""
-    from eclypsium_etl_spark.llm.prep import _PCA_ITERS
-
+    """The power-iteration plan must not re-embed prior iterations.
+    History: with per-iteration norm and loadings as SEPARATE
+    aggregates, every level had two consumers and the unrolled lazy
+    plan re-evaluated iteration 1's corpus scan 2^ITERS times (the
+    round-5 fusion fix capped it at ITERS+1 scans). Since r14 the
+    iterate is localCheckpoint'ed per step and the projected corpus is
+    materialized once, so the FINAL plan contains no parquet scan at
+    all — the corpus is read exactly once per invocation, in the
+    checkpoint job. Any parquet scan reappearing downstream means the
+    unrolled lineage is back."""
     df = QUERIES["q162_pca_power"](spark, SF_CHECK)
     plan = plans.physical_plan(df)
     n_scans = plan.count("Scan parquet")
-    # ITERS corpus scans + 1 for the dimension probe; anything near
-    # 2^ITERS means the multi-consumer lineage blow-up is back
-    assert n_scans <= _PCA_ITERS + 1, f"{n_scans} scans:\n{plan[:2000]}"
+    assert n_scans == 0, f"{n_scans} scans:\n{plan[:2000]}"
+    # the chain starts from the last checkpointed iterate, not lineage
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
 
 
 def test_r4d_query_plan_shapes(spark):
