@@ -189,11 +189,19 @@ def jaccard_pairs(
         # (array_intersect) — no second pair-level shuffle, no exploded
         # pair × shingles intermediate, and emitted jaccard stays exact
         # over the FULL sets: c = |shared rare| + |shared hot|.
+        # The stop list is computed ONCE per invocation and materialized
+        # (localCheckpoint — it is cap-bounded-small by construction):
+        # it feeds two different consumers below (anti-join filter,
+        # hot-flag attach) whose subtrees are NOT identical, so without
+        # the checkpoint each would re-run the full df-count pass over
+        # the corpus-sized shingle table (r14: 8 passes over sh in the
+        # plan → 3 — the df screen, the rare probe, the per-doc stats).
         hot = (
             sh.groupBy("s")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_df)
             .select("s")
+            .localCheckpoint(eager=True)
         )
         rare = sh.join(F.broadcast(hot), "s", "left_anti")
         # Pair generation WITHOUT a self-join (guide §2.4, remove
@@ -224,38 +232,48 @@ def jaccard_pairs(
             .count()
             .withColumnRenamed("count", "rc")
         )
-        hot_sets = (
-            sh.join(F.broadcast(hot), "s", "left_semi")
+        # Per-doc size AND hot-shingle set in ONE pass over sh (r14,
+        # guide §2.3 "aggregate before you shuffle" / §1.2 fewer passes):
+        # the r13 shape ran `sizes` (groupBy doc_id) and `hot_sets`
+        # (semi-join + groupBy doc_id) as two separate corpus passes and
+        # joined each twice (4 pair-level joins). One left join against
+        # the broadcast stop list flags hot rows in the scan stage, one
+        # doc-keyed aggregate emits both stats, and the pair table joins
+        # it twice — inner, since every doc in a pair has stats by
+        # construction. collect_set drops the NULLs of non-hot rows, so
+        # a doc with no hot shingles gets an EMPTY set (exactly what the
+        # old left-join + coalesce produced); proven row-identical at
+        # tau=0 over all 1,130,536 sf0.1 candidate pairs
+        # (plans/r14/exp_q63.log).
+        doc_stats = (
+            sh.join(
+                F.broadcast(hot.withColumn("_hot", F.lit(True))), "s", "left"
+            )
             .groupBy("doc_id")
-            .agg(F.collect_set("s").alias("hs"))
-        )
-        sizes = sh.groupBy("doc_id").count().withColumnRenamed("count", "n")
-        empty = F.array().cast("array<string>")
-        hot_c = F.size(
-            F.array_intersect(
-                F.coalesce(F.col("hs_a"), empty), F.coalesce(F.col("hs_b"), empty)
+            .agg(
+                F.count("*").alias("n"),
+                F.collect_set(F.when(F.col("_hot"), F.col("s"))).alias("hs"),
             )
         )
+        hot_c = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
         c = F.col("rc") + hot_c
         jac = F.round(c.cast("double") / (F.col("na") + F.col("nb") - c), 6)
         return (
             inter_rare.join(
-                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+                doc_stats.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("n").alias("na"),
+                    F.col("hs").alias("hs_a"),
+                ),
                 "doc_a",
             )
             .join(
-                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+                doc_stats.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("n").alias("nb"),
+                    F.col("hs").alias("hs_b"),
+                ),
                 "doc_b",
-            )
-            .join(
-                hot_sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
-                "doc_a",
-                "left",
-            )
-            .join(
-                hot_sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
-                "doc_b",
-                "left",
             )
             .select("doc_a", "doc_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= tau)

@@ -2718,8 +2718,9 @@ def q268_bpe_merges(spark, sf_dir) -> DataFrame:
     seq string) — at 100 TB the word-count rollup is the only
     corpus-scale pass; every subsequent round runs on the ~1M-row
     weighted vocabulary, which is the same reason SentencePiece trains
-    on counts, not tokens. Rounds unroll statically into one lazy plan:
-    the driver never sees a pair count."""
+    on counts, not tokens. Each round's iterate is localCheckpoint'ed
+    (bpe_learn_chain's r14 iteration discipline): the driver never sees
+    a pair count."""
     results, _ = bpe_learn_chain(spark, sf_dir)
     out = results[0]
     for r in results[1:]:
@@ -2731,7 +2732,19 @@ def bpe_learn_chain(spark, sf_dir, rounds: int = _BPE_ROUNDS):
     """The q268 learning loop as a reusable chain: returns (per-round
     winner DataFrames, final word->segmentation table). Both q268 (the
     merge table) and q283 (applying the segmentation per document)
-    consume it — one lazy plan, no driver-side state."""
+    consume it — no driver-side state ever (each round's winner re-enters
+    the plan as a broadcast row, never a collect).
+
+    Iteration discipline (r14, guide §5 — the same fix as q156/q162):
+    the per-round state is localCheckpoint'ed, because every round's
+    `seq` is consumed TWICE (the pair-count explode and the next round's
+    merge apply) and each winner twice (the emitted merge row and the
+    broadcast), so the unrolled lazy plan re-evaluated the corpus rollup
+    once per consumer per level (7 parquet scans in the r13 plan). With
+    seq0 (the one corpus-scale pass) and each round's vocab-sized
+    iterate materialized, the corpus is read exactly once per
+    invocation. Measured at sf0.1 (plans/r14/exp_q268.log, clean
+    window): 1.22-1.35 s unrolled vs 0.86-0.95 s checkpointed."""
     # spread before the word explode (io.spread, guide §2.5): the
     # corpus-scale rollup is the one heavy pass of the BPE chain and the
     # single-row-group fixture scan would run it in one task.
@@ -2742,7 +2755,9 @@ def bpe_learn_chain(spark, sf_dir, rounds: int = _BPE_ROUNDS):
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
-    seq = w.select("word", "n", F.expr(_bpe_seq_spark("word")).alias("seq"))
+    seq = w.select(
+        "word", "n", F.expr(_bpe_seq_spark("word")).alias("seq")
+    ).localCheckpoint(eager=True)
 
     pair_expr = (
         "transform(sequence(1, size(sym) - 1),"
@@ -2757,7 +2772,9 @@ def bpe_learn_chain(spark, sf_dir, rounds: int = _BPE_ROUNDS):
             .groupBy("pair")
             .agg(F.sum("n").cast("long").alias("cnt"))
         )
-        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).localCheckpoint(
+            eager=True  # 1 row: feeds both the merge table and the broadcast
+        )
         results.append(
             best.select(
                 F.lit(r).alias("rank"),
@@ -2775,6 +2792,8 @@ def bpe_learn_chain(spark, sf_dir, rounds: int = _BPE_ROUNDS):
             "n",
             F.expr("replace(seq, __bp, __bm)").alias("seq"),
         )
+        if r < rounds:  # the final seq has one consumer; keep it lazy
+            seq = seq.localCheckpoint(eager=True)
     return results, seq
 
 
