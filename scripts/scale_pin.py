@@ -71,18 +71,24 @@ def ensure_fixture() -> str:
     out = fixture_dir()
     if not os.path.exists(f"{out}/_BUILT"):
         build_fixture(out)
-    li = f"{out}/lineitem.parquet"
-    if not os.path.exists(li):
-        df = pd.read_parquet(f"{SF01}/lineitem.parquet")
-        span = int(df["l_orderkey"].max()) + 1
-        parts = [df]
-        for k in range(1, N_SHARDS):
-            d = df.copy()
-            d["l_orderkey"] = d["l_orderkey"] + span * k
-            parts.append(d)
-        tmp = li + ".tmp"
-        pd.concat(parts, ignore_index=True).to_parquet(tmp, index=False)
-        os.replace(tmp, li)
+    for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        path = f"{out}/{tbl}.parquet"
+        if not os.path.exists(path):
+            df = pd.read_parquet(f"{SF01}/{tbl}.parquet")
+            span = int(df[key].max()) + 1
+            parts = [df]
+            for k in range(1, N_SHARDS):
+                d = df.copy()
+                d[key] = d[key] + span * k
+                parts.append(d)
+            tmp = path + ".tmp"
+            pd.concat(parts, ignore_index=True).to_parquet(tmp, index=False)
+            os.replace(tmp, path)
+    # dimensions stay 1x (they are scale-invariant lookup tables)
+    for tbl in ("region", "nation", "supplier", "part"):
+        path = f"{out}/{tbl}.parquet"
+        if not os.path.exists(path):
+            shutil.copyfile(f"{SF01}/{tbl}.parquet", path)
     return out
 
 

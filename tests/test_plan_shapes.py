@@ -640,8 +640,20 @@ def test_r4_query_plan_shapes(spark):
     assert "partial_count" in plans.physical_plan(q262)  # map-side combine
     q267 = QUERIES["q267_vocab_oov"](spark, SF_CHECK)
     assert plans.has_broadcast_join(q267)
+    # q268's rounds are localCheckpoint'ed since r14, so the FINAL plan
+    # is a union over materialized 1-row winners (zero scans, zero
+    # shuffles); the winner-re-enters-by-broadcast claim is asserted on
+    # the chain's lazy tail (the final seq, whose plan still carries the
+    # crossJoin broadcast over the checkpointed prior round).
     q268 = QUERIES["q268_bpe_merges"](spark, SF_CHECK)
-    assert plans.has_broadcast(q268)
+    q268_plan = plans.physical_plan(q268)
+    assert "Scan parquet" not in q268_plan
+    assert plans.shuffle_count(q268) == 0
+    from eclypsium_etl_spark.llm.text import bpe_learn_chain
+
+    _, seq = bpe_learn_chain(spark, SF_CHECK)
+    assert plans.has_broadcast(seq)
+    assert "ExistingRDD" in plans.physical_plan(seq)
     # q271: inequality-only join against a 3-row dim — the one place
     # BroadcastNestedLoopJoin is the RIGHT plan (O(n*3), zero shuffle)
     q271 = QUERIES["q271_band_join_bnl"](spark, SF_CHECK)
